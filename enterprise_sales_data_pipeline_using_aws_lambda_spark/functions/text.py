@@ -1,0 +1,42 @@
+"""Scalar text helpers shared by the dedup / text-analysis operators.
+
+Everything here is built from JVM built-ins (``split``, ``xxhash64``,
+``transform``/``aggregate`` higher-order functions) — no Python UDFs in
+the hot path, so these compose into whole-stage codegen and scale with
+the cluster, not with the Python interpreter.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import Column
+from pyspark.sql import functions as F
+
+
+def simple_word_count(col: Column | str) -> Column:
+    """Whitespace word count via space counting — engine-portable
+    semantics: ``len(text) - len(remove(' ')) + 1`` for non-empty text."""
+    c = F.col(col) if isinstance(col, str) else col
+    return F.when(F.length(c) == 0, F.lit(0)).otherwise(
+        F.length(c) - F.length(F.replace(c, F.lit(" "), F.lit(""))) + 1
+    )
+
+
+def char_ngrams(col: Column | str, n: int = 5) -> Column:
+    """Array of character n-gram shingles of ``col`` (distinct not
+    applied; callers dedup as needed).  Implemented with ``sequence`` +
+    ``transform`` — evaluated vectorized JVM-side, no explode needed
+    until the caller wants one."""
+    c = F.col(col) if isinstance(col, str) else col
+    length = F.length(c)
+    starts = F.sequence(F.lit(1), F.greatest(length - (n - 1), F.lit(1)))
+    return F.when(length < n, F.array(c)).otherwise(
+        F.transform(starts, lambda i: F.substring(c, i, n))
+    )
+
+
+def stable_hash64(col: Column, seed: int) -> Column:
+    """Seeded 64-bit stable hash: xxhash64 with the seed mixed in via
+    concat — deterministic across sessions/partitions (xxhash64 is a
+    fixed algorithm, unlike ``F.hash``'s murmur3 which is also stable but
+    32-bit)."""
+    return F.xxhash64(F.concat(F.lit(f"s{seed}:"), col))

@@ -1,0 +1,126 @@
+"""Batch pipeline runner — the reference's end-to-end flow, Spark-first.
+
+Reproduces ``lambda_handler`` (reference ``lambda.py:204-266``):
+
+    read raw file → validate → (fail: quarantine, status=failed)
+                             → (pass: parquet lake append
+                                      + serving-table updates
+                                      + delete raw
+                                      + notify, status=success)
+
+with the serving-table dataflow of ``update_rds_tables``
+(``lambda.py:160-194``): append log ``sales``, keyed keep-last upsert
+into ``sales_tgt``, per-country ``sales_summary`` replace.
+
+Documented divergences from the reference (SURVEY §7.5.4):
+- quarantine persists the failure reason (reference drops it);
+- ``sales_summary`` here is computed over the **cumulative** ``sales_tgt``
+  (primary semantics); ``summary_scope='batch'`` restores the reference's
+  current-batch-only quirk (``lambda.py:184`` aggregates ``df``);
+- a batch may be a directory of many files, not exactly one
+  (``lambda.py:207`` silently drops extra event records);
+- validation-failure also notifies (the reference notifies on success and
+  exception but not on validation failure, ``lambda.py:233-236``).
+"""
+
+from __future__ import annotations
+
+from dataclasses import dataclass, field
+from typing import Callable
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from .functions.dates import format_date
+from .operators.agg import sales_summary
+from .operators.upsert import upsert_keep_last
+from .operators.validate import validate_batch
+from .schema import SALES_DATE_COLUMNS, SALES_KEY_COLUMN
+from .sources.readers import read_sales
+from .sources.writers import (
+    batch_id_now,
+    delete_path,
+    read_serving_table,
+    write_partitioned_parquet,
+    write_quarantine,
+    write_serving_table,
+)
+
+Notifier = Callable[[str, dict], None]
+
+
+@dataclass
+class PipelineConfig:
+    lake_dir: str
+    warehouse_dir: str
+    quarantine_dir: str
+    summary_scope: str = "cumulative"  # or "batch" (reference-exact quirk)
+    dates_as_strings: bool = True  # serving tables restringify dates
+    delete_raw: bool = False
+    notifier: Notifier | None = None
+    extra: dict = field(default_factory=dict)
+
+
+def _notify(cfg: PipelineConfig, status: str, payload: dict) -> None:
+    if cfg.notifier is not None:
+        cfg.notifier(status, payload)
+
+
+def run_batch(
+    spark: SparkSession, input_path: str, cfg: PipelineConfig
+) -> dict:
+    """Process one raw batch (file or directory). Returns the reference's
+    status-dict shape (``lambda.py:236,258,266``)."""
+    batch_id = batch_id_now()
+    try:
+        df = read_sales(spark, input_path)
+        result = validate_batch(df)
+        if not result.ok:
+            reason = "; ".join(result.errors)
+            write_quarantine(
+                df, cfg.quarantine_dir, reason, input_path, batch_id
+            )
+            _notify(cfg, "failed", {"file": input_path, "error": reason})
+            return {"status": "failed", "file": input_path, "error": reason}
+
+        valid = result.df
+        # Parquet lake keeps native DateType (the reference's parquet
+        # write happens before restringification too, lambda.py:240 vs
+        # 168-169).
+        write_partitioned_parquet(valid, cfg.lake_dir, batch_id)
+
+        serving = valid
+        if cfg.dates_as_strings:
+            for c in SALES_DATE_COLUMNS:
+                serving = serving.withColumn(c, format_date(c))
+
+        # 1) append-only log (reference S6, lambda.py:172)
+        write_serving_table(serving, cfg.warehouse_dir, "sales", "append")
+
+        # 2) keyed keep-last upsert (reference lambda.py:176-181)
+        existing = read_serving_table(spark, cfg.warehouse_dir, "sales_tgt")
+        merged = upsert_keep_last(
+            existing, serving, [SALES_KEY_COLUMN], broadcast_keys=True
+        )
+        # Materialize before overwrite: the plan reads the same files the
+        # overwrite truncates. localCheckpoint cuts the lineage (a real
+        # deployment uses Delta MERGE and avoids the rewrite entirely).
+        merged = merged.localCheckpoint(eager=True)
+        write_serving_table(merged, cfg.warehouse_dir, "sales_tgt", "overwrite")
+
+        # 3) per-country summary (reference lambda.py:184-190)
+        summary_src = serving if cfg.summary_scope == "batch" else merged
+        write_serving_table(
+            sales_summary(summary_src),
+            cfg.warehouse_dir,
+            "sales_summary",
+            "overwrite",
+        )
+
+        if cfg.delete_raw:
+            delete_path(spark, input_path)
+        _notify(cfg, "success", {"file": input_path, "batch_id": batch_id})
+        return {"status": "success", "file": input_path, "batch_id": batch_id}
+    except Exception as exc:  # catch-all failure path, lambda.py:259-266
+        _notify(cfg, "failed", {"file": input_path, "error": str(exc)})
+        return {"status": "failed", "file": input_path, "error": str(exc)}

@@ -1,0 +1,42 @@
+"""SparkSession factory with scale-appropriate defaults.
+
+Local tests run on ``local[N]`` but every setting here is chosen for a
+multi-executor cluster: AQE for runtime re-planning (skew joins, partition
+coalescing), explicit shuffle partitioning, Arrow for any pandas-UDF
+exchange, and UTC session time so results are byte-stable across machines.
+"""
+
+from __future__ import annotations
+
+import os
+
+from pyspark.sql import SparkSession
+
+
+def default_parallelism() -> int:
+    return int(os.environ.get("SPARK_GRAFT_CPUS", os.cpu_count() or 8))
+
+
+def get_spark(app_name: str = "enterprise-sales-engine", cpus: int | None = None) -> SparkSession:
+    """Build (or fetch) a SparkSession tuned for this engine.
+
+    Notes on scale: ``spark.sql.shuffle.partitions`` is a floor — AQE
+    coalesces small shuffles and splits skewed ones at runtime, so on a
+    1000-executor cluster the same code simply runs with a larger setting
+    (or ``spark.sql.adaptive.coalescePartitions.initialPartitionNum``).
+    """
+    n = cpus or default_parallelism()
+    builder = (
+        SparkSession.builder.appName(app_name)
+        .master(f"local[{n}]")
+        .config("spark.sql.shuffle.partitions", str(max(n, 8)))
+        .config("spark.sql.adaptive.enabled", "true")
+        .config("spark.sql.adaptive.coalescePartitions.enabled", "true")
+        .config("spark.sql.adaptive.skewJoin.enabled", "true")
+        .config("spark.sql.execution.arrow.pyspark.enabled", "true")
+        .config("spark.sql.session.timeZone", "UTC")
+        .config("spark.driver.memory", os.environ.get("SPARK_GRAFT_DRIVER_MEM", "8g"))
+        .config("spark.ui.enabled", "false")
+        .config("spark.sql.autoBroadcastJoinThreshold", str(64 * 1024 * 1024))
+    )
+    return builder.getOrCreate()

@@ -1,0 +1,108 @@
+"""Sinks (reference operators S5–S11).
+
+The reference writes one Parquet file per input under a wall-clock
+timestamp *folder* (``processed/{ts}/{stem}.parquet``, reference
+``lambda.py:141-158``) and moves failed files to ``quarantine/{ts}/``
+while silently dropping the failure reason (``lambda.py:123-139`` accepts
+``reason`` but never persists it).
+
+Scale-first redesign:
+- the timestamp becomes a real **partition column** (``ingest_date`` /
+  ``batch_id``) so the lake gets partition pruning instead of opaque
+  folders;
+- quarantine keeps the reason (``_error_reason``) plus provenance columns
+  — fixing the reference's data loss;
+- JDBC-style serving sinks (S6/S7/S9) are modeled as mode='append' /
+  'overwrite' writes behind one function so tests can swap in a local
+  parquet "warehouse" — no MySQL in this environment.
+"""
+
+from __future__ import annotations
+
+from datetime import datetime, timezone
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+
+def batch_id_now() -> str:
+    """Wall-clock batch id, same shape as the reference's folder timestamp
+    ``%Y%m%d_%H%M%S`` (``lambda.py:52-56``)."""
+    return datetime.now(timezone.utc).strftime("%Y%m%d_%H%M%S")
+
+
+def write_partitioned_parquet(
+    df: DataFrame,
+    path: str,
+    batch_id: str | None = None,
+    mode: str = "append",
+    partition_cols: list[str] | None = None,
+) -> str:
+    """Parquet lake sink (reference S5, ``lambda.py:141-158``).
+
+    Adds ``ingest_batch`` as a partition column (instead of the
+    reference's timestamp folder) so downstream reads prune by batch.
+    """
+    bid = batch_id or batch_id_now()
+    out = df.withColumn("ingest_batch", F.lit(bid))
+    cols = ["ingest_batch"] + (partition_cols or [])
+    out.write.mode(mode).partitionBy(*cols).parquet(path)
+    return bid
+
+
+def write_quarantine(
+    df: DataFrame,
+    path: str,
+    reason: str,
+    source_file: str | None = None,
+    batch_id: str | None = None,
+) -> str:
+    """Quarantine sink (reference S10, ``lambda.py:123-139``).
+
+    Unlike the reference, the failure ``reason`` is persisted as a column
+    alongside provenance (``_source_file``, ``_ingest_batch``).
+    """
+    bid = batch_id or batch_id_now()
+    out = (
+        df.withColumn("_error_reason", F.lit(reason))
+        .withColumn("_source_file", F.lit(source_file or ""))
+        .withColumn("_ingest_batch", F.lit(bid))
+    )
+    out.write.mode("append").parquet(path)
+    return bid
+
+
+def write_serving_table(
+    df: DataFrame, warehouse_dir: str, table: str, mode: str
+) -> None:
+    """Serving-table sink standing in for the reference's MySQL writes
+    (S6 append → ``sales``, S9 replace → ``sales_tgt``/``sales_summary``,
+    reference ``lambda.py:172,181,190``).
+
+    On a real deployment this is ``df.write.jdbc(url, table, mode=mode)``
+    or a Delta ``MERGE``; locally it is a parquet directory per table so
+    the e2e tests run hermetically.
+    """
+    df.write.mode(mode).parquet(f"{warehouse_dir}/{table}")
+
+
+def read_serving_table(
+    spark: SparkSession, warehouse_dir: str, table: str
+) -> DataFrame | None:
+    """Serving-table scan with the reference's missing-table fallback
+    (S7+S8, ``lambda.py:176-178``): returns None when the table does not
+    exist yet — caller substitutes an empty relation."""
+    try:
+        return spark.read.parquet(f"{warehouse_dir}/{table}")
+    except Exception:
+        return None
+
+
+def delete_path(spark: SparkSession, path: str) -> bool:
+    """File delete (reference S11, ``lambda.py:196-202``) via Hadoop FS —
+    works on any supported scheme (file://, s3a://, hdfs://)."""
+    sc = spark.sparkContext
+    jvm = sc._jvm
+    hpath = jvm.org.apache.hadoop.fs.Path(path)
+    fs = hpath.getFileSystem(sc._jsc.hadoopConfiguration())
+    return bool(fs.delete(hpath, True))
