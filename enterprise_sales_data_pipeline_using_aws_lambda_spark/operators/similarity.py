@@ -1,0 +1,205 @@
+"""Similarity search over embedding columns (``array<float>``).
+
+Two paths (north-star extension surface):
+- :func:`cosine_topk` — brute-force exact top-k: broadcast the (small)
+  query set against the corpus; per-row dot products are JVM
+  ``zip_with``/``aggregate`` folds; ranking is a per-query window.
+  Cost O(|queries| × |corpus| × dim) — the *baseline* and the verifier
+  for approximate methods.
+- :func:`lsh_topk` — the scale path: sign-random-projection LSH
+  (Charikar hyperplanes, derived deterministically from xxhash64 so no
+  plane matrix ships to executors); candidates = rows sharing a bucket
+  in ≥1 table; exact cosine re-ranking only on candidates.  At 100 TB
+  the corpus is hashed once (linear scan), each query touches only its
+  buckets.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import Column, DataFrame
+from pyspark.sql import functions as F
+from pyspark.sql import Window
+
+
+def _dot(a: Column, b: Column) -> Column:
+    return F.aggregate(
+        F.zip_with(a, b, lambda x, y: x.cast("double") * y.cast("double")),
+        F.lit(0.0),
+        lambda acc, v: acc + v,
+    )
+
+
+def _norm(a: Column) -> Column:
+    return F.sqrt(
+        F.aggregate(
+            a,
+            F.lit(0.0),
+            lambda acc, v: acc + v.cast("double") * v.cast("double"),
+        )
+    )
+
+
+def cosine_topk(
+    corpus: DataFrame,
+    queries: DataFrame,
+    k: int = 5,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+) -> DataFrame:
+    """Exact top-k cosine neighbors of each query vector.
+
+    Output: (qid, vec_id, cosine, rank), rank 1..k per qid, ties broken
+    by vec_id; self-matches excluded. The queries side is broadcast —
+    the corpus is scanned once regardless of |queries|."""
+    q = queries.select(
+        F.col(id_col).alias("qid"), F.col(vec_col).alias("qvec")
+    )
+    c = corpus.select(
+        F.col(id_col).alias("vec_id"), F.col(vec_col).alias("cvec")
+    )
+    scored = (
+        c.crossJoin(F.broadcast(q))
+        .filter(F.col("vec_id") != F.col("qid"))
+        .select(
+            "qid",
+            "vec_id",
+            (
+                _dot(F.col("qvec"), F.col("cvec"))
+                / (_norm(F.col("qvec")) * _norm(F.col("cvec")))
+            ).alias("_cos"),
+        )
+    )
+    w = Window.partitionBy("qid").orderBy(
+        F.col("_cos").desc(), F.col("vec_id")
+    )
+    return (
+        scored.withColumn("rank", F.row_number().over(w))
+        .filter(F.col("rank") <= k)
+        .select(
+            "qid",
+            "vec_id",
+            F.round("_cos", 6).alias("cosine"),
+            "rank",
+        )
+    )
+
+
+def _srp_bucket(vec: Column, table: int, planes: int) -> Column:
+    """Sign-random-projection bucket id for one hash table.
+
+    Plane t,j component for dimension d is ±1 chosen by bit parity of
+    xxhash64('p{table}:{j}:{d}') — deterministic everywhere, nothing to
+    broadcast.  Bucket = packed sign bits of the ``planes`` projections."""
+    dims = F.sequence(F.lit(0), F.size(vec) - 1)
+    bits = F.transform(
+        F.sequence(F.lit(0), F.lit(planes - 1)),
+        lambda j: F.when(
+            F.aggregate(
+                F.zip_with(
+                    vec,
+                    dims,
+                    lambda v, d: F.when(
+                        F.xxhash64(
+                            F.concat_ws(
+                                ":",
+                                F.lit(f"p{table}"),
+                                j.cast("string"),
+                                d.cast("string"),
+                            )
+                        ).bitwiseAND(F.lit(1))
+                        == 1,
+                        v.cast("double"),
+                    ).otherwise(-v.cast("double")),
+                ),
+                F.lit(0.0),
+                lambda acc, v: acc + v,
+            )
+            > 0,
+            F.lit(1),
+        ).otherwise(F.lit(0)),
+    )
+    return F.aggregate(
+        F.zip_with(
+            bits,
+            F.sequence(F.lit(0), F.lit(planes - 1)),
+            # 2^j exact in double for the small plane counts used here.
+            lambda bit, j: bit * F.pow(F.lit(2.0), j).cast("int"),
+        ),
+        F.lit(0),
+        lambda acc, v: acc + v,
+    )
+
+
+def lsh_topk(
+    corpus: DataFrame,
+    queries: DataFrame,
+    k: int = 5,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    tables: int = 8,
+    planes: int = 8,
+) -> DataFrame:
+    """Approximate top-k cosine via SRP-LSH bucketing + exact re-rank.
+
+    The corpus is hashed into ``tables`` independent bucket columns in a
+    single scan; a query probes the union of its buckets.  Recall rises
+    with ``tables``; re-ranking makes reported cosines exact, so the only
+    approximation is a possibly-missed neighbor (measured against
+    :func:`cosine_topk` in tests)."""
+    def bucketize(df: DataFrame, prefix: str) -> DataFrame:
+        out = df
+        for t in range(tables):
+            out = out.withColumn(
+                f"_b{t}", _srp_bucket(F.col(vec_col), t, planes)
+            )
+        return out
+
+    c = bucketize(
+        corpus.select(
+            F.col(id_col).alias("vec_id"), F.col(vec_col).alias("cvec")
+        ).withColumnRenamed("cvec", vec_col),
+        "c",
+    ).withColumnRenamed(vec_col, "cvec")
+    q = bucketize(
+        queries.select(
+            F.col(id_col).alias("qid"), F.col(vec_col).alias("qvec")
+        ).withColumnRenamed("qvec", vec_col),
+        "q",
+    ).withColumnRenamed(vec_col, "qvec")
+
+    # Long form: (id, table, bucket) for corpus and queries; candidates
+    # share (table, bucket) in at least one table.
+    def melt(df: DataFrame, id_out: str, vec_out: str) -> DataFrame:
+        pairs = F.array(
+            *[
+                F.struct(
+                    F.lit(t).alias("tbl"), F.col(f"_b{t}").alias("bucket")
+                )
+                for t in range(tables)
+            ]
+        )
+        return df.select(
+            F.col(id_out), F.col(vec_out), F.explode(pairs).alias("tb")
+        ).select(id_out, vec_out, "tb.tbl", "tb.bucket")
+
+    cands = (
+        melt(c, "vec_id", "cvec")
+        .join(melt(q, "qid", "qvec"), ["tbl", "bucket"])
+        .filter(F.col("vec_id") != F.col("qid"))
+        .select("qid", "qvec", "vec_id", "cvec")
+        .distinct()
+    )
+    scored = cands.select(
+        "qid",
+        "vec_id",
+        (
+            _dot(F.col("qvec"), F.col("cvec"))
+            / (_norm(F.col("qvec")) * _norm(F.col("cvec")))
+        ).alias("_cos"),
+    )
+    w = Window.partitionBy("qid").orderBy(F.col("_cos").desc(), F.col("vec_id"))
+    return (
+        scored.withColumn("rank", F.row_number().over(w))
+        .filter(F.col("rank") <= k)
+        .select("qid", "vec_id", F.round("_cos", 6).alias("cosine"), "rank")
+    )

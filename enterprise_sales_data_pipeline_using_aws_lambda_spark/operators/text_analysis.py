@@ -1,0 +1,166 @@
+"""Text-analysis operators for LLM-data-pipeline workloads
+(north-star extension surface, BASELINE.json): quality scoring, token
+counting, language ID, document fingerprinting.
+
+Everything is built from JVM built-ins (regexp, higher-order array
+functions) — no Python UDFs — so each operator is a narrow projection
+over the documents table: Catalyst prunes to (id, text) at the scan and
+the work parallelizes per-partition with zero shuffles.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import Column, DataFrame
+from pyspark.sql import functions as F
+
+from ..functions.text import simple_word_count
+
+#: BPE-ish tokenizer: letter runs, single digits, or single
+#: non-alphanumeric-non-space marks (ASCII-safe across regex engines).
+TOKEN_PATTERN = "[A-Za-z]+|[0-9]|[^A-Za-z0-9 ]"
+
+#: Marker stopwords per language for the n-gram/stopword language-ID
+#: heuristic. Ordered dict — the order breaks score ties deterministically.
+LANG_MARKERS: dict[str, list[str]] = {
+    "en": ["the", "and", "of", "is", "to"],
+    "es": ["el", "la", "de", "que", "los"],
+    "fr": ["le", "la", "et", "les", "des"],
+    "de": ["der", "die", "und", "das", "ist"],
+    "zh": ["de5", "shi4", "le5", "zai4", "he2"],
+}
+
+FINGERPRINT_MOD = 1_000_000_007
+
+
+def occurrence_count(text: Column, needle: str) -> Column:
+    """Count non-overlapping occurrences of a literal substring via
+    length arithmetic — identical semantics in any engine."""
+    n = len(needle)
+    return (
+        F.length(text) - F.length(F.replace(text, F.lit(needle)))
+    ) / F.lit(n)
+
+
+def quality_stats(
+    df: DataFrame, text_col: str = "text", id_col: str = "doc_id"
+) -> DataFrame:
+    """Per-document quality features: char/word counts, average word
+    length, punctuation & digit & whitespace ratios.
+
+    One narrow projection; all expressions fuse into a single
+    whole-stage-codegen span over the scan."""
+    t = F.col(text_col)
+    n_chars = F.length(t)
+    words = simple_word_count(t)
+    no_space = F.replace(t, F.lit(" "))
+    punct = F.length(no_space) - F.length(
+        F.regexp_replace(no_space, "[^A-Za-z0-9]", "")
+    )
+    digits = F.length(no_space) - F.length(
+        F.regexp_replace(no_space, "[0-9]", "")
+    )
+    return df.select(
+        F.col(id_col),
+        n_chars.alias("n_chars"),
+        words.cast("long").alias("n_words"),
+        F.round(F.length(no_space) / F.greatest(words, F.lit(1)), 4).alias(
+            "avg_word_len"
+        ),
+        F.round(punct / F.greatest(n_chars, F.lit(1)), 4).alias("punct_ratio"),
+        F.round(digits / F.greatest(n_chars, F.lit(1)), 4).alias(
+            "digit_ratio"
+        ),
+        F.round(
+            (n_chars - F.length(no_space)) / F.greatest(n_chars, F.lit(1)), 4
+        ).alias("space_ratio"),
+    )
+
+
+def token_counts(
+    df: DataFrame,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    pattern: str = TOKEN_PATTERN,
+) -> DataFrame:
+    """Token counting: whitespace words + BPE-ish regex tokens + distinct
+    token count. ``regexp_extract_all`` is evaluated JVM-side."""
+    t = F.col(text_col)
+    toks = F.regexp_extract_all(t, F.lit(pattern), 0)
+    return df.select(
+        F.col(id_col),
+        simple_word_count(t).cast("long").alias("n_words"),
+        F.size(toks).cast("long").alias("n_tokens"),
+        F.size(F.array_distinct(toks)).cast("long").alias("n_unique_tokens"),
+    )
+
+
+def _marker_score(text: Column, markers: list[str]) -> Column:
+    """Stopword hit score: total occurrences of ``' marker '`` in the
+    space-padded text (padding catches boundary words)."""
+    padded = F.concat(F.lit(" "), text, F.lit(" "))
+    score = F.lit(0.0)
+    for m in markers:
+        score = score + occurrence_count(padded, f" {m} ")
+    return score
+
+
+def language_id(
+    df: DataFrame,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    markers: dict[str, list[str]] | None = None,
+) -> DataFrame:
+    """Heuristic language ID: argmax of per-language stopword scores,
+    ties broken by marker-table order, zero-score → 'und' (undetermined).
+
+    The scoring is pure column arithmetic (no UDF); for a real corpus
+    swap in character-n-gram profiles — the operator shape (argmax over
+    per-language score columns) stays identical."""
+    markers = markers or LANG_MARKERS
+    t = F.lower(F.col(text_col))
+    scores = {lang: _marker_score(t, ms) for lang, ms in markers.items()}
+    best = F.greatest(*scores.values())
+    pred = F.lit("und")
+    # Build the CASE chain in reverse so earlier languages win ties.
+    for lang in reversed(list(markers)):
+        pred = F.when(
+            (scores[lang] == best) & (best > 0), F.lit(lang)
+        ).otherwise(pred)
+    out = df.select(
+        F.col(id_col),
+        pred.alias("pred_lang"),
+        *[
+            F.round(scores[lang], 1).alias(f"score_{lang}")
+            for lang in markers
+        ],
+    )
+    return out
+
+
+def fingerprint(
+    df: DataFrame,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    mod: int = FINGERPRINT_MOD,
+) -> DataFrame:
+    """Deterministic polynomial rolling-hash fingerprint:
+    ``fold(chars, acc -> (acc*31 + ascii(char)) % mod)``.
+
+    Engine-portable (same value in any SQL engine with a list fold) —
+    unlike md5/xxhash this is reproducible from the algorithm spec, which
+    makes it the cross-system dedup key for mirrored corpora."""
+    t = F.col(text_col)
+    codes = F.transform(
+        F.sequence(F.lit(1), F.length(t)),
+        lambda i: F.ascii(F.substring(t, i, 1)).cast("long"),
+    )
+    fp = F.aggregate(
+        codes,
+        F.lit(0).cast("long"),
+        lambda acc, c: (acc * 31 + c) % F.lit(mod),
+    )
+    return df.select(
+        F.col(id_col),
+        F.when(F.length(t) == 0, F.lit(0)).otherwise(fp).alias("fingerprint"),
+        F.length(t).alias("n_chars_computed"),
+    )

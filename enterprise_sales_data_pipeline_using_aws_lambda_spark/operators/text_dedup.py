@@ -1,0 +1,262 @@
+"""Fuzzy document deduplication: MinHash+LSH, SimHash, n-gram Jaccard.
+
+Scale design (the whole point of these operators at 100 TB):
+- **Never all-pairs.** Candidate generation is LSH banding — a group-by
+  on (band, band_hash) whose shuffle carries (doc_id, 16 bytes) per band,
+  not documents.  Exact similarity is then computed only on candidates.
+- **No Python in the hot path.** Shingling, hashing, signatures, and
+  banding are Spark higher-order functions (``transform`` /
+  ``aggregate`` / ``xxhash64``) evaluated in the JVM; a 1000-executor
+  cluster runs this with zero Python workers.
+- Self-joins on band buckets use salted-safe equi keys; huge buckets
+  (identical boilerplate docs) are the skew risk — AQE skew-join splits
+  them, and ``max_bucket`` guards degenerate buckets.
+
+MinHash/LSH background: Broder '97 resemblance sketches; banding analysis
+as in Mining of Massive Datasets ch.3 (public).
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import Column, DataFrame
+from pyspark.sql import functions as F
+
+from ..functions.text import char_ngrams
+
+
+def shingle_sets(
+    df: DataFrame,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    n: int = 5,
+) -> DataFrame:
+    """(id, shingles) — distinct character n-grams per document."""
+    return df.select(
+        F.col(id_col),
+        F.array_distinct(char_ngrams(F.col(text_col), n)).alias("shingles"),
+    )
+
+
+def minhash_signatures(
+    shingled: DataFrame,
+    id_col: str = "doc_id",
+    num_hashes: int = 64,
+) -> DataFrame:
+    """(id, signature[num_hashes]) MinHash sketch.
+
+    ``sig[i] = min over shingles of xxhash64('s{i}:' + shingle)`` — one
+    seeded 64-bit hash family, computed as nested array transforms with
+    no explode and no shuffle: cost is O(|shingles| * num_hashes) per row,
+    embarrassingly parallel."""
+    seeds = F.sequence(F.lit(0), F.lit(num_hashes - 1))
+    sig = F.transform(
+        seeds,
+        lambda s: F.array_min(
+            F.transform(
+                F.col("shingles"),
+                lambda sh: F.xxhash64(
+                    F.concat(F.lit("s"), s.cast("string"), F.lit(":"), sh)
+                ),
+            )
+        ),
+    )
+    return shingled.select(F.col(id_col), sig.alias("signature"))
+
+
+def lsh_candidate_pairs(
+    signatures: DataFrame,
+    id_col: str = "doc_id",
+    bands: int = 16,
+    max_bucket: int = 1000,
+) -> DataFrame:
+    """Candidate pairs (id_a < id_b) sharing ≥1 LSH band.
+
+    Each signature is cut into ``bands`` row-groups; a band's bucket key
+    is one xxhash64 over its slice.  Docs are exploded to one row per
+    band (bands × docs rows of ~24 bytes — the only shuffle), then
+    self-joined per bucket.  ``max_bucket`` drops degenerate buckets
+    (e.g. empty-text clusters) that would create O(b²) pairs."""
+    num_hashes_per_band = F.size(F.col("signature")) / bands
+    banded = signatures.select(
+        F.col(id_col),
+        F.explode(
+            F.transform(
+                F.sequence(F.lit(0), F.lit(bands - 1)),
+                lambda b: F.struct(
+                    b.alias("band"),
+                    F.xxhash64(
+                        F.concat_ws(
+                            ",",
+                            F.transform(
+                                F.slice(
+                                    F.col("signature"),
+                                    (b * num_hashes_per_band + 1).cast("int"),
+                                    num_hashes_per_band.cast("int"),
+                                ),
+                                lambda v: v.cast("string"),
+                            ),
+                        )
+                    ).alias("bucket"),
+                ),
+            )
+        ).alias("bb"),
+    ).select(id_col, "bb.band", "bb.bucket")
+
+    counts = banded.groupBy("band", "bucket").agg(F.count("*").alias("_n"))
+    pruned = banded.join(
+        counts.filter(F.col("_n") <= max_bucket).select("band", "bucket"),
+        ["band", "bucket"],
+    )
+    a = pruned.select(
+        F.col("band"), F.col("bucket"), F.col(id_col).alias("id_a")
+    )
+    b = pruned.select(
+        F.col("band"), F.col("bucket"), F.col(id_col).alias("id_b")
+    )
+    return (
+        a.join(b, ["band", "bucket"])
+        .filter(F.col("id_a") < F.col("id_b"))
+        .select("id_a", "id_b")
+        .distinct()
+    )
+
+
+def jaccard_on_pairs(
+    pairs: DataFrame,
+    shingled: DataFrame,
+    id_col: str = "doc_id",
+) -> DataFrame:
+    """Exact shingle-set Jaccard for given (id_a, id_b) pairs — the
+    verify stage after LSH candidate generation."""
+    sa = shingled.select(
+        F.col(id_col).alias("id_a"), F.col("shingles").alias("sh_a")
+    )
+    sb = shingled.select(
+        F.col(id_col).alias("id_b"), F.col("shingles").alias("sh_b")
+    )
+    joined = pairs.join(sa, "id_a").join(sb, "id_b")
+    inter = F.size(F.array_intersect(F.col("sh_a"), F.col("sh_b")))
+    union = F.size(F.array_union(F.col("sh_a"), F.col("sh_b")))
+    return joined.select(
+        "id_a",
+        "id_b",
+        F.round(inter / F.greatest(union, F.lit(1)), 6).alias("jaccard"),
+    )
+
+
+def minhash_near_duplicates(
+    df: DataFrame,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    n: int = 5,
+    num_hashes: int = 64,
+    bands: int = 16,
+    threshold: float = 0.7,
+) -> DataFrame:
+    """End-to-end MinHash-LSH near-dup detection:
+    shingle → signature → banded candidates → exact-Jaccard verify.
+
+    With 64 hashes / 16 bands (4 rows per band) the LSH S-curve crosses
+    ~50% capture at j ≈ 0.71 — tuned for ``threshold=0.7``."""
+    shingled = shingle_sets(df, text_col, id_col, n)
+    sigs = minhash_signatures(shingled, id_col, num_hashes)
+    cands = lsh_candidate_pairs(sigs, id_col, bands)
+    scored = jaccard_on_pairs(cands, shingled, id_col)
+    return scored.filter(F.col("jaccard") >= threshold)
+
+
+# ---------------------------------------------------------------------------
+# SimHash
+# ---------------------------------------------------------------------------
+
+def simhash(
+    df: DataFrame,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    bits: int = 63,
+) -> DataFrame:
+    """(id, simhash) — Charikar random-hyperplane sketch over whitespace
+    tokens: bit j is the sign of Σ_tokens (±1 from bit j of
+    xxhash64(token)).  Near-dups have small Hamming distance.
+
+    Pure array arithmetic: tokens → per-token 64-bit hash → per-bit vote
+    → packed 63-bit value (63, not 64: bit 63 of a signed long would
+    overflow under ANSI arithmetic; one sketch bit is noise-level).
+    No shuffle, no UDF."""
+    toks = F.split(F.col(text_col), " ")
+    hashes = F.transform(toks, lambda t: F.xxhash64(t))
+    bit_votes = F.transform(
+        F.sequence(F.lit(0), F.lit(bits - 1)),
+        lambda j: F.aggregate(
+            hashes,
+            F.lit(0).cast("long"),
+            lambda acc, h: acc
+            + F.when(F.getbit(h, j) == 1, 1).otherwise(-1),
+        ),
+    )
+    # 2^j is exact in a double for any j ≤ 62, so pow+cast packs without
+    # a Column-typed shiftleft (which PySpark doesn't offer).
+    packed = F.aggregate(
+        F.zip_with(
+            bit_votes,
+            F.sequence(F.lit(0), F.lit(bits - 1)),
+            lambda v, j: F.when(
+                v > 0, F.pow(F.lit(2.0), j).cast("long")
+            ).otherwise(F.lit(0).cast("long")),
+        ),
+        F.lit(0).cast("long"),
+        lambda acc, x: acc + x,
+    )
+    return df.select(F.col(id_col), packed.alias("simhash"))
+
+
+def simhash_near_duplicates(
+    df: DataFrame,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    max_hamming: int = 3,
+    band_bits: int = 16,
+) -> DataFrame:
+    """SimHash near-dup pairs with Hamming distance ≤ ``max_hamming``.
+
+    Candidate generation: band the 64-bit sketch into 64/band_bits
+    chunks — any pair within Hamming ≤ (bands-1) shares ≥1 exact band
+    (pigeonhole), so with 4 bands of 16 bits recall is total for d ≤ 3.
+    Verification: ``bit_count(a XOR b)``."""
+    sh = simhash(df, text_col, id_col)
+    n_bands = 64 // band_bits
+    mask = (1 << band_bits) - 1
+    # Static band unroll: shiftright's bit count must be a Python int.
+    banded = sh.select(
+        F.col(id_col),
+        F.col("simhash"),
+        F.explode(
+            F.array(
+                *[
+                    F.struct(
+                        F.lit(b).alias("band"),
+                        F.shiftright(F.col("simhash"), b * band_bits)
+                        .bitwiseAND(F.lit(mask))
+                        .alias("chunk"),
+                    )
+                    for b in range(n_bands)
+                ]
+            )
+        ).alias("bb"),
+    ).select(id_col, "simhash", "bb.band", "bb.chunk")
+    a = banded.select(
+        "band", "chunk", F.col(id_col).alias("id_a"), F.col("simhash").alias("sh_a")
+    )
+    b = banded.select(
+        "band", "chunk", F.col(id_col).alias("id_b"), F.col("simhash").alias("sh_b")
+    )
+    pairs = (
+        a.join(b, ["band", "chunk"])
+        .filter(F.col("id_a") < F.col("id_b"))
+        .select("id_a", "id_b", "sh_a", "sh_b")
+        .distinct()
+    )
+    ham = F.bit_count(F.col("sh_a").bitwiseXOR(F.col("sh_b")))
+    return pairs.select(
+        "id_a", "id_b", ham.alias("hamming")
+    ).filter(F.col("hamming") <= max_hamming)

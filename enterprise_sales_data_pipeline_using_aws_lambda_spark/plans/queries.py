@@ -610,3 +610,262 @@ def event_daily_agg(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.round(F.avg("value"), 2).alias("avg_value"),
         )
     )
+
+
+# ---------------------------------------------------------------------------
+# LLM-data-pipeline extensions (north star, BASELINE.json): text analysis,
+# exact + fuzzy dedup, similarity search over the documents/embeddings tables.
+# ---------------------------------------------------------------------------
+
+@query(
+    "text_quality",
+    """
+    SELECT doc_id,
+           length(text) AS n_chars,
+           CASE WHEN length(text) = 0 THEN 0
+                ELSE length(text) - length(replace(text, ' ', '')) + 1
+           END AS n_words,
+           round(length(replace(text, ' ', ''))
+                 / greatest(CASE WHEN length(text) = 0 THEN 0
+                       ELSE length(text) - length(replace(text, ' ', '')) + 1
+                       END, 1), 4) AS avg_word_len,
+           round((length(replace(text, ' ', ''))
+                  - length(regexp_replace(replace(text, ' ', ''),
+                                          '[^A-Za-z0-9]', '', 'g')))
+                 / greatest(length(text), 1), 4) AS punct_ratio,
+           round((length(replace(text, ' ', ''))
+                  - length(regexp_replace(replace(text, ' ', ''),
+                                          '[0-9]', '', 'g')))
+                 / greatest(length(text), 1), 4) AS digit_ratio,
+           round((length(text) - length(replace(text, ' ', '')))
+                 / greatest(length(text), 1), 4) AS space_ratio
+    FROM documents
+    """,
+)
+def text_quality(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-document quality features (length / word / punctuation /
+    digit / whitespace stats) — one narrow whole-stage-codegen
+    projection, no shuffle (operators.text_analysis.quality_stats)."""
+    from ..operators.text_analysis import quality_stats
+
+    return quality_stats(_t(spark, sf_dir, "documents"))
+
+
+@query(
+    "text_tokens",
+    """
+    SELECT doc_id,
+           CASE WHEN length(text) = 0 THEN 0
+                ELSE length(text) - length(replace(text, ' ', '')) + 1
+           END AS n_words,
+           len(regexp_extract_all(text, '[A-Za-z]+|[0-9]|[^A-Za-z0-9 ]'))
+               AS n_tokens,
+           len(list_distinct(
+               regexp_extract_all(text, '[A-Za-z]+|[0-9]|[^A-Za-z0-9 ]')))
+               AS n_unique_tokens
+    FROM documents
+    """,
+)
+def text_tokens(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Token counting: whitespace words + BPE-ish regex tokens + distinct
+    tokens (operators.text_analysis.token_counts). The regex class is
+    ASCII-only so Java and RE2 engines agree."""
+    from ..operators.text_analysis import token_counts
+
+    return token_counts(_t(spark, sf_dir, "documents"))
+
+
+def _lang_id_oracle() -> str:
+    from ..operators.text_analysis import LANG_MARKERS
+
+    score_exprs = []
+    for lang, markers in LANG_MARKERS.items():
+        parts = [
+            f"(length(pad) - length(replace(pad, ' {m} ', ''))) / {len(m) + 2}"
+            for m in markers
+        ]
+        score_exprs.append(f"({' + '.join(parts)}) AS score_{lang}")
+    langs = list(LANG_MARKERS)
+    best = f"greatest({', '.join('score_' + l for l in langs)})"
+    case = "CASE"
+    for lang in langs:
+        case += f" WHEN best > 0 AND score_{lang} = best THEN '{lang}'"
+    case += " ELSE 'und' END"
+    rounded = ", ".join(f"round(score_{l}, 1) AS score_{l}" for l in langs)
+    return f"""
+    WITH padded AS (
+        SELECT doc_id, ' ' || lower(text) || ' ' AS pad FROM documents
+    ),
+    scored AS (SELECT doc_id, {', '.join(score_exprs)} FROM padded),
+    with_best AS (SELECT *, {best} AS best FROM scored)
+    SELECT doc_id, {case} AS pred_lang, {rounded} FROM with_best
+    """
+
+
+@query("text_lang_id", None)
+def text_lang_id(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Heuristic stopword-scoring language ID
+    (operators.text_analysis.language_id): argmax of per-language marker
+    scores with deterministic tie-break. Oracle SQL is generated from the
+    same marker table (registered below)."""
+    from ..operators.text_analysis import language_id
+
+    return language_id(_t(spark, sf_dir, "documents"))
+
+
+ORACLES["text_lang_id"] = _lang_id_oracle()
+
+
+@query(
+    "text_fingerprint",
+    """
+    SELECT doc_id,
+           CASE WHEN length(text) = 0 THEN 0
+                ELSE list_reduce(
+                    list_prepend(0::BIGINT,
+                        list_transform(range(1, length(text) + 1),
+                                       i -> ascii(substr(text, i::INT, 1))::BIGINT)),
+                    (acc, c) -> (acc * 31 + c) % 1000000007)
+           END AS fingerprint,
+           length(text) AS n_chars_computed
+    FROM documents
+    """,
+)
+def text_fingerprint(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Engine-portable polynomial rolling-hash document fingerprint
+    (operators.text_analysis.fingerprint): fold (acc*31 + ascii) % p over
+    the characters — reproducible from the spec in any engine, unlike
+    md5/xxhash."""
+    from ..operators.text_analysis import fingerprint
+
+    return fingerprint(_t(spark, sf_dir, "documents"))
+
+
+@query(
+    "dedup_exact_docs",
+    """
+    SELECT md5(text) AS fingerprint,
+           count(*) AS dup_count,
+           min(doc_id) AS keep_id
+    FROM documents
+    GROUP BY md5(text)
+    """,
+)
+def dedup_exact_docs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Exact-content dedup clusters via hash group-by
+    (operators.dedup.duplicate_groups): map-side partial agg means the
+    shuffle carries one row per distinct hash, not the corpus."""
+    return duplicate_groups(_t(spark, sf_dir, "documents"), ["text"], "doc_id")
+
+
+@query(
+    "ngram_jaccard_adjacent",
+    """
+    WITH sh AS (
+        SELECT doc_id,
+               CASE WHEN length(text) < 5 THEN [text]
+                    ELSE list_distinct(list_transform(
+                        range(1, length(text) - 3),
+                        i -> substr(text, i::INT, 5)))
+               END AS shingles
+        FROM documents
+    ),
+    pairs AS (
+        SELECT a.doc_id AS id_a, b.doc_id AS id_b,
+               a.shingles AS sh_a, b.shingles AS sh_b
+        FROM sh a JOIN sh b ON b.doc_id = a.doc_id + 1
+    )
+    SELECT id_a, id_b,
+           round(len(list_intersect(sh_a, sh_b))
+                 / greatest(len(sh_a) + len(sh_b)
+                            - len(list_intersect(sh_a, sh_b)), 1), 6)
+               AS jaccard
+    FROM pairs
+    """,
+)
+def ngram_jaccard_adjacent(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Exact character-5-gram Jaccard on a bounded pair set (adjacent
+    doc_ids) — the SQL-checkable face of the shingle/Jaccard machinery
+    used by MinHash-LSH verification (operators.text_dedup)."""
+    from ..operators.text_dedup import jaccard_on_pairs, shingle_sets
+
+    docs = _t(spark, sf_dir, "documents")
+    shingled = shingle_sets(docs)
+    pairs = docs.select(F.col("doc_id").alias("id_a")).join(
+        docs.select((F.col("doc_id")).alias("id_b")),
+        F.col("id_b") == F.col("id_a") + 1,
+    )
+    return jaccard_on_pairs(pairs, shingled)
+
+
+@query("dedup_minhash_lsh", None)
+def dedup_minhash_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """MinHash-LSH near-duplicate pairs (jaccard ≥ 0.5):
+    shingle → 64-hash signature → 16-band LSH candidates → exact-Jaccard
+    verify (operators.text_dedup.minhash_near_duplicates). Not
+    SQL-expressible (seeded xxhash64 family) → rows-only check."""
+    from ..operators.text_dedup import minhash_near_duplicates
+
+    return minhash_near_duplicates(
+        _t(spark, sf_dir, "documents"), threshold=0.5
+    ).orderBy("id_a", "id_b")
+
+
+@query("dedup_simhash", None)
+def dedup_simhash(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """SimHash near-duplicate pairs (Hamming ≤ 3 over 64-bit sketches)
+    with pigeonhole banding for candidates
+    (operators.text_dedup.simhash_near_duplicates). Rows-only check."""
+    from ..operators.text_dedup import simhash_near_duplicates
+
+    return simhash_near_duplicates(
+        _t(spark, sf_dir, "documents")
+    ).orderBy("id_a", "id_b")
+
+
+@query(
+    "similarity_topk_bruteforce",
+    """
+    WITH q AS (
+        SELECT vec_id AS qid, embedding AS qvec
+        FROM embeddings WHERE vec_id < 10
+    ),
+    c AS (SELECT vec_id, embedding AS cvec FROM embeddings),
+    scored AS (
+        SELECT qid, vec_id,
+               list_sum(list_transform(list_zip(qvec, cvec),
+                                       x -> x[1]::DOUBLE * x[2]::DOUBLE))
+               / (sqrt(list_sum(list_transform(qvec, v -> v::DOUBLE * v::DOUBLE)))
+                  * sqrt(list_sum(list_transform(cvec, v -> v::DOUBLE * v::DOUBLE))))
+                   AS cos
+        FROM c, q WHERE vec_id <> qid
+    ),
+    ranked AS (
+        SELECT qid, vec_id, cos,
+               row_number() OVER (PARTITION BY qid ORDER BY cos DESC, vec_id)
+                   AS rank
+        FROM scored
+    )
+    SELECT qid, vec_id, round(cos, 6) AS cosine, rank
+    FROM ranked WHERE rank <= 5
+    """,
+)
+def similarity_topk_bruteforce(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Brute-force exact cosine top-5 for query vectors vec_id < 10
+    (operators.similarity.cosine_topk): broadcast queries × corpus scan,
+    JVM fold dot products, per-query window rank."""
+    from ..operators.similarity import cosine_topk
+
+    emb = _t(spark, sf_dir, "embeddings")
+    return cosine_topk(emb, emb.filter(F.col("vec_id") < 10), k=5)
+
+
+@query("similarity_topk_lsh", None)
+def similarity_topk_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Approximate top-5 cosine via sign-random-projection LSH with
+    exact re-ranking (operators.similarity.lsh_topk) — the scale path;
+    recall vs brute force is asserted in tests. Rows-only check."""
+    from ..operators.similarity import lsh_topk
+
+    emb = _t(spark, sf_dir, "embeddings")
+    return lsh_topk(emb, emb.filter(F.col("vec_id") < 10), k=5)

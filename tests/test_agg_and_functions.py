@@ -1,0 +1,48 @@
+"""Aggregate A1 against hand-computed values (SURVEY §5.2) + scalar
+date functions + property invariants from the sample schema (§1.3)."""
+
+import datetime
+
+from pyspark.sql import functions as F
+
+from enterprise_sales_data_pipeline_using_aws_lambda_spark.functions.dates import (
+    format_date,
+    parse_mdY,
+)
+from enterprise_sales_data_pipeline_using_aws_lambda_spark.operators.agg import (
+    sales_summary,
+)
+
+
+def test_sales_summary_hand_computed(spark, sales_df):
+    out = {r["Country"]: r for r in sales_summary(sales_df).collect()}
+    g = out["Germany"]
+    # Germany rows: units 100/200 @ price 10 cost 6
+    assert g["max_units_sold"] == 200
+    assert g["average_total_revenue"] == (1000.0 + 2000.0) / 2
+    assert g["average_total_cost"] == (600.0 + 1200.0) / 2
+    assert g["average_total_profit"] == (400.0 + 800.0) / 2
+    assert set(out) == {"Germany", "France", "Japan"}
+
+
+def test_parse_and_format_roundtrip(spark):
+    df = spark.createDataFrame([("3/8/2016",), ("12/31/2014",)], "d string")
+    out = df.select(
+        parse_mdY("d").alias("parsed"),
+        format_date(parse_mdY("d")).alias("fmt"),
+    ).collect()
+    assert out[0]["parsed"] == datetime.date(2016, 3, 8)
+    assert out[0]["fmt"] == "2016-03-08"
+    assert out[1]["fmt"] == "2014-12-31"
+
+
+def test_sales_invariants_hold_on_fixture(sales_df):
+    """TotalRevenue = UnitsSold*UnitPrice etc. (SURVEY §1.3) — the
+    property the reference sample data satisfies on all 500 rows."""
+    bad = sales_df.filter(
+        (F.abs(F.col("TotalRevenue") - F.col("UnitsSold") * F.col("UnitPrice"))
+         > 1e-6)
+        | (F.abs(F.col("TotalProfit")
+                 - (F.col("TotalRevenue") - F.col("TotalCost"))) > 1e-6)
+    )
+    assert bad.count() == 0

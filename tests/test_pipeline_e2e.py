@@ -1,0 +1,129 @@
+"""Golden end-to-end pipeline tests (SURVEY §5.2) on the reference's own
+sample fixtures, plus quarantine and idempotency paths."""
+
+import os
+
+import pandas as pd
+import pytest
+from pyspark.sql import functions as F
+
+from enterprise_sales_data_pipeline_using_aws_lambda_spark.pipeline import (
+    PipelineConfig,
+    run_batch,
+)
+
+SAMPLE_CSV = "/root/reference/sample_data/sales_data_500.csv"
+SAMPLE_JSON = "/root/reference/sample_data/sales_data.json"
+
+needs_sample = pytest.mark.skipif(
+    not os.path.exists(SAMPLE_CSV), reason="reference sample data not present"
+)
+
+
+@pytest.fixture()
+def cfg(tmp_path):
+    notices = []
+    c = PipelineConfig(
+        lake_dir=str(tmp_path / "lake"),
+        warehouse_dir=str(tmp_path / "wh"),
+        quarantine_dir=str(tmp_path / "quarantine"),
+        notifier=lambda s, p: notices.append((s, p)),
+    )
+    c.extra["notices"] = notices
+    return c
+
+
+@needs_sample
+def test_csv_happy_path(spark, cfg):
+    r = run_batch(spark, SAMPLE_CSV, cfg)
+    assert r["status"] == "success"
+    tgt = spark.read.parquet(f"{cfg.warehouse_dir}/sales_tgt")
+    assert tgt.count() == 500
+    summary = spark.read.parquet(f"{cfg.warehouse_dir}/sales_summary")
+    assert summary.count() == 10  # one row per country in the sample
+    assert set(summary.columns) == {
+        "Country",
+        "max_units_sold",
+        "average_total_revenue",
+        "average_total_cost",
+        "average_total_profit",
+    }
+    # serving dates restringified yyyy-MM-dd (lambda.py:168-169)
+    d = tgt.select("OrderDate").first()[0]
+    assert isinstance(d, str) and len(d.split("-")) == 3
+    # lake keeps DateType and the batch partition column
+    lake = spark.read.parquet(cfg.lake_dir)
+    assert dict(lake.dtypes)["OrderDate"] == "date"
+    assert "ingest_batch" in lake.columns
+
+
+@needs_sample
+def test_replay_is_idempotent_for_target(spark, cfg):
+    run_batch(spark, SAMPLE_CSV, cfg)
+    run_batch(spark, SAMPLE_CSV, cfg)
+    tgt = spark.read.parquet(f"{cfg.warehouse_dir}/sales_tgt")
+    assert tgt.count() == 500
+    assert tgt.select("uuid").distinct().count() == 500
+    # append log intentionally grows (reference S6 semantics)
+    log = spark.read.parquet(f"{cfg.warehouse_dir}/sales")
+    assert log.count() == 1000
+
+
+@needs_sample
+def test_json_format_equivalence(spark, cfg, tmp_path):
+    """CSV and NDJSON readers produce identical engine output for
+    identical content (the reference fixtures themselves have disjoint
+    uuids, so build a JSON twin from the CSV)."""
+    df = pd.read_csv(SAMPLE_CSV)
+    twin = str(tmp_path / "twin.json")
+    df.to_json(twin, orient="records", lines=True)
+    r = run_batch(spark, twin, cfg)
+    assert r["status"] == "success"
+    tgt = spark.read.parquet(f"{cfg.warehouse_dir}/sales_tgt")
+    assert tgt.count() == 500
+
+    r2 = run_batch(spark, SAMPLE_CSV, cfg)
+    assert r2["status"] == "success"
+    tgt2 = spark.read.parquet(f"{cfg.warehouse_dir}/sales_tgt")
+    # same keys, same values → upsert leaves the table at 500
+    assert tgt2.count() == 500
+
+
+@needs_sample
+def test_validation_failure_quarantines_with_reason(spark, cfg, tmp_path):
+    df = pd.read_csv(SAMPLE_CSV)
+    df.loc[1, "uuid"] = df.loc[0, "uuid"]
+    bad = str(tmp_path / "bad.csv")
+    df.to_csv(bad, index=False)
+    r = run_batch(spark, bad, cfg)
+    assert r["status"] == "failed"
+    assert "Duplicate uuid" in r["error"]
+    q = spark.read.parquet(cfg.quarantine_dir)
+    assert q.count() == 500
+    assert q.select("_error_reason").first()[0] == "Duplicate uuid values found"
+    # validation failure notifies too (divergence from the reference,
+    # which skips SNS on this path — SURVEY §3.3)
+    assert ("failed", {"file": bad, "error": "Duplicate uuid values found"}) in [
+        (s, p) for s, p in cfg.extra["notices"]
+    ]
+
+
+def test_unsupported_extension_fails_cleanly(spark, cfg):
+    r = run_batch(spark, "/root/repo/README.md", cfg)
+    assert r["status"] == "failed"
+    assert "Unsupported file format" in r["error"]
+
+
+@needs_sample
+def test_batch_scope_summary_matches_reference_quirk(spark, tmp_path):
+    """summary_scope='batch' reproduces lambda.py:184's current-batch-only
+    aggregate; cumulative is the default (SURVEY §1.4)."""
+    cfg = PipelineConfig(
+        lake_dir=str(tmp_path / "lake"),
+        warehouse_dir=str(tmp_path / "wh"),
+        quarantine_dir=str(tmp_path / "q"),
+        summary_scope="batch",
+    )
+    run_batch(spark, SAMPLE_CSV, cfg)
+    s1 = spark.read.parquet(f"{cfg.warehouse_dir}/sales_summary")
+    assert s1.count() == 10

@@ -1,0 +1,67 @@
+"""Similarity-search tests: brute-force exactness on a hand-checkable
+fixture and LSH recall against the brute-force baseline on real
+embeddings."""
+
+import math
+
+import pytest
+from pyspark.sql import functions as F
+
+from enterprise_sales_data_pipeline_using_aws_lambda_spark.operators.similarity import (
+    cosine_topk,
+    lsh_topk,
+)
+
+SF_DIR = "/root/testdata/sf0.001"
+
+
+def _vecs(spark, rows):
+    return spark.createDataFrame(rows, "vec_id long, embedding array<float>")
+
+
+def test_bruteforce_hand_computed(spark):
+    corpus = _vecs(
+        spark,
+        [
+            (0, [1.0, 0.0]),
+            (1, [0.9, 0.1]),
+            (2, [0.0, 1.0]),
+            (3, [-1.0, 0.0]),
+        ],
+    )
+    out = cosine_topk(corpus, corpus.filter(F.col("vec_id") == 0), k=2)
+    rows = sorted(out.collect(), key=lambda r: r["rank"])
+    assert [r["vec_id"] for r in rows] == [1, 2]
+    expected = 0.9 / math.sqrt(0.9**2 + 0.1**2)
+    assert abs(rows[0]["cosine"] - round(expected, 6)) < 1e-6
+    # self-match excluded
+    assert 0 not in [r["vec_id"] for r in rows]
+
+
+def test_lsh_recall_vs_bruteforce(spark):
+    emb = spark.read.parquet(f"{SF_DIR}/embeddings.parquet")
+    queries = emb.filter(F.col("vec_id") < 20)
+    exact = cosine_topk(emb, queries, k=5)
+    # 4 planes × 16 tables: collision prob per table (1-θ/π)^4 — for
+    # within-cluster neighbors (cos ≥ 0.5, θ ≤ π/3) that is ≥ 0.198, so
+    # 16 tables give ≥ 1-(1-0.198)^16 ≈ 0.97 expected recall.
+    approx = lsh_topk(emb, queries, k=5, tables=16, planes=4)
+    exact_pairs = {(r["qid"], r["vec_id"]) for r in exact.collect()}
+    approx_pairs = {(r["qid"], r["vec_id"]) for r in approx.collect()}
+    recall = len(exact_pairs & approx_pairs) / len(exact_pairs)
+    assert recall >= 0.7, f"LSH recall too low: {recall}"
+
+
+def test_lsh_reported_cosines_are_exact(spark):
+    """The approximate path may miss neighbors but must never report a
+    wrong cosine (exact re-rank property)."""
+    emb = spark.read.parquet(f"{SF_DIR}/embeddings.parquet")
+    queries = emb.filter(F.col("vec_id") < 5)
+    exact = {
+        (r["qid"], r["vec_id"]): r["cosine"]
+        for r in cosine_topk(emb, queries, k=50).collect()
+    }
+    for r in lsh_topk(emb, queries, k=5).collect():
+        key = (r["qid"], r["vec_id"])
+        if key in exact:
+            assert abs(exact[key] - r["cosine"]) < 1e-9

@@ -1,0 +1,95 @@
+"""Text-analysis and fuzzy-dedup operator tests on crafted fixtures
+where ground truth is known (the synthetic documents table has no
+labeled near-dups)."""
+
+from pyspark.sql import functions as F
+
+from enterprise_sales_data_pipeline_using_aws_lambda_spark.operators.text_analysis import (
+    fingerprint,
+    language_id,
+    quality_stats,
+    token_counts,
+)
+from enterprise_sales_data_pipeline_using_aws_lambda_spark.operators.text_dedup import (
+    jaccard_on_pairs,
+    minhash_near_duplicates,
+    shingle_sets,
+    simhash_near_duplicates,
+)
+
+
+def _docs(spark, texts):
+    return spark.createDataFrame(
+        [(i, t) for i, t in enumerate(texts)], "doc_id long, text string"
+    )
+
+
+def test_quality_stats_hand_computed(spark):
+    df = _docs(spark, ["ab cd!", ""])
+    r = {x["doc_id"]: x for x in quality_stats(df).collect()}
+    assert r[0]["n_chars"] == 6
+    assert r[0]["n_words"] == 2
+    assert r[0]["punct_ratio"] == round(1 / 6, 4)
+    assert r[0]["space_ratio"] == round(1 / 6, 4)
+    assert r[1]["n_words"] == 0
+
+
+def test_token_counts(spark):
+    df = _docs(spark, ["hello world 42!"])
+    r = token_counts(df).first()
+    # tokens: hello, world, 4, 2, !
+    assert r["n_tokens"] == 5
+    assert r["n_unique_tokens"] == 5
+    assert r["n_words"] == 3
+
+
+def test_language_id_on_real_sentences(spark):
+    df = _docs(
+        spark,
+        [
+            "the cat sat on the mat and the dog",
+            "el gato y la casa de los amigos",
+            "le chat et les maisons des amis",
+            "der hund und die katze ist da",
+            "xyzzy plugh",
+        ],
+    )
+    got = {r["doc_id"]: r["pred_lang"] for r in language_id(df).collect()}
+    assert got == {0: "en", 1: "es", 2: "fr", 3: "de", 4: "und"}
+
+
+def test_fingerprint_matches_python_reference(spark):
+    text = "hello world"
+    expected = 0
+    for ch in text:
+        expected = (expected * 31 + ord(ch)) % 1_000_000_007
+    r = fingerprint(_docs(spark, [text])).first()
+    assert r["fingerprint"] == expected
+
+
+def test_minhash_finds_planted_near_dup(spark):
+    base = "the quick brown fox jumps over the lazy dog " * 5
+    near = base.replace("lazy", "sleepy")  # one-word edit → high jaccard
+    far = "completely different content about spark query engines and shuffles"
+    df = _docs(spark, [base, near, far])
+    pairs = minhash_near_duplicates(df, threshold=0.5).collect()
+    assert [(p["id_a"], p["id_b"]) for p in pairs] == [(0, 1)]
+    assert pairs[0]["jaccard"] > 0.5
+
+
+def test_simhash_finds_planted_near_dup(spark):
+    # 1 token edited out of 100 → measured Hamming 4 of 63; an unrelated
+    # doc sits at ~31.  max_hamming=6 separates them decisively.
+    base = "alpha beta gamma delta epsilon zeta eta theta iota kappa " * 10
+    near = base.replace("kappa", "lambda", 1)
+    far = "one two three four five six seven eight nine ten " * 4
+    df = _docs(spark, [base, near, far])
+    pairs = simhash_near_duplicates(df, max_hamming=6).collect()
+    assert [(p["id_a"], p["id_b"]) for p in pairs] == [(0, 1)]
+
+
+def test_jaccard_identical_is_one(spark):
+    df = _docs(spark, ["same same same text", "same same same text"])
+    sh = shingle_sets(df)
+    pairs = spark.createDataFrame([(0, 1)], "id_a long, id_b long")
+    assert jaccard_on_pairs(pairs, sh).first()["jaccard"] == 1.0

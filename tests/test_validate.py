@@ -1,0 +1,89 @@
+"""Validation operator tests — reference V1–V4 semantics
+(reference lambda.py:81-121), one passing and one failing fixture per
+rule (SURVEY §5.2)."""
+
+import pytest
+from pyspark.sql import functions as F
+from pyspark.sql import types as T
+
+from enterprise_sales_data_pipeline_using_aws_lambda_spark.operators.validate import (
+    row_rules_sales,
+    rule_violation_counts,
+    validate_batch,
+    validate_rows,
+)
+
+
+def test_valid_batch_passes_and_casts_dates(sales_df):
+    res = validate_batch(sales_df)
+    assert res.ok
+    dtypes = dict(res.df.dtypes)
+    # Successful validation casts date columns (lambda.py:107 behavior).
+    assert dtypes["OrderDate"] == "date"
+    assert dtypes["ShipDate"] == "date"
+    d = res.df.filter(F.col("uuid") == 3).first()
+    assert str(d["OrderDate"]) == "2016-12-31"
+
+
+def test_missing_column_detected(sales_df):
+    res = validate_batch(sales_df.drop("TotalProfit"))
+    assert not res.ok
+    assert any("Missing columns" in e and "TotalProfit" in e for e in res.errors)
+
+
+def test_non_numeric_dtype_detected(sales_df):
+    broken = sales_df.withColumn("UnitsSold", F.col("UnitsSold").cast("string"))
+    res = validate_batch(broken)
+    assert any("UnitsSold" in e and "numeric" in e for e in res.errors)
+
+
+def test_bad_date_detected(sales_df):
+    broken = sales_df.withColumn(
+        "OrderDate",
+        F.when(F.col("uuid") == 1, F.lit("2016-03-24")).otherwise(
+            F.col("OrderDate")
+        ),
+    )
+    res = validate_batch(broken)
+    assert any("Invalid date format" in e and "OrderDate" in e for e in res.errors)
+
+
+def test_duplicate_uuid_detected(sales_df):
+    dup = sales_df.unionByName(sales_df.limit(1))
+    res = validate_batch(dup)
+    assert any("Duplicate uuid" in e for e in res.errors)
+
+
+def test_all_errors_reported_together(sales_df):
+    broken = (
+        sales_df.drop("Region")
+        .withColumn("UnitPrice", F.col("UnitPrice").cast("string"))
+    )
+    res = validate_batch(broken)
+    assert len(res.errors) >= 2
+
+
+def test_row_level_split_and_reason(spark, sales_df):
+    broken = sales_df.withColumn(
+        "ShipDate",
+        F.when(F.col("uuid") == 2, F.lit("not-a-date")).otherwise(
+            F.col("ShipDate")
+        ),
+    )
+    valid, quarantined = validate_rows(broken, row_rules_sales())
+    assert valid.count() == 4
+    bad = quarantined.collect()
+    assert len(bad) == 1
+    assert bad[0]["uuid"] == 2
+    assert "bad_date_ShipDate" in bad[0]["_error_reason"]
+
+
+def test_rule_violation_counts_single_scan(spark):
+    df = spark.createDataFrame(
+        [(1, 10.0), (2, -5.0), (3, 200.0)], "id long, v double"
+    )
+    out = rule_violation_counts(
+        df, {"negative": F.col("v") < 0, "too_big": F.col("v") > 100}
+    )
+    got = {r["rule"]: r["violations"] for r in out.collect()}
+    assert got == {"negative": 1, "too_big": 1}
