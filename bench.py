@@ -1,0 +1,82 @@
+"""Benchmark harness: runs the headline queries at the configured scale
+factor and prints ONE JSON line:
+
+    {"metric": ..., "value": <total sec>, "unit": "sec",
+     "queries": {name: sec, ...}, "sf": ...}
+
+Env: SPARK_GRAFT_SF_DIR (default /root/testdata/sf0.1),
+     SPARK_GRAFT_CPUS (default all cores).
+
+Each query is forced through the noop sink — full computation, no
+driver-side collect bottleneck — after a warm-up of the session JVM.
+"""
+
+from __future__ import annotations
+
+import json
+import os
+import sys
+import time
+
+sys.path.insert(0, os.path.dirname(os.path.abspath(__file__)))
+
+from enterprise_sales_data_pipeline_using_aws_lambda_spark.session import (  # noqa: E402
+    get_spark,
+)
+
+#: The queries that define this engine's headline cost profile: the
+#: reference surface (summary, dedup, upsert, validation), the TPC-H-ish
+#: analytics, and the LLM-pipeline extensions.
+HEADLINE = [
+    "ref_sales_summary",
+    "ref_dedup_keep_last",
+    "ref_upsert",
+    "ref_validate_counts",
+    "q1_pricing_summary",
+    "q3_shipping_priority",
+    "q5_local_supplier_volume",
+    "q6_revenue_forecast",
+    "window_top_orders_per_cust",
+    "window_running_total",
+    "agg_rollup_returns",
+    "event_daily_agg",
+    "text_quality",
+    "text_tokens",
+    "text_fingerprint",
+    "dedup_exact_docs",
+    "dedup_minhash_lsh",
+    "similarity_topk_bruteforce",
+]
+
+
+def main() -> None:
+    sf_dir = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
+    spark = get_spark("bench")
+    from enterprise_sales_data_pipeline_using_aws_lambda_spark.plans.queries import (
+        QUERIES,
+    )
+
+    # Warm up the JVM / codegen paths on the smallest table once.
+    spark.read.parquet(os.path.join(sf_dir, "region.parquet")).count()
+
+    timings: dict[str, float] = {}
+    for name in HEADLINE:
+        fn = QUERIES[name]
+        t0 = time.perf_counter()
+        fn(spark, sf_dir).write.format("noop").mode("overwrite").save()
+        timings[name] = round(time.perf_counter() - t0, 3)
+
+    sf = os.path.basename(sf_dir.rstrip("/")).replace("sf", "")
+    result = {
+        "metric": "headline_queries_total_wall_seconds",
+        "value": round(sum(timings.values()), 3),
+        "unit": "sec",
+        "queries": timings,
+        "sf": float(sf) if sf else sf_dir,
+    }
+    print(json.dumps(result))
+    spark.stop()
+
+
+if __name__ == "__main__":
+    main()

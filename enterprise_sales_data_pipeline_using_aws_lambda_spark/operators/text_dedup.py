@@ -37,6 +37,22 @@ def shingle_sets(
     )
 
 
+_MERSENNE31 = (1 << 31) - 1
+
+
+def _hash_family(num_hashes: int) -> list[tuple[int, int]]:
+    """Deterministic (a, b) coefficients for the universal hash family
+    ``h_i(x) = (a_i * x + b_i) mod (2^31 - 1)`` — fixed seed so
+    signatures are reproducible across sessions and clusters."""
+    import random
+
+    rng = random.Random(0x5EED)
+    return [
+        (rng.randrange(1, _MERSENNE31), rng.randrange(0, _MERSENNE31))
+        for _ in range(num_hashes)
+    ]
+
+
 def minhash_signatures(
     shingled: DataFrame,
     id_col: str = "doc_id",
@@ -44,23 +60,27 @@ def minhash_signatures(
 ) -> DataFrame:
     """(id, signature[num_hashes]) MinHash sketch.
 
-    ``sig[i] = min over shingles of xxhash64('s{i}:' + shingle)`` — one
-    seeded 64-bit hash family, computed as nested array transforms with
-    no explode and no shuffle: cost is O(|shingles| * num_hashes) per row,
-    embarrassingly parallel."""
-    seeds = F.sequence(F.lit(0), F.lit(num_hashes - 1))
-    sig = F.transform(
-        seeds,
-        lambda s: F.array_min(
-            F.transform(
-                F.col("shingles"),
-                lambda sh: F.xxhash64(
-                    F.concat(F.lit("s"), s.cast("string"), F.lit(":"), sh)
-                ),
-            )
-        ),
+    One ``xxhash64`` per shingle folded to 31 bits, then ``num_hashes``
+    universal-family variants ``(a·x+b) mod 2^31-1`` (31-bit operands —
+    products stay < 2^62, safe under ANSI overflow checking).  Computed
+    as an explode + hash-aggregate with ``num_hashes`` codegen'd ``min``
+    columns: the map-side partial agg collapses each partition to one
+    row per document, so the shuffle carries docs × num_hashes longs —
+    independent of corpus text size.  ~100× cheaper than hashing each
+    shingle ``num_hashes`` times with a string-seeded hash."""
+    fam = _hash_family(num_hashes)
+    exploded = shingled.select(
+        F.col(id_col), F.explode("shingles").alias("_sh")
+    ).withColumn("_h", F.pmod(F.xxhash64("_sh"), F.lit(_MERSENNE31)))
+    aggs = [
+        F.min(F.pmod(F.col("_h") * a + b, F.lit(_MERSENNE31))).alias(f"_m{i}")
+        for i, (a, b) in enumerate(fam)
+    ]
+    sigs = exploded.groupBy(id_col).agg(*aggs)
+    return sigs.select(
+        F.col(id_col),
+        F.array(*[f"_m{i}" for i in range(num_hashes)]).alias("signature"),
     )
-    return shingled.select(F.col(id_col), sig.alias("signature"))
 
 
 def lsh_candidate_pairs(
@@ -121,6 +141,40 @@ def lsh_candidate_pairs(
     )
 
 
+def estimate_jaccard_on_pairs(
+    pairs: DataFrame,
+    signatures: DataFrame,
+    id_col: str = "doc_id",
+) -> DataFrame:
+    """Sketch-estimated Jaccard for (id_a, id_b) pairs: the fraction of
+    agreeing MinHash components (unbiased estimator, σ = √(j(1-j)/k)).
+
+    64 long comparisons per pair — ~50× cheaper than exact set
+    intersection — used to discard the long tail of LSH candidates
+    before the exact verify touches shingle arrays."""
+    sa = signatures.select(
+        F.col(id_col).alias("id_a"), F.col("signature").alias("sig_a")
+    )
+    sb = signatures.select(
+        F.col(id_col).alias("id_b"), F.col("signature").alias("sig_b")
+    )
+    joined = pairs.join(sa, "id_a").join(sb, "id_b")
+    matches = F.aggregate(
+        F.zip_with(
+            F.col("sig_a"),
+            F.col("sig_b"),
+            lambda x, y: F.when(x == y, 1).otherwise(0),
+        ),
+        F.lit(0),
+        lambda acc, v: acc + v,
+    )
+    return joined.select(
+        "id_a",
+        "id_b",
+        (matches / F.size(F.col("sig_a"))).alias("est_jaccard"),
+    )
+
+
 def jaccard_on_pairs(
     pairs: DataFrame,
     shingled: DataFrame,
@@ -152,16 +206,39 @@ def minhash_near_duplicates(
     num_hashes: int = 64,
     bands: int = 16,
     threshold: float = 0.7,
+    estimate_margin: float = 0.15,
 ) -> DataFrame:
     """End-to-end MinHash-LSH near-dup detection:
-    shingle → signature → banded candidates → exact-Jaccard verify.
+    shingle → signature → banded candidates → sketch-estimate filter →
+    exact-Jaccard verify.
 
-    With 64 hashes / 16 bands (4 rows per band) the LSH S-curve crosses
-    ~50% capture at j ≈ 0.71 — tuned for ``threshold=0.7``."""
-    shingled = shingle_sets(df, text_col, id_col, n)
-    sigs = minhash_signatures(shingled, id_col, num_hashes)
+    The estimate stage drops candidates whose sketch-estimated Jaccard
+    is below ``threshold - estimate_margin`` (margin ≈ 2.5σ of the
+    64-hash estimator), so the expensive shingle-set intersection runs
+    only on plausible pairs — on corpora where banding is permissive
+    (small vocabularies) this cuts the verify stage by ~10×.  A
+    borderline pair (true j == threshold) is missed with p ≈ Φ(-2.5σ)
+    < 1%; report-exactness is unaffected — surviving pairs carry exact
+    Jaccard."""
+    from pyspark import StorageLevel
+
+    # Both intermediates are consumed twice (signatures by banding and
+    # the estimate stage; shingles by signatures and the exact verify).
+    # Signatures are docs × num_hashes longs — cacheable at any corpus
+    # size; shingles are corpus-sized, so spill-to-disk caching trades
+    # one full re-shingling pass for local disk.
+    shingled = shingle_sets(df, text_col, id_col, n).persist(
+        StorageLevel.MEMORY_AND_DISK
+    )
+    sigs = minhash_signatures(shingled, id_col, num_hashes).persist(
+        StorageLevel.MEMORY_AND_DISK
+    )
     cands = lsh_candidate_pairs(sigs, id_col, bands)
-    scored = jaccard_on_pairs(cands, shingled, id_col)
+    est = estimate_jaccard_on_pairs(cands, sigs, id_col)
+    plausible = est.filter(
+        F.col("est_jaccard") >= threshold - estimate_margin
+    ).select("id_a", "id_b")
+    scored = jaccard_on_pairs(plausible, shingled, id_col)
     return scored.filter(F.col("jaccard") >= threshold)
 
 
