@@ -869,3 +869,17 @@ def similarity_topk_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     emb = _t(spark, sf_dir, "embeddings")
     return lsh_topk(emb, emb.filter(F.col("vec_id") < 10), k=5)
+
+
+@query("multimodal_features", None)
+def multimodal_features(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Multimodal column plumbing (operators.multimodal): opaque binary
+    payload + typed metadata, Arrow-batched mapInPandas feature
+    extraction with the deterministic stub decoder (real codecs are
+    pluggable; none ship in this environment). Rows-only check — the
+    Arrow/pandas boundary is outside DuckDB's reach, but output is
+    deterministic (sha256 + byte-histogram features)."""
+    from ..operators.multimodal import extract_features, media_from_documents
+
+    docs = _t(spark, sf_dir, "documents")
+    return extract_features(media_from_documents(docs)).drop("feature")

@@ -1,0 +1,106 @@
+"""Streaming ingest — the reference's event-driven model, Spark-native.
+
+The reference's "streaming" is one S3 ``ObjectCreated`` event per file
+under ``raw/`` triggering one Lambda invocation (reference
+``lambda.py:207-209``, ``README.md:79-89``).  Spark equivalent: a file
+source watching ``raw/`` + ``foreachBatch`` running the same
+validate → lake → upsert → summary dataflow per micro-batch, with
+checkpointing making replays exactly-once at the sink level — fixing the
+reference's at-least-once double-append risk (SURVEY §2.8).
+
+Divergence (documented, SURVEY §7.5.4): a micro-batch may contain many
+files; the reference silently drops all but the first event record.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from ..functions.dates import format_date
+from ..operators.agg import sales_summary
+from ..operators.upsert import upsert_keep_last
+from ..operators.validate import (
+    row_rules_sales,
+    validate_rows,
+)
+from ..pipeline import PipelineConfig
+from ..schema import SALES_DATE_COLUMNS, SALES_DATE_FORMAT, SALES_KEY_COLUMN
+from ..sources.writers import (
+    read_serving_table,
+    write_serving_table,
+)
+
+
+def stream_sales_ingest(
+    spark: SparkSession,
+    raw_dir: str,
+    cfg: PipelineConfig,
+    checkpoint_dir: str,
+    available_now: bool = True,
+    fmt: str = "csv",
+):
+    """Start the streaming ingest of ``raw_dir``.
+
+    Row-level mode: invalid rows go to the quarantine path with
+    ``_error_reason`` while valid rows proceed — finer-grained than the
+    reference's whole-file quarantine, which ``pipeline.run_batch``
+    preserves for batch parity.
+
+    Returns the started ``StreamingQuery``; with ``available_now`` the
+    caller should ``awaitTermination()`` — the query drains all pending
+    files then stops (the batch-replay-safe analog of the reference's
+    one-event-one-run loop)."""
+    from ..schema import sales_ingest_schema
+
+    reader = (
+        spark.readStream.format(fmt)
+        .schema(sales_ingest_schema())
+        .option("maxFilesPerTrigger", 16)
+    )
+    if fmt == "csv":
+        reader = reader.option("header", True)
+    stream = reader.load(raw_dir).withColumn(
+        "_source_file", F.input_file_name()
+    )
+
+    def process_batch(batch_df: DataFrame, batch_id: int) -> None:
+        df = batch_df.drop("_source_file")
+        valid, quarantined = validate_rows(
+            batch_df, row_rules_sales()
+        )
+        quarantined.write.mode("append").parquet(cfg.quarantine_dir)
+
+        casted = valid.drop("_source_file")
+        for c in SALES_DATE_COLUMNS:
+            casted = casted.withColumn(
+                c, F.to_date(F.col(c).cast("string"), SALES_DATE_FORMAT)
+            )
+        casted.withColumn("ingest_batch", F.lit(str(batch_id))).write.mode(
+            "append"
+        ).partitionBy("ingest_batch").parquet(cfg.lake_dir)
+
+        serving = casted
+        if cfg.dates_as_strings:
+            for c in SALES_DATE_COLUMNS:
+                serving = serving.withColumn(c, format_date(c))
+        write_serving_table(serving, cfg.warehouse_dir, "sales", "append")
+        existing = read_serving_table(spark, cfg.warehouse_dir, "sales_tgt")
+        merged = upsert_keep_last(
+            existing, serving, [SALES_KEY_COLUMN], broadcast_keys=True
+        ).localCheckpoint(eager=True)
+        write_serving_table(merged, cfg.warehouse_dir, "sales_tgt", "overwrite")
+        summary_src = serving if cfg.summary_scope == "batch" else merged
+        write_serving_table(
+            sales_summary(summary_src), cfg.warehouse_dir,
+            "sales_summary", "overwrite",
+        )
+
+    writer = (
+        stream.writeStream.foreachBatch(process_batch)
+        .option("checkpointLocation", checkpoint_dir)
+        .outputMode("append")
+    )
+    if available_now:
+        writer = writer.trigger(availableNow=True)
+    return writer.start()

@@ -1,0 +1,77 @@
+"""Multimodal plumbing tests: Arrow mapInPandas round-trip, stub decoder
+determinism, frame sampling shape, metadata pushdown."""
+
+import hashlib
+
+from pyspark.sql import functions as F
+
+from enterprise_sales_data_pipeline_using_aws_lambda_spark.operators.multimodal import (
+    FEATURE_DIM,
+    StubDecoder,
+    extract_features,
+    media_from_documents,
+    sample_frames,
+)
+
+SF_DIR = "/root/testdata/sf0.001"
+
+
+def _media(spark):
+    docs = spark.read.parquet(f"{SF_DIR}/documents.parquet")
+    return media_from_documents(docs)
+
+
+def test_extract_features_round_trip(spark):
+    media = _media(spark)
+    feats = extract_features(media)
+    rows = feats.collect()
+    assert len(rows) == media.count()
+    r = {x["media_id"]: x for x in rows}
+    # verify against a locally computed expectation
+    doc = spark.read.parquet(f"{SF_DIR}/documents.parquet").first()
+    payload = doc["text"].encode()
+    expect = StubDecoder().decode("image", payload)
+    got = r[doc["doc_id"]]
+    assert got["n_bytes"] == len(payload)
+    assert got["sha256"] == hashlib.sha256(payload).hexdigest()
+    assert len(got["feature"]) == FEATURE_DIM
+    assert [round(float(v), 6) for v in got["feature"]] == expect
+
+
+def test_features_deterministic_across_runs(spark):
+    media = _media(spark)
+    a = {r["media_id"]: r["sha256"] for r in extract_features(media).collect()}
+    b = {r["media_id"]: r["sha256"] for r in extract_features(media).collect()}
+    assert a == b
+
+
+def test_sample_frames_shape(spark):
+    media = _media(spark)
+    frames = sample_frames(media, every_ms=1000)
+    vids = media.filter(F.col("kind") == "video")
+    # one row per sampled frame; every video contributes ≥1 frame
+    assert frames.select("media_id").distinct().count() == vids.count()
+    f = frames.first()
+    assert f["frame_payload"] is not None and len(f["frame_payload"]) > 0
+    # non-video kinds never reach the decoder
+    joined = frames.join(
+        media.select("media_id", "kind"), "media_id"
+    ).filter(F.col("kind") != "video")
+    assert joined.count() == 0
+
+
+def test_metadata_filter_prunes_payload_scan(spark, tmp_path):
+    """Metadata predicates must reach the parquet scan without reading
+    payload bytes: check PushedFilters in the physical plan."""
+    media = _media(spark)
+    path = str(tmp_path / "media")
+    media.write.parquet(path)
+    plan = (
+        spark.read.parquet(path)
+        .filter(F.col("kind") == "video")
+        .select("media_id")
+        ._jdf.queryExecution()
+        .executedPlan()
+        .toString()
+    )
+    assert "PushedFilters" in plan and "kind" in plan

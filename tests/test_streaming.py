@@ -1,0 +1,162 @@
+"""Structured Streaming tests: file-source ingest with foreachBatch,
+availableNow draining, checkpoint-based replay safety, and windowed
+aggregates running in both batch and streaming mode."""
+
+import os
+import shutil
+
+import pandas as pd
+import pytest
+from pyspark.sql import functions as F
+
+from enterprise_sales_data_pipeline_using_aws_lambda_spark.pipeline import (
+    PipelineConfig,
+)
+from enterprise_sales_data_pipeline_using_aws_lambda_spark.sources.readers import (
+    read_events,
+)
+from enterprise_sales_data_pipeline_using_aws_lambda_spark.streaming.pipeline import (
+    stream_sales_ingest,
+)
+from enterprise_sales_data_pipeline_using_aws_lambda_spark.streaming.windows import (
+    session_windows,
+    stream_dedup,
+    tumbling_counts,
+)
+
+SAMPLE_CSV = "/root/reference/sample_data/sales_data_500.csv"
+SF_DIR = "/root/testdata/sf0.001"
+
+needs_sample = pytest.mark.skipif(
+    not os.path.exists(SAMPLE_CSV), reason="reference sample data not present"
+)
+
+
+@needs_sample
+def test_stream_ingest_available_now(spark, tmp_path):
+    raw = tmp_path / "raw"
+    raw.mkdir()
+    shutil.copy(SAMPLE_CSV, raw / "batch1.csv")
+    cfg = PipelineConfig(
+        lake_dir=str(tmp_path / "lake"),
+        warehouse_dir=str(tmp_path / "wh"),
+        quarantine_dir=str(tmp_path / "quarantine"),
+    )
+    q = stream_sales_ingest(
+        spark, str(raw), cfg, str(tmp_path / "ckpt"), available_now=True
+    )
+    q.awaitTermination(120)
+    tgt = spark.read.parquet(f"{cfg.warehouse_dir}/sales_tgt")
+    assert tgt.count() == 500
+    lake = spark.read.parquet(cfg.lake_dir)
+    assert lake.count() == 500
+
+    # Restart over the same checkpoint with no new files: nothing reruns,
+    # warehouse unchanged (replay safety the reference lacks).
+    q2 = stream_sales_ingest(
+        spark, str(raw), cfg, str(tmp_path / "ckpt"), available_now=True
+    )
+    q2.awaitTermination(120)
+    assert spark.read.parquet(f"{cfg.warehouse_dir}/sales_tgt").count() == 500
+    log = spark.read.parquet(f"{cfg.warehouse_dir}/sales")
+    assert log.count() == 500  # no double-append on replay
+
+    # New file with overlapping keys: upsert keeps the table keyed.
+    df = pd.read_csv(SAMPLE_CSV).head(50)
+    df["UnitsSold"] = df["UnitsSold"] + 1
+    df.to_csv(raw / "batch2.csv", index=False)
+    q3 = stream_sales_ingest(
+        spark, str(raw), cfg, str(tmp_path / "ckpt"), available_now=True
+    )
+    q3.awaitTermination(120)
+    tgt3 = spark.read.parquet(f"{cfg.warehouse_dir}/sales_tgt")
+    assert tgt3.count() == 500
+    assert tgt3.select("uuid").distinct().count() == 500
+
+
+@needs_sample
+def test_stream_ingest_row_level_quarantine(spark, tmp_path):
+    raw = tmp_path / "raw"
+    raw.mkdir()
+    df = pd.read_csv(SAMPLE_CSV).head(20)
+    df.loc[3, "OrderDate"] = "2016-13-45"  # unparseable date
+    df.to_csv(raw / "dirty.csv", index=False)
+    cfg = PipelineConfig(
+        lake_dir=str(tmp_path / "lake"),
+        warehouse_dir=str(tmp_path / "wh"),
+        quarantine_dir=str(tmp_path / "quarantine"),
+    )
+    q = stream_sales_ingest(
+        spark, str(raw), cfg, str(tmp_path / "ckpt"), available_now=True
+    )
+    q.awaitTermination(120)
+    assert spark.read.parquet(f"{cfg.warehouse_dir}/sales_tgt").count() == 19
+    bad = spark.read.parquet(cfg.quarantine_dir).collect()
+    assert len(bad) == 1
+    assert "bad_date_OrderDate" in bad[0]["_error_reason"]
+    assert bad[0]["_source_file"].endswith("dirty.csv")
+
+
+def test_tumbling_counts_batch_equals_streaming(spark, tmp_path):
+    """The same logical plan produces identical results in batch mode and
+    via a streaming query over the same parquet input."""
+    ev = read_events(spark, SF_DIR)
+    batch_out = tumbling_counts(ev).collect()
+
+    ev.write.parquet(f"{tmp_path}/events_in", mode="overwrite")
+    stream_ev = (
+        spark.readStream.schema(ev.schema)
+        .parquet(f"{tmp_path}/events_in")
+    )
+    out_dir = f"{tmp_path}/out"
+    q = (
+        tumbling_counts(stream_ev)
+        .writeStream.format("memory")
+        .queryName("tumbling_test")
+        .outputMode("complete")
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination(120)
+    stream_out = spark.sql("select * from tumbling_test").collect()
+
+    key = lambda r: (r["window_start"], r["event_type"])
+    assert sorted(
+        [(key(r), r["n_events"], r["total_value"]) for r in batch_out]
+    ) == sorted([(key(r), r["n_events"], r["total_value"]) for r in stream_out])
+
+
+def test_session_windows_close_on_gap(spark):
+    import datetime
+
+    base = datetime.datetime(2024, 1, 1, 0, 0, 0)
+    rows = [
+        (1, base, 7, "click", 1.0),
+        (2, base + datetime.timedelta(minutes=10), 7, "click", 1.0),
+        # 40-minute gap > 30-minute session gap → new session
+        (3, base + datetime.timedelta(minutes=50), 7, "click", 1.0),
+    ]
+    ev = spark.createDataFrame(
+        rows, "event_id long, ts timestamp, user_id long, event_type string, value double"
+    )
+    out = session_windows(ev, gap="30 minutes").collect()
+    assert len(out) == 2
+    assert sorted(r["n_events"] for r in out) == [1, 2]
+
+
+def test_stream_dedup_drops_in_batch_dupes(spark, tmp_path):
+    ev = read_events(spark, SF_DIR)
+    doubled = ev.unionByName(ev)
+    doubled.write.parquet(f"{tmp_path}/dup_in", mode="overwrite")
+    stream = spark.readStream.schema(ev.schema).parquet(f"{tmp_path}/dup_in")
+    q = (
+        stream_dedup(stream)
+        .writeStream.format("memory")
+        .queryName("dedup_test")
+        .outputMode("append")
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination(120)
+    n = spark.sql("select count(distinct event_id) c, count(*) n from dedup_test").first()
+    assert n["c"] == n["n"] == ev.count()
