@@ -56,8 +56,11 @@ def main() -> None:
         QUERIES,
     )
 
-    # Warm up the JVM / codegen paths on the smallest table once.
-    spark.read.parquet(os.path.join(sf_dir, "region.parquet")).count()
+    # Warm up the JVM / codegen paths and the Python worker pool (Arrow +
+    # pandas import cost lands on the first mapInPandas otherwise).
+    region = spark.read.parquet(os.path.join(sf_dir, "region.parquet"))
+    region.count()
+    region.mapInPandas(lambda it: it, region.schema).count()
 
     timings: dict[str, float] = {}
     for name in HEADLINE:
