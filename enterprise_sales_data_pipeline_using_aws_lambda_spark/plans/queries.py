@@ -883,3 +883,187 @@ def multimodal_features(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     docs = _t(spark, sf_dir, "documents")
     return extract_features(media_from_documents(docs)).drop("feature")
+
+
+@query(
+    "dedup_embedding_cosine",
+    """
+    WITH v AS (SELECT vec_id, embedding FROM embeddings),
+    pairs AS (
+        SELECT a.vec_id AS id_a, b.vec_id AS id_b,
+               list_sum(list_transform(list_zip(a.embedding, b.embedding),
+                                       x -> x[1]::DOUBLE * x[2]::DOUBLE))
+               / (sqrt(list_sum(list_transform(a.embedding,
+                                               x -> x::DOUBLE * x::DOUBLE)))
+                  * sqrt(list_sum(list_transform(b.embedding,
+                                                 x -> x::DOUBLE * x::DOUBLE))))
+                   AS cos
+        FROM v a JOIN v b ON a.vec_id < b.vec_id
+    )
+    SELECT id_a, id_b, round(cos, 6) AS cosine
+    FROM pairs WHERE cos >= 0.45
+    """,
+)
+def dedup_embedding_cosine(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Embedding-cosine near-duplicate pairs (cosine ≥ 0.45) — the
+    embedding-space face of fuzzy dedup.  Exact upper-triangle scan via
+    the same Arrow block-matmul as cosine_topk, emitting only
+    above-threshold pairs from each partition block (the shuffle carries
+    matches, not the N² pair space).  The LSH-bucketed variant
+    (operators.similarity.lsh_topk) is the 100 TB candidate-generation
+    path."""
+    import numpy as np
+    import pandas as pd
+
+    emb = _t(spark, sf_dir, "embeddings")
+    rows = emb.select("vec_id", "embedding").collect()
+    ids = np.array([r[0] for r in rows], dtype=np.int64)
+    mat = np.array([list(r[1]) for r in rows], dtype=np.float64)
+    norms = np.linalg.norm(mat, axis=1)
+    norms[norms == 0.0] = 1.0
+
+    def block(batches):
+        for pdf in batches:
+            if pdf.empty:
+                continue
+            bids = pdf["vec_id"].to_numpy(dtype=np.int64)
+            bmat = np.array(
+                [list(v) for v in pdf["embedding"]], dtype=np.float64
+            )
+            bnorm = np.linalg.norm(bmat, axis=1)
+            bnorm[bnorm == 0.0] = 1.0
+            sims = (bmat @ mat.T) / np.outer(bnorm, norms)
+            bi, cj = np.nonzero((sims >= 0.45) & (bids[:, None] < ids[None, :]))
+            yield pd.DataFrame(
+                {
+                    "id_a": bids[bi],
+                    "id_b": ids[cj],
+                    "cosine": np.round(sims[bi, cj], 6),
+                }
+            )
+
+    return emb.select("vec_id", "embedding").mapInPandas(
+        block, "id_a long, id_b long, cosine double"
+    )
+
+
+@query(
+    "event_sessionize",
+    """
+    WITH ev AS (
+        SELECT user_id, CAST(ts AS TIMESTAMP) AS ts, value FROM events
+    ),
+    flagged AS (
+        SELECT user_id, ts, value,
+               CASE WHEN ts - lag(ts) OVER w <= INTERVAL 30 MINUTE
+                    THEN 0 ELSE 1 END AS new_session
+        FROM ev WINDOW w AS (PARTITION BY user_id ORDER BY ts)
+    ),
+    numbered AS (
+        SELECT user_id, ts, value,
+               sum(new_session) OVER (
+                   PARTITION BY user_id ORDER BY ts
+                   ROWS UNBOUNDED PRECEDING) AS session_no
+        FROM flagged
+    )
+    SELECT user_id,
+           min(ts) AS session_start,
+           max(ts) + INTERVAL 30 MINUTE AS session_end,
+           count(*) AS n_events,
+           round(sum(value), 2) AS total_value
+    FROM numbered
+    GROUP BY user_id, session_no
+    """,
+)
+def event_sessionize(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Session windows (30-minute inactivity gap) via the built-in
+    ``session_window`` — the same operator the streaming module uses
+    under a watermark (streaming.windows.session_windows).  The oracle
+    reproduces the semantics with gaps-and-islands SQL: session_end =
+    last_event + gap."""
+    from ..streaming.windows import session_windows
+
+    ev = _t(spark, sf_dir, "events")
+    return session_windows(ev, gap="30 minutes").select(
+        "user_id", "session_start", "session_end", "n_events", "total_value"
+    )
+
+
+@query(
+    "scalar_function_suite",
+    """
+    SELECT o_orderkey,
+           year(o_orderdate) AS order_year,
+           month(o_orderdate) AS order_month,
+           date_diff('day', TIMESTAMP '1995-01-01 00:00:00', o_orderdate)
+               AS days_since_epoch_start,
+           upper(o_orderstatus) AS status_upper,
+           substr(o_orderpriority, 1, 1) AS priority_code,
+           length(o_orderpriority) AS priority_len,
+           CASE WHEN o_totalprice >= 300000 THEN 'high'
+                WHEN o_totalprice >= 100000 THEN 'mid'
+                ELSE 'low' END AS price_band,
+           coalesce(nullif(o_orderstatus, 'P'), 'PENDING') AS status_resolved,
+           round(o_totalprice * 0.07, 2) AS est_tax,
+           concat(o_orderstatus, '-', o_orderpriority) AS status_priority
+    FROM orders
+    """,
+)
+def scalar_function_suite(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Scalar-function surface in one projection: date part extraction,
+    date arithmetic, string ops, CASE banding, null handling, rounding,
+    concat — all JVM built-ins inside one codegen span (SURVEY §2.7
+    extension; the reference's only scalar ops are date parse/format)."""
+    o = _t(spark, sf_dir, "orders")
+    return o.select(
+        "o_orderkey",
+        F.year("o_orderdate").alias("order_year"),
+        F.month("o_orderdate").alias("order_month"),
+        F.datediff(
+            F.col("o_orderdate"), F.lit("1995-01-01").cast("timestamp")
+        ).alias("days_since_epoch_start"),
+        F.upper("o_orderstatus").alias("status_upper"),
+        F.substring("o_orderpriority", 1, 1).alias("priority_code"),
+        F.length("o_orderpriority").alias("priority_len"),
+        F.when(F.col("o_totalprice") >= 300000, "high")
+        .when(F.col("o_totalprice") >= 100000, "mid")
+        .otherwise("low")
+        .alias("price_band"),
+        F.coalesce(
+            F.nullif(F.col("o_orderstatus"), F.lit("P")), F.lit("PENDING")
+        ).alias("status_resolved"),
+        F.round(F.col("o_totalprice") * 0.07, 2).alias("est_tax"),
+        F.concat_ws("-", "o_orderstatus", "o_orderpriority").alias(
+            "status_priority"
+        ),
+    )
+
+
+@query(
+    "exists_late_orders",
+    """
+    SELECT o_orderpriority, count(*) AS n_orders
+    FROM orders
+    WHERE EXISTS (
+        SELECT 1 FROM lineitem
+        WHERE l_orderkey = o_orderkey
+          AND l_shipdate > o_orderdate + INTERVAL 90 DAY
+    )
+    GROUP BY o_orderpriority
+    """,
+)
+def exists_late_orders(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q4 shape: EXISTS correlated subquery → left-semi join with a
+    non-equi residual condition, then priority counts. The semi join
+    stops at the first matching lineitem per order."""
+    o = _t(spark, sf_dir, "orders")
+    li = _t(spark, sf_dir, "lineitem")
+    late = o.join(
+        li,
+        (F.col("l_orderkey") == F.col("o_orderkey"))
+        & (F.col("l_shipdate") > F.date_add(F.col("o_orderdate"), 90)),
+        "left_semi",
+    )
+    return late.groupBy("o_orderpriority").agg(
+        F.count("*").alias("n_orders")
+    )
