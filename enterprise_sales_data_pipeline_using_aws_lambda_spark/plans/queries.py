@@ -1067,3 +1067,285 @@ def exists_late_orders(spark: SparkSession, sf_dir: str) -> DataFrame:
     return late.groupBy("o_orderpriority").agg(
         F.count("*").alias("n_orders")
     )
+
+
+# ---------------------------------------------------------------------------
+# Set operations, multidimensional aggregates, pivot, global top-k
+# (SURVEY §2.4 / §2.5 / §2.6 extension surface).
+# ---------------------------------------------------------------------------
+
+@query(
+    "intersect_repeat_customers",
+    """
+    SELECT o_custkey AS custkey FROM orders WHERE o_orderstatus = 'F'
+    INTERSECT
+    SELECT o_custkey AS custkey FROM orders WHERE o_orderstatus = 'O'
+    """,
+)
+def intersect_repeat_customers(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Set INTERSECT (distinct semantics): customers holding both a
+    finished and an open order.  Catalyst plans this as an aggregate +
+    left-semi hash join — one shuffle per side on the key, no sort."""
+    o = _t(spark, sf_dir, "orders")
+    f = o.filter(F.col("o_orderstatus") == "F").select(
+        F.col("o_custkey").alias("custkey")
+    )
+    op = o.filter(F.col("o_orderstatus") == "O").select(
+        F.col("o_custkey").alias("custkey")
+    )
+    return f.intersect(op)
+
+
+@query(
+    "except_single_status_customers",
+    """
+    SELECT o_custkey AS custkey FROM orders WHERE o_orderstatus = 'O'
+    EXCEPT
+    SELECT o_custkey AS custkey FROM orders WHERE o_orderstatus = 'F'
+    """,
+)
+def except_single_status_customers(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Set EXCEPT (distinct semantics): open-order customers who never
+    finished an order — planned as a left-anti hash join post-dedup."""
+    o = _t(spark, sf_dir, "orders")
+    op = o.filter(F.col("o_orderstatus") == "O").select(
+        F.col("o_custkey").alias("custkey")
+    )
+    f = o.filter(F.col("o_orderstatus") == "F").select(
+        F.col("o_custkey").alias("custkey")
+    )
+    return op.subtract(f)
+
+
+@query(
+    "agg_cube_status_priority",
+    """
+    SELECT o_orderstatus, o_orderpriority,
+           count(*) AS n_orders,
+           round(sum(o_totalprice), 2) AS total_price
+    FROM orders
+    GROUP BY CUBE (o_orderstatus, o_orderpriority)
+    """,
+)
+def agg_cube_status_priority(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """CUBE over (status, priority): all 2^2 grouping sets in one pass —
+    Catalyst expands the sets and runs a single partial+final hash agg;
+    the input is scanned once (vs 4 scans for a UNION ALL of group-bys)."""
+    o = _t(spark, sf_dir, "orders")
+    return o.cube("o_orderstatus", "o_orderpriority").agg(
+        F.count("*").alias("n_orders"),
+        F.round(F.sum("o_totalprice"), 2).alias("total_price"),
+    )
+
+
+@query(
+    "pivot_priority_by_status",
+    """
+    SELECT o_orderpriority,
+           round(sum(CASE WHEN o_orderstatus = 'F' THEN o_totalprice END), 2)
+               AS total_f,
+           round(sum(CASE WHEN o_orderstatus = 'O' THEN o_totalprice END), 2)
+               AS total_o,
+           round(sum(CASE WHEN o_orderstatus = 'P' THEN o_totalprice END), 2)
+               AS total_p
+    FROM orders
+    GROUP BY o_orderpriority
+    """,
+)
+def pivot_priority_by_status(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Pivot (wide conditional aggregate).  Pivot values are passed
+    explicitly so Spark skips the extra distinct-values job — at 100 TB
+    an implicit pivot would scan the fact table twice."""
+    o = _t(spark, sf_dir, "orders")
+    piv = (
+        o.groupBy("o_orderpriority")
+        .pivot("o_orderstatus", ["F", "O", "P"])
+        .agg(F.round(F.sum("o_totalprice"), 2))
+    )
+    return piv.select(
+        "o_orderpriority",
+        F.col("F").alias("total_f"),
+        F.col("O").alias("total_o"),
+        F.col("P").alias("total_p"),
+    )
+
+
+@query(
+    "global_topk_orders",
+    """
+    SELECT o_orderkey, o_custkey, round(o_totalprice, 2) AS total_price
+    FROM orders
+    ORDER BY o_totalprice DESC, o_orderkey
+    LIMIT 100
+    """,
+)
+def global_topk_orders(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Global top-k: ORDER BY + LIMIT plans as TakeOrderedAndProject —
+    each partition keeps a local k-heap and only k rows per partition
+    reach the driver-side merge; no full global sort at any scale.
+    Tie-broken by key for determinism."""
+    o = _t(spark, sf_dir, "orders")
+    return (
+        o.orderBy(F.desc("o_totalprice"), F.asc("o_orderkey"))
+        .limit(100)
+        .select(
+            "o_orderkey",
+            "o_custkey",
+            F.round("o_totalprice", 2).alias("total_price"),
+        )
+    )
+
+
+@query(
+    "window_rank_suite",
+    """
+    SELECT o_orderkey, o_custkey,
+           rank() OVER w AS rnk,
+           dense_rank() OVER w AS drnk,
+           ntile(4) OVER w AS quartile,
+           round(percent_rank() OVER w, 6) AS pct_rank,
+           round(lag(o_totalprice) OVER w, 2) AS prev_price,
+           round(lead(o_totalprice) OVER w, 2) AS next_price,
+           count(*) OVER (PARTITION BY o_custkey) AS cust_orders
+    FROM orders
+    WINDOW w AS (PARTITION BY o_custkey ORDER BY o_orderdate, o_orderkey)
+    """,
+)
+def window_rank_suite(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Ranking-window surface in one pass: rank / dense_rank / ntile /
+    percent_rank / lag / lead plus an unordered partition count.  All
+    frames share one (partition, order) spec, so Catalyst evaluates them
+    in a single Window operator after one shuffle+sort on o_custkey —
+    adding window expressions is free once the sort is paid for."""
+    w = Window.partitionBy("o_custkey").orderBy("o_orderdate", "o_orderkey")
+    wp = Window.partitionBy("o_custkey")
+    o = _t(spark, sf_dir, "orders")
+    return o.select(
+        "o_orderkey",
+        "o_custkey",
+        F.rank().over(w).alias("rnk"),
+        F.dense_rank().over(w).alias("drnk"),
+        F.ntile(4).over(w).alias("quartile"),
+        F.round(F.percent_rank().over(w), 6).alias("pct_rank"),
+        F.round(F.lag("o_totalprice").over(w), 2).alias("prev_price"),
+        F.round(F.lead("o_totalprice").over(w), 2).alias("next_price"),
+        F.count("*").over(wp).alias("cust_orders"),
+    )
+
+
+@query(
+    "percentile_summary",
+    """
+    SELECT l_returnflag,
+           round(percentile_cont(0.25) WITHIN GROUP (ORDER BY l_extendedprice), 2)
+               AS price_p25,
+           round(percentile_cont(0.5) WITHIN GROUP (ORDER BY l_extendedprice), 2)
+               AS price_p50,
+           round(percentile_cont(0.75) WITHIN GROUP (ORDER BY l_extendedprice), 2)
+               AS price_p75,
+           round(median(l_quantity), 2) AS qty_median
+    FROM lineitem
+    GROUP BY l_returnflag
+    """,
+)
+def percentile_summary(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Exact interpolated percentiles (percentile_cont semantics) per
+    group.  Exact percentile sorts values within each group — fine when
+    group count is small and per-group data fits an executor; the
+    sketch-based scale path is ``approx_percentile`` (t-digest, one pass,
+    mergeable partials), which trades ulp-exactness for no sort."""
+    li = _t(spark, sf_dir, "lineitem")
+    return li.groupBy("l_returnflag").agg(
+        F.round(F.percentile("l_extendedprice", F.lit(0.25)), 2).alias("price_p25"),
+        F.round(F.percentile("l_extendedprice", F.lit(0.5)), 2).alias("price_p50"),
+        F.round(F.percentile("l_extendedprice", F.lit(0.75)), 2).alias("price_p75"),
+        F.round(F.median("l_quantity"), 2).alias("qty_median"),
+    )
+
+
+@query(
+    "full_outer_nation_balance",
+    """
+    WITH c AS (
+        SELECT c_nationkey AS nationkey, count(*) AS n_customers,
+               round(sum(c_acctbal), 2) AS cust_balance
+        FROM customer GROUP BY c_nationkey
+    ),
+    s AS (
+        SELECT s_nationkey AS nationkey, count(*) AS n_suppliers,
+               round(sum(s_acctbal), 2) AS supp_balance
+        FROM supplier GROUP BY s_nationkey
+    )
+    SELECT coalesce(c.nationkey, s.nationkey) AS nationkey,
+           coalesce(n_customers, 0) AS n_customers,
+           coalesce(cust_balance, 0.0) AS cust_balance,
+           coalesce(n_suppliers, 0) AS n_suppliers,
+           coalesce(supp_balance, 0.0) AS supp_balance
+    FROM c FULL OUTER JOIN s ON c.nationkey = s.nationkey
+    """,
+)
+def full_outer_nation_balance(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Full outer join of two pre-aggregated sides (customer vs supplier
+    balances per nation).  Aggregating BEFORE the join shrinks both sides
+    to |nations| rows — the join is trivial regardless of fact size, the
+    pattern that matters at 100 TB (join after reduce, not before)."""
+    cust = (
+        _t(spark, sf_dir, "customer")
+        .groupBy(F.col("c_nationkey").alias("nationkey"))
+        .agg(
+            F.count("*").alias("n_customers"),
+            F.round(F.sum("c_acctbal"), 2).alias("cust_balance"),
+        )
+    )
+    supp = (
+        _t(spark, sf_dir, "supplier")
+        .groupBy(F.col("s_nationkey").alias("nationkey"))
+        .agg(
+            F.count("*").alias("n_suppliers"),
+            F.round(F.sum("s_acctbal"), 2).alias("supp_balance"),
+        )
+    )
+    return cust.join(supp, "nationkey", "full_outer").select(
+        "nationkey",
+        F.coalesce("n_customers", F.lit(0)).alias("n_customers"),
+        F.coalesce("cust_balance", F.lit(0.0)).alias("cust_balance"),
+        F.coalesce("n_suppliers", F.lit(0)).alias("n_suppliers"),
+        F.coalesce("supp_balance", F.lit(0.0)).alias("supp_balance"),
+    )
+
+
+@query(
+    "distinct_users_daily",
+    """
+    SELECT CAST(ts AS DATE) AS day,
+           count(DISTINCT user_id) AS n_users,
+           count(*) AS n_events
+    FROM events
+    GROUP BY CAST(ts AS DATE)
+    """,
+)
+def distinct_users_daily(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Exact distinct-count per day.  COUNT(DISTINCT) expands to a
+    two-phase plan (dedup shuffle on (day, user), then count) — exact but
+    2 shuffles; ``approx_distinct_users_daily`` is the one-shuffle sketch
+    variant for the 100 TB path."""
+    ev = _t(spark, sf_dir, "events")
+    return ev.groupBy(F.to_date("ts").alias("day")).agg(
+        F.countDistinct("user_id").alias("n_users"),
+        F.count("*").alias("n_events"),
+    )
+
+
+@query("approx_distinct_users_daily", None)
+def approx_distinct_users_daily(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """HyperLogLog++ distinct-count per day (rsd=2%): one pass, one
+    shuffle of fixed-size mergeable sketches instead of the exact
+    version's dedup shuffle of every (day, user) pair.  At 100 TB this is
+    the only viable cardinality path; no SQL oracle because sketch
+    estimates are implementation-defined (driver does the rows-only
+    check; ``distinct_users_daily`` pins down the exact values)."""
+    ev = _t(spark, sf_dir, "events")
+    return ev.groupBy(F.to_date("ts").alias("day")).agg(
+        F.approx_count_distinct("user_id", rsd=0.02).alias("n_users_approx"),
+        F.count("*").alias("n_events"),
+    )
