@@ -17,8 +17,21 @@ explicit control still wins at 100 TB:
 
 from __future__ import annotations
 
-from pyspark.sql import Column, DataFrame
+from pyspark.sql import Column, DataFrame, Window
 from pyspark.sql import functions as F
+
+_UNIT_SECONDS = {
+    "second": 1, "seconds": 1,
+    "minute": 60, "minutes": 60,
+    "hour": 3600, "hours": 3600,
+    "day": 86400, "days": 86400,
+}
+
+
+def _interval_seconds(spec: str) -> int:
+    """Parse '30 minutes' / '1 hour' into seconds (driver-side)."""
+    num, unit = spec.strip().split()
+    return int(num) * _UNIT_SECONDS[unit.lower()]
 
 
 def broadcast_join(
@@ -58,3 +71,135 @@ def salted_join(
     salted_dim = dim.select("*", salts)
     out = salted_fact.join(salted_dim, [key, "_salt"], how)
     return out.drop("_salt")
+
+
+def asof_join(
+    left: DataFrame,
+    right: DataFrame,
+    on: list[str],
+    left_ts: str,
+    right_ts: str,
+    right_cols: list[str],
+    direction: str = "backward",
+    tolerance: str | None = None,
+) -> DataFrame:
+    """As-of join: for every left row, attach ``right_cols`` from the
+    single right row with the greatest ``right_ts <= left_ts`` (backward;
+    ``forward`` = smallest ``right_ts >= left_ts``) within the same
+    ``on`` key group.  Unmatched left rows keep nulls (left-join
+    semantics).  ``tolerance`` (e.g. ``"30 minutes"``) nulls out matches
+    staler than the given interval.
+
+    Not expressible as a Spark equi-join without an N×M inequality pair
+    blowup.  Implemented as union + single window pass instead: tag both
+    sides, union them, sort each key group once by (ts, side), and carry
+    the last non-null right value forward with
+    ``last(..., ignorenulls=True)``.  Cost: ONE shuffle+sort of |L|+|R|
+    rows on the key — the same price as one sort-merge join, independent
+    of match fan-out, which is what survives at 100 TB.  Skewed keys
+    (one user with millions of rows) sort within a single partition;
+    sub-bucket by coarse time range first if that bites.
+    """
+    if direction not in ("backward", "forward"):
+        raise ValueError(f"direction must be backward|forward: {direction}")
+    lcols = left.columns
+    marked = [f"_r_{c}" for c in right_cols]
+    l2 = left.select(
+        *lcols,
+        F.col(left_ts).alias("_evt_ts"),
+        F.lit(1).alias("_is_left"),
+        *[F.lit(None).cast(right.schema[c].dataType).alias(m)
+          for c, m in zip(right_cols, marked)],
+    )
+    r2 = right.select(
+        *[F.lit(None).cast(left.schema[c].dataType).alias(c)
+          for c in lcols if c not in on],
+        *on,
+        F.col(right_ts).alias("_evt_ts"),
+        F.lit(0).alias("_is_left"),
+        *[F.col(c).alias(m) for c, m in zip(right_cols, marked)],
+    ).select(l2.columns)
+    both = l2.unionByName(r2)
+
+    # Backward: ascending ts, right rows (0) sort before left rows (1) at
+    # equal ts, so an equal-timestamp right row IS visible to the left
+    # row (inclusive match).  Forward: mirror by descending ts.
+    if direction == "backward":
+        w = Window.partitionBy(*on).orderBy(F.asc("_evt_ts"), F.asc("_is_left"))
+    else:
+        w = Window.partitionBy(*on).orderBy(F.desc("_evt_ts"), F.asc("_is_left"))
+    w = w.rowsBetween(Window.unboundedPreceding, Window.currentRow)
+
+    carried = both.select(
+        *lcols,
+        "_evt_ts",
+        "_is_left",
+        *[F.last(m, ignorenulls=True).over(w).alias(m) for m in marked],
+        F.last(
+            F.when(F.col("_is_left") == 0, F.col("_evt_ts")), ignorenulls=True
+        ).over(w).alias("_matched_ts"),
+    )
+    out = carried.filter(F.col("_is_left") == 1)
+    if tolerance is not None:
+        if direction == "backward":
+            fresh = F.col("_matched_ts") >= F.col("_evt_ts") - F.expr(
+                f"INTERVAL {tolerance}"
+            )
+        else:
+            fresh = F.col("_matched_ts") <= F.col("_evt_ts") + F.expr(
+                f"INTERVAL {tolerance}"
+            )
+        out = out.select(
+            *lcols,
+            *[F.when(fresh, F.col(m)).alias(m) for m in marked],
+            F.when(fresh, F.col("_matched_ts")).alias("_matched_ts"),
+        )
+    renames = dict(zip(marked, right_cols))
+    return out.select(
+        *lcols,
+        *[F.col(m).alias(renames[m]) for m in marked],
+        F.col("_matched_ts").alias("matched_ts"),
+    )
+
+
+def interval_join(
+    points: DataFrame,
+    intervals: DataFrame,
+    point_ts: str,
+    start_col: str,
+    end_col: str,
+    bucket: str = "1 hour",
+) -> DataFrame:
+    """Range (interval-overlap) join with NO equi-key: pair every point
+    with every interval where ``start <= point_ts < end``.
+
+    A naive inequality join is a cartesian product that Catalyst can only
+    plan as BroadcastNestedLoopJoin — O(|P|·|I|) comparisons.  This
+    implementation manufactures an equi-key from time: timestamps are
+    floored to fixed ``bucket`` widths; each interval is exploded to
+    every bucket it overlaps, each point maps to exactly one bucket, and
+    the join becomes a hash equi-join on the bucket id with the exact
+    range predicate as a residual filter.  Cost scales with
+    |P| + |I|·(avg interval span / bucket) + true matches.  Pick
+    ``bucket`` ≈ the typical interval length: too small multiplies the
+    interval side, too large degrades bucket selectivity.
+    """
+    width = F.lit(_interval_seconds(bucket))
+    p = points.withColumn(
+        "_bucket",
+        F.floor(F.unix_timestamp(F.col(point_ts)) / width).cast("long"),
+    )
+    i = intervals.withColumn(
+        "_bucket",
+        F.explode(
+            F.sequence(
+                F.floor(F.unix_timestamp(F.col(start_col)) / width).cast("long"),
+                F.floor(F.unix_timestamp(F.col(end_col)) / width).cast("long"),
+            )
+        ),
+    )
+    joined = p.join(i, "_bucket").filter(
+        (F.col(point_ts) >= F.col(start_col))
+        & (F.col(point_ts) < F.col(end_col))
+    )
+    return joined.drop("_bucket")

@@ -1349,3 +1349,111 @@ def approx_distinct_users_daily(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.approx_count_distinct("user_id", rsd=0.02).alias("n_users_approx"),
         F.count("*").alias("n_events"),
     )
+
+
+# ---------------------------------------------------------------------------
+# Time-series joins the built-in operator set lacks: as-of and range
+# (operators.joins.asof_join / interval_join).
+# ---------------------------------------------------------------------------
+
+@query(
+    "asof_click_purchase",
+    """
+    WITH clicks AS (
+        SELECT event_id, user_id, CAST(ts AS TIMESTAMP) AS ts
+        FROM events WHERE event_type = 'click'
+    ),
+    purch AS (
+        SELECT user_id, CAST(ts AS TIMESTAMP) AS ts,
+               round(max(value), 2) AS purchase_value
+        FROM events WHERE event_type = 'purchase'
+        GROUP BY user_id, CAST(ts AS TIMESTAMP)
+    )
+    SELECT c.event_id, c.user_id,
+           p.purchase_value,
+           p.ts AS matched_ts
+    FROM clicks c ASOF LEFT JOIN purch p
+      ON c.user_id = p.user_id AND c.ts >= p.ts
+    """,
+)
+def asof_click_purchase(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """As-of join: each click gets the user's most recent prior (or
+    simultaneous) purchase value.  Runs through
+    ``operators.joins.asof_join`` — union + one window pass, one
+    shuffle+sort of |clicks|+|purchases| on user_id, no pair blowup
+    (docstring there has the scale analysis).  The right side is
+    pre-deduped per (user, ts) so the winner is deterministic on both
+    engines."""
+    from ..operators.joins import asof_join
+
+    ev = _t(spark, sf_dir, "events")
+    clicks = ev.filter(F.col("event_type") == "click").select(
+        "event_id", "user_id", "ts"
+    )
+    purch = (
+        ev.filter(F.col("event_type") == "purchase")
+        .groupBy("user_id", "ts")
+        .agg(F.round(F.max("value"), 2).alias("purchase_value"))
+    )
+    out = asof_join(
+        clicks,
+        purch,
+        on=["user_id"],
+        left_ts="ts",
+        right_ts="ts",
+        right_cols=["purchase_value"],
+        direction="backward",
+    )
+    return out.select("event_id", "user_id", "purchase_value", "matched_ts")
+
+
+@query(
+    "range_join_error_burst",
+    """
+    WITH purch AS (
+        SELECT event_id AS purchase_id, CAST(ts AS TIMESTAMP) AS p_ts
+        FROM events WHERE event_type = 'purchase'
+    ),
+    err AS (
+        SELECT CAST(ts AS TIMESTAMP) AS e_ts
+        FROM events WHERE event_type = 'error'
+    )
+    SELECT p.purchase_id,
+           count(e.e_ts) AS n_errors
+    FROM purch p LEFT JOIN err e
+      ON e.e_ts >= p.p_ts AND e.e_ts < p.p_ts + INTERVAL 5 MINUTE
+    GROUP BY p.purchase_id
+    """,
+)
+def range_join_error_burst(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Range join with no equi-key: errors from ANY user within 5 minutes
+    after each purchase.  Naively a BroadcastNestedLoopJoin; routed
+    through ``operators.joins.interval_join`` instead, which manufactures
+    a time-bucket equi-key (intervals exploded to overlapped buckets,
+    points hashed to one bucket) → plain hash join + residual range
+    filter.  Zero-match purchases are restored by a left join against
+    the purchase keys (aggregate-after-join, then outer-coalesce)."""
+    from ..operators.joins import interval_join
+
+    ev = _t(spark, sf_dir, "events")
+    purch = ev.filter(F.col("event_type") == "purchase").select(
+        F.col("event_id").alias("purchase_id"),
+        F.col("ts").alias("p_ts"),
+        (F.col("ts") + F.expr("INTERVAL 5 MINUTES")).alias("p_end"),
+    )
+    errs = ev.filter(F.col("event_type") == "error").select(
+        F.col("ts").alias("e_ts")
+    )
+    matches = interval_join(
+        errs, purch, point_ts="e_ts", start_col="p_ts", end_col="p_end",
+        bucket="5 minutes",
+    )
+    counts = matches.groupBy("purchase_id").agg(
+        F.count("*").alias("n_errors")
+    )
+    return purch.select("purchase_id").join(
+        counts, "purchase_id", "left"
+    ).select(
+        "purchase_id",
+        F.coalesce("n_errors", F.lit(0)).alias("n_errors"),
+    )

@@ -83,3 +83,84 @@ def test_upsert_properties(spark, existing, batch):
             assert r["v"] == exist_best[r["k"]]
     replay = upsert_keep_last(merged, b, ["k"], [F.col("v").desc()])
     assert sorted(map(tuple, replay.collect())) == sorted(map(tuple, rows))
+
+
+def test_asof_join_backward_forward_tolerance(spark):
+    from enterprise_sales_data_pipeline_using_aws_lambda_spark.operators.joins import (
+        asof_join,
+    )
+
+    left = spark.createDataFrame(
+        [(1, "2024-01-01 10:00:00"), (1, "2024-01-01 12:00:00"),
+         (2, "2024-01-01 09:00:00")],
+        "k long, lts string",
+    ).withColumn("lts", F.col("lts").cast("timestamp"))
+    right = spark.createDataFrame(
+        [(1, "2024-01-01 09:30:00", 10.0), (1, "2024-01-01 11:00:00", 20.0),
+         (1, "2024-01-01 13:00:00", 30.0)],
+        "k long, rts string, v double",
+    ).withColumn("rts", F.col("rts").cast("timestamp"))
+
+    back = asof_join(left, right, ["k"], "lts", "rts", ["v"])
+    got = {(r["k"], str(r["lts"])): r["v"] for r in back.collect()}
+    assert got[(1, "2024-01-01 10:00:00")] == 10.0   # latest <= 10:00
+    assert got[(1, "2024-01-01 12:00:00")] == 20.0
+    assert got[(2, "2024-01-01 09:00:00")] is None   # no right rows for k=2
+
+    fwd = asof_join(left, right, ["k"], "lts", "rts", ["v"],
+                    direction="forward")
+    got = {(r["k"], str(r["lts"])): r["v"] for r in fwd.collect()}
+    assert got[(1, "2024-01-01 10:00:00")] == 20.0   # earliest >= 10:00
+    assert got[(1, "2024-01-01 12:00:00")] == 30.0
+
+    tol = asof_join(left, right, ["k"], "lts", "rts", ["v"],
+                    tolerance="45 minutes")
+    got = {(r["k"], str(r["lts"])): r["v"] for r in tol.collect()}
+    assert got[(1, "2024-01-01 10:00:00")] == 10.0   # 30 min stale: keeps
+    assert got[(1, "2024-01-01 12:00:00")] is None   # 60 min stale: nulled
+
+
+def test_asof_join_equal_ts_inclusive(spark):
+    from enterprise_sales_data_pipeline_using_aws_lambda_spark.operators.joins import (
+        asof_join,
+    )
+
+    left = spark.createDataFrame(
+        [(1, "2024-01-01 10:00:00")], "k long, lts string"
+    ).withColumn("lts", F.col("lts").cast("timestamp"))
+    right = spark.createDataFrame(
+        [(1, "2024-01-01 10:00:00", 7.0)], "k long, rts string, v double"
+    ).withColumn("rts", F.col("rts").cast("timestamp"))
+    out = asof_join(left, right, ["k"], "lts", "rts", ["v"]).collect()
+    assert out[0]["v"] == 7.0
+
+
+def test_interval_join_matches_naive(spark):
+    from enterprise_sales_data_pipeline_using_aws_lambda_spark.operators.joins import (
+        interval_join,
+    )
+
+    points = (
+        spark.range(0, 500)
+        .select(
+            F.col("id").alias("pid"),
+            (F.lit("2024-01-01 00:00:00").cast("timestamp")
+             + F.make_interval(secs=(F.col("id") * 137) % 86400)).alias("pts"),
+        )
+    )
+    ivals = (
+        spark.range(0, 60)
+        .select(
+            F.col("id").alias("iid"),
+            (F.lit("2024-01-01 00:00:00").cast("timestamp")
+             + F.make_interval(secs=(F.col("id") * 1411) % 80000)).alias("s"),
+        )
+        .withColumn("e", F.col("s") + F.expr("INTERVAL 47 MINUTES"))
+    )
+    fast = interval_join(points, ivals, "pts", "s", "e", bucket="30 minutes")
+    naive = points.crossJoin(ivals).filter(
+        (F.col("pts") >= F.col("s")) & (F.col("pts") < F.col("e"))
+    )
+    key = lambda r: (r["pid"], r["iid"])
+    assert sorted(map(key, fast.collect())) == sorted(map(key, naive.collect()))
+    assert fast.count() > 0
