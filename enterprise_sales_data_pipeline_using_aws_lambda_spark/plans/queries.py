@@ -1457,3 +1457,217 @@ def range_join_error_burst(spark: SparkSession, sf_dir: str) -> DataFrame:
         "purchase_id",
         F.coalesce("n_errors", F.lit(0)).alias("n_errors"),
     )
+
+
+# ---------------------------------------------------------------------------
+# Correlated-subquery shapes, semi-structured JSON, higher-order array
+# functions, range window frames, explode/unnest.
+# ---------------------------------------------------------------------------
+
+@query(
+    "scalar_subquery_small_qty",
+    """
+    SELECT round(sum(l_extendedprice) / 7.0, 2) AS avg_yearly
+    FROM lineitem l
+    WHERE l_quantity < (
+        SELECT 0.5 * avg(l_quantity) FROM lineitem WHERE l_partkey = l.l_partkey
+    )
+    """,
+)
+def scalar_subquery_small_qty(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q17 shape: correlated scalar subquery (per-part average)
+    decorrelated into an aggregate + join.  The per-part aggregate is
+    |parts| rows — tiny next to lineitem — so it's explicitly broadcast:
+    the fact table is never shuffled, the plan every decorrelated scalar
+    subquery should get."""
+    li = _t(spark, sf_dir, "lineitem")
+    part_avg = li.groupBy("l_partkey").agg(
+        (F.avg("l_quantity") * 0.5).alias("half_avg_qty")
+    )
+    small = li.join(F.broadcast(part_avg), "l_partkey").filter(
+        F.col("l_quantity") < F.col("half_avg_qty")
+    )
+    return small.agg(
+        F.round(F.sum("l_extendedprice") / 7.0, 2).alias("avg_yearly")
+    )
+
+
+@query(
+    "in_subquery_big_orders",
+    """
+    SELECT o.o_orderkey, o.o_custkey, round(o.o_totalprice, 2) AS total_price,
+           t.sum_qty
+    FROM orders o
+    JOIN (
+        SELECT l_orderkey, sum(l_quantity) AS sum_qty
+        FROM lineitem GROUP BY l_orderkey HAVING sum(l_quantity) > 150
+    ) t ON o.o_orderkey = t.l_orderkey
+    """,
+)
+def in_subquery_big_orders(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q18 shape: IN-subquery-with-HAVING decorrelated into
+    aggregate-then-join.  Aggregating lineitem FIRST shrinks the join
+    input from |lineitem| to |qualifying orders| (~20% here, far less
+    with selective thresholds) — filter-by-aggregate before the join, not
+    after."""
+    li = _t(spark, sf_dir, "lineitem")
+    o = _t(spark, sf_dir, "orders")
+    big = (
+        li.groupBy("l_orderkey")
+        .agg(F.sum("l_quantity").alias("sum_qty"))
+        .filter(F.col("sum_qty") > 150)
+    )
+    return o.join(big, o.o_orderkey == big.l_orderkey).select(
+        "o_orderkey",
+        "o_custkey",
+        F.round("o_totalprice", 2).alias("total_price"),
+        "sum_qty",
+    )
+
+
+@query(
+    "json_props_stats",
+    """
+    SELECT event_type,
+           count(*) AS n_events,
+           round(avg(CAST(json_extract_string(props, '$.k') AS BIGINT)), 2)
+               AS avg_k,
+           max(CAST(json_extract_string(props, '$.k') AS BIGINT)) AS max_k
+    FROM events
+    GROUP BY event_type
+    """,
+)
+def json_props_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Semi-structured surface: per-type stats over a JSON string column.
+    ``get_json_object`` evaluates JVM-side inside codegen — no Python
+    round trip.  For hot paths at scale, parse ONCE with ``from_json``
+    into a struct column and write it back typed; repeated per-row JSON
+    parsing of wide payloads is the classic hidden CPU sink."""
+    ev = _t(spark, sf_dir, "events")
+    k = F.get_json_object("props", "$.k").cast("long")
+    return ev.groupBy("event_type").agg(
+        F.count("*").alias("n_events"),
+        F.round(F.avg(k), 2).alias("avg_k"),
+        F.max(k).alias("max_k"),
+    )
+
+
+@query(
+    "embedding_vector_stats",
+    """
+    SELECT label,
+           count(*) AS n_vecs,
+           any_value(len(embedding)) AS dim,
+           round(avg(sqrt(list_sum(list_transform(embedding,
+                          x -> x::DOUBLE * x::DOUBLE)))), 4) AS avg_l2_norm,
+           round(avg(list_sum(list_transform(embedding, x -> x::DOUBLE))
+                     / len(embedding)), 6) AS avg_component_mean
+    FROM embeddings
+    GROUP BY label
+    """,
+)
+def embedding_vector_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Higher-order functions over array columns — norm and component
+    mean computed entirely with ``aggregate``/``transform`` lambda
+    expressions on the JVM: no UDF, no Arrow transfer, vectors never
+    leave Tungsten rows.  The per-label reduction is an ordinary hash
+    agg over ~|labels| groups."""
+    emb = _t(spark, sf_dir, "embeddings")
+    sq_sum = F.aggregate(
+        "embedding",
+        F.lit(0.0),
+        lambda acc, x: acc + x.cast("double") * x.cast("double"),
+    )
+    comp_sum = F.aggregate(
+        "embedding", F.lit(0.0), lambda acc, x: acc + x.cast("double")
+    )
+    return emb.groupBy("label").agg(
+        F.count("*").alias("n_vecs"),
+        F.any_value(F.size("embedding")).alias("dim"),
+        F.round(F.avg(F.sqrt(sq_sum)), 4).alias("avg_l2_norm"),
+        F.round(F.avg(comp_sum / F.size("embedding")), 6).alias(
+            "avg_component_mean"
+        ),
+    )
+
+
+@query(
+    "window_moving_avg_range",
+    """
+    WITH daily AS (
+        SELECT CAST(o_orderdate AS DATE) AS day,
+               date_diff('day', DATE '1970-01-01', CAST(o_orderdate AS DATE))
+                   AS day_num,
+               round(sum(o_totalprice), 2) AS revenue
+        FROM orders GROUP BY 1, 2
+    )
+    SELECT day, revenue,
+           round(avg(revenue) OVER (
+               ORDER BY day_num RANGE BETWEEN 6 PRECEDING AND CURRENT ROW
+           ), 2) AS revenue_ma7
+    FROM daily
+    """,
+)
+def window_moving_avg_range(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """RANGE window frame (value-based, not row-based): 7-day moving
+    average that stays correct across calendar gaps — a ROWS frame would
+    silently span missing days.  Aggregate-to-daily FIRST: the window
+    then runs over |days| rows, not |orders|; the unpartitioned window is
+    fine because the daily rollup is tiny (repartition by year-range
+    first if it ever isn't)."""
+    o = _t(spark, sf_dir, "orders")
+    daily = o.groupBy(
+        F.to_date("o_orderdate").alias("day"),
+        F.datediff(F.to_date("o_orderdate"), F.lit("1970-01-01")).alias(
+            "day_num"
+        ),
+    ).agg(F.round(F.sum("o_totalprice"), 2).alias("revenue"))
+    w = Window.orderBy("day_num").rangeBetween(-6, 0)
+    return daily.select(
+        "day",
+        "revenue",
+        F.round(F.avg("revenue").over(w), 2).alias("revenue_ma7"),
+    )
+
+
+@query(
+    "top_terms",
+    """
+    WITH terms AS (
+        SELECT unnest(string_split(
+                   trim(regexp_replace(lower(text), '[^a-z0-9]+', ' ', 'g')),
+                   ' ')) AS term
+        FROM documents
+    )
+    SELECT term, count(*) AS n
+    FROM terms
+    WHERE term <> ''
+    GROUP BY term
+    ORDER BY n DESC, term
+    LIMIT 50
+    """,
+)
+def top_terms(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Corpus-wide top-k terms: normalize → split → explode → count →
+    TakeOrderedAndProject.  The explode multiplies rows by tokens/doc,
+    but the partial hash agg combines per-partition BEFORE the shuffle,
+    so only distinct (term, partial-count) pairs move; the final top-50
+    is a per-partition heap, never a global sort.  Tie-broken by term for
+    determinism."""
+    docs = _t(spark, sf_dir, "documents")
+    terms = docs.select(
+        F.explode(
+            F.split(
+                F.trim(
+                    F.regexp_replace(F.lower("text"), "[^a-z0-9]+", " ")
+                ),
+                " ",
+            )
+        ).alias("term")
+    ).filter(F.col("term") != "")
+    return (
+        terms.groupBy("term")
+        .agg(F.count("*").alias("n"))
+        .orderBy(F.desc("n"), F.asc("term"))
+        .limit(50)
+    )
