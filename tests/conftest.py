@@ -16,6 +16,11 @@ def spark():
     s.stop()
 
 
+@pytest.fixture(scope="session")
+def sf_dir():
+    return "/root/testdata/sf0.001"
+
+
 @pytest.fixture()
 def sales_rows():
     """Five valid sales rows matching the reference's 14-column contract."""
