@@ -1671,3 +1671,60 @@ def top_terms(spark: SparkSession, sf_dir: str) -> DataFrame:
         .orderBy(F.desc("n"), F.asc("term"))
         .limit(50)
     )
+
+
+@query(
+    "stateful_user_totals",
+    """
+    SELECT user_id,
+           count(*) AS n_events,
+           round(sum(value), 2) AS total_value,
+           round(max(value), 2) AS max_value
+    FROM events
+    GROUP BY user_id
+    """,
+)
+def stateful_user_totals(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Custom stateful streaming operator
+    (``streaming.stateful.running_user_totals``, applyInPandasWithState):
+    per-user lifetime totals held as O(1) state per key in the executor
+    state store.  Driven here with ``Trigger.AvailableNow`` over the
+    bounded events table; the oracle can be plain GROUP BY because the
+    final emission per key must equal the batch aggregate — exactly the
+    invariant that makes the operator trustworthy."""
+    import uuid as _uuid
+
+    from ..sources.readers import read_events
+    from ..streaming.stateful import running_user_totals
+
+    ev = read_events(spark, sf_dir)
+    name = f"stateful_totals_{_uuid.uuid4().hex[:8]}"
+    q = (
+        running_user_totals(
+            # Stream the same parquet the batch oracle reads (the file
+            # source requires a directory, so glob-filter to the events
+            # file).  The file's nanosecond ts column never reaches the
+            # scan: the operator selects only (user_id, value), so
+            # column pruning drops it.
+            spark.readStream.schema(ev.schema)
+            .option("pathGlobFilter", "events.parquet")
+            .parquet(sf_dir)
+        )
+        .writeStream.format("memory")
+        .queryName(name)
+        .outputMode("update")
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination(300)
+    # update mode may emit once per touched batch: keep the last (the
+    # totals are monotone in n_events).
+    return spark.sql(
+        f"""
+        SELECT user_id,
+               max(n_events) AS n_events,
+               round(max_by(total_value, n_events), 2) AS total_value,
+               round(max_by(max_value, n_events), 2) AS max_value
+        FROM {name} GROUP BY user_id
+        """
+    )

@@ -160,3 +160,55 @@ def test_stream_dedup_drops_in_batch_dupes(spark, tmp_path):
     q.awaitTermination(120)
     n = spark.sql("select count(distinct event_id) c, count(*) n from dedup_test").first()
     assert n["c"] == n["n"] == ev.count()
+
+
+def test_stateful_running_totals_across_batches(spark, tmp_path):
+    """applyInPandasWithState: state carries across micro-batches — the
+    final per-user totals after two forced batches equal a plain batch
+    groupBy over all the data."""
+    from enterprise_sales_data_pipeline_using_aws_lambda_spark.streaming.stateful import (
+        running_user_totals,
+    )
+
+    ev_full = read_events(spark, SF_DIR)
+    ev_full.filter(F.col("event_id") % 2 == 0).write.parquet(
+        f"{tmp_path}/state_in/f1", mode="overwrite"
+    )
+    ev_full.filter(F.col("event_id") % 2 == 1).write.parquet(
+        f"{tmp_path}/state_in/f2", mode="overwrite"
+    )
+    stream = (
+        spark.readStream.schema(ev_full.schema)
+        .option("maxFilesPerTrigger", "1")
+        .parquet(f"{tmp_path}/state_in/*")
+    )
+    q = (
+        running_user_totals(stream)
+        .writeStream.format("memory")
+        .queryName("state_test")
+        .outputMode("update")
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination(180)
+    # update mode re-emits per batch: keep the LAST emission per user
+    # (max n_events is monotone).
+    final = spark.sql(
+        """
+        SELECT user_id, max_by(total_value, n_events) AS total_value,
+               max(n_events) AS n_events, max_by(max_value, n_events) AS max_value
+        FROM state_test GROUP BY user_id
+        """
+    ).collect()
+    expected = {
+        r["user_id"]: (r["n"], round(r["s"], 2), r["m"])
+        for r in ev_full.groupBy("user_id")
+        .agg(F.count("*").alias("n"), F.sum("value").alias("s"), F.max("value").alias("m"))
+        .collect()
+    }
+    assert len(final) == len(expected)
+    for r in final:
+        n, s, m = expected[r["user_id"]]
+        assert r["n_events"] == n
+        assert abs(r["total_value"] - s) < 0.02
+        assert r["max_value"] == m
