@@ -1,0 +1,86 @@
+"""Lake-layout tests: partition pruning on the partitioned parquet sink
+and exchange elision on bucketed joins — the two write-time choices that
+decide whether 100 TB reads touch terabytes or gigabytes."""
+
+import pytest
+from pyspark.sql import functions as F
+
+from enterprise_sales_data_pipeline_using_aws_lambda_spark.sources.bucketing import (
+    bucketed,
+    write_bucketed_table,
+)
+from enterprise_sales_data_pipeline_using_aws_lambda_spark.sources.writers import (
+    write_partitioned_parquet,
+)
+
+
+def test_partitioned_write_prunes_on_read(spark, tmp_path):
+    df1 = spark.range(0, 100).withColumn("v", F.col("id") * 2)
+    df2 = spark.range(100, 250).withColumn("v", F.col("id") * 2)
+    lake = str(tmp_path / "lake")
+    write_partitioned_parquet(df1, lake, batch_id="b1")
+    write_partitioned_parquet(df2, lake, batch_id="b2")
+
+    back = spark.read.parquet(lake)
+    assert back.count() == 250
+
+    pruned = back.filter(F.col("ingest_batch") == "b2")
+    assert pruned.count() == 150
+    plan = pruned._jdf.queryExecution().executedPlan().toString()
+    # The batch predicate is a partition filter (directory-level prune),
+    # not a data filter evaluated on every row.
+    assert "PartitionFilters" in plan
+    assert "ingest_batch" in plan.split("PartitionFilters")[1].splitlines()[0]
+
+
+def test_partitioned_write_extra_partition_cols(spark, tmp_path):
+    df = spark.createDataFrame(
+        [(1, "DE"), (2, "FR"), (3, "DE")], "id long, country string"
+    )
+    lake = str(tmp_path / "lake2")
+    write_partitioned_parquet(df, lake, batch_id="b1", partition_cols=["country"])
+    only_de = spark.read.parquet(lake).filter(F.col("country") == "DE")
+    assert only_de.count() == 2
+    plan = only_de._jdf.queryExecution().executedPlan().toString()
+    assert "PartitionFilters" in plan
+
+
+def test_bucketed_join_elides_exchange(spark):
+    fact = spark.range(0, 20000).select(
+        F.col("id").alias("k"), (F.col("id") % 97).alias("m")
+    )
+    dim = spark.range(0, 20000, 2).select(
+        F.col("id").alias("k"), (F.col("id") * 3).alias("w")
+    )
+    write_bucketed_table(fact, "t_fact_b", ["k"], 8)
+    write_bucketed_table(dim, "t_dim_b", ["k"], 8)
+    prev = spark.conf.get("spark.sql.autoBroadcastJoinThreshold")
+    try:
+        # Force a sort-merge join so the exchange (not broadcast) path
+        # is what's being tested.
+        spark.conf.set("spark.sql.autoBroadcastJoinThreshold", "-1")
+        joined = bucketed(spark, "t_fact_b").join(
+            bucketed(spark, "t_dim_b"), "k"
+        )
+        plan = joined._jdf.queryExecution().executedPlan().toString()
+        assert "SortMergeJoin" in plan
+        assert "Exchange" not in plan  # co-located: zero shuffle
+        assert joined.count() == 10000
+    finally:
+        spark.conf.set("spark.sql.autoBroadcastJoinThreshold", prev)
+        spark.sql("DROP TABLE IF EXISTS t_fact_b")
+        spark.sql("DROP TABLE IF EXISTS t_dim_b")
+
+
+def test_bucketed_agg_elides_exchange(spark):
+    df = spark.range(0, 10000).select(
+        (F.col("id") % 500).alias("k"), F.col("id").alias("v")
+    )
+    write_bucketed_table(df, "t_agg_b", ["k"], 8)
+    try:
+        agg = bucketed(spark, "t_agg_b").groupBy("k").agg(F.sum("v").alias("s"))
+        plan = agg._jdf.queryExecution().executedPlan().toString()
+        assert "Exchange" not in plan  # group key == bucket key: no shuffle
+        assert agg.count() == 500
+    finally:
+        spark.sql("DROP TABLE IF EXISTS t_agg_b")
