@@ -46,6 +46,20 @@ HEADLINE = [
     "dedup_exact_docs",
     "dedup_minhash_lsh",
     "similarity_topk_bruteforce",
+    # relational-completeness + time-series surface
+    "agg_cube_status_priority",
+    "global_topk_orders",
+    "window_rank_suite",
+    "percentile_summary",
+    "scalar_subquery_small_qty",
+    "in_subquery_big_orders",
+    "exists_late_orders",
+    "asof_click_purchase",
+    "range_join_error_burst",
+    "json_props_stats",
+    "embedding_vector_stats",
+    "top_terms",
+    "event_sessionize",
 ]
 
 
