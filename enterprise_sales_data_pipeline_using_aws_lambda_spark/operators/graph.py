@@ -1,0 +1,130 @@
+"""Connected components — the clustering stage of fuzzy dedup.
+
+Pairwise near-duplicate detectors (``text_dedup.minhash_near_duplicates``,
+``simhash_near_duplicates``, the embedding-cosine pairs) emit EDGES; a
+production dedup pipeline must then group transitively-connected docs and
+keep one representative per group.  The reference has no analog (its only
+dedup is the keyed keep-last upsert, reference ``lambda.py:179-181``);
+this is part of the LLM-pipeline extension surface.
+
+Algorithm: alternating **large-star / small-star** (Kiveris et al.,
+"Connected Components in MapReduce and Beyond", SoCC'14) — the standard
+shuffle-based CC algorithm:
+
+- *large-star*: every node points its LARGER neighbors at its smallest
+  known neighbor (or itself);
+- *small-star*: every node points its smaller-or-equal neighbors at its
+  smallest neighbor.
+
+Each round is two hash shuffles over the edge set; edges shrink toward
+star graphs centered on each component's minimum id, converging in
+O(log n) rounds on real graphs (vs O(diameter) for naive label
+propagation).  All state stays distributed — no driver-side union-find;
+the only driver traffic is one count per round for the convergence
+check, and lineage is cut with ``localCheckpoint`` each round so plans
+don't grow exponentially.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+
+
+def _canonical_edges(edges: DataFrame, src: str, dst: str) -> DataFrame:
+    """Undirected edge list → canonical (u < v) pairs, self-loops and
+    duplicates dropped."""
+    e = edges.select(
+        F.least(F.col(src), F.col(dst)).alias("u"),
+        F.greatest(F.col(src), F.col(dst)).alias("v"),
+    )
+    return e.filter(F.col("u") != F.col("v")).distinct()
+
+
+def _large_star(e: DataFrame) -> DataFrame:
+    # Neighborhood of each node including itself; larger neighbors
+    # re-point at the minimum.
+    nbrs = e.select(F.col("u").alias("a"), F.col("v").alias("b")).unionAll(
+        e.select(F.col("v").alias("a"), F.col("u").alias("b"))
+    )
+    m = nbrs.groupBy("a").agg(F.min("b").alias("mn"))
+    m = m.withColumn("mn", F.least("a", "mn"))
+    joined = nbrs.join(m, "a")
+    return (
+        joined.filter(F.col("b") > F.col("a"))
+        .select(F.col("mn").alias("u"), F.col("b").alias("v"))
+        .filter(F.col("u") != F.col("v"))
+        .distinct()
+    )
+
+
+def _small_star(e: DataFrame) -> DataFrame:
+    # Orient edges toward the smaller endpoint, then point all
+    # smaller-or-equal neighbors at the minimum.
+    oriented = e.select(
+        F.greatest("u", "v").alias("a"), F.least("u", "v").alias("b")
+    )
+    m = oriented.groupBy("a").agg(F.min("b").alias("mn"))
+    joined = oriented.join(m, "a")
+    out = joined.select(
+        F.col("mn").alias("u"), F.col("b").alias("v")
+    ).unionAll(joined.select(F.col("mn").alias("u"), F.col("a").alias("v")))
+    return out.filter(F.col("u") != F.col("v")).distinct()
+
+
+def connected_components(
+    edges: DataFrame,
+    src: str = "id_a",
+    dst: str = "id_b",
+    max_iter: int = 20,
+) -> DataFrame:
+    """Resolve an undirected edge list into components.
+
+    Returns ``(node, component)`` where ``component`` is the smallest
+    node id in the node's component.  Isolated nodes (absent from the
+    edge list) are the caller's to union in — this operator only sees
+    edges.
+    """
+    e = _canonical_edges(edges, src, dst).localCheckpoint()
+    n = e.count()
+    for _ in range(max_iter):
+        e2 = _small_star(_large_star(e)).localCheckpoint()
+        # Converged when the edge set is stable: every edge then links a
+        # node directly to its component minimum (a star graph).  Both
+        # sets are distinct, so equal count + empty one-sided difference
+        # ⇒ equality (one job instead of two diffs).
+        n2 = e2.count()
+        if n2 == n and e2.exceptAll(e).isEmpty():
+            e = e2
+            break
+        e, n = e2, n2
+    comp = e.select(F.col("v").alias("node"), F.col("u").alias("component"))
+    roots = e.select(F.col("u").alias("node")).distinct().withColumn(
+        "component", F.col("node")
+    )
+    return comp.unionByName(roots).groupBy("node").agg(
+        F.min("component").alias("component")
+    )
+
+
+def dedup_groups_from_pairs(
+    pairs: DataFrame,
+    all_ids: DataFrame,
+    id_col: str,
+    src: str = "id_a",
+    dst: str = "id_b",
+) -> DataFrame:
+    """Full dedup grouping: near-dup pairs + the id universe →
+    ``(id, group_id, is_representative)``.  Representative = smallest id
+    in the component; singletons are their own group."""
+    comp = connected_components(pairs, src=src, dst=dst)
+    out = all_ids.select(F.col(id_col).alias("node")).join(
+        comp, "node", "left"
+    )
+    return out.select(
+        F.col("node").alias(id_col),
+        F.coalesce("component", "node").alias("group_id"),
+        (F.coalesce("component", "node") == F.col("node")).alias(
+            "is_representative"
+        ),
+    )

@@ -1728,3 +1728,61 @@ def stateful_user_totals(spark: SparkSession, sf_dir: str) -> DataFrame:
         FROM {name} GROUP BY user_id
         """
     )
+
+
+@query(
+    "dedup_connected_components",
+    """
+    WITH RECURSIVE sh AS (
+        SELECT doc_id,
+               CASE WHEN length(text) < 5 THEN [text]
+                    ELSE list_distinct(list_transform(
+                        range(1, length(text) - 3),
+                        i -> substr(text, i::INT, 5)))
+               END AS shingles
+        FROM documents
+    ),
+    e AS (
+        SELECT a.doc_id AS u, b.doc_id AS v
+        FROM sh a JOIN sh b ON b.doc_id = a.doc_id + 1
+        WHERE len(list_intersect(a.shingles, b.shingles))
+              / greatest(len(a.shingles) + len(b.shingles)
+                         - len(list_intersect(a.shingles, b.shingles)), 1)
+              >= 0.2
+    ),
+    bi AS (
+        SELECT u, v FROM e
+        UNION SELECT v, u FROM e
+        UNION SELECT doc_id, doc_id FROM documents
+    ),
+    r(a, b) AS (
+        SELECT u, v FROM bi
+        UNION
+        SELECT r.a, bi.v FROM r JOIN bi ON bi.u = r.b
+    )
+    SELECT a AS doc_id,
+           min(b) AS group_id,
+           (min(b) = a) AS is_representative
+    FROM r GROUP BY a
+    """,
+)
+def dedup_connected_components(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Dedup clustering end-to-end: 5-gram Jaccard edges between adjacent
+    docs (≥ 0.2) resolved into transitive groups by alternating
+    large-star/small-star connected components (operators.graph — O(log n)
+    shuffle rounds, no driver-side union-find), singletons kept as their
+    own group.  The oracle replays the same edges through a recursive-CTE
+    transitive closure — exponential-ish SQL that only works at test
+    scale, which is exactly why the engine ships the distributed
+    operator."""
+    from ..operators.graph import dedup_groups_from_pairs
+    from ..operators.text_dedup import jaccard_on_pairs, shingle_sets
+
+    docs = _t(spark, sf_dir, "documents")
+    shingled = shingle_sets(docs)
+    pairs = docs.select(F.col("doc_id").alias("id_a")).join(
+        docs.select(F.col("doc_id").alias("id_b")),
+        F.col("id_b") == F.col("id_a") + 1,
+    )
+    edges = jaccard_on_pairs(pairs, shingled).filter(F.col("jaccard") >= 0.2)
+    return dedup_groups_from_pairs(edges, docs, "doc_id")

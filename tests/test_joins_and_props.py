@@ -164,3 +164,45 @@ def test_interval_join_matches_naive(spark):
     key = lambda r: (r["pid"], r["iid"])
     assert sorted(map(key, fast.collect())) == sorted(map(key, naive.collect()))
     assert fast.count() > 0
+
+
+def test_connected_components_known_graph(spark):
+    from enterprise_sales_data_pipeline_using_aws_lambda_spark.operators.graph import (
+        connected_components,
+        dedup_groups_from_pairs,
+    )
+
+    # Chain 1-2-3-4, clique 10-11-12, pair 20-21; 30 is isolated (no edges).
+    edges = spark.createDataFrame(
+        [(1, 2), (2, 3), (3, 4), (10, 11), (11, 12), (10, 12), (21, 20)],
+        "id_a long, id_b long",
+    )
+    comp = {
+        r["node"]: r["component"]
+        for r in connected_components(edges).collect()
+    }
+    assert comp == {1: 1, 2: 1, 3: 1, 4: 1, 10: 10, 11: 10, 12: 10, 20: 20, 21: 20}
+
+    ids = spark.createDataFrame([(i,) for i in [1, 2, 3, 4, 10, 11, 12, 20, 21, 30]], "doc_id long")
+    groups = dedup_groups_from_pairs(edges, ids, "doc_id").collect()
+    by_id = {r["doc_id"]: (r["group_id"], r["is_representative"]) for r in groups}
+    assert by_id[30] == (30, True)      # singleton is its own representative
+    assert by_id[4] == (1, False)
+    assert by_id[1] == (1, True)
+    reps = [i for i, (_, is_rep) in by_id.items() if is_rep]
+    assert sorted(reps) == [1, 10, 20, 30]
+
+
+def test_connected_components_long_chain_converges(spark):
+    from enterprise_sales_data_pipeline_using_aws_lambda_spark.operators.graph import (
+        connected_components,
+    )
+
+    # 200-node path graph: worst case for label propagation (diameter
+    # 200) — star-contraction must still converge in <= 20 rounds.
+    edges = spark.createDataFrame(
+        [(i, i + 1) for i in range(200)], "id_a long, id_b long"
+    )
+    out = connected_components(edges).collect()
+    assert len(out) == 201
+    assert all(r["component"] == 0 for r in out)
