@@ -229,3 +229,156 @@ def lsh_topk(
         .filter(F.col("rank") <= k)
         .select("qid", "vec_id", F.round("_cos", 6).alias("cosine"), "rank")
     )
+
+
+def train_ivf_centroids(
+    corpus: DataFrame,
+    n_lists: int,
+    iters: int = 2,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+):
+    """Deterministic IVF codebook: seed centroids are a hash-ordered
+    sample of corpus vectors (stable across runs/partitionings), refined
+    by ``iters`` Lloyd rounds.  Assignment runs as one distributed pass
+    per round (block matmul per Arrow batch); the mean-update reduces
+    per-list sums JVM-side via posexplode + groupBy, so only
+    ``n_lists × dim`` numbers ever reach the driver.
+
+    Returns a numpy array (n_lists × dim), L2-normalized.
+    """
+    import numpy as np
+
+    seeds = (
+        corpus.select(id_col, vec_col)
+        .orderBy(F.xxhash64(F.col(id_col)))
+        .limit(n_lists)
+        .collect()
+    )
+    cent = np.array([list(r[1]) for r in seeds], dtype=np.float64)
+    cent /= np.maximum(np.linalg.norm(cent, axis=1, keepdims=True), 1e-12)
+
+    for _ in range(iters):
+        assigned = assign_ivf_lists(corpus, cent, id_col, vec_col)
+        sums = (
+            assigned.select("list_id", F.posexplode(vec_col).alias("d", "x"))
+            .groupBy("list_id", "d")
+            .agg(F.sum("x").alias("s"), F.count("*").alias("n"))
+            .collect()
+        )
+        new = cent.copy()
+        acc: dict = {}
+        for r in sums:
+            acc.setdefault(r["list_id"], {})[r["d"]] = r["s"] / r["n"]
+        for lid, comps in acc.items():
+            vec = np.array([comps[d] for d in sorted(comps)], dtype=np.float64)
+            nrm = np.linalg.norm(vec)
+            if nrm > 1e-12:
+                new[lid] = vec / nrm
+        cent = new
+    return cent
+
+
+def assign_ivf_lists(
+    corpus: DataFrame,
+    centroids,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+) -> DataFrame:
+    """Assign every corpus vector to its nearest (max-cosine) centroid.
+    One mapInPandas pass; the codebook rides in the task closure
+    (n_lists × dim floats — broadcast-sized by construction)."""
+    import numpy as np
+
+    cent = np.asarray(centroids, dtype=np.float64)
+
+    def assign(batches):
+        import pandas as pd
+
+        for pdf in batches:
+            if pdf.empty:
+                continue
+            mat = np.array([list(v) for v in pdf[vec_col]], dtype=np.float64)
+            norms = np.maximum(np.linalg.norm(mat, axis=1, keepdims=True), 1e-12)
+            sims = (mat / norms) @ cent.T
+            pdf = pdf[[id_col, vec_col]].copy()
+            pdf["list_id"] = np.argmax(sims, axis=1).astype("int32")
+            yield pdf
+
+    schema = f"{id_col} long, {vec_col} array<float>, list_id int"
+    return corpus.select(id_col, vec_col).mapInPandas(assign, schema)
+
+
+def ivf_topk(
+    corpus: DataFrame,
+    queries: DataFrame,
+    k: int = 5,
+    n_lists: int = 16,
+    n_probe: int = 4,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    centroids=None,
+) -> DataFrame:
+    """IVF approximate nearest neighbors: corpus pre-partitioned into
+    ``n_lists`` Voronoi cells; each query scores only its ``n_probe``
+    closest cells.  With ``n_probe == n_lists`` the search degenerates to
+    exact brute force (every vector lives in exactly one probed list) —
+    the invariant the oracle checks; production uses
+    ``n_probe ≪ n_lists`` to scan ~n_probe/n_lists of the corpus.
+
+    At scale: persist ``assign_ivf_lists`` output partitioned BY list_id
+    so a probe prunes parquet partitions instead of filtering a full
+    scan — the candidate join below then touches only probed files.
+    Output: (qid, vec_id, cosine, rank) like cosine_topk.
+    """
+    import numpy as np
+
+    if centroids is None:
+        centroids = train_ivf_centroids(corpus, n_lists, id_col=id_col, vec_col=vec_col)
+    cent = np.asarray(centroids, dtype=np.float64)
+
+    indexed = assign_ivf_lists(corpus, cent, id_col, vec_col)
+
+    qrows = queries.select(id_col, vec_col).collect()
+    qids = [r[0] for r in qrows]
+    qmat = np.array([list(r[1]) for r in qrows], dtype=np.float64)
+    qmat_n = qmat / np.maximum(np.linalg.norm(qmat, axis=1, keepdims=True), 1e-12)
+    probe_sims = qmat_n @ cent.T
+    n_probe = min(n_probe, cent.shape[0])
+    probes = [
+        (int(q), int(l))
+        for qi, q in enumerate(qids)
+        for l in np.argsort(-probe_sims[qi])[:n_probe]
+    ]
+    probe_df = corpus.sparkSession.createDataFrame(
+        probes, "qid long, list_id int"
+    )
+
+    qvec_by_id = {int(q): qmat[i] for i, q in enumerate(qids)}
+
+    cands = indexed.join(F.broadcast(probe_df), "list_id")
+
+    def score(batches):
+        import pandas as pd
+
+        for pdf in batches:
+            if pdf.empty:
+                continue
+            mat = np.array([list(v) for v in pdf[vec_col]], dtype=np.float64)
+            norms = np.maximum(np.linalg.norm(mat, axis=1), 1e-12)
+            qm = np.array([qvec_by_id[int(q)] for q in pdf["qid"]])
+            qn = np.maximum(np.linalg.norm(qm, axis=1), 1e-12)
+            cos = np.einsum("ij,ij->i", mat, qm) / (norms * qn)
+            yield pd.DataFrame(
+                {"qid": pdf["qid"], id_col: pdf[id_col], "_cos": cos}
+            )
+
+    scored = cands.mapInPandas(
+        score, f"qid long, {id_col} long, _cos double"
+    ).filter(F.col(id_col) != F.col("qid"))
+    w = Window.partitionBy("qid").orderBy(F.col("_cos").desc(), F.col(id_col))
+    return (
+        scored.withColumn("rank", F.row_number().over(w))
+        .filter(F.col("rank") <= k)
+        .select("qid", id_col, F.round("_cos", 6).alias("cosine"), "rank")
+    )

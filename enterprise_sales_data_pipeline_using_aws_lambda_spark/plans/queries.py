@@ -1786,3 +1786,44 @@ def dedup_connected_components(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     edges = jaccard_on_pairs(pairs, shingled).filter(F.col("jaccard") >= 0.2)
     return dedup_groups_from_pairs(edges, docs, "doc_id")
+
+
+@query(
+    "similarity_topk_ivf",
+    """
+    WITH q AS (
+        SELECT vec_id AS qid, embedding AS qvec
+        FROM embeddings WHERE vec_id < 10
+    ),
+    c AS (SELECT vec_id, embedding AS cvec FROM embeddings),
+    scored AS (
+        SELECT qid, vec_id,
+               list_sum(list_transform(list_zip(qvec, cvec),
+                                       x -> x[1]::DOUBLE * x[2]::DOUBLE))
+               / (sqrt(list_sum(list_transform(qvec, v -> v::DOUBLE * v::DOUBLE)))
+                  * sqrt(list_sum(list_transform(cvec, v -> v::DOUBLE * v::DOUBLE))))
+                   AS cos
+        FROM c, q WHERE vec_id <> qid
+    ),
+    ranked AS (
+        SELECT qid, vec_id, cos,
+               row_number() OVER (PARTITION BY qid ORDER BY cos DESC, vec_id)
+                   AS rank
+        FROM scored
+    )
+    SELECT qid, vec_id, round(cos, 6) AS cosine, rank
+    FROM ranked WHERE rank <= 5
+    """,
+)
+def similarity_topk_ivf(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """IVF ANN (operators.similarity.ivf_topk) run at full probe
+    (n_probe == n_lists), where the index search is provably exact —
+    every corpus vector lives in exactly one probed Voronoi cell, so the
+    oracle is the same exact top-k SQL as brute force.  The pruned
+    configuration (n_probe ≪ n_lists, ~n_probe/n_lists of the corpus
+    scanned) is covered by a recall test in tests/test_similarity.py."""
+    from ..operators.similarity import ivf_topk
+
+    emb = _t(spark, sf_dir, "embeddings")
+    queries_df = emb.filter(F.col("vec_id") < 10)
+    return ivf_topk(emb, queries_df, k=5, n_lists=8, n_probe=8)

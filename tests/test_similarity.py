@@ -65,3 +65,37 @@ def test_lsh_reported_cosines_are_exact(spark):
         key = (r["qid"], r["vec_id"])
         if key in exact:
             assert abs(exact[key] - r["cosine"]) < 1e-9
+
+
+def test_ivf_pruned_recall_vs_bruteforce(spark, sf_dir):
+    """IVF with n_probe=3 of 8 lists scans ~3/8 of the corpus but must
+    still recover most true neighbors (recall@5 >= 0.6 on this data) —
+    and full probe must be exactly the brute-force answer."""
+    from enterprise_sales_data_pipeline_using_aws_lambda_spark.operators.similarity import (
+        cosine_topk,
+        ivf_topk,
+    )
+    from enterprise_sales_data_pipeline_using_aws_lambda_spark.sources.readers import (
+        read_table,
+    )
+    from pyspark.sql import functions as F
+
+    emb = read_table(spark, sf_dir, "embeddings")
+    queries = emb.filter(F.col("vec_id") < 20)
+
+    exact = {
+        (r["qid"], r["vec_id"])
+        for r in cosine_topk(emb, queries, k=5).collect()
+    }
+    pruned = {
+        (r["qid"], r["vec_id"])
+        for r in ivf_topk(emb, queries, k=5, n_lists=8, n_probe=3).collect()
+    }
+    recall = len(exact & pruned) / len(exact)
+    assert recall >= 0.6, f"recall@5 too low: {recall:.2f}"
+
+    full = {
+        (r["qid"], r["vec_id"])
+        for r in ivf_topk(emb, queries, k=5, n_lists=8, n_probe=8).collect()
+    }
+    assert full == exact
