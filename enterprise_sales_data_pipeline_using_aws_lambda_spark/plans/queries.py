@@ -1827,3 +1827,174 @@ def similarity_topk_ivf(spark: SparkSession, sf_dir: str) -> DataFrame:
     emb = _t(spark, sf_dir, "embeddings")
     queries_df = emb.filter(F.col("vec_id") < 10)
     return ivf_topk(emb, queries_df, k=5, n_lists=8, n_probe=8)
+
+
+@query(
+    "argmin_supplier_per_nation",
+    """
+    SELECT n.n_name,
+           min_by(s.s_name, s.s_acctbal) AS cheapest_supplier,
+           round(min(s.s_acctbal), 2) AS min_acctbal,
+           max_by(s.s_name, s.s_acctbal) AS richest_supplier,
+           round(max(s.s_acctbal), 2) AS max_acctbal
+    FROM supplier s JOIN nation n ON s.s_nationkey = n.n_nationkey
+    GROUP BY n.n_name
+    """,
+)
+def argmin_supplier_per_nation(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Argmin/argmax aggregation (TPC-H Q2's min-per-group shape without
+    the self-join): ``min_by``/``max_by`` carry the winning row's payload
+    through the ordinary partial+final hash agg — one shuffle, no window,
+    no rejoin against the source.  The supplier→nation probe broadcasts
+    the nation dim.
+
+    Determinism caveat: if two suppliers tie on acctbal, min_by picks an
+    arbitrary one on both engines; the test data has no exact-balance
+    ties (doubles), so the hash compare is stable."""
+    s = _t(spark, sf_dir, "supplier")
+    n = _t(spark, sf_dir, "nation")
+    return (
+        s.join(F.broadcast(n), s.s_nationkey == n.n_nationkey)
+        .groupBy("n_name")
+        .agg(
+            F.min_by("s_name", "s_acctbal").alias("cheapest_supplier"),
+            F.round(F.min("s_acctbal"), 2).alias("min_acctbal"),
+            F.max_by("s_name", "s_acctbal").alias("richest_supplier"),
+            F.round(F.max("s_acctbal"), 2).alias("max_acctbal"),
+        )
+    )
+
+
+@query(
+    "sliding_window_event_rate",
+    """
+    WITH ev AS (
+        SELECT CAST(ts AS TIMESTAMP) AS ts, value FROM events
+    ),
+    contrib AS (
+        SELECT unnest([
+                   time_bucket(INTERVAL 30 MINUTE, ts),
+                   time_bucket(INTERVAL 30 MINUTE, ts) - INTERVAL 30 MINUTE
+               ]) AS window_start,
+               value
+        FROM ev
+    )
+    SELECT window_start,
+           window_start + INTERVAL 60 MINUTE AS window_end,
+           count(*) AS n_events,
+           round(sum(value), 2) AS total_value
+    FROM contrib
+    GROUP BY window_start
+    """,
+)
+def sliding_window_event_rate(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Sliding event-time windows (60-minute width, 30-minute slide) via
+    the built-in ``window`` function — identical semantics under a
+    streaming watermark.  Each event lands in width/slide = 2 windows;
+    Spark expands that fan-out BEFORE the partial aggregation, so the
+    shuffle carries per-(window, partition) partials, not duplicated
+    events.  The oracle manufactures the same two bucket starts per
+    event with unnest."""
+    ev = _t(spark, sf_dir, "events")
+    return (
+        ev.groupBy(F.window("ts", "60 minutes", "30 minutes").alias("win"))
+        .agg(
+            F.count("*").alias("n_events"),
+            F.round(F.sum("value"), 2).alias("total_value"),
+        )
+        .select(
+            F.col("win.start").alias("window_start"),
+            F.col("win.end").alias("window_end"),
+            "n_events",
+            "total_value",
+        )
+    )
+
+
+@query(
+    "document_pipeline",
+    """
+    WITH scored AS (
+        SELECT doc_id, source, lang, n_chars, text,
+               length(text)
+                   - length(replace(replace(replace(text, ' ', ''),
+                                            chr(10), ''), chr(9), ''))
+                   AS n_sep
+        FROM documents
+    ),
+    kept AS (
+        SELECT doc_id, source, lang, n_chars, (n_sep + 1) AS n_tokens,
+               row_number() OVER (
+                   PARTITION BY md5(text) ORDER BY doc_id
+               ) AS dup_rank
+        FROM scored
+        WHERE n_chars >= 40 AND lang IN ('en', 'de', 'fr')
+    )
+    SELECT source, lang,
+           count(*) AS n_docs,
+           sum(CASE WHEN dup_rank = 1 THEN 1 ELSE 0 END) AS n_unique,
+           round(avg(n_tokens), 2) AS avg_tokens
+    FROM kept
+    GROUP BY source, lang
+    """,
+)
+def document_pipeline(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """A training-data curation pipeline as ONE declarative plan:
+    length + language gates → exact-dup ranking (md5 content hash,
+    keep-first by doc_id) → per-(source, lang) corpus stats.  Because
+    it's a single Catalyst plan, the filters run at the scan, the
+    content-hash dedup is the only wide shuffle, and the final stats
+    reuse the same pass — the composition costs what its most expensive
+    stage costs."""
+    docs = _t(spark, sf_dir, "documents")
+    seps = F.length("text") - F.length(
+        F.regexp_replace("text", "[ \n\t]", "")
+    )
+    kept = docs.filter(
+        (F.col("n_chars") >= 40) & F.col("lang").isin("en", "de", "fr")
+    ).select(
+        "doc_id",
+        "source",
+        "lang",
+        (seps + 1).alias("n_tokens"),
+        F.row_number()
+        .over(Window.partitionBy(F.md5("text")).orderBy("doc_id"))
+        .alias("dup_rank"),
+    )
+    return kept.groupBy("source", "lang").agg(
+        F.count("*").alias("n_docs"),
+        F.sum(F.when(F.col("dup_rank") == 1, 1).otherwise(0)).alias(
+            "n_unique"
+        ),
+        F.round(F.avg("n_tokens"), 2).alias("avg_tokens"),
+    )
+
+
+@query(
+    "salted_join_parity",
+    """
+    SELECT l.l_orderkey, o.o_orderpriority,
+           round(sum(l.l_extendedprice), 2) AS order_revenue
+    FROM lineitem l JOIN orders o ON l.l_orderkey = o.o_orderkey
+    WHERE o.o_orderstatus = 'F'
+    GROUP BY l.l_orderkey, o.o_orderpriority
+    """,
+)
+def salted_join_parity(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Skew-salted join correctness in the gate: the salted rewrite
+    (operators.joins.salted_join — fact side deterministically salted,
+    dim side replicated per salt) must produce exactly the rows of the
+    plain equi-join, which is what the oracle runs.  Use when one key
+    holds a pathological share of the fact table and the dim is too big
+    to broadcast; the hot key fans out over salt_buckets reducers."""
+    from ..operators.joins import salted_join
+
+    li = _t(spark, sf_dir, "lineitem")
+    o = _t(spark, sf_dir, "orders").filter(
+        F.col("o_orderstatus") == "F"
+    ).withColumnRenamed("o_orderkey", "l_orderkey")
+    joined = salted_join(li, o.select("l_orderkey", "o_orderpriority"),
+                         "l_orderkey", salt_buckets=8)
+    return joined.groupBy("l_orderkey", "o_orderpriority").agg(
+        F.round(F.sum("l_extendedprice"), 2).alias("order_revenue")
+    )
