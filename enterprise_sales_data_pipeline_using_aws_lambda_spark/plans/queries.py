@@ -1998,3 +1998,38 @@ def salted_join_parity(spark: SparkSession, sf_dir: str) -> DataFrame:
     return joined.groupBy("l_orderkey", "o_orderpriority").agg(
         F.round(F.sum("l_extendedprice"), 2).alias("order_revenue")
     )
+
+
+@query(
+    "grouping_sets_region_channel",
+    """
+    SELECT n_name, o_orderpriority,
+           count(*) AS n_orders,
+           round(sum(o_totalprice), 2) AS total_price
+    FROM orders o
+    JOIN customer c ON o.o_custkey = c.c_custkey
+    JOIN nation n ON c.c_nationkey = n.n_nationkey
+    GROUP BY GROUPING SETS ((n_name), (o_orderpriority), (n_name, o_orderpriority))
+    """,
+)
+def grouping_sets_region_channel(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Explicit GROUPING SETS (the general form of rollup/cube) through
+    the SQL front end — the engine's DataFrame and SQL faces share one
+    Catalyst pipeline, so this plans identically to the cube query: one
+    scan, Expand, single partial+final hash agg.  The customer→nation
+    probes broadcast."""
+    _t(spark, sf_dir, "orders").createOrReplaceTempView("v_orders")
+    _t(spark, sf_dir, "customer").createOrReplaceTempView("v_customer")
+    _t(spark, sf_dir, "nation").createOrReplaceTempView("v_nation")
+    return spark.sql(
+        """
+        SELECT n_name, o_orderpriority,
+               count(*) AS n_orders,
+               round(sum(o_totalprice), 2) AS total_price
+        FROM v_orders o
+        JOIN v_customer c ON o.o_custkey = c.c_custkey
+        JOIN v_nation n ON c.c_nationkey = n.n_nationkey
+        GROUP BY GROUPING SETS ((n_name), (o_orderpriority),
+                                (n_name, o_orderpriority))
+        """
+    )

@@ -206,3 +206,58 @@ def test_connected_components_long_chain_converges(spark):
     out = connected_components(edges).collect()
     assert len(out) == 201
     assert all(r["component"] == 0 for r in out)
+
+
+@settings(max_examples=10, deadline=None)
+@given(data=st.data())
+def test_asof_join_matches_pandas_merge_asof(spark, data):
+    """asof_join against pandas.merge_asof as the reference
+    implementation, on random keyed timestamp data (backward,
+    inclusive)."""
+    import pandas as pd
+
+    n_left = data.draw(st.integers(1, 25))
+    n_right = data.draw(st.integers(0, 25))
+    lrows = [
+        (data.draw(st.integers(0, 3)), data.draw(st.integers(0, 10**6)))
+        for _ in range(n_left)
+    ]
+    rrows = [
+        (data.draw(st.integers(0, 3)), data.draw(st.integers(0, 10**6)), float(i))
+        for i in range(n_right)
+    ]
+    # pandas merge_asof requires unique-per-key sort; dedup right (k, ts)
+    seen = set()
+    rrows = [r for r in rrows if (r[0], r[1]) not in seen and not seen.add((r[0], r[1]))]
+
+    from enterprise_sales_data_pipeline_using_aws_lambda_spark.operators.joins import (
+        asof_join,
+    )
+
+    left = spark.createDataFrame(
+        [(k, t) for k, t in lrows], "k long, t long"
+    ).withColumn("lts", F.timestamp_seconds("t")).drop("t")
+    right = spark.createDataFrame(
+        [(k, t, v) for k, t, v in rrows] or [(99, 0, 0.0)],
+        "k long, t long, v double",
+    ).withColumn("rts", F.timestamp_seconds("t")).drop("t")
+    if not rrows:
+        right = right.filter(F.col("k") < 0)
+
+    got = {
+        (r["k"], r["lts"]): r["v"]
+        for r in asof_join(left, right, ["k"], "lts", "rts", ["v"]).collect()
+    }
+
+    if not rrows:
+        assert all(v is None for v in got.values())
+        return
+    lpd = pd.DataFrame([(k, pd.Timestamp(t, unit="s")) for k, t in lrows],
+                       columns=["k", "lts"]).sort_values("lts", kind="stable")
+    rpd = pd.DataFrame([(k, pd.Timestamp(t, unit="s"), v) for k, t, v in rrows],
+                       columns=["k", "rts", "v"]).sort_values("rts", kind="stable")
+    exp = pd.merge_asof(lpd, rpd, left_on="lts", right_on="rts", by="k",
+                        direction="backward")
+    for _, row in exp.iterrows():
+        want = None if pd.isna(row["v"]) else row["v"]
+        assert got[(row["k"], row["lts"].to_pydatetime())] == want
