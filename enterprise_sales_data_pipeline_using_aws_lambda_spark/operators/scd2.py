@@ -1,0 +1,96 @@
+"""SCD2 (slowly-changing-dimension, type 2) merge.
+
+The reference's upsert (``lambda.py:176-181``) is SCD type 1: the new
+row silently overwrites the old and history is lost.  Warehouses built
+on the same ingest almost always need the type-2 form — keep every
+historical version with a validity interval and an ``is_current`` flag.
+This operator is the history-preserving sibling of
+``operators.upsert.upsert_keep_last``.
+
+Semantics per batch row (one row per key; pre-dedup a multi-version
+batch with ``dedup_keep_last`` on the effective timestamp):
+
+- key exists, tracked attributes changed → close the open row
+  (``valid_to = effective``, ``is_current = false``) and insert a new
+  open row;
+- key exists, attributes identical (null-safe) → no-op;
+- new key → insert an open row;
+- closed history rows pass through untouched.
+
+Scale: one hash shuffle of the OPEN slice + the batch on the key
+(history rows are filter-pruned, never shuffled); change detection is a
+null-safe struct comparison codegen'd JVM-side.  On a real lake the
+open/closed split should be a partition column so the merge reads only
+open files — same pruning argument as the upsert (SURVEY §7.5.2).
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+
+
+def scd2_merge(
+    current: DataFrame | None,
+    batch: DataFrame,
+    keys: list[str],
+    attrs: list[str],
+    effective: str,
+    valid_from: str = "valid_from",
+    valid_to: str = "valid_to",
+    is_current: str = "is_current",
+) -> DataFrame:
+    """Merge ``batch`` (keys + attrs + ``effective`` timestamp/date
+    column) into an SCD2 ``current`` table (keys + attrs + validity
+    columns).  ``current=None`` bootstraps: every batch row opens.
+
+    Output columns: ``keys + attrs + [valid_from, valid_to, is_current]``.
+    """
+    out_cols = keys + attrs + [valid_from, valid_to, is_current]
+
+    b = batch.select(
+        *keys,
+        *[F.col(a).alias(f"_new_{a}") for a in attrs],
+        F.col(effective).alias("_eff"),
+    )
+    if current is None:
+        return b.select(
+            *keys,
+            *[F.col(f"_new_{a}").alias(a) for a in attrs],
+            F.col("_eff").alias(valid_from),
+            F.lit(None).cast(b.schema["_eff"].dataType).alias(valid_to),
+            F.lit(True).alias(is_current),
+        )
+
+    hist = current.filter(~F.col(is_current))
+    open_rows = current.filter(F.col(is_current))
+
+    j = open_rows.join(b, keys, "full_outer")
+    old_struct = F.struct(*[F.col(a) for a in attrs])
+    new_struct = F.struct(*[F.col(f"_new_{a}").alias(a) for a in attrs])
+    has_old = F.col(valid_from).isNotNull()
+    has_new = F.col("_eff").isNotNull()
+    changed = has_old & has_new & ~old_struct.eqNullSafe(new_struct)
+
+    # Surviving old rows: unmatched keys keep their open row; matched-but-
+    # unchanged keys keep theirs; changed keys get theirs closed.
+    kept_old = j.filter(has_old).select(
+        *keys,
+        *attrs,
+        F.col(valid_from),
+        F.when(changed, F.col("_eff")).otherwise(F.col(valid_to)).alias(valid_to),
+        F.when(changed, F.lit(False)).otherwise(F.col(is_current)).alias(is_current),
+    )
+    # New open rows: changed keys + brand-new keys.
+    opened = j.filter(has_new & (changed | ~has_old)).select(
+        *keys,
+        *[F.col(f"_new_{a}").alias(a) for a in attrs],
+        F.col("_eff").alias(valid_from),
+        F.lit(None).cast(b.schema["_eff"].dataType).alias(valid_to),
+        F.lit(True).alias(is_current),
+    )
+    return (
+        hist.select(*out_cols)
+        .unionByName(kept_old.select(*out_cols))
+        .unionByName(opened.select(*out_cols))
+    )

@@ -2033,3 +2033,99 @@ def grouping_sets_region_channel(spark: SparkSession, sf_dir: str) -> DataFrame:
                                 (n_name, o_orderpriority))
         """
     )
+
+
+@query(
+    "variant_props_banded",
+    """
+    SELECT event_type,
+           CASE WHEN CAST(json_extract_string(props, '$.k') AS BIGINT) >= 67
+                     THEN 'high'
+                WHEN CAST(json_extract_string(props, '$.k') AS BIGINT) >= 34
+                     THEN 'mid'
+                ELSE 'low' END AS k_band,
+           count(*) AS n_events,
+           round(sum(value), 2) AS total_value
+    FROM events
+    GROUP BY event_type, k_band
+    """,
+)
+def variant_props_banded(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Semi-structured VARIANT path: ``parse_json`` once into a typed
+    variant, then ``try_variant_get`` extractions — the modern (Spark 4)
+    alternative to repeated string JSON parsing: the payload is decoded
+    a single time into a binary-encoded tree and every later field read
+    is an O(field) traversal, not a re-parse.  Same shredding argument
+    at 100 TB as from_json-to-struct, without committing to a schema."""
+    ev = _t(spark, sf_dir, "events")
+    k = F.try_variant_get(F.parse_json("props"), "$.k", "long")
+    return (
+        ev.select(
+            "event_type",
+            "value",
+            F.when(k >= 67, "high").when(k >= 34, "mid").otherwise("low").alias("k_band"),
+        )
+        .groupBy("event_type", "k_band")
+        .agg(
+            F.count("*").alias("n_events"),
+            F.round(F.sum("value"), 2).alias("total_value"),
+        )
+    )
+
+
+@query(
+    "scd2_customer_segments",
+    """
+    WITH cur AS (
+        SELECT c_custkey, c_mktsegment,
+               DATE '1995-01-01' AS valid_from
+        FROM customer
+    ),
+    batch AS (
+        SELECT c_custkey, 'PREMIUM' AS c_mktsegment,
+               DATE '2000-06-01' AS eff
+        FROM customer WHERE c_acctbal >= 5000
+    )
+    SELECT c.c_custkey, c.c_mktsegment, c.valid_from,
+           CASE WHEN b.c_custkey IS NOT NULL
+                     AND c.c_mktsegment <> b.c_mktsegment
+                THEN b.eff END AS valid_to,
+           (b.c_custkey IS NULL OR c.c_mktsegment = b.c_mktsegment)
+               AS is_current
+    FROM cur c LEFT JOIN batch b ON c.c_custkey = b.c_custkey
+    UNION ALL
+    SELECT b.c_custkey, b.c_mktsegment, b.eff AS valid_from,
+           NULL AS valid_to, true AS is_current
+    FROM batch b JOIN cur c ON c.c_custkey = b.c_custkey
+    WHERE c.c_mktsegment <> b.c_mktsegment
+    """,
+)
+def scd2_customer_segments(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """SCD2 merge (operators.scd2.scd2_merge — the history-preserving
+    form of the reference's history-losing upsert, ``lambda.py:176-181``):
+    customers with acctbal ≥ 5000 move to a PREMIUM segment effective
+    2000-06-01; their old segment rows close with that date, everyone
+    else's open row is untouched.  The oracle spells out the same
+    close+open row algebra in SQL."""
+    from ..operators.scd2 import scd2_merge
+
+    cust = _t(spark, sf_dir, "customer")
+    current = cust.select(
+        "c_custkey",
+        "c_mktsegment",
+        F.lit("1995-01-01").cast("date").alias("valid_from"),
+        F.lit(None).cast("date").alias("valid_to"),
+        F.lit(True).alias("is_current"),
+    )
+    batch = cust.filter(F.col("c_acctbal") >= 5000).select(
+        "c_custkey",
+        F.lit("PREMIUM").alias("c_mktsegment"),
+        F.lit("2000-06-01").cast("date").alias("eff"),
+    )
+    return scd2_merge(
+        current,
+        batch,
+        keys=["c_custkey"],
+        attrs=["c_mktsegment"],
+        effective="eff",
+    )

@@ -64,3 +64,56 @@ def test_dedup_exact_keeps_min_id(spark):
     groups = {r["keep_id"]: r["dup_count"] for r in
               duplicate_groups(df, ["text"], "id").collect()}
     assert groups == {10: 2, 30: 1}
+
+
+def test_scd2_merge_lifecycle(spark):
+    """Bootstrap → change → idempotent replay → second change: history
+    accumulates, exactly one open row per key at every step."""
+    from enterprise_sales_data_pipeline_using_aws_lambda_spark.operators.scd2 import (
+        scd2_merge,
+    )
+    from pyspark.sql import functions as F
+
+    def batch(rows, eff):
+        return spark.createDataFrame(
+            [(k, v, eff) for k, v in rows], "k long, seg string, eff string"
+        ).withColumn("eff", F.col("eff").cast("date"))
+
+    t0 = scd2_merge(None, batch([(1, "A"), (2, "B")], "2020-01-01"),
+                    ["k"], ["seg"], "eff")
+    assert {(r["k"], r["seg"], r["is_current"]) for r in t0.collect()} == {
+        (1, "A", True), (2, "B", True)
+    }
+
+    # k=1 changes to C; k=2 unchanged; k=3 new.
+    t1 = scd2_merge(t0, batch([(1, "C"), (2, "B"), (3, "D")], "2021-06-15"),
+                    ["k"], ["seg"], "eff")
+    rows1 = {(r["k"], r["seg"], str(r["valid_to"]), r["is_current"])
+             for r in t1.collect()}
+    assert rows1 == {
+        (1, "A", "2021-06-15", False),
+        (1, "C", "None", True),
+        (2, "B", "None", True),
+        (3, "D", "None", True),
+    }
+
+    # Replaying the same batch is a no-op (change detection).
+    t2 = scd2_merge(t1, batch([(1, "C"), (2, "B"), (3, "D")], "2021-06-15"),
+                    ["k"], ["seg"], "eff")
+    assert sorted(map(tuple, t2.collect())) == sorted(map(tuple, t1.collect()))
+
+    # Second change on k=1: two closed rows of history remain.
+    t3 = scd2_merge(t2, batch([(1, "E")], "2022-01-01"), ["k"], ["seg"], "eff")
+    k1 = sorted(
+        (str(r["valid_from"]), str(r["valid_to"]), r["seg"], r["is_current"])
+        for r in t3.filter(F.col("k") == 1).collect()
+    )
+    assert k1 == [
+        ("2020-01-01", "2021-06-15", "A", False),
+        ("2021-06-15", "2022-01-01", "C", False),
+        ("2022-01-01", "None", "E", True),
+    ]
+    per_key_open = (
+        t3.filter("is_current").groupBy("k").count().collect()
+    )
+    assert all(r["count"] == 1 for r in per_key_open)
