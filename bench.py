@@ -60,6 +60,13 @@ HEADLINE = [
     "embedding_vector_stats",
     "top_terms",
     "event_sessionize",
+    "argmin_supplier_per_nation",
+    "sliding_window_event_rate",
+    "document_pipeline",
+    "full_outer_nation_balance",
+    "distinct_users_daily",
+    "variant_props_banded",
+    "scd2_customer_segments",
 ]
 
 
