@@ -127,3 +127,31 @@ def test_batch_scope_summary_matches_reference_quirk(spark, tmp_path):
     run_batch(spark, SAMPLE_CSV, cfg)
     s1 = spark.read.parquet(f"{cfg.warehouse_dir}/sales_summary")
     assert s1.count() == 10
+
+
+@needs_sample
+def test_json_record_array_form(spark, tmp_path):
+    """Reference S3 quirk (lambda.py:66-71): a single top-level JSON
+    array of records must parse like its NDJSON twin — the reader probes
+    the first byte and flips to multiLine mode."""
+    import json as _json
+
+    import pandas as pd
+
+    rows = pd.read_csv(SAMPLE_CSV).head(25).to_dict(orient="records")
+    arr = tmp_path / "batch_array.json"
+    arr.write_text(_json.dumps(rows))
+    cfg = PipelineConfig(
+        lake_dir=str(tmp_path / "lake"),
+        warehouse_dir=str(tmp_path / "wh"),
+        quarantine_dir=str(tmp_path / "q"),
+    )
+    r = run_batch(spark, str(arr), cfg)
+    assert r["status"] == "success"
+    tgt = spark.read.parquet(f"{cfg.warehouse_dir}/sales_tgt")
+    assert tgt.count() == 25
+    # Serving tables restringify dates (reference parity, lambda.py:168-169)
+    # while the lake keeps native DateType (SURVEY §3.2).
+    assert tgt.schema["OrderDate"].dataType.typeName() == "string"
+    lake = spark.read.parquet(cfg.lake_dir)
+    assert lake.schema["OrderDate"].dataType.typeName() == "date"
