@@ -2129,3 +2129,72 @@ def scd2_customer_segments(spark: SparkSession, sf_dir: str) -> DataFrame:
         attrs=["c_mktsegment"],
         effective="eff",
     )
+
+
+@query(
+    "stream_stream_attribution",
+    """
+    WITH c AS (
+        SELECT user_id, event_id AS click_id, CAST(ts AS TIMESTAMP) AS click_ts
+        FROM events WHERE event_type = 'click'
+    ),
+    p AS (
+        SELECT user_id, CAST(ts AS TIMESTAMP) AS purchase_ts,
+               round(value, 2) AS purchase_value
+        FROM events WHERE event_type = 'purchase'
+    )
+    SELECT c.user_id, c.click_id, c.click_ts, p.purchase_ts, p.purchase_value
+    FROM c JOIN p ON c.user_id = p.user_id
+        AND p.purchase_ts >= c.click_ts
+        AND p.purchase_ts <= c.click_ts + INTERVAL 30 MINUTE
+    """,
+)
+def stream_stream_attribution(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Watermarked stream-stream join
+    (streaming.windows.stream_stream_click_purchase): click→purchase
+    attribution pairs within a 30-minute horizon.  The time bound lets
+    Spark expire buffered rows once the opposing watermark passes, so
+    join state is bounded by the horizon, not the stream length.
+    Drained with AvailableNow; the oracle is the equivalent batch
+    time-range join, which the append-mode output must equal exactly."""
+    import uuid as _uuid
+
+    from ..sources.readers import read_events
+    from ..streaming.windows import stream_stream_click_purchase
+
+    ev = read_events(spark, sf_dir)
+    name = f"ss_attr_{_uuid.uuid4().hex[:8]}"
+    # The raw parquet's nanosecond ts DOES reach this scan (the join
+    # needs event time), so stream the converted frame through a temp
+    # parquet round-trip-free path: re-write is avoided by streaming the
+    # source file with the long schema and converting, mirroring
+    # read_events' conversion.
+    raw_schema = spark.read.option(
+        "mergeSchema", "false"
+    ).parquet(f"{sf_dir}/events.parquet").schema
+    stream = (
+        spark.readStream.schema(raw_schema)
+        .option("pathGlobFilter", "events.parquet")
+        .parquet(sf_dir)
+    )
+    if dict((f.name, f.dataType.simpleString()) for f in raw_schema)["ts"] == "bigint":
+        # Integer div, not `/`: float division of epoch-nanos longs loses
+        # microsecond precision past 2^53.
+        stream = stream.withColumn(
+            "ts", F.timestamp_micros(F.expr("ts div 1000"))
+        )
+    out = stream_stream_click_purchase(
+        stream.filter(F.col("event_type") == "click"),
+        stream.filter(F.col("event_type") == "purchase"),
+    )
+    q = (
+        out.writeStream.format("memory")
+        .queryName(name)
+        .outputMode("append")
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination(300)
+    return spark.table(name).select(
+        "user_id", "click_id", "click_ts", "purchase_ts", "purchase_value"
+    )

@@ -71,3 +71,73 @@ def stream_dedup(events: DataFrame, delay: str = "1 hour") -> DataFrame:
     key with a watermark bounding the dedup state (reference A2's
     streaming face — SURVEY §2.5)."""
     return with_watermark(events, delay).dropDuplicates(["event_id"])
+
+
+def sliding_counts(
+    events: DataFrame,
+    width: str = "60 minutes",
+    slide: str = "30 minutes",
+    delay: str = "1 hour",
+) -> DataFrame:
+    """Sliding event-time windows (width/slide overlapping panes) under a
+    watermark — each event feeds width/slide panes, expanded before the
+    partial agg so the shuffle carries per-(pane, partition) partials.
+    Batch face: plans/queries.sliding_window_event_rate (same operator,
+    no watermark)."""
+    return (
+        events.withWatermark("ts", delay)
+        .groupBy(F.window("ts", width, slide).alias("win"))
+        .agg(
+            F.count("*").alias("n_events"),
+            F.round(F.sum("value"), 2).alias("total_value"),
+        )
+        .select(
+            F.col("win.start").alias("window_start"),
+            F.col("win.end").alias("window_end"),
+            "n_events",
+            "total_value",
+        )
+    )
+
+
+def stream_stream_click_purchase(
+    clicks: DataFrame,
+    purchases: DataFrame,
+    horizon: str = "30 minutes",
+    delay: str = "1 hour",
+) -> DataFrame:
+    """Stream-stream inner join: every (click, purchase) pair for the
+    same user where the purchase lands within ``horizon`` after the
+    click.
+
+    Both sides carry watermarks and the join condition bounds purchase
+    time relative to click time, so Spark can size the join state: a
+    buffered click is dropped once the purchase-side watermark passes
+    ``click.ts + horizon``; neither side's state grows unboundedly.
+    Without the time bound the state store would have to keep every row
+    forever — the classic unbounded-state trap.
+
+    Input frames must carry (user_id, ts, ...) and may be the same
+    source filtered two ways."""
+    c = clicks.select(
+        F.col("user_id"),
+        F.col("ts").alias("click_ts"),
+        F.col("event_id").alias("click_id"),
+    ).withWatermark("click_ts", delay)
+    p = purchases.select(
+        F.col("user_id").alias("p_user_id"),
+        F.col("ts").alias("purchase_ts"),
+        F.col("value").alias("purchase_value"),
+    ).withWatermark("purchase_ts", delay)
+    return c.join(
+        p,
+        (F.col("user_id") == F.col("p_user_id"))
+        & (F.col("purchase_ts") >= F.col("click_ts"))
+        & (F.col("purchase_ts") <= F.col("click_ts") + F.expr(f"INTERVAL {horizon}")),
+    ).select(
+        "user_id",
+        "click_id",
+        "click_ts",
+        "purchase_ts",
+        F.round("purchase_value", 2).alias("purchase_value"),
+    )

@@ -212,3 +212,50 @@ def test_stateful_running_totals_across_batches(spark, tmp_path):
         assert r["n_events"] == n
         assert abs(r["total_value"] - s) < 0.02
         assert r["max_value"] == m
+
+
+def test_stream_stream_join_matches_batch(spark, tmp_path):
+    """Watermarked stream-stream join produces exactly the pairs the
+    equivalent batch time-range join produces."""
+    from enterprise_sales_data_pipeline_using_aws_lambda_spark.streaming.windows import (
+        stream_stream_click_purchase,
+    )
+
+    ev = read_events(spark, SF_DIR)
+    ev.write.parquet(f"{tmp_path}/ss_in", mode="overwrite")
+    stream = spark.readStream.schema(ev.schema).parquet(f"{tmp_path}/ss_in")
+
+    out = stream_stream_click_purchase(
+        stream.filter(F.col("event_type") == "click"),
+        stream.filter(F.col("event_type") == "purchase"),
+    )
+    q = (
+        out.writeStream.format("memory")
+        .queryName("ss_join")
+        .outputMode("append")
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination(180)
+    got = {
+        (r["user_id"], r["click_id"], r["purchase_ts"])
+        for r in spark.sql("select * from ss_join").collect()
+    }
+
+    c = ev.filter(F.col("event_type") == "click").select(
+        "user_id", F.col("ts").alias("click_ts"), F.col("event_id").alias("click_id")
+    )
+    p = ev.filter(F.col("event_type") == "purchase").select(
+        F.col("user_id").alias("p_user_id"), F.col("ts").alias("purchase_ts")
+    )
+    batch = c.join(
+        p,
+        (F.col("user_id") == F.col("p_user_id"))
+        & (F.col("purchase_ts") >= F.col("click_ts"))
+        & (F.col("purchase_ts") <= F.col("click_ts") + F.expr("INTERVAL 30 MINUTES")),
+    )
+    want = {
+        (r["user_id"], r["click_id"], r["purchase_ts"]) for r in batch.collect()
+    }
+    assert got == want
+    assert len(got) > 0
