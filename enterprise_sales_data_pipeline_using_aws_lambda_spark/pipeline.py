@@ -84,10 +84,28 @@ def run_batch(
             return {"status": "failed", "file": input_path, "error": reason}
 
         valid = result.df
+        # Observed metrics ride the lake write for free: `observe` attaches
+        # accumulator-style aggregates to the existing job — no extra pass
+        # over the data, unlike a separate .count()/.agg() action.
+        from pyspark.sql import Observation
+
+        obs = Observation(f"ingest_{batch_id}")
+        valid = valid.observe(
+            obs,
+            F.count(F.lit(1)).alias("rows"),
+            F.sum("TotalRevenue").alias("revenue"),
+            # DISTINCT aggregates are disallowed in observed metrics
+            # (they'd need a second shuffle); the HLL sketch is the
+            # observe-compatible form.
+            F.approx_count_distinct(SALES_KEY_COLUMN, rsd=0.01).alias(
+                "approx_distinct_keys"
+            ),
+        )
         # Parquet lake keeps native DateType (the reference's parquet
         # write happens before restringification too, lambda.py:240 vs
         # 168-169).
         write_partitioned_parquet(valid, cfg.lake_dir, batch_id)
+        metrics = {k: v for k, v in obs.get.items()}
 
         serving = valid
         if cfg.dates_as_strings:
@@ -119,8 +137,17 @@ def run_batch(
 
         if cfg.delete_raw:
             delete_path(spark, input_path)
-        _notify(cfg, "success", {"file": input_path, "batch_id": batch_id})
-        return {"status": "success", "file": input_path, "batch_id": batch_id}
+        _notify(
+            cfg,
+            "success",
+            {"file": input_path, "batch_id": batch_id, "metrics": metrics},
+        )
+        return {
+            "status": "success",
+            "file": input_path,
+            "batch_id": batch_id,
+            "metrics": metrics,
+        }
     except Exception as exc:  # catch-all failure path, lambda.py:259-266
         _notify(cfg, "failed", {"file": input_path, "error": str(exc)})
         return {"status": "failed", "file": input_path, "error": str(exc)}

@@ -155,3 +155,20 @@ def test_json_record_array_form(spark, tmp_path):
     assert tgt.schema["OrderDate"].dataType.typeName() == "string"
     lake = spark.read.parquet(cfg.lake_dir)
     assert lake.schema["OrderDate"].dataType.typeName() == "date"
+
+
+@needs_sample
+def test_observed_ingest_metrics(spark, tmp_path):
+    """run_batch returns observe()-collected metrics (row count, revenue,
+    distinct keys) measured on the lake-write job itself — no extra pass."""
+    cfg = PipelineConfig(
+        lake_dir=str(tmp_path / "lake"),
+        warehouse_dir=str(tmp_path / "wh"),
+        quarantine_dir=str(tmp_path / "q"),
+    )
+    r = run_batch(spark, SAMPLE_CSV, cfg)
+    assert r["status"] == "success"
+    m = r["metrics"]
+    assert m["rows"] == 500
+    assert 490 <= m["approx_distinct_keys"] <= 510
+    assert m["revenue"] > 0
