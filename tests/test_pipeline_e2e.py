@@ -172,3 +172,21 @@ def test_observed_ingest_metrics(spark, tmp_path):
     assert m["rows"] == 500
     assert 490 <= m["approx_distinct_keys"] <= 510
     assert m["revenue"] > 0
+
+
+@needs_sample
+def test_header_only_csv(spark, cfg, tmp_path):
+    """Empty batch (header, zero rows): validation passes vacuously
+    (no dup keys, no bad dates) and the pipeline completes without
+    corrupting serving tables — zero-row batches happen constantly in
+    real file streams and must be no-ops, not failures."""
+    import pandas as pd
+
+    pd.read_csv(SAMPLE_CSV).head(0).to_csv(tmp_path / "empty.csv", index=False)
+    r = run_batch(spark, str(tmp_path / "empty.csv"), cfg)
+    assert r["status"] == "success"
+    assert r["metrics"]["rows"] == 0
+    # A real batch afterwards works and sees only its own rows.
+    r2 = run_batch(spark, SAMPLE_CSV, cfg)
+    assert r2["status"] == "success"
+    assert spark.read.parquet(f"{cfg.warehouse_dir}/sales_tgt").count() == 500
