@@ -1451,8 +1451,10 @@ def range_join_error_burst(spark: SparkSession, sf_dir: str) -> DataFrame:
     counts = matches.groupBy("purchase_id").agg(
         F.count("*").alias("n_errors")
     )
+    # counts is bounded by |purchases| — broadcast it so the zero-match
+    # restoration join never shuffles the purchase side.
     return purch.select("purchase_id").join(
-        counts, "purchase_id", "left"
+        F.broadcast(counts), "purchase_id", "left"
     ).select(
         "purchase_id",
         F.coalesce("n_errors", F.lit(0)).alias("n_errors"),
