@@ -2200,3 +2200,70 @@ def stream_stream_attribution(spark: SparkSession, sf_dir: str) -> DataFrame:
     return spark.table(name).select(
         "user_id", "click_id", "click_ts", "purchase_ts", "purchase_value"
     )
+
+
+@query(
+    "unpivot_status_totals",
+    """
+    WITH wide AS (
+        SELECT o_orderpriority,
+               round(sum(CASE WHEN o_orderstatus = 'F' THEN o_totalprice END), 2) AS f,
+               round(sum(CASE WHEN o_orderstatus = 'O' THEN o_totalprice END), 2) AS o,
+               round(sum(CASE WHEN o_orderstatus = 'P' THEN o_totalprice END), 2) AS p
+        FROM orders GROUP BY o_orderpriority
+    )
+    SELECT o_orderpriority, status, total
+    FROM wide
+    UNPIVOT (total FOR status IN (f AS 'F', o AS 'O', p AS 'P'))
+    """,
+)
+def unpivot_status_totals(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Unpivot (melt) — the inverse of the pivot operator: the wide
+    per-status totals fold back to (priority, status, total) rows.
+    ``unpivot`` is a zero-shuffle Expand over the already-aggregated
+    frame; wide→long reshapes never touch the fact table again."""
+    o = _t(spark, sf_dir, "orders")
+    wide = (
+        o.groupBy("o_orderpriority")
+        .pivot("o_orderstatus", ["F", "O", "P"])
+        .agg(F.round(F.sum("o_totalprice"), 2))
+    )
+    return wide.unpivot(
+        ["o_orderpriority"], ["F", "O", "P"], "status", "total"
+    )
+
+
+@query(
+    "profile_lineitem_stats",
+    """
+    SELECT l_returnflag,
+           count(*) AS n_rows,
+           round(avg(l_quantity), 4) AS qty_mean,
+           round(stddev_samp(l_quantity), 4) AS qty_std,
+           round(min(l_extendedprice), 2) AS price_min,
+           round(max(l_extendedprice), 2) AS price_max,
+           round(corr(l_quantity, l_extendedprice), 6) AS qty_price_corr,
+           round(covar_samp(l_discount, l_tax), 8) AS disc_tax_cov
+    FROM lineitem
+    GROUP BY l_returnflag
+    """,
+)
+def profile_lineitem_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Column-profiling statistics per group — mean/stddev/min/max plus
+    Pearson correlation and sample covariance, all as single-pass
+    streaming moments in one hash aggregate (no sort, no second scan).
+    The data-profiling stage every ingest pipeline runs before schema
+    decisions; at 100 TB the one-pass moment formulas are the only
+    affordable form."""
+    li = _t(spark, sf_dir, "lineitem")
+    return li.groupBy("l_returnflag").agg(
+        F.count("*").alias("n_rows"),
+        F.round(F.avg("l_quantity"), 4).alias("qty_mean"),
+        F.round(F.stddev_samp("l_quantity"), 4).alias("qty_std"),
+        F.round(F.min("l_extendedprice"), 2).alias("price_min"),
+        F.round(F.max("l_extendedprice"), 2).alias("price_max"),
+        F.round(F.corr("l_quantity", "l_extendedprice"), 6).alias(
+            "qty_price_corr"
+        ),
+        F.round(F.covar_samp("l_discount", "l_tax"), 8).alias("disc_tax_cov"),
+    )
