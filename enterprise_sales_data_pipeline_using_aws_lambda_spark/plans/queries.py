@@ -2267,3 +2267,74 @@ def profile_lineitem_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
         ),
         F.round(F.covar_samp("l_discount", "l_tax"), 8).alias("disc_tax_cov"),
     )
+
+
+@query(
+    "tfidf_top_terms",
+    """
+    WITH toks AS (
+        SELECT doc_id,
+               unnest(string_split(
+                   trim(regexp_replace(lower(text), '[^a-z0-9]+', ' ', 'g')),
+                   ' ')) AS term
+        FROM documents
+    ),
+    tf AS (
+        SELECT doc_id, term, count(*) AS tf
+        FROM toks WHERE term <> '' GROUP BY doc_id, term
+    ),
+    df AS (
+        SELECT term, count(DISTINCT doc_id) AS df FROM tf GROUP BY term
+    ),
+    n AS (SELECT count(*) AS n_docs FROM documents),
+    scored AS (
+        SELECT tf.doc_id, tf.term,
+               round(tf.tf * (ln((n.n_docs + 1.0) / (df.df + 1.0)) + 1.0), 6)
+                   AS tfidf
+        FROM tf JOIN df USING (term) CROSS JOIN n
+    ),
+    ranked AS (
+        SELECT doc_id, term, tfidf,
+               row_number() OVER (
+                   PARTITION BY doc_id ORDER BY tfidf DESC, term
+               ) AS rank
+        FROM scored
+    )
+    SELECT doc_id, term, tfidf, rank FROM ranked WHERE rank <= 3
+    """,
+)
+def tfidf_top_terms(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-document top-3 TF-IDF terms (smoothed idf =
+    ln((N+1)/(df+1)) + 1).  Plan shape: one explode → (doc, term) tf
+    hash agg → term-level df agg (|vocabulary| rows, broadcast back) →
+    per-doc rank window.  The document-frequency table is the ONLY
+    global state and it is vocabulary-sized, so the fact-side tf rows
+    join against a broadcast — the corpus shuffles once for tf and once
+    for the per-doc window, never for the idf."""
+    docs = _t(spark, sf_dir, "documents")
+    n_docs = docs.count()
+    toks = docs.select(
+        "doc_id",
+        F.explode(
+            F.split(
+                F.trim(F.regexp_replace(F.lower("text"), "[^a-z0-9]+", " ")),
+                " ",
+            )
+        ).alias("term"),
+    ).filter(F.col("term") != "")
+    tf = toks.groupBy("doc_id", "term").agg(F.count("*").alias("tf"))
+    dfreq = tf.groupBy("term").agg(F.countDistinct("doc_id").alias("df"))
+    scored = tf.join(F.broadcast(dfreq), "term").select(
+        "doc_id",
+        "term",
+        F.round(
+            F.col("tf") * (F.log((n_docs + 1.0) / (F.col("df") + 1.0)) + 1.0),
+            6,
+        ).alias("tfidf"),
+    )
+    w = Window.partitionBy("doc_id").orderBy(F.desc("tfidf"), F.asc("term"))
+    return (
+        scored.withColumn("rank", F.row_number().over(w))
+        .filter(F.col("rank") <= 3)
+        .select("doc_id", "term", "tfidf", "rank")
+    )
