@@ -2338,3 +2338,33 @@ def tfidf_top_terms(spark: SparkSession, sf_dir: str) -> DataFrame:
         .filter(F.col("rank") <= 3)
         .select("doc_id", "term", "tfidf", "rank")
     )
+
+
+@query(
+    "histogram_order_values",
+    """
+    SELECT least(floor(o_totalprice / 50000)::BIGINT, 9) AS bucket,
+           (least(floor(o_totalprice / 50000)::BIGINT, 9) * 50000.0)::DOUBLE
+               AS bucket_low,
+           count(*) AS n_orders,
+           round(sum(o_totalprice), 2) AS bucket_total
+    FROM orders
+    GROUP BY 1, 2
+    """,
+)
+def histogram_order_values(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Fixed-width histogram (50k buckets, top-coded at bucket 9) as a
+    plain hash aggregate over a computed bucket key — the constant-memory
+    alternative to sorting for distribution profiling; buckets are
+    mergeable across partitions like any other group key."""
+    o = _t(spark, sf_dir, "orders")
+    bucket = F.least(
+        F.floor(F.col("o_totalprice") / 50000).cast("long"), F.lit(9)
+    )
+    return o.groupBy(
+        bucket.alias("bucket"),
+        (bucket * 50000.0).alias("bucket_low"),
+    ).agg(
+        F.count("*").alias("n_orders"),
+        F.round(F.sum("o_totalprice"), 2).alias("bucket_total"),
+    )
