@@ -67,6 +67,12 @@ HEADLINE = [
     "distinct_users_daily",
     "variant_props_banded",
     "scd2_customer_segments",
+    "tfidf_top_terms",
+    "histogram_order_values",
+    "unpivot_status_totals",
+    "profile_lineitem_stats",
+    "pmi_bigrams",
+    "nullsafe_join_segments",
 ]
 
 

@@ -2368,3 +2368,123 @@ def histogram_order_values(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.count("*").alias("n_orders"),
         F.round(F.sum("o_totalprice"), 2).alias("bucket_total"),
     )
+
+
+@query(
+    "pmi_bigrams",
+    """
+    WITH toks AS (
+        SELECT doc_id, t.term, t.pos
+        FROM (
+            SELECT doc_id,
+                   string_split(trim(regexp_replace(lower(text),
+                       '[^a-z0-9]+', ' ', 'g')), ' ') AS terms
+            FROM documents
+        ), LATERAL (
+            SELECT unnest(terms) AS term,
+                   generate_subscripts(terms, 1) AS pos
+        ) t
+        WHERE t.term <> ''
+    ),
+    bi AS (
+        SELECT a.term AS w1, b.term AS w2, count(*) AS c_xy
+        FROM toks a JOIN toks b
+          ON a.doc_id = b.doc_id AND b.pos = a.pos + 1
+        GROUP BY a.term, b.term
+    ),
+    uni AS (SELECT term, count(*) AS c FROM toks GROUP BY term),
+    n AS (SELECT sum(c_xy) AS n_bi FROM bi)
+    SELECT w1, w2, c_xy,
+           round(ln((c_xy * n.n_bi) / (u1.c * u2.c)), 6) AS pmi
+    FROM bi JOIN uni u1 ON bi.w1 = u1.term
+            JOIN uni u2 ON bi.w2 = u2.term
+            CROSS JOIN n
+    WHERE c_xy >= 5
+    """,
+)
+def pmi_bigrams(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Collocation mining: pointwise mutual information over adjacent
+    token pairs (count ≥ 5).  Positions come from one posexplode; the
+    bigram join is a self equi-join on (doc, pos+1) — co-partitioned by
+    doc_id, so adjacent tokens meet without data movement beyond the one
+    hash shuffle.  Unigram counts are vocabulary-sized and broadcast
+    back; PMI is computed post-aggregation on |bigram-types| rows."""
+    docs = _t(spark, sf_dir, "documents")
+    toks = docs.select(
+        "doc_id",
+        F.posexplode(
+            F.split(
+                F.trim(F.regexp_replace(F.lower("text"), "[^a-z0-9]+", " ")),
+                " ",
+            )
+        ).alias("pos", "term"),
+    ).filter(F.col("term") != "")
+    a = toks.select("doc_id", F.col("pos").alias("p"), F.col("term").alias("w1"))
+    b = toks.select(
+        "doc_id", (F.col("pos") - 1).alias("p"), F.col("term").alias("w2")
+    )
+    bi = (
+        a.join(b, ["doc_id", "p"])
+        .groupBy("w1", "w2")
+        .agg(F.count("*").alias("c_xy"))
+    )
+    uni = toks.groupBy("term").agg(F.count("*").alias("c"))
+    n_bi = bi.agg(F.sum("c_xy")).first()[0]
+    u1 = uni.select(F.col("term").alias("w1"), F.col("c").alias("c1"))
+    u2 = uni.select(F.col("term").alias("w2"), F.col("c").alias("c2"))
+    return (
+        bi.filter(F.col("c_xy") >= 5)
+        .join(F.broadcast(u1), "w1")
+        .join(F.broadcast(u2), "w2")
+        .select(
+            "w1",
+            "w2",
+            "c_xy",
+            F.round(
+                F.log(F.col("c_xy") * F.lit(float(n_bi)) / (F.col("c1") * F.col("c2"))),
+                6,
+            ).alias("pmi"),
+        )
+    )
+
+
+@query(
+    "nullsafe_join_segments",
+    """
+    WITH c AS (
+        SELECT c_custkey, nullif(c_mktsegment, 'BUILDING') AS seg
+        FROM customer
+    ),
+    d AS (
+        SELECT DISTINCT nullif(c_mktsegment, 'BUILDING') AS seg,
+               CASE WHEN c_mktsegment = 'BUILDING' THEN 'unsegmented'
+                    ELSE lower(c_mktsegment) END AS seg_label
+        FROM customer
+    )
+    SELECT seg_label, count(*) AS n_customers
+    FROM c JOIN d ON c.seg IS NOT DISTINCT FROM d.seg
+    GROUP BY seg_label
+    """,
+)
+def nullsafe_join_segments(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Null-safe equi-join (``<=>`` / IS NOT DISTINCT FROM): null keys
+    MATCH each other instead of silently dropping — the semantics plain
+    equi-joins get wrong when a dimension legitimately contains an
+    "unknown" bucket.  Still hash-partitionable (null hashes like any
+    value under null-safe equality), so the plan is an ordinary
+    broadcast/shuffle hash join, not a nested loop."""
+    cust = _t(spark, sf_dir, "customer")
+    c = cust.select(
+        "c_custkey", F.nullif("c_mktsegment", F.lit("BUILDING")).alias("seg")
+    )
+    d = cust.select(
+        F.nullif("c_mktsegment", F.lit("BUILDING")).alias("seg"),
+        F.when(F.col("c_mktsegment") == "BUILDING", "unsegmented")
+        .otherwise(F.lower("c_mktsegment"))
+        .alias("seg_label"),
+    ).distinct()
+    return (
+        c.join(F.broadcast(d), c.seg.eqNullSafe(d.seg))
+        .groupBy("seg_label")
+        .agg(F.count("*").alias("n_customers"))
+    )
