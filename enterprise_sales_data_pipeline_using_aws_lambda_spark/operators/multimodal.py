@@ -176,3 +176,75 @@ def media_from_documents(docs: DataFrame) -> DataFrame:
             (F.col("n_chars").cast("long") * 10).alias("duration_ms"),
         ).alias("meta"),
     )
+
+
+RESIZED_SCHEMA = (
+    "media_id long, payload binary, "
+    "meta struct<mime:string, width:int, height:int, duration_ms:bigint>"
+)
+
+
+def resize_images(
+    media: DataFrame, target_w: int = 32, target_h: int = 32
+) -> DataFrame:
+    """Image resize over the binary payload column (kind == 'image').
+
+    Spark-side shape is production-real: metadata filter prunes at the
+    scan, Arrow batches carry (media_id, payload, meta) to Python per
+    partition, the transform runs vectorized per batch, and the typed
+    ``meta`` struct is rewritten with the new dimensions — nothing
+    driver-side.  The pixel work is pluggable: Pillow when importable,
+    else a deterministic stub (payload folded to target_w × target_h
+    bytes) so the plumbing is testable in this container (brief: image
+    libs absent → stub the decode, keep the dataflow real)."""
+    try:  # pragma: no cover - exercised only where Pillow exists
+        from PIL import Image  # noqa: F401
+
+        have_pil = True
+    except Exception:
+        have_pil = False
+
+    def transform(batches: Iterator) -> Iterator:
+        import pandas as pd
+
+        for pdf in batches:
+            out_payload = []
+            for p in pdf["payload"]:
+                p = p or b""
+                if have_pil:  # pragma: no cover
+                    import io
+
+                    from PIL import Image
+
+                    img = Image.open(io.BytesIO(p)).resize((target_w, target_h))
+                    buf = io.BytesIO()
+                    img.save(buf, format="PNG")
+                    out_payload.append(buf.getvalue())
+                else:
+                    size = target_w * target_h
+                    # Fold payload bytes into a fixed-size buffer —
+                    # deterministic, size-correct stand-in for pixels.
+                    buf = bytearray(size)
+                    for i, b in enumerate(p):
+                        buf[i % size] ^= b
+                    out_payload.append(bytes(buf))
+            meta = pd.DataFrame(
+                {
+                    "mime": ["x-stub/image"] * len(pdf),
+                    "width": [target_w] * len(pdf),
+                    "height": [target_h] * len(pdf),
+                    "duration_ms": [m["duration_ms"] for m in pdf["meta"]],
+                }
+            )
+            yield pd.DataFrame(
+                {
+                    "media_id": pdf["media_id"],
+                    "payload": out_payload,
+                    "meta": meta.to_dict(orient="records"),
+                }
+            )
+
+    images = media.filter(F.col("kind") == "image")
+    return images.select("media_id", "payload", "meta").mapInPandas(
+        transform, RESIZED_SCHEMA
+    )

@@ -75,3 +75,24 @@ def test_metadata_filter_prunes_payload_scan(spark, tmp_path):
         .toString()
     )
     assert "PushedFilters" in plan and "kind" in plan
+
+
+def test_resize_images_rewrites_payload_and_meta(spark, sf_dir):
+    from enterprise_sales_data_pipeline_using_aws_lambda_spark.operators.multimodal import (
+        media_from_documents,
+        resize_images,
+    )
+    from enterprise_sales_data_pipeline_using_aws_lambda_spark.sources.readers import (
+        read_table,
+    )
+
+    media = media_from_documents(read_table(spark, sf_dir, "documents"))
+    n_images = media.filter("kind = 'image'").count()
+    out = resize_images(media, target_w=16, target_h=8)
+    rows = out.collect()
+    assert len(rows) == n_images > 0
+    assert all(len(r["payload"]) == 16 * 8 for r in rows)
+    assert all(r["meta"]["width"] == 16 and r["meta"]["height"] == 8 for r in rows)
+    # deterministic: same input → same bytes
+    again = {r["media_id"]: r["payload"] for r in resize_images(media, 16, 8).collect()}
+    assert all(again[r["media_id"]] == r["payload"] for r in rows)
