@@ -2488,3 +2488,97 @@ def nullsafe_join_segments(spark: SparkSession, sf_dir: str) -> DataFrame:
         .groupBy("seg_label")
         .agg(F.count("*").alias("n_customers"))
     )
+
+
+@query(
+    "daily_revenue_dense",
+    """
+    WITH bounds AS (
+        SELECT min(CAST(o_orderdate AS DATE)) AS lo,
+               max(CAST(o_orderdate AS DATE)) AS hi
+        FROM orders
+    ),
+    cal AS (
+        SELECT unnest(generate_series(lo, hi, INTERVAL 1 DAY))::DATE AS day
+        FROM bounds
+    ),
+    daily AS (
+        SELECT CAST(o_orderdate AS DATE) AS day,
+               round(sum(o_totalprice), 2) AS revenue,
+               count(*) AS n_orders
+        FROM orders GROUP BY 1
+    )
+    SELECT cal.day,
+           coalesce(daily.revenue, 0.0) AS revenue,
+           coalesce(daily.n_orders, 0) AS n_orders
+    FROM cal LEFT JOIN daily ON cal.day = daily.day
+    """,
+)
+def daily_revenue_dense(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Calendar densification: generate the full day spine with
+    ``sequence`` + explode and left-join the daily aggregate onto it so
+    gap days surface as explicit zeros — the correction every
+    time-series consumer (forecasting, moving averages over ROWS frames)
+    silently needs.  The spine is |days| rows built from a 1-row bound
+    aggregate; the fact table is touched once for the daily rollup."""
+    o = _t(spark, sf_dir, "orders")
+    bounds = o.agg(
+        F.min(F.to_date("o_orderdate")).alias("lo"),
+        F.max(F.to_date("o_orderdate")).alias("hi"),
+    )
+    cal = bounds.select(
+        F.explode(F.sequence("lo", "hi", F.expr("INTERVAL 1 DAY"))).alias("day")
+    )
+    daily = o.groupBy(F.to_date("o_orderdate").alias("day")).agg(
+        F.round(F.sum("o_totalprice"), 2).alias("revenue"),
+        F.count("*").alias("n_orders"),
+    )
+    return cal.join(daily, "day", "left").select(
+        "day",
+        F.coalesce("revenue", F.lit(0.0)).alias("revenue"),
+        F.coalesce("n_orders", F.lit(0)).alias("n_orders"),
+    )
+
+
+@query(
+    "try_functions_safety",
+    """
+    SELECT o_orderpriority,
+           count(*) AS n_rows,
+           count(TRY_CAST(substr(o_orderpriority, 1, 1) AS BIGINT))
+               AS n_numeric_prefix,
+           round(sum(coalesce(o_totalprice / nullif(o_totalprice - o_totalprice, 0),
+                              0.0)), 2) AS div_by_zero_sum,
+           round(avg(TRY_CAST(o_orderstatus AS DOUBLE)), 2) AS avg_bogus_cast
+    FROM orders
+    GROUP BY o_orderpriority
+    """,
+)
+def try_functions_safety(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Error-safe expression surface: ``try_cast`` / ``try_divide`` turn
+    malformed input into NULL instead of failing the job — under ANSI
+    mode (Spark 4 default) this is the difference between one bad row
+    poisoning a 100 TB job and it landing in a NULL bucket.  Oracle uses
+    TRY_CAST and a nullif-guarded division for identical semantics."""
+    o = _t(spark, sf_dir, "orders")
+    return o.groupBy("o_orderpriority").agg(
+        F.count("*").alias("n_rows"),
+        F.count(
+            F.substring("o_orderpriority", 1, 1).try_cast("bigint")
+        ).alias("n_numeric_prefix"),
+        F.round(
+            F.sum(
+                F.coalesce(
+                    F.try_divide(
+                        "o_totalprice",
+                        F.col("o_totalprice") - F.col("o_totalprice"),
+                    ),
+                    F.lit(0.0),
+                )
+            ),
+            2,
+        ).alias("div_by_zero_sum"),
+        F.round(F.avg(F.col("o_orderstatus").try_cast("double")), 2).alias(
+            "avg_bogus_cast"
+        ),
+    )
