@@ -84,3 +84,62 @@ def test_bucketed_agg_elides_exchange(spark):
         assert agg.count() == 500
     finally:
         spark.sql("DROP TABLE IF EXISTS t_agg_b")
+
+
+def test_aqe_splits_skewed_join_partitions(spark):
+    """AQE skew-join handling: one key holding ~90% of the fact side is
+    split across multiple tasks at runtime (skew=true in the final
+    adaptive plan) — the no-code-change answer to moderate skew that
+    operators.joins.salted_join complements for pathological cases."""
+    confs = {
+        "spark.sql.adaptive.skewJoin.skewedPartitionThresholdInBytes": "32KB",
+        "spark.sql.adaptive.advisoryPartitionSizeInBytes": "16KB",
+        "spark.sql.adaptive.skewJoin.skewedPartitionFactor": "2",
+        "spark.sql.autoBroadcastJoinThreshold": "-1",
+    }
+    prev = {k: spark.conf.get(k, None) for k in confs}
+    try:
+        for k, v in confs.items():
+            spark.conf.set(k, v)
+        fact = spark.range(0, 400_000).select(
+            F.when(F.col("id") % 10 < 9, 7).otherwise(F.col("id") % 1000).alias("k"),
+            F.concat(F.lit("payload_"), F.col("id")).alias("pad"),
+        )
+        dim = spark.range(0, 1000).select(
+            F.col("id").alias("k"), (F.col("id") * 2).alias("w")
+        )
+        # No aggregation on top: AQE declines to split skewed partitions
+        # when a downstream operator requires the join's hash
+        # partitioning (the split would break co-partitioning) — which
+        # is itself why salted_join exists for agg-after-join pipelines.
+        joined = fact.join(dim, "k").select("k", "w")
+        rows = joined.collect()
+        assert len(rows) == 400_000
+        final = joined._jdf.queryExecution().executedPlan().toString()
+        assert "isFinalPlan=true" in final
+        assert "skew=true" in final
+    finally:
+        for k, v in prev.items():
+            if v is None:
+                spark.conf.unset(k)
+            else:
+                spark.conf.set(k, v)
+
+
+def test_parquet_schema_evolution_merge(spark, tmp_path):
+    """Schema evolution on the lake: a later batch adds a column; a
+    mergeSchema read surfaces the union schema with nulls for old rows —
+    the contract that lets ingest schemas grow without rewriting
+    history."""
+    lake = str(tmp_path / "evolving")
+    spark.range(0, 10).select(F.col("id"), F.lit("a").alias("v1")).write.parquet(
+        f"{lake}/batch=1"
+    )
+    spark.range(10, 20).select(
+        F.col("id"), F.lit("b").alias("v1"), F.lit(3.5).alias("v2_new")
+    ).write.parquet(f"{lake}/batch=2")
+    merged = spark.read.option("mergeSchema", "true").parquet(lake)
+    assert set(merged.columns) == {"id", "v1", "v2_new", "batch"}
+    assert merged.count() == 20
+    old = merged.filter("batch = 1")
+    assert old.filter(F.col("v2_new").isNull()).count() == 10
