@@ -81,3 +81,36 @@ def duplicate_groups(
             F.min(id_col).alias("keep_id"),
         )
     )
+
+
+def shuffle_export(
+    df: DataFrame,
+    key_col: str,
+    n_shards: int,
+    seed: int = 0,
+) -> DataFrame:
+    """Deterministic global shuffle + sharding for training-data export.
+
+    Training runs need corpus order decorrelated from ingest order (SGD
+    convergence) yet reproducible across re-exports.  Both come from
+    ordering by a seeded hash instead of rand(): ``xxhash64(key, seed)``
+    gives a uniform pseudo-random permutation that is stable under
+    retries, re-runs, and repartitioning — rand() is none of those.
+
+    Output adds ``shard_id`` (hash-assigned, balanced in expectation)
+    and ``shard_pos`` (position within the shard in hash order).  Write
+    with ``.repartition("shard_id").sortWithinPartitions("shard_pos")``
+    + ``partitionBy("shard_id")`` and each shard file IS the shuffled
+    stream — one shuffle total, no global sort (the permutation only
+    needs to be consistent per shard, and shard assignment is already
+    random)."""
+    h = F.xxhash64(F.col(key_col), F.lit(seed))
+    w = Window.partitionBy("shard_id").orderBy("_shuffle_key")
+    return (
+        df.withColumn("_shuffle_key", h)
+        .withColumn(
+            "shard_id", F.pmod(F.col("_shuffle_key"), F.lit(n_shards)).cast("int")
+        )
+        .withColumn("shard_pos", F.row_number().over(w) - 1)
+        .drop("_shuffle_key")
+    )

@@ -2582,3 +2582,21 @@ def try_functions_safety(spark: SparkSession, sf_dir: str) -> DataFrame:
             "avg_bogus_cast"
         ),
     )
+
+
+@query("shuffle_export_shards", None)
+def shuffle_export_shards(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Training-export shuffle (operators.dedup.shuffle_export):
+    seeded-hash global permutation + shard assignment; per-shard sizes
+    reported here.  No SQL oracle (xxhash64 is Spark-specific) —
+    determinism, permutation, balance, and decorrelation invariants are
+    pinned by tests/test_dedup_upsert.py."""
+    from ..operators.dedup import shuffle_export
+
+    docs = _t(spark, sf_dir, "documents").select("doc_id")
+    out = shuffle_export(docs, "doc_id", n_shards=8, seed=42)
+    return (
+        out.groupBy("shard_id")
+        .agg(F.count("*").alias("n_docs"), F.min("doc_id").alias("min_doc"))
+        .orderBy("shard_id")
+    )

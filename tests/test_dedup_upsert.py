@@ -117,3 +117,52 @@ def test_scd2_merge_lifecycle(spark):
         t3.filter("is_current").groupBy("k").count().collect()
     )
     assert all(r["count"] == 1 for r in per_key_open)
+
+
+def test_shuffle_export_deterministic_balanced_permutation(spark, sf_dir):
+    from enterprise_sales_data_pipeline_using_aws_lambda_spark.operators.dedup import (
+        shuffle_export,
+    )
+    from enterprise_sales_data_pipeline_using_aws_lambda_spark.sources.readers import (
+        read_table,
+    )
+    from pyspark.sql import functions as F
+
+    docs = read_table(spark, sf_dir, "documents").select("doc_id")
+    out = shuffle_export(docs, "doc_id", n_shards=8, seed=42)
+    rows = out.collect()
+    n = docs.count()
+    assert len(rows) == n  # permutation: every row exactly once
+    assert len({r["doc_id"] for r in rows}) == n
+
+    # Deterministic across recomputation and repartitioning.
+    again = shuffle_export(docs.repartition(13), "doc_id", 8, seed=42).collect()
+    assert sorted(map(tuple, rows)) == sorted(map(tuple, again))
+
+    # Different seed → different permutation.
+    other = shuffle_export(docs, "doc_id", 8, seed=7).collect()
+    assert sorted(map(tuple, rows)) != sorted(map(tuple, other))
+
+    # Shards balanced in expectation (no shard > 3x the fair share).
+    sizes = [r["count"] for r in out.groupBy("shard_id").count().collect()]
+    assert len(sizes) == 8
+    assert max(sizes) < 3 * (n / 8)
+
+    # shard_pos is a dense 0..k-1 sequence per shard.
+    pos_ok = out.groupBy("shard_id").agg(
+        F.min("shard_pos").alias("lo"),
+        F.max("shard_pos").alias("hi"),
+        F.count("*").alias("c"),
+    )
+    for r in pos_ok.collect():
+        assert r["lo"] == 0 and r["hi"] == r["c"] - 1
+
+    # Decorrelated from ingest order: the permutation breaks doc_id
+    # adjacency (few consecutive ids remain adjacent within a shard).
+    w_rows = sorted(rows, key=lambda r: (r["shard_id"], r["shard_pos"]))
+    adjacent = sum(
+        1
+        for a, b in zip(w_rows, w_rows[1:])
+        if a["shard_id"] == b["shard_id"] and b["doc_id"] == a["doc_id"] + 1
+    )
+    assert adjacent < n * 0.05
