@@ -261,3 +261,22 @@ def test_asof_join_matches_pandas_merge_asof(spark, data):
     for _, row in exp.iterrows():
         want = None if pd.isna(row["v"]) else row["v"]
         assert got[(row["k"], row["lts"].to_pydatetime())] == want
+
+
+def test_asof_join_multiple_right_columns(spark):
+    from enterprise_sales_data_pipeline_using_aws_lambda_spark.operators.joins import (
+        asof_join,
+    )
+
+    left = spark.createDataFrame(
+        [(1, "2024-01-01 12:00:00")], "k long, lts string"
+    ).withColumn("lts", F.col("lts").cast("timestamp"))
+    right = spark.createDataFrame(
+        [(1, "2024-01-01 10:00:00", 5.0, "low"),
+         (1, "2024-01-01 11:00:00", 9.0, "high")],
+        "k long, rts string, v double, label string",
+    ).withColumn("rts", F.col("rts").cast("timestamp"))
+    out = asof_join(left, right, ["k"], "lts", "rts", ["v", "label"]).collect()
+    # Both carried columns come from the SAME winning row (11:00).
+    assert out[0]["v"] == 9.0 and out[0]["label"] == "high"
+    assert str(out[0]["matched_ts"]).startswith("2024-01-01 11:00")
