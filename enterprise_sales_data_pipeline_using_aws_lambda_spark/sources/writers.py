@@ -106,3 +106,29 @@ def delete_path(spark: SparkSession, path: str) -> bool:
     hpath = jvm.org.apache.hadoop.fs.Path(path)
     fs = hpath.getFileSystem(sc._jsc.hadoopConfiguration())
     return bool(fs.delete(hpath, True))
+
+
+EXPORT_FORMATS = ("parquet", "csv", "json", "orc")
+
+
+def export_table(
+    df: DataFrame,
+    path: str,
+    fmt: str = "parquet",
+    mode: str = "overwrite",
+    coalesce: int | None = None,
+) -> None:
+    """Format-dispatch export sink — the write-side mirror of
+    ``readers.read_any`` (the reference only ever writes Parquet; CSV and
+    JSON exports are how downstream non-Spark consumers pull serving
+    data).  ``coalesce`` caps output file count for small exports; leave
+    None for large tables so write parallelism is preserved."""
+    if fmt not in EXPORT_FORMATS:
+        raise ValueError(
+            f"Unsupported export format: {fmt} (use {EXPORT_FORMATS})"
+        )
+    out = df.coalesce(coalesce) if coalesce else df
+    w = out.write.mode(mode)
+    if fmt == "csv":
+        w = w.option("header", True)
+    w.format(fmt).save(path)

@@ -143,3 +143,28 @@ def test_parquet_schema_evolution_merge(spark, tmp_path):
     assert merged.count() == 20
     old = merged.filter("batch = 1")
     assert old.filter(F.col("v2_new").isNull()).count() == 10
+
+
+def test_export_round_trip_formats(spark, tmp_path):
+    from enterprise_sales_data_pipeline_using_aws_lambda_spark.sources.writers import (
+        export_table,
+    )
+
+    df = spark.createDataFrame(
+        [(1, "a", 1.5), (2, "b", -3.25), (3, None, 0.0)],
+        "id long, name string, score double",
+    )
+    want = sorted(map(tuple, df.collect()))
+    for fmt in ("parquet", "csv", "json"):
+        path = str(tmp_path / f"out_{fmt}")
+        export_table(df, path, fmt, coalesce=1)
+        if fmt == "csv":
+            back = spark.read.option("header", True).schema(df.schema).csv(path)
+        else:
+            back = spark.read.format(fmt).schema(df.schema).load(path)
+        assert sorted(map(tuple, back.collect())) == want
+
+    import pytest as _pytest
+
+    with _pytest.raises(ValueError):
+        export_table(df, str(tmp_path / "x"), "xlsx")
