@@ -2648,3 +2648,66 @@ def disjunctive_promo_revenue(spark: SparkSession, sf_dir: str) -> DataFrame:
         ).alias("revenue"),
         F.count("*").alias("n_lines"),
     )
+
+
+@query(
+    "funnel_stages",
+    """
+    WITH v AS (
+        SELECT user_id, min(CAST(ts AS TIMESTAMP)) AS vt
+        FROM events WHERE event_type = 'view' GROUP BY user_id
+    ),
+    c AS (
+        SELECT e.user_id, min(CAST(e.ts AS TIMESTAMP)) AS ct
+        FROM events e JOIN v ON e.user_id = v.user_id
+            AND CAST(e.ts AS TIMESTAMP) > v.vt
+        WHERE e.event_type = 'click' GROUP BY e.user_id
+    ),
+    p AS (
+        SELECT e.user_id, min(CAST(e.ts AS TIMESTAMP)) AS pt
+        FROM events e JOIN c ON e.user_id = c.user_id
+            AND CAST(e.ts AS TIMESTAMP) > c.ct
+        WHERE e.event_type = 'purchase' GROUP BY e.user_id
+    )
+    SELECT 'view' AS stage, 1 AS stage_no, count(*) AS n_users FROM v
+    UNION ALL SELECT 'click', 2, count(*) FROM c
+    UNION ALL SELECT 'purchase', 3, count(*) FROM p
+    """,
+)
+def funnel_stages(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Ordered funnel: users who viewed, then clicked AFTER their first
+    view, then purchased AFTER that click — event-sequence analytics
+    built from per-stage min-timestamp aggregates chained through
+    time-conditioned joins.  Each stage's frame is |users| rows, so
+    every join after the first aggregation is broadcast-sized; the raw
+    event table is scanned once per stage with the event-type filter
+    pushed to the scan."""
+    ev = _t(spark, sf_dir, "events")
+
+    def first_after(event_type: str, prev, prev_ts: str, out_ts: str):
+        e = ev.filter(F.col("event_type") == event_type)
+        if prev is None:
+            return e.groupBy("user_id").agg(F.min("ts").alias(out_ts))
+        return (
+            e.join(F.broadcast(prev), "user_id")
+            .filter(F.col("ts") > F.col(prev_ts))
+            .groupBy("user_id")
+            .agg(F.min("ts").alias(out_ts))
+        )
+
+    v = first_after("view", None, "", "vt")
+    c = first_after("click", v, "vt", "ct")
+    p = first_after("purchase", c, "ct", "pt")
+
+    def stage(df, name, no):
+        return df.agg(
+            F.lit(name).alias("stage"),
+            F.lit(no).alias("stage_no"),
+            F.count("*").alias("n_users"),
+        ).select("stage", "stage_no", "n_users")
+
+    return (
+        stage(v, "view", 1)
+        .unionByName(stage(c, "click", 2))
+        .unionByName(stage(p, "purchase", 3))
+    )
