@@ -73,6 +73,10 @@ HEADLINE = [
     "profile_lineitem_stats",
     "pmi_bigrams",
     "nullsafe_join_segments",
+    "funnel_stages",
+    "disjunctive_promo_revenue",
+    "daily_revenue_dense",
+    "try_functions_safety",
 ]
 
 

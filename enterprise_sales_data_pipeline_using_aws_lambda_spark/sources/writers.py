@@ -132,3 +132,48 @@ def export_table(
     if fmt == "csv":
         w = w.option("header", True)
     w.format(fmt).save(path)
+
+
+def compact_lake_partition(
+    spark: SparkSession,
+    path: str,
+    target_files: int,
+    staging_suffix: str = "__compacting",
+) -> int:
+    """Small-file compaction for a lake directory (one partition's worth).
+
+    Per-batch streaming ingest accretes many small parquet files; at
+    scale the file-listing and task-scheduling overhead eventually
+    dominates scans (the classic small-file problem).  This rewrites the
+    directory into ``target_files`` files via a staging directory and an
+    atomic-rename swap: readers see either the old file set or the new,
+    never a mix.  Returns the number of files before compaction.
+
+    Run per partition directory (e.g. per ingest_batch) from a
+    maintenance job; on object stores swap rename-atomicity caveats with
+    a table format (Delta/Iceberg OPTIMIZE) — this operator is the
+    Hadoop-FS form.
+    """
+    sc = spark.sparkContext
+    jvm = sc._jvm
+    conf = sc._jsc.hadoopConfiguration()
+    src = jvm.org.apache.hadoop.fs.Path(path)
+    fs = src.getFileSystem(conf)
+    before = len([
+        f for f in fs.listStatus(src)
+        if f.isFile() and not f.getPath().getName().startswith("_")
+    ])
+
+    df = spark.read.parquet(path)
+    staging = jvm.org.apache.hadoop.fs.Path(path + staging_suffix)
+    df.repartition(target_files).write.mode("overwrite").parquet(
+        path + staging_suffix
+    )
+    old = jvm.org.apache.hadoop.fs.Path(path + "__old")
+    if not fs.rename(src, old):
+        raise IOError(f"compaction swap failed for {path}")
+    if not fs.rename(staging, src):
+        fs.rename(old, src)  # roll back
+        raise IOError(f"compaction swap-in failed for {path}")
+    fs.delete(old, True)
+    return before

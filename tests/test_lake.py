@@ -168,3 +168,25 @@ def test_export_round_trip_formats(spark, tmp_path):
 
     with _pytest.raises(ValueError):
         export_table(df, str(tmp_path / "x"), "xlsx")
+
+
+def test_compact_lake_partition(spark, tmp_path):
+    from enterprise_sales_data_pipeline_using_aws_lambda_spark.sources.writers import (
+        compact_lake_partition,
+    )
+
+    path = str(tmp_path / "smallfiles")
+    # 20 separate appends → ≥20 small files
+    for i in range(20):
+        spark.range(i * 10, (i + 1) * 10).withColumn(
+            "v", F.col("id") * 3
+        ).write.mode("append").parquet(path)
+    before = compact_lake_partition(spark, path, target_files=2)
+    assert before >= 20
+
+    back = spark.read.parquet(path)
+    assert back.count() == 200
+    assert sorted(r["id"] for r in back.collect()) == list(range(200))
+    import glob
+    files = [f for f in glob.glob(f"{path}/*.parquet")]
+    assert len(files) == 2
