@@ -2711,3 +2711,71 @@ def funnel_stages(spark: SparkSession, sf_dir: str) -> DataFrame:
         .unionByName(stage(c, "click", 2))
         .unionByName(stage(p, "purchase", 3))
     )
+
+
+@query(
+    "regression_per_flag",
+    """
+    SELECT l_returnflag,
+           round(regr_slope(l_extendedprice, l_quantity), 4) AS slope,
+           round(regr_intercept(l_extendedprice, l_quantity), 4) AS intercept,
+           round(regr_r2(l_extendedprice, l_quantity), 6) AS r2,
+           regr_count(l_extendedprice, l_quantity) AS n
+    FROM lineitem
+    GROUP BY l_returnflag
+    """,
+)
+def regression_per_flag(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-group ordinary least squares as BUILT-IN aggregates
+    (regr_slope/intercept/r2/count): the moments accumulate in one
+    streaming pass inside the same partial+final hash agg as any sum —
+    no applyInPandas, no second scan, no per-group matrix solve.  The
+    fit every monitoring pipeline wants (price ~ quantity drift) at
+    aggregate cost."""
+    li = _t(spark, sf_dir, "lineitem")
+    return li.groupBy("l_returnflag").agg(
+        F.round(F.regr_slope("l_extendedprice", "l_quantity"), 4).alias("slope"),
+        F.round(
+            F.regr_intercept("l_extendedprice", "l_quantity"), 4
+        ).alias("intercept"),
+        F.round(F.regr_r2("l_extendedprice", "l_quantity"), 6).alias("r2"),
+        F.regr_count("l_extendedprice", "l_quantity").alias("n"),
+    )
+
+
+@query(
+    "mad_robust_spread",
+    """
+    WITH med AS (
+        SELECT l_returnflag,
+               median(l_extendedprice) AS med_price
+        FROM lineitem GROUP BY l_returnflag
+    )
+    SELECT l.l_returnflag,
+           round(any_value(m.med_price), 2) AS med_price,
+           round(median(abs(l.l_extendedprice - m.med_price)), 2) AS mad_price
+    FROM lineitem l JOIN med m ON l.l_returnflag = m.l_returnflag
+    GROUP BY l.l_returnflag
+    """,
+)
+def mad_robust_spread(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Median absolute deviation — the outlier-robust spread measure
+    stddev isn't.  Inherently two passes (deviations need the median
+    first): pass one reduces to |groups| medians, broadcast back onto
+    the fact scan for pass two's deviation median.  The broadcast keeps
+    the second pass shuffle-free on the fact side."""
+    li = _t(spark, sf_dir, "lineitem")
+    med = li.groupBy("l_returnflag").agg(
+        F.median("l_extendedprice").alias("med_price")
+    )
+    return (
+        li.join(F.broadcast(med), "l_returnflag")
+        .groupBy("l_returnflag")
+        .agg(
+            F.round(F.any_value("med_price"), 2).alias("med_price"),
+            F.round(
+                F.median(F.abs(F.col("l_extendedprice") - F.col("med_price"))),
+                2,
+            ).alias("mad_price"),
+        )
+    )
