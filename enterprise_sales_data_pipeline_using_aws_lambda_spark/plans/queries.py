@@ -2779,3 +2779,72 @@ def mad_robust_spread(spark: SparkSession, sf_dir: str) -> DataFrame:
             ).alias("mad_price"),
         )
     )
+
+
+@query(
+    "collect_order_arrays",
+    """
+    SELECT o_custkey,
+           list_sort(list(o_orderpriority)) AS priorities,
+           list_sort(list(DISTINCT o_orderstatus)) AS statuses,
+           len(list(o_orderpriority)) AS n_orders
+    FROM orders
+    GROUP BY o_custkey
+    HAVING count(*) >= 3
+    """,
+)
+def collect_order_arrays(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Array-building aggregation: collect_list/collect_set gather each
+    customer's order attributes into nested array columns (sorted on
+    both engines — collection order is partition-dependent, so canonical
+    ordering is what makes the result deterministic).  Arrays build
+    via partial aggregation like any agg state; memory is bounded by
+    per-group cardinality, which HAVING keeps honest here."""
+    o = _t(spark, sf_dir, "orders")
+    return (
+        o.groupBy("o_custkey")
+        .agg(
+            F.sort_array(F.collect_list("o_orderpriority")).alias("priorities"),
+            F.sort_array(F.collect_set("o_orderstatus")).alias("statuses"),
+            F.count("*").alias("n_orders"),
+        )
+        .filter(F.col("n_orders") >= 3)
+    )
+
+
+@query(
+    "map_status_counts",
+    """
+    WITH counts AS (
+        SELECT o_orderpriority, o_orderstatus, count(*) AS c
+        FROM orders GROUP BY o_orderpriority, o_orderstatus
+    )
+    SELECT o_orderpriority,
+           coalesce(max(CASE WHEN o_orderstatus = 'F' THEN c END), 0) AS f_orders,
+           coalesce(max(CASE WHEN o_orderstatus = 'O' THEN c END), 0) AS o_orders,
+           coalesce(max(CASE WHEN o_orderstatus = 'P' THEN c END), 0) AS p_orders
+    FROM counts
+    GROUP BY o_orderpriority
+    """,
+)
+def map_status_counts(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Map-typed column surface: per-priority status counts built into a
+    MapType with map_from_entries(collect_list(struct(...))), then
+    extracted with element_at.  The map is intermediate (outputs are
+    plain scalars) because map column equality/ordering is
+    engine-specific — build maps for lookup, unpack before export."""
+    o = _t(spark, sf_dir, "orders")
+    counts = o.groupBy("o_orderpriority", "o_orderstatus").agg(
+        F.count("*").alias("c")
+    )
+    mapped = counts.groupBy("o_orderpriority").agg(
+        F.map_from_entries(
+            F.collect_list(F.struct("o_orderstatus", "c"))
+        ).alias("status_map")
+    )
+    return mapped.select(
+        "o_orderpriority",
+        F.coalesce(F.element_at("status_map", "F"), F.lit(0)).alias("f_orders"),
+        F.coalesce(F.element_at("status_map", "O"), F.lit(0)).alias("o_orders"),
+        F.coalesce(F.element_at("status_map", "P"), F.lit(0)).alias("p_orders"),
+    )
