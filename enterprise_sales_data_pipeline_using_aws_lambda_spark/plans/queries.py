@@ -2848,3 +2848,35 @@ def map_status_counts(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.coalesce(F.element_at("status_map", "O"), F.lit(0)).alias("o_orders"),
         F.coalesce(F.element_at("status_map", "P"), F.lit(0)).alias("p_orders"),
     )
+
+
+@query(
+    "cube_with_grouping_id",
+    """
+    SELECT coalesce(o_orderstatus, 'ALL') AS status,
+           coalesce(o_orderpriority, 'ALL') AS priority,
+           GROUPING(o_orderstatus) AS status_is_total,
+           GROUPING(o_orderpriority) AS priority_is_total,
+           count(*) AS n_orders
+    FROM orders
+    GROUP BY CUBE (o_orderstatus, o_orderpriority)
+    """,
+)
+def cube_with_grouping_id(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """CUBE with GROUPING() markers: distinguishes 'subtotal row' from
+    'group whose key is literally NULL' — the ambiguity every rollup
+    consumer hits once real data contains NULL keys.  grouping() is
+    metadata carried by the Expand operator, free at runtime; the output
+    coalesces keys to 'ALL' only where grouping()=1 says it's a total."""
+    o = _t(spark, sf_dir, "orders")
+    return o.cube("o_orderstatus", "o_orderpriority").agg(
+        F.grouping("o_orderstatus").cast("long").alias("status_is_total"),
+        F.grouping("o_orderpriority").cast("long").alias("priority_is_total"),
+        F.count("*").alias("n_orders"),
+    ).select(
+        F.coalesce("o_orderstatus", F.lit("ALL")).alias("status"),
+        F.coalesce("o_orderpriority", F.lit("ALL")).alias("priority"),
+        "status_is_total",
+        "priority_is_total",
+        "n_orders",
+    )
