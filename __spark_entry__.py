@@ -8,6 +8,8 @@ order-insensitive value-hash → CORRECTNESS_r{N}.json).
 The actual inventory lives in
 ``enterprise_sales_data_pipeline_using_aws_lambda_spark.plans.queries`` —
 one (Spark builder, oracle SQL) pair per operator from SURVEY.md §2.
+``COVERAGE.md`` maps every SURVEY §2 operator (and the extension
+surface) to its implementation, gate query, and tests.
 """
 
 from __future__ import annotations

@@ -77,6 +77,11 @@ HEADLINE = [
     "disjunctive_promo_revenue",
     "daily_revenue_dense",
     "try_functions_safety",
+    "regression_per_flag",
+    "mad_robust_spread",
+    "collect_order_arrays",
+    "map_status_counts",
+    "cube_with_grouping_id",
 ]
 
 
