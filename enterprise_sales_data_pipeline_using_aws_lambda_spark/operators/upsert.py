@@ -49,3 +49,66 @@ def upsert_keep_last(
         key_set = F.broadcast(key_set)
     keep_old = existing.join(key_set, on=keys, how="left_anti")
     return keep_old.unionByName(incoming)
+
+
+def partitioned_upsert(
+    spark,
+    table_path: str,
+    incoming: DataFrame,
+    keys: list[str],
+    partition_col: str,
+    order_by: list[Column] | None = None,
+) -> list:
+    """Partition-pruned keyed upsert into a parquet table partitioned on
+    ``partition_col`` — the 100 TB form of the merge (SURVEY §7.5.2).
+
+    The reference re-reads and rewrites its WHOLE target per batch
+    (``lambda.py:176-181``), O(table) per ingest.  Here the batch's
+    distinct partition values drive everything:
+
+    1. collect the batch's partition values (a batch touches few);
+    2. read ONLY those partitions back (partition pruning at the scan);
+    3. anti-join + union within that slice;
+    4. dynamic-partition-overwrite exactly that slice.
+
+    Cost: O(affected partitions), not O(table).  Rows outside the
+    touched partitions are never read, shuffled, or rewritten — the
+    same pruning argument a Delta/Iceberg MERGE makes, built from plain
+    parquet + ``partitionOverwriteMode=dynamic``.
+
+    Constraint (document, don't guess): a key must not MOVE between
+    partitions (partition_col must be stable per key — e.g. a hash
+    bucket of the key, never an update-able attribute); a moved key
+    would leave its old row in the untouched partition.  Hash-derived
+    partition columns satisfy this by construction.
+
+    Returns the list of partition values rewritten.
+    """
+    if order_by is not None:
+        incoming = dedup_keep_last(incoming, keys, order_by)
+
+    parts = [r[0] for r in incoming.select(partition_col).distinct().collect()]
+    try:
+        existing_slice = spark.read.parquet(table_path).filter(
+            F.col(partition_col).isin(parts)
+        )
+        merged = upsert_keep_last(existing_slice, incoming, keys)
+    except Exception:  # first write: table doesn't exist yet
+        merged = incoming
+
+    # Materialize before the overwrite: the merged plan reads the very
+    # files the dynamic overwrite replaces (same trap as the serving
+    # upsert — a table format with snapshot isolation avoids this copy).
+    merged = merged.localCheckpoint(eager=True)
+
+    prev = spark.conf.get("spark.sql.sources.partitionOverwriteMode", "static")
+    try:
+        spark.conf.set("spark.sql.sources.partitionOverwriteMode", "dynamic")
+        (
+            merged.write.mode("overwrite")
+            .partitionBy(partition_col)
+            .parquet(table_path)
+        )
+    finally:
+        spark.conf.set("spark.sql.sources.partitionOverwriteMode", prev)
+    return parts

@@ -166,3 +166,48 @@ def test_shuffle_export_deterministic_balanced_permutation(spark, sf_dir):
         if a["shard_id"] == b["shard_id"] and b["doc_id"] == a["doc_id"] + 1
     )
     assert adjacent < n * 0.05
+
+
+def test_partitioned_upsert_touches_only_affected_partitions(spark, tmp_path):
+    """Partition-pruned upsert: a batch confined to bucket 1 must leave
+    bucket 0's files byte-identical on disk (never read or rewritten)
+    while applying updates and inserts inside bucket 1."""
+    import glob
+    import os
+
+    from enterprise_sales_data_pipeline_using_aws_lambda_spark.operators.upsert import (
+        partitioned_upsert,
+    )
+    from pyspark.sql import functions as F
+
+    path = str(tmp_path / "tgt")
+    base = spark.createDataFrame(
+        [(i, i % 2, f"v{i}") for i in range(20)], "k long, bucket int, val string"
+    )
+    partitioned_upsert(spark, path, base, ["k"], "bucket")
+
+    def files_with_mtimes(bucket):
+        return {
+            f: os.path.getmtime(f)
+            for f in glob.glob(f"{path}/bucket={bucket}/*.parquet")
+        }
+
+    before_b0 = files_with_mtimes(0)
+    assert before_b0  # bucket 0 exists
+
+    # Batch touches ONLY bucket 1: update k=1, insert k=101.
+    batch = spark.createDataFrame(
+        [(1, 1, "UPDATED"), (101, 1, "NEW")], "k long, bucket int, val string"
+    )
+    touched = partitioned_upsert(spark, path, batch, ["k"], "bucket")
+    assert touched == [1]
+
+    after_b0 = files_with_mtimes(0)
+    assert after_b0 == before_b0  # bucket 0 untouched on disk
+
+    out = spark.read.parquet(path)
+    assert out.count() == 21
+    got = {r["k"]: r["val"] for r in out.collect()}
+    assert got[1] == "UPDATED" and got[101] == "NEW" and got[0] == "v0"
+    # keys unique after merge
+    assert out.select("k").distinct().count() == 21
