@@ -164,3 +164,34 @@ def fingerprint(
         F.when(F.length(t) == 0, F.lit(0)).otherwise(fp).alias("fingerprint"),
         F.length(t).alias("n_chars_computed"),
     )
+
+
+def chunk_documents(
+    docs: DataFrame,
+    width: int = 100,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+) -> DataFrame:
+    """Split documents into fixed-width character chunks —
+    (doc_id, chunk_id, chunk_text, n_chars) with one output row per
+    chunk.  The fan-out runs as sequence→transform→posexplode entirely
+    in the JVM: no UDF, and the explode multiplies rows BEFORE any
+    shuffle, so chunking composes with downstream per-chunk operators
+    (embedding, token counting) at scan parallelism.
+
+    Fixed-width is the deterministic baseline; a boundary-aware variant
+    (break on whitespace near the target width) changes only the slice
+    expression, not the dataflow shape."""
+    # chunk i = substr(text, i*width+1, width), i in [0, ceil(len/width))
+    out = docs.select(
+        F.col(id_col),
+        F.posexplode(
+            F.expr(
+                f"transform(sequence(0, greatest(cast(ceil(length({text_col})/{width}) as int),1)-1), "
+                f"i -> substr({text_col}, i*{width}+1, {width}))"
+            )
+        ).alias("chunk_id", "chunk_text"),
+    )
+    return out.withColumn("n_chars", F.length("chunk_text")).filter(
+        F.col("n_chars") > 0
+    )

@@ -2880,3 +2880,29 @@ def cube_with_grouping_id(spark: SparkSession, sf_dir: str) -> DataFrame:
         "priority_is_total",
         "n_orders",
     )
+
+
+@query(
+    "chunk_documents_fixed",
+    """
+    WITH chunks AS (
+        SELECT doc_id,
+               i - 1 AS chunk_id,
+               substr(text, ((i - 1) * 100 + 1)::INT, 100) AS chunk_text
+        FROM documents,
+             LATERAL (SELECT unnest(range(1,
+                 greatest(ceil(length(text) / 100.0)::INT, 1) + 1)) AS i)
+    )
+    SELECT doc_id, chunk_id, chunk_text, length(chunk_text) AS n_chars
+    FROM chunks WHERE length(chunk_text) > 0
+    """,
+)
+def chunk_documents_fixed(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Training-data chunking (operators.text_analysis.chunk_documents):
+    fixed 100-char chunks via sequence→transform→posexplode, all
+    JVM-side.  Every long document becomes model-sized rows at scan
+    parallelism — the step between curation and tokenization in an LLM
+    data pipeline."""
+    from ..operators.text_analysis import chunk_documents
+
+    return chunk_documents(_t(spark, sf_dir, "documents"), width=100)

@@ -93,3 +93,30 @@ def test_jaccard_identical_is_one(spark):
     sh = shingle_sets(df)
     pairs = spark.createDataFrame([(0, 1)], "id_a long, id_b long")
     assert jaccard_on_pairs(pairs, sh).first()["jaccard"] == 1.0
+
+
+def test_chunk_documents_reassembles_exactly(spark, sf_dir):
+    """Chunks concatenated in order must reproduce the original text —
+    no gaps, overlaps, or truncation."""
+    from enterprise_sales_data_pipeline_using_aws_lambda_spark.operators.text_analysis import (
+        chunk_documents,
+    )
+    from enterprise_sales_data_pipeline_using_aws_lambda_spark.sources.readers import (
+        read_table,
+    )
+    from pyspark.sql import functions as F
+
+    docs = read_table(spark, sf_dir, "documents").limit(50)
+    chunks = chunk_documents(docs, width=37)
+    rebuilt = (
+        chunks.groupBy("doc_id")
+        .agg(
+            F.concat_ws(
+                "", F.array_sort(F.collect_list(F.struct("chunk_id", "chunk_text")))
+                .getField("chunk_text")
+            ).alias("rebuilt")
+        )
+    )
+    joined = docs.join(rebuilt, "doc_id")
+    assert joined.filter(F.col("text") != F.col("rebuilt")).count() == 0
+    assert chunks.filter(F.length("chunk_text") > 37).count() == 0
