@@ -190,3 +190,55 @@ def test_compact_lake_partition(spark, tmp_path):
     import glob
     files = [f for f in glob.glob(f"{path}/*.parquet")]
     assert len(files) == 2
+
+
+def test_sorted_lake_rowgroup_stats_are_narrow(spark, tmp_path):
+    """write_sorted_lake must produce files with disjoint value ranges
+    and row-group min/max stats that cover narrow slices — the physical
+    property scan pruning depends on (verified via parquet footers)."""
+    import glob
+
+    import pyarrow.parquet as pq
+
+    from enterprise_sales_data_pipeline_using_aws_lambda_spark.sources.writers import (
+        write_sorted_lake,
+    )
+
+    n = 100_000
+    df = spark.range(0, n).select(
+        F.col("id"),
+        (F.xxhash64("id") % 1000).alias("noise"),
+    )
+    # Shuffle input order first so the sort actually has work to do.
+    path = str(tmp_path / "sorted_lake")
+    write_sorted_lake(df.orderBy("noise"), path, "id", n_files=4)
+
+    spans = []
+    file_ranges = []
+    for f in glob.glob(f"{path}/*.parquet"):
+        md = pq.ParquetFile(f).metadata
+        fmin, fmax = None, None
+        for rg in range(md.num_row_groups):
+            col = next(
+                md.row_group(rg).column(i)
+                for i in range(md.num_columns)
+                if md.row_group(rg).column(i).path_in_schema == "id"
+            )
+            lo, hi = col.statistics.min, col.statistics.max
+            spans.append(hi - lo)
+            fmin = lo if fmin is None else min(fmin, lo)
+            fmax = hi if fmax is None else max(fmax, hi)
+        file_ranges.append((fmin, fmax))
+
+    # Files own disjoint ranges (range partitioning).
+    file_ranges.sort()
+    for (lo1, hi1), (lo2, hi2) in zip(file_ranges, file_ranges[1:]):
+        assert hi1 < lo2
+
+    # Every row group spans a narrow slice of the 100k domain.
+    assert max(spans) < n / 2
+
+    # And the data is still complete & correct.
+    back = spark.read.parquet(path)
+    assert back.count() == n
+    assert back.filter(F.col("id").between(500, 600)).count() == 101
