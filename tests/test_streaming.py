@@ -259,3 +259,69 @@ def test_stream_stream_join_matches_batch(spark, tmp_path):
     }
     assert got == want
     assert len(got) > 0
+
+
+def test_watermark_drops_late_data_across_batches(spark, tmp_path):
+    """Watermark semantics across micro-batches: once the watermark has
+    advanced past an old window, a later batch's event from that window
+    is DROPPED by the windowed aggregation (append mode) while fresh
+    events still aggregate.  Note the late-event filter uses the
+    PREVIOUS batch's watermark (SPARK-40925 two-watermark split), so the
+    late event arrives two batches after the data that advanced it."""
+    import datetime as dt
+    import time as _time
+
+    base = dt.datetime(2024, 1, 1, 10, 0, 0)
+    sch = "event_id long, ts timestamp, user_id long, event_type string, value double"
+
+    def write(rows, name):
+        spark.createDataFrame(rows, sch).coalesce(1).write.parquet(
+            f"{tmp_path}/wm_in/{name}"
+        )
+
+    # Batch 1: 10:00-10:35 → watermark 10:25 after it completes.
+    write(
+        [(i, base + dt.timedelta(minutes=5 * i), 1, "click", 1.0) for i in range(8)],
+        "f1",
+    )
+    _time.sleep(1.1)  # file source orders batches by modification time
+    # Batch 2: fresh 10:40 (watermark for late-filtering now 10:25).
+    write([(50, base + dt.timedelta(minutes=40), 1, "click", 1.0)], "f2")
+    _time.sleep(1.1)
+    # Batch 3: late 09:00 (far below watermark) + fresh 10:45.
+    write(
+        [
+            (100, base - dt.timedelta(hours=1), 1, "click", 99.0),
+            (101, base + dt.timedelta(minutes=45), 1, "click", 1.0),
+        ],
+        "f3",
+    )
+
+    stream = (
+        spark.readStream.schema(
+            spark.read.parquet(f"{tmp_path}/wm_in/f1").schema
+        )
+        .option("maxFilesPerTrigger", "1")
+        .parquet(f"{tmp_path}/wm_in/*")
+    )
+    agg = (
+        stream.withWatermark("ts", "10 minutes")
+        .groupBy(F.window("ts", "10 minutes").alias("win"))
+        .agg(F.count("*").alias("n"), F.sum("value").alias("v"))
+        .select(F.col("win.start").alias("ws"), "n", "v")
+    )
+    q = (
+        agg.writeStream.format("memory")
+        .queryName("wm_test")
+        .outputMode("append")
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination(180)
+    out = {str(r["ws"]): (r["n"], r["v"]) for r in spark.sql("select * from wm_test").collect()}
+    # The 09:00 late event must not appear anywhere: no 09:00 window,
+    # and no value 99 leaked into any window.
+    assert not any(ws.startswith("2024-01-01 09:") for ws in out)
+    assert all(v != 99.0 for _, v in out.values())
+    # On-time windows that closed under the final watermark did emit.
+    assert out.get("2024-01-01 10:00:00") == (2, 2.0)
