@@ -82,6 +82,8 @@ HEADLINE = [
     "collect_order_arrays",
     "map_status_counts",
     "cube_with_grouping_id",
+    "chunk_documents_fixed",
+    "llm_data_pipeline",
 ]
 
 

@@ -2906,3 +2906,62 @@ def chunk_documents_fixed(spark: SparkSession, sf_dir: str) -> DataFrame:
     from ..operators.text_analysis import chunk_documents
 
     return chunk_documents(_t(spark, sf_dir, "documents"), width=100)
+
+
+@query(
+    "llm_data_pipeline",
+    """
+    WITH kept AS (
+        SELECT doc_id, source, text,
+               row_number() OVER (PARTITION BY md5(text) ORDER BY doc_id)
+                   AS dup_rank
+        FROM documents
+        WHERE n_chars >= 40 AND lang IN ('en', 'de', 'fr')
+    ),
+    uniq AS (SELECT doc_id, source, text FROM kept WHERE dup_rank = 1),
+    chunks AS (
+        SELECT doc_id, source,
+               substr(text, ((i - 1) * 100 + 1)::INT, 100) AS chunk_text
+        FROM uniq,
+             LATERAL (SELECT unnest(range(1,
+                 greatest(ceil(length(text) / 100.0)::INT, 1) + 1)) AS i)
+    )
+    SELECT source,
+           count(DISTINCT doc_id) AS n_docs,
+           count(*) AS n_chunks,
+           round(avg(length(chunk_text)), 2) AS avg_chunk_chars,
+           max(length(chunk_text)) AS max_chunk_chars
+    FROM chunks
+    WHERE length(chunk_text) > 0
+    GROUP BY source
+    """,
+)
+def llm_data_pipeline(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The engine's reason-to-exist in ONE declarative plan: quality +
+    language gates → content-hash exact dedup (keep-first) → fixed-width
+    chunking → per-source corpus stats.  Because every stage is a
+    DataFrame transform on one lineage, Catalyst pushes the gates into
+    the parquet scan, the dedup window is the only wide shuffle, the
+    chunk fan-out never materializes between stages, and the whole
+    pipeline costs barely more than its dedup.  Swap the chunk stage for
+    operators.similarity / text_dedup stages and this same shape is the
+    production curation job."""
+    from ..operators.text_analysis import chunk_documents
+
+    docs = _t(spark, sf_dir, "documents")
+    kept = docs.filter(
+        (F.col("n_chars") >= 40) & F.col("lang").isin("en", "de", "fr")
+    ).withColumn(
+        "dup_rank",
+        F.row_number().over(Window.partitionBy(F.md5("text")).orderBy("doc_id")),
+    )
+    uniq = kept.filter(F.col("dup_rank") == 1).select("doc_id", "source", "text")
+    chunks = chunk_documents(uniq, width=100).join(
+        uniq.select("doc_id", "source"), "doc_id"
+    )
+    return chunks.groupBy("source").agg(
+        F.countDistinct("doc_id").alias("n_docs"),
+        F.count("*").alias("n_chunks"),
+        F.round(F.avg("n_chars"), 2).alias("avg_chunk_chars"),
+        F.max("n_chars").alias("max_chunk_chars"),
+    )
