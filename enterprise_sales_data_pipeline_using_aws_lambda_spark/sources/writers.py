@@ -202,3 +202,28 @@ def write_sorted_lake(
         .write.mode(mode)
         .parquet(path)
     )
+
+
+def append_log_idempotent(
+    spark: SparkSession, df: DataFrame, path: str, batch_id: str
+) -> bool:
+    """Batch-id-keyed idempotent append (SURVEY §7.5.3): the reference's
+    append log double-writes on Lambda retries (at-least-once, no
+    dedup key).  Writing each batch into its own ``ingest_batch=``
+    partition and SKIPPING ids that already exist makes the append
+    at-most-once per batch id — combined with upstream retry, exactly
+    once.  Streaming gets this from checkpoints; this is the batch-mode
+    equivalent.  Returns True if the batch was written, False if it was
+    already present (replay)."""
+    sc = spark.sparkContext
+    part = sc._jvm.org.apache.hadoop.fs.Path(f"{path}/ingest_batch={batch_id}")
+    fs = part.getFileSystem(sc._jsc.hadoopConfiguration())
+    if fs.exists(part):
+        return False
+    (
+        df.withColumn("ingest_batch", F.lit(batch_id))
+        .write.mode("append")
+        .partitionBy("ingest_batch")
+        .parquet(path)
+    )
+    return True

@@ -242,3 +242,17 @@ def test_sorted_lake_rowgroup_stats_are_narrow(spark, tmp_path):
     back = spark.read.parquet(path)
     assert back.count() == n
     assert back.filter(F.col("id").between(500, 600)).count() == 101
+
+
+def test_append_log_idempotent_on_replay(spark, tmp_path):
+    from enterprise_sales_data_pipeline_using_aws_lambda_spark.sources.writers import (
+        append_log_idempotent,
+    )
+
+    path = str(tmp_path / "log")
+    df = spark.range(0, 100).withColumn("v", F.col("id") * 2)
+    assert append_log_idempotent(spark, df, path, "b1") is True
+    assert append_log_idempotent(spark, df, path, "b1") is False  # replay: skipped
+    assert spark.read.parquet(path).count() == 100  # no double-append
+    assert append_log_idempotent(spark, df, path, "b2") is True
+    assert spark.read.parquet(path).count() == 200
