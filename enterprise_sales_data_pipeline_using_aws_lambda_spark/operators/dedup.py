@@ -114,3 +114,51 @@ def shuffle_export(
         .withColumn("shard_pos", F.row_number().over(w) - 1)
         .drop("_shuffle_key")
     )
+
+
+def global_row_numbers(
+    df: DataFrame, order_col: str, out_col: str = "row_id"
+) -> DataFrame:
+    """Contiguous global row ids 0..N-1 in ``order_col`` order — WITHOUT
+    the single-partition trap.
+
+    The naive ``row_number().over(Window.orderBy(order_col))`` drags the
+    entire dataset through ONE task (Spark even warns).  Scalable form:
+
+    1. range-repartition on ``order_col`` (partition p holds a disjoint,
+       ordered slice);
+    2. count rows per partition (a |partitions|-sized aggregate);
+    3. prefix-sum the counts driver-side into per-partition offsets;
+    4. broadcast offsets back; id = offset[p] + local row_number within
+       the partition.
+
+    Every step is partition-parallel; the only global object is the
+    |partitions|-length offset array.  Requires ``order_col`` values
+    unique (ties would make ids nondeterministic across runs)."""
+    # Materialize the partitioned snapshot: the counts pass and the
+    # numbering pass MUST see identical partition boundaries (range
+    # sampling is deterministic in Spark, but pinning the snapshot makes
+    # the invariant independent of that implementation detail and saves
+    # a recompute).
+    part_df = (
+        df.repartitionByRange(F.col(order_col))
+        .withColumn("_pid", F.spark_partition_id())
+        .localCheckpoint(eager=True)
+    )
+    counts = (
+        part_df.groupBy("_pid").count().orderBy("_pid").collect()
+    )
+    offsets, acc = {}, 0
+    for r in counts:
+        offsets[r["_pid"]] = acc
+        acc += r["count"]
+    spark = df.sparkSession
+    off_df = spark.createDataFrame(
+        [(p, o) for p, o in offsets.items()], "_pid int, _offset long"
+    )
+    w = Window.partitionBy("_pid").orderBy(order_col)
+    return (
+        part_df.join(F.broadcast(off_df), "_pid")
+        .withColumn(out_col, F.col("_offset") + F.row_number().over(w) - 1)
+        .drop("_pid", "_offset")
+    )

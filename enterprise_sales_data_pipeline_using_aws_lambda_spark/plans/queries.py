@@ -3024,3 +3024,25 @@ def embedding_preprocess(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.round(unit_sum, 6).alias("unit_sum"),
         q8.alias("q8"),
     )
+
+
+@query(
+    "global_row_numbering",
+    """
+    SELECT doc_id, source,
+           row_number() OVER (ORDER BY doc_id) - 1 AS row_id
+    FROM documents
+    """,
+)
+def global_row_numbering(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Contiguous global ids (operators.dedup.global_row_numbers):
+    range-repartition → per-partition counts → driver prefix-sum →
+    broadcast offsets + local row_number.  The oracle is the naive
+    single-partition window — identical output, but the operator's plan
+    keeps every step partition-parallel (the only global state is a
+    |partitions|-length offset array), which is the difference between
+    working and not working at 10^11 rows."""
+    from ..operators.dedup import global_row_numbers
+
+    docs = _t(spark, sf_dir, "documents").select("doc_id", "source")
+    return global_row_numbers(docs, "doc_id")

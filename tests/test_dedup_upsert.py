@@ -211,3 +211,28 @@ def test_partitioned_upsert_touches_only_affected_partitions(spark, tmp_path):
     assert got[1] == "UPDATED" and got[101] == "NEW" and got[0] == "v0"
     # keys unique after merge
     assert out.select("k").distinct().count() == 21
+
+
+def test_global_row_numbers_contiguous_and_ordered(spark):
+    from enterprise_sales_data_pipeline_using_aws_lambda_spark.operators.dedup import (
+        global_row_numbers,
+    )
+    from pyspark.sql import functions as F
+
+    # Unsorted, multi-partition input with gaps in the key space.
+    df = (
+        spark.range(0, 5000)
+        .select((F.col("id") * 7 % 9973).alias("k"))
+        .distinct()
+        .repartition(16)
+    )
+    n = df.count()
+    out = global_row_numbers(df, "k").collect()
+    assert len(out) == n
+    ids = sorted(r["row_id"] for r in out)
+    assert ids == list(range(n))  # contiguous 0..N-1
+    by_k = sorted(out, key=lambda r: r["k"])
+    assert [r["row_id"] for r in by_k] == list(range(n))  # follows key order
+    # No single-partition window in the plan (the trap this avoids).
+    plan = global_row_numbers(df, "k")._jdf.queryExecution().executedPlan().toString()
+    assert "Exchange SinglePartition" not in plan and "singlepartitioning" not in plan.lower()
