@@ -162,3 +162,40 @@ def global_row_numbers(
         .withColumn(out_col, F.col("_offset") + F.row_number().over(w) - 1)
         .drop("_pid", "_offset")
     )
+
+
+def weighted_sample(
+    df: DataFrame,
+    weight_col: str,
+    k: int,
+    key_col: str,
+    seed: int = 0,
+) -> DataFrame:
+    """Weighted random sample WITHOUT replacement of k rows, one pass,
+    no global sort — Efraimidis-Spirakis A-ES with deterministic
+    pseudo-randomness.
+
+    Each row gets priority ``u^(1/w)`` where u is a uniform(0,1] derived
+    from ``xxhash64(key, seed)`` and w its weight; the k highest
+    priorities ARE a weighted sample without replacement.  Selection
+    runs as TakeOrderedAndProject (per-partition k-heaps, no shuffle of
+    the full data), and the hash-derived u makes the sample reproducible
+    across runs/retries/repartitioning — the property rand() cannot give
+    an exactly-once export pipeline.
+
+    Quality-weighted corpus subsampling is the canonical use: w = a
+    quality score, and high-quality docs are proportionally favored
+    while every doc keeps nonzero probability."""
+    # uniform in (0, 1]: map hash to [0, 2^63) then shift to (0,1]
+    u = (
+        F.pmod(F.xxhash64(F.col(key_col), F.lit(seed)), F.lit(2**62)).cast("double")
+        + F.lit(1.0)
+    ) / F.lit(float(2**62))
+    w = F.greatest(F.col(weight_col).cast("double"), F.lit(1e-12))
+    priority = F.pow(u, 1.0 / w)
+    return (
+        df.withColumn("_priority", priority)
+        .orderBy(F.desc("_priority"), F.asc(key_col))
+        .limit(k)
+        .drop("_priority")
+    )

@@ -3046,3 +3046,15 @@ def global_row_numbering(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     docs = _t(spark, sf_dir, "documents").select("doc_id", "source")
     return global_row_numbers(docs, "doc_id")
+
+
+@query("weighted_sample_docs", None)
+def weighted_sample_docs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Quality-weighted corpus sample (operators.dedup.weighted_sample,
+    Efraimidis-Spirakis priorities from seeded xxhash64): 100 docs
+    favored by length.  No SQL oracle (xxhash64 is engine-specific);
+    determinism, bias, and heap-top-k plan are pinned by tests."""
+    from ..operators.dedup import weighted_sample
+
+    docs = _t(spark, sf_dir, "documents").select("doc_id", "source", "n_chars")
+    return weighted_sample(docs, "n_chars", 100, "doc_id")

@@ -236,3 +236,44 @@ def test_global_row_numbers_contiguous_and_ordered(spark):
     # No single-partition window in the plan (the trap this avoids).
     plan = global_row_numbers(df, "k")._jdf.queryExecution().executedPlan().toString()
     assert "Exchange SinglePartition" not in plan and "singlepartitioning" not in plan.lower()
+
+
+def test_weighted_sample_properties(spark, sf_dir):
+    from enterprise_sales_data_pipeline_using_aws_lambda_spark.operators.dedup import (
+        weighted_sample,
+    )
+    from enterprise_sales_data_pipeline_using_aws_lambda_spark.sources.readers import (
+        read_table,
+    )
+    from pyspark.sql import functions as F
+
+    docs = read_table(spark, sf_dir, "documents").select("doc_id", "n_chars")
+    s1 = {r["doc_id"] for r in weighted_sample(docs, "n_chars", 50, "doc_id").collect()}
+    assert len(s1) == 50
+    # Deterministic across runs and repartitioning.
+    s2 = {
+        r["doc_id"]
+        for r in weighted_sample(
+            docs.repartition(11), "n_chars", 50, "doc_id"
+        ).collect()
+    }
+    assert s1 == s2
+    # Seed changes the sample.
+    s3 = {
+        r["doc_id"]
+        for r in weighted_sample(docs, "n_chars", 50, "doc_id", seed=9).collect()
+    }
+    assert s1 != s3
+    # Weight bias: sampled docs should skew longer than the corpus
+    # average (n_chars is the weight).
+    corpus_avg = docs.agg(F.avg("n_chars")).first()[0]
+    sample_avg = (
+        docs.filter(F.col("doc_id").isin(list(s1))).agg(F.avg("n_chars")).first()[0]
+    )
+    assert sample_avg > corpus_avg
+    # Plan: heap top-k, not a global sort.
+    plan = (
+        weighted_sample(docs, "n_chars", 50, "doc_id")
+        ._jdf.queryExecution().executedPlan().toString()
+    )
+    assert "TakeOrderedAndProject" in plan
