@@ -3058,3 +3058,37 @@ def weighted_sample_docs(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     docs = _t(spark, sf_dir, "documents").select("doc_id", "source", "n_chars")
     return weighted_sample(docs, "n_chars", 100, "doc_id")
+
+
+@query(
+    "shipping_delay_stats",
+    """
+    SELECT o.o_orderpriority,
+           count(*) AS n_lines,
+           round(avg(date_diff('day', o.o_orderdate, l.l_shipdate)), 2)
+               AS avg_delay_days,
+           min(date_diff('day', o.o_orderdate, l.l_shipdate)) AS min_delay_days,
+           max(date_diff('day', o.o_orderdate, l.l_shipdate)) AS max_delay_days
+    FROM lineitem l JOIN orders o ON l.l_orderkey = o.o_orderkey
+    GROUP BY o.o_orderpriority
+    """,
+)
+def shipping_delay_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Date-interval arithmetic across a join: order→ship latency
+    distribution per priority.  The datediff evaluates inside the join's
+    codegen stage; the per-priority reduction is an ordinary partial+
+    final hash agg, so the fact table shuffles once on the join key and
+    only 5 aggregate rows leave the final stage."""
+    li = _t(spark, sf_dir, "lineitem")
+    o = _t(spark, sf_dir, "orders")
+    delay = F.datediff(F.col("l_shipdate"), F.col("o_orderdate"))
+    return (
+        li.join(o, li.l_orderkey == o.o_orderkey)
+        .groupBy("o_orderpriority")
+        .agg(
+            F.count("*").alias("n_lines"),
+            F.round(F.avg(delay), 2).alias("avg_delay_days"),
+            F.min(delay).alias("min_delay_days"),
+            F.max(delay).alias("max_delay_days"),
+        )
+    )
