@@ -10,7 +10,7 @@ the work parallelizes per-partition with zero shuffles.
 
 from __future__ import annotations
 
-from pyspark.sql import Column, DataFrame
+from pyspark.sql import Column, DataFrame, Window
 from pyspark.sql import functions as F
 
 from ..functions.text import simple_word_count
@@ -194,4 +194,50 @@ def chunk_documents(
     )
     return out.withColumn("n_chars", F.length("chunk_text")).filter(
         F.col("n_chars") > 0
+    )
+
+
+def chunk_documents_boundary(
+    docs: DataFrame,
+    width: int = 100,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+) -> DataFrame:
+    """Whitespace-boundary chunking: words pack greedily into chunks of
+    ~``width`` chars (each word costs len+1 for its separator), so no
+    word is ever split — the chunking an embedding/tokenizer stage
+    actually wants, vs the fixed-width baseline in
+    :func:`chunk_documents`.
+
+    Dataflow: tokenize → posexplode → running char count per doc (one
+    window, partitioned by doc — each doc sorts locally) → chunk id by
+    integer division → re-assemble each chunk with an order-preserving
+    sorted-struct array join.  All JVM expressions; the only shuffle is
+    the doc-partitioned window."""
+    words = docs.select(
+        F.col(id_col),
+        F.posexplode(
+            F.split(F.col(text_col), " ")
+        ).alias("pos", "word"),
+    ).filter(F.col("word") != "")
+    w = Window.partitionBy(id_col).orderBy("pos")
+    with_chunk = words.withColumn(
+        "_cum", F.sum(F.length("word") + 1).over(w)
+    ).withColumn(
+        "chunk_id",
+        ((F.col("_cum") - F.length("word") - 1) / width).cast("int"),
+    )
+    return (
+        with_chunk.groupBy(id_col, "chunk_id")
+        .agg(
+            F.array_join(
+                F.transform(
+                    F.array_sort(F.collect_list(F.struct("pos", "word"))),
+                    lambda s: s.getField("word"),
+                ),
+                " ",
+            ).alias("chunk_text"),
+            F.count("*").alias("n_words"),
+        )
+        .withColumn("n_chars", F.length("chunk_text"))
     )

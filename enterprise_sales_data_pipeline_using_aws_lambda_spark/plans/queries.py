@@ -3092,3 +3092,46 @@ def shipping_delay_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.max(delay).alias("max_delay_days"),
         )
     )
+
+
+@query(
+    "chunk_documents_boundary",
+    """
+    WITH words AS (
+        SELECT doc_id, t.pos, t.word
+        FROM (
+            SELECT doc_id, string_split(text, ' ') AS ws FROM documents
+        ), LATERAL (
+            SELECT unnest(ws) AS word, generate_subscripts(ws, 1) AS pos
+        ) t
+        WHERE t.word <> ''
+    ),
+    packed AS (
+        SELECT doc_id, pos, word,
+               ((sum(length(word) + 1) OVER w) - length(word) - 1) // 100
+                   AS chunk_id
+        FROM words
+        WINDOW w AS (PARTITION BY doc_id ORDER BY pos
+                     ROWS UNBOUNDED PRECEDING)
+    )
+    SELECT doc_id, chunk_id::INT AS chunk_id,
+           string_agg(word, ' ' ORDER BY pos) AS chunk_text,
+           count(*) AS n_words,
+           length(string_agg(word, ' ' ORDER BY pos)) AS n_chars
+    FROM packed
+    GROUP BY doc_id, chunk_id
+    """,
+)
+def chunk_documents_boundary_q(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Boundary-aware chunking
+    (operators.text_analysis.chunk_documents_boundary): greedy word
+    packing to ~100-char chunks — no word ever split.  One
+    doc-partitioned window for the running char count, then an
+    order-preserving re-assembly (sorted struct array join, since
+    collect_list order is not guaranteed under parallelism — the oracle
+    uses string_agg ORDER BY for the same determinism)."""
+    from ..operators.text_analysis import chunk_documents_boundary
+
+    return chunk_documents_boundary(
+        _t(spark, sf_dir, "documents"), width=100
+    ).select("doc_id", "chunk_id", "chunk_text", "n_words", "n_chars")

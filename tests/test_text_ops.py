@@ -120,3 +120,42 @@ def test_chunk_documents_reassembles_exactly(spark, sf_dir):
     joined = docs.join(rebuilt, "doc_id")
     assert joined.filter(F.col("text") != F.col("rebuilt")).count() == 0
     assert chunks.filter(F.length("chunk_text") > 37).count() == 0
+
+
+def test_boundary_chunks_never_split_words(spark, sf_dir):
+    from enterprise_sales_data_pipeline_using_aws_lambda_spark.operators.text_analysis import (
+        chunk_documents_boundary,
+    )
+    from enterprise_sales_data_pipeline_using_aws_lambda_spark.sources.readers import (
+        read_table,
+    )
+    from pyspark.sql import functions as F
+
+    docs = read_table(spark, sf_dir, "documents").limit(40)
+    chunks = chunk_documents_boundary(docs, width=50)
+    # Reassembly: chunks joined in order with single spaces reproduce
+    # the word sequence of the original text.
+    rebuilt = chunks.groupBy("doc_id").agg(
+        F.array_join(
+            F.transform(
+                F.array_sort(F.collect_list(F.struct("chunk_id", "chunk_text"))),
+                lambda s: s.getField("chunk_text"),
+            ),
+            " ",
+        ).alias("rebuilt")
+    )
+    orig = docs.select(
+        "doc_id",
+        F.array_join(
+            F.filter(F.split("text", " "), lambda w: w != ""), " "
+        ).alias("norm_text"),
+    )
+    bad = orig.join(rebuilt, "doc_id").filter(
+        F.col("norm_text") != F.col("rebuilt")
+    )
+    assert bad.count() == 0
+    # Every chunk's words are intact substrings of the original: implied
+    # by reassembly equality. Chunk sizes hover near the target width:
+    # no chunk (except single-long-word ones) exceeds width + longest
+    # word length.
+    assert chunks.filter(F.col("n_chars") > 50 + 30).count() == 0
