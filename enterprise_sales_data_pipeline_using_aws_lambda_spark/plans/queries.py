@@ -3135,3 +3135,46 @@ def chunk_documents_boundary_q(spark: SparkSession, sf_dir: str) -> DataFrame:
     return chunk_documents_boundary(
         _t(spark, sf_dir, "documents"), width=100
     ).select("doc_id", "chunk_id", "chunk_text", "n_words", "n_chars")
+
+
+@query(
+    "ratio_to_report_lang_share",
+    """
+    WITH counts AS (
+        SELECT source, lang, count(*) AS n_docs,
+               round(sum(n_chars), 2) AS total_chars
+        FROM documents GROUP BY source, lang
+    )
+    SELECT source, lang, n_docs, total_chars,
+           round(n_docs * 1.0 / sum(n_docs) OVER (PARTITION BY source), 6)
+               AS doc_share,
+           round(total_chars / sum(total_chars) OVER (PARTITION BY source), 6)
+               AS char_share
+    FROM counts
+    """,
+)
+def ratio_to_report_lang_share(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Ratio-to-report: each (source, lang) cell's share of its source's
+    totals — a window over an AGGREGATE, not over raw rows.  The
+    aggregate reduces to |source×lang| rows first, so the share window
+    sorts a tiny frame; computing shares over raw documents would put a
+    window on the full corpus for the same answer.  Corpus-mix
+    monitoring (language balance per source) is the canonical use."""
+    docs = _t(spark, sf_dir, "documents")
+    counts = docs.groupBy("source", "lang").agg(
+        F.count("*").alias("n_docs"),
+        F.round(F.sum("n_chars").cast("double"), 2).alias("total_chars"),
+    )
+    w = Window.partitionBy("source")
+    return counts.select(
+        "source",
+        "lang",
+        "n_docs",
+        "total_chars",
+        F.round(F.col("n_docs") / F.sum("n_docs").over(w), 6).alias(
+            "doc_share"
+        ),
+        F.round(
+            F.col("total_chars") / F.sum("total_chars").over(w), 6
+        ).alias("char_share"),
+    )
