@@ -3178,3 +3178,61 @@ def ratio_to_report_lang_share(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.col("total_chars") / F.sum("total_chars").over(w), 6
         ).alias("char_share"),
     )
+
+
+@query(
+    "order_history_features",
+    """
+    WITH ranked AS (
+        SELECT o_custkey, o_totalprice,
+               row_number() OVER (
+                   PARTITION BY o_custkey
+                   ORDER BY o_orderdate, o_orderkey) AS rn_first,
+               row_number() OVER (
+                   PARTITION BY o_custkey
+                   ORDER BY o_orderdate DESC, o_orderkey DESC) AS rn_last
+        FROM orders
+    )
+    SELECT o_custkey,
+           count(*) AS n_orders,
+           round(max(CASE WHEN rn_first = 1 THEN o_totalprice END), 2)
+               AS first_price,
+           round(max(CASE WHEN rn_last = 1 THEN o_totalprice END), 2)
+               AS last_price,
+           round(max(CASE WHEN rn_last = 1 THEN o_totalprice END)
+                 - max(CASE WHEN rn_first = 1 THEN o_totalprice END), 2)
+               AS price_delta
+    FROM ranked
+    GROUP BY o_custkey
+    HAVING count(*) >= 2
+    """,
+)
+def order_history_features(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Nested-type feature building: each customer's orders collected
+    into a chronologically sorted array of structs, features (first/last
+    price, trend) extracted with element_at — ONE aggregation instead of
+    the oracle's two ranking windows.  The struct array sorts
+    lexicographically on (date, orderkey, price), giving deterministic
+    first/last under date ties.  The array stays intermediate; outputs
+    are scalars."""
+    o = _t(spark, sf_dir, "orders")
+    hist = o.groupBy("o_custkey").agg(
+        F.array_sort(
+            F.collect_list(
+                F.struct(
+                    F.col("o_orderdate").alias("d"),
+                    F.col("o_orderkey").alias("k"),
+                    F.col("o_totalprice").alias("p"),
+                )
+            )
+        ).alias("hist")
+    )
+    first_p = F.element_at("hist", 1).getField("p")
+    last_p = F.element_at("hist", -1).getField("p")
+    return hist.filter(F.size("hist") >= 2).select(
+        "o_custkey",
+        F.size("hist").cast("long").alias("n_orders"),
+        F.round(first_p, 2).alias("first_price"),
+        F.round(last_p, 2).alias("last_price"),
+        F.round(last_p - first_p, 2).alias("price_delta"),
+    )
