@@ -84,6 +84,11 @@ HEADLINE = [
     "cube_with_grouping_id",
     "chunk_documents_fixed",
     "llm_data_pipeline",
+    "shipping_delay_stats",
+    "ratio_to_report_lang_share",
+    "order_history_features",
+    "embedding_preprocess",
+    "chunk_documents_boundary",
 ]
 
 
