@@ -3236,3 +3236,53 @@ def order_history_features(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.round(last_p, 2).alias("last_price"),
         F.round(last_p - first_p, 2).alias("price_delta"),
     )
+
+
+@query("approx_percentile_summary", None)
+def approx_percentile_summary(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Sketch-based percentiles (approx_percentile, t-digest-style): one
+    pass, mergeable fixed-size state per group — the 100 TB path where
+    ``percentile_summary``'s exact per-group sort stops being
+    affordable.  Rows-only check (sketch estimates are
+    implementation-defined); the exact twin pins true values."""
+    li = _t(spark, sf_dir, "lineitem")
+    return li.groupBy("l_returnflag").agg(
+        F.round(
+            F.approx_percentile("l_extendedprice", F.lit(0.5), F.lit(10000)), 2
+        ).alias("price_p50_approx"),
+        F.round(
+            F.approx_percentile("l_extendedprice", F.lit(0.99), F.lit(10000)), 2
+        ).alias("price_p99_approx"),
+        F.count("*").alias("n_rows"),
+    )
+
+
+@query(
+    "key_skew_profile",
+    """
+    WITH per_key AS (
+        SELECT o_custkey, count(*) AS key_rows
+        FROM orders GROUP BY o_custkey
+    )
+    SELECT key_rows, count(*) AS n_keys,
+           round(key_rows * count(*) * 1.0
+                 / (SELECT count(*) FROM orders), 6) AS row_share
+    FROM per_key
+    GROUP BY key_rows
+    """,
+)
+def key_skew_profile(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Key-skew diagnostic (count-of-counts): the distribution of rows
+    per join/group key and each bucket's share of the table — the number
+    you need BEFORE choosing plain vs salted vs broadcast join.  Two
+    cheap aggregations; the first reduces the table to |keys| rows, the
+    second to |distinct frequencies|."""
+    o = _t(spark, sf_dir, "orders")
+    total = o.count()
+    per_key = o.groupBy("o_custkey").agg(F.count("*").alias("key_rows"))
+    return per_key.groupBy("key_rows").agg(
+        F.count("*").alias("n_keys"),
+        F.round(
+            F.col("key_rows") * F.count("*") / F.lit(float(total)), 6
+        ).alias("row_share"),
+    )
