@@ -1,0 +1,171 @@
+"""Scale smoke: run the scale-critical operators on synthetic data 1-2
+orders of magnitude beyond the bench SF, and print wall times.
+
+The sf0.1 bench proves correctness-at-speed on ~600k-row tables; this
+script is the "would it survive 100×?" evidence — each workload is
+shaped to stress the exact mechanism the operator docstring claims
+(hash-agg fan-in, single-shuffle as-of, bucket-pruned range join,
+log-round connected components, heap top-k under skew).
+
+Usage: python tools/scale_smoke.py [rows_millions]   (default 20)
+Prints one line per workload: name, input rows, seconds.
+"""
+
+from __future__ import annotations
+
+import sys
+import time
+
+sys.path.insert(0, "/root/repo")
+
+from pyspark.sql import functions as F  # noqa: E402
+
+
+def main() -> int:
+    from enterprise_sales_data_pipeline_using_aws_lambda_spark.session import (
+        get_spark,
+    )
+
+    m = int(sys.argv[1]) if len(sys.argv) > 1 else 20
+    n = m * 1_000_000
+    spark = get_spark("scale-smoke")
+    spark.range(1).count()  # JVM warm
+
+    results = []
+
+    def run(name, rows, fn):
+        t0 = time.perf_counter()
+        out = fn()
+        dt = time.perf_counter() - t0
+        results.append((name, rows, round(dt, 2), out))
+        print(f"{name:<28} rows={rows:>12,}  {dt:7.2f}s  ({out})", flush=True)
+
+    # 1) Wide hash aggregation with a high-cardinality key (~n/10 groups).
+    fact = spark.range(0, n).select(
+        (F.col("id") % (n // 10)).alias("k"),
+        (F.col("id") % 97).cast("double").alias("v"),
+    )
+    run(
+        "hash_agg_highcard",
+        n,
+        lambda: fact.groupBy("k")
+        .agg(F.sum("v"), F.max("v"))
+        .write.format("noop").mode("overwrite").save()
+        or "n/10 groups",
+    )
+
+    # 2) Keyed keep-last dedup (2 rows/key on average).
+    dup = spark.range(0, n).select(
+        (F.col("id") % (n // 2)).alias("k"),
+        F.col("id").alias("seq"),
+        (F.col("id") % 1009).cast("double").alias("v"),
+    )
+    from enterprise_sales_data_pipeline_using_aws_lambda_spark.operators.dedup import (
+        dedup_keep_last,
+    )
+
+    run(
+        "dedup_keep_last",
+        n,
+        lambda: dedup_keep_last(dup, ["k"], [F.col("seq").desc()])
+        .write.format("noop").mode("overwrite").save()
+        or "2 rows/key",
+    )
+
+    # 3) As-of join: n/4 left rows against n/4 right rows, 1k keys.
+    nl = n // 4
+    left = spark.range(0, nl).select(
+        (F.col("id") % 1000).alias("k"),
+        F.timestamp_seconds(F.col("id") % 10_000_000).alias("lts"),
+    )
+    right = spark.range(0, nl).select(
+        (F.col("id") % 1000).alias("k"),
+        F.timestamp_seconds((F.col("id") * 2 + 1) % 10_000_000).alias("rts"),
+        (F.col("id") % 13).cast("double").alias("v"),
+    )
+    from enterprise_sales_data_pipeline_using_aws_lambda_spark.operators.joins import (
+        asof_join,
+        interval_join,
+        salted_join,
+    )
+
+    run(
+        "asof_join",
+        nl * 2,
+        lambda: asof_join(left, right, ["k"], "lts", "rts", ["v"])
+        .write.format("noop").mode("overwrite").save()
+        or "1k keys",
+    )
+
+    # 4) Keyless interval join: n/40 points vs n/4000 intervals.
+    pts = spark.range(0, n // 40).select(
+        F.col("id").alias("pid"),
+        F.timestamp_seconds(F.col("id") % 2_000_000).alias("pts"),
+    )
+    ivals = spark.range(0, n // 4000).select(
+        F.col("id").alias("iid"),
+        F.timestamp_seconds((F.col("id") * 379) % 2_000_000).alias("s"),
+    ).withColumn("e", F.col("s") + F.expr("INTERVAL 10 MINUTES"))
+    run(
+        "interval_join_keyless",
+        n // 40,
+        lambda: str(
+            interval_join(pts, ivals, "pts", "s", "e", bucket="10 minutes").count()
+        )
+        + " matches",
+    )
+
+    # 5) Salted join under 90% single-key skew.
+    skew_fact = spark.range(0, n // 2).select(
+        F.when(F.col("id") % 10 < 9, 7).otherwise(F.col("id") % 10_000).alias("k"),
+        F.col("id").alias("payload"),
+    )
+    dim = spark.range(0, 10_000).select(
+        F.col("id").alias("k"), (F.col("id") * 3).alias("w")
+    )
+    run(
+        "salted_join_90pct_skew",
+        n // 2,
+        lambda: salted_join(skew_fact, dim, "k", salt_buckets=32)
+        .write.format("noop").mode("overwrite").save()
+        or "hot key split 32x",
+    )
+
+    # 6) Connected components on a 2M-edge graph (100k chains of 20).
+    edges = spark.range(0, 2_000_000).select(
+        F.col("id").alias("id_a"), (F.col("id") + 1).alias("id_b")
+    ).filter((F.col("id_a") % 20) != 19)
+    from enterprise_sales_data_pipeline_using_aws_lambda_spark.operators.graph import (
+        connected_components,
+    )
+
+    run(
+        "connected_components_2M",
+        2_000_000,
+        lambda: str(
+            connected_components(edges)
+            .agg(F.countDistinct("component")).first()[0]
+        )
+        + " components",
+    )
+
+    # 7) Global top-k under the same skew (heap, no global sort).
+    run(
+        "global_topk",
+        n,
+        lambda: str(
+            spark.range(0, n)
+            .select((F.xxhash64("id") % 1_000_003).alias("v"))
+            .orderBy(F.desc("v")).limit(100).count()
+        )
+        + " rows",
+    )
+
+    total = round(sum(r[2] for r in results), 2)
+    print(f"TOTAL {total}s for {len(results)} workloads at base n={n:,}")
+    spark.stop()
+    return 0
+
+
+if __name__ == "__main__":
+    raise SystemExit(main())
