@@ -85,19 +85,29 @@ def connected_components(
     edge list) are the caller's to union in — this operator only sees
     edges.
     """
+    def _sig(df):
+        # One-job set signature: (count, XOR of per-edge hashes) —
+        # order-independent, overflow-free (xor, unlike sum, can't trip
+        # ANSI arithmetic).  Equal signatures on distinct sets ⇒ equal
+        # sets up to a 2^-64 hash collision — replaces a full exceptAll
+        # anti-join per round.
+        r = df.agg(
+            F.count("*").alias("n"),
+            F.bit_xor(F.xxhash64("u", "v")).alias("h"),
+        ).first()
+        return (r["n"], r["h"])
+
     e = _canonical_edges(edges, src, dst).localCheckpoint()
-    n = e.count()
+    sig = _sig(e)
     for _ in range(max_iter):
         e2 = _small_star(_large_star(e)).localCheckpoint()
         # Converged when the edge set is stable: every edge then links a
-        # node directly to its component minimum (a star graph).  Both
-        # sets are distinct, so equal count + empty one-sided difference
-        # ⇒ equality (one job instead of two diffs).
-        n2 = e2.count()
-        if n2 == n and e2.exceptAll(e).isEmpty():
-            e = e2
+        # node directly to its component minimum (a star graph).
+        sig2 = _sig(e2)
+        e = e2
+        if sig2 == sig:
             break
-        e, n = e2, n2
+        sig = sig2
     comp = e.select(F.col("v").alias("node"), F.col("u").alias("component"))
     roots = e.select(F.col("u").alias("node")).distinct().withColumn(
         "component", F.col("node")
