@@ -3286,3 +3286,38 @@ def key_skew_profile(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.col("key_rows") * F.count("*") / F.lit(float(total)), 6
         ).alias("row_share"),
     )
+
+
+@query("fuzzy_dedup_pipeline", None)
+def fuzzy_dedup_pipeline(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Fuzzy dedup END-TO-END: MinHash-LSH near-dup pairs (jaccard ≥
+    0.5) → connected components → keep one representative per cluster →
+    per-source survival stats.  This is the full production shape the
+    pairwise detectors feed (pairs alone don't dedup anything — the
+    transitive grouping and representative choice do).  Deterministic
+    (seeded hash family, min-id representatives) but not
+    SQL-expressible, so rows-only here; each stage is separately
+    oracle-checked (``ngram_jaccard_adjacent``,
+    ``dedup_connected_components``) or tested."""
+    from ..operators.graph import dedup_groups_from_pairs
+    from ..operators.text_dedup import minhash_near_duplicates
+
+    docs = _t(spark, sf_dir, "documents")
+    pairs = minhash_near_duplicates(docs, threshold=0.5)
+    groups = dedup_groups_from_pairs(pairs, docs, "doc_id")
+    survived = docs.join(
+        groups.filter("is_representative").select("doc_id"), "doc_id", "left_semi"
+    )
+    before = docs.groupBy("source").agg(F.count("*").alias("n_docs_before"))
+    after = survived.groupBy("source").agg(F.count("*").alias("n_docs_after"))
+    return (
+        before.join(after, "source", "left")
+        .select(
+            "source",
+            "n_docs_before",
+            F.coalesce("n_docs_after", F.lit(0)).alias("n_docs_after"),
+            (F.col("n_docs_before") - F.coalesce("n_docs_after", F.lit(0))).alias(
+                "n_removed"
+            ),
+        )
+    )
