@@ -3321,3 +3321,73 @@ def fuzzy_dedup_pipeline(spark: SparkSession, sf_dir: str) -> DataFrame:
             ),
         )
     )
+
+
+@query(
+    "nth_order_values",
+    """
+    SELECT DISTINCT o_custkey,
+           round(first_value(o_totalprice) OVER w, 2) AS first_order_price,
+           round(nth_value(o_totalprice, 2) OVER w, 2) AS second_order_price,
+           round(last_value(o_totalprice) OVER w, 2) AS latest_order_price
+    FROM orders
+    WINDOW w AS (PARTITION BY o_custkey ORDER BY o_orderdate, o_orderkey
+                 ROWS BETWEEN UNBOUNDED PRECEDING AND UNBOUNDED FOLLOWING)
+    """,
+)
+def nth_order_values(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Positional window values: first / second / latest order price per
+    customer in one window pass.  The frame must be explicitly
+    UNBOUNDED-to-UNBOUNDED — the default frame stops at CURRENT ROW,
+    which silently turns last_value into current-value, the classic
+    window-frame bug this query pins down on both engines."""
+    w = (
+        Window.partitionBy("o_custkey")
+        .orderBy("o_orderdate", "o_orderkey")
+        .rowsBetween(Window.unboundedPreceding, Window.unboundedFollowing)
+    )
+    o = _t(spark, sf_dir, "orders")
+    return o.select(
+        "o_custkey",
+        F.round(F.first("o_totalprice").over(w), 2).alias("first_order_price"),
+        F.round(F.nth_value("o_totalprice", 2).over(w), 2).alias(
+            "second_order_price"
+        ),
+        F.round(F.last("o_totalprice").over(w), 2).alias("latest_order_price"),
+    ).distinct()
+
+
+@query(
+    "monthly_revenue_growth",
+    """
+    WITH monthly AS (
+        SELECT date_trunc('month', CAST(o_orderdate AS DATE)) AS month,
+               round(sum(o_totalprice), 2) AS revenue
+        FROM orders GROUP BY 1
+    )
+    SELECT CAST(month AS DATE) AS month, revenue,
+           round(revenue - lag(revenue) OVER (ORDER BY month), 2)
+               AS revenue_change,
+           round((revenue - lag(revenue) OVER (ORDER BY month))
+                 / lag(revenue) OVER (ORDER BY month) * 100, 4)
+               AS pct_change
+    FROM monthly
+    """,
+)
+def monthly_revenue_growth(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Month-over-month growth: monthly rollup first (|months| rows),
+    then lag/percent-change over the tiny aggregate — the standard
+    business report, with the window cost paid on the rollup, never the
+    fact table."""
+    o = _t(spark, sf_dir, "orders")
+    monthly = o.groupBy(
+        F.date_trunc("month", F.col("o_orderdate")).cast("date").alias("month")
+    ).agg(F.round(F.sum("o_totalprice"), 2).alias("revenue"))
+    w = Window.orderBy("month")
+    prev = F.lag("revenue").over(w)
+    return monthly.select(
+        "month",
+        "revenue",
+        F.round(F.col("revenue") - prev, 2).alias("revenue_change"),
+        F.round((F.col("revenue") - prev) / prev * 100, 4).alias("pct_change"),
+    )
