@@ -3391,3 +3391,51 @@ def monthly_revenue_growth(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.round(F.col("revenue") - prev, 2).alias("revenue_change"),
         F.round((F.col("revenue") - prev) / prev * 100, 4).alias("pct_change"),
     )
+
+
+@query(
+    "order_interarrival_stats",
+    """
+    WITH gaps AS (
+        SELECT o_custkey,
+               date_diff('day',
+                         lag(CAST(o_orderdate AS DATE)) OVER w,
+                         CAST(o_orderdate AS DATE)) AS gap_days
+        FROM orders
+        WINDOW w AS (PARTITION BY o_custkey ORDER BY o_orderdate, o_orderkey)
+    )
+    SELECT o_custkey,
+           count(gap_days) AS n_gaps,
+           round(avg(gap_days), 2) AS avg_gap_days,
+           min(gap_days) AS min_gap_days,
+           max(gap_days) AS max_gap_days
+    FROM gaps
+    WHERE gap_days IS NOT NULL
+    GROUP BY o_custkey
+    HAVING count(gap_days) >= 2
+    """,
+)
+def order_interarrival_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Inter-arrival analysis: days between consecutive orders per
+    customer (lag over the per-customer sequence), reduced to gap
+    statistics — the purchase-cadence feature behind churn models.  One
+    shuffle+sort for the lag window; the aggregate reuses the same
+    partitioning, so Catalyst elides a second exchange."""
+    o = _t(spark, sf_dir, "orders")
+    w = Window.partitionBy("o_custkey").orderBy("o_orderdate", "o_orderkey")
+    gaps = o.select(
+        "o_custkey",
+        F.datediff(
+            F.col("o_orderdate"), F.lag("o_orderdate").over(w)
+        ).alias("gap_days"),
+    ).filter(F.col("gap_days").isNotNull())
+    return (
+        gaps.groupBy("o_custkey")
+        .agg(
+            F.count("*").alias("n_gaps"),
+            F.round(F.avg("gap_days"), 2).alias("avg_gap_days"),
+            F.min("gap_days").alias("min_gap_days"),
+            F.max("gap_days").alias("max_gap_days"),
+        )
+        .filter(F.col("n_gaps") >= 2)
+    )
