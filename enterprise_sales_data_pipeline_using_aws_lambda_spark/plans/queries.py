@@ -3439,3 +3439,91 @@ def order_interarrival_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .filter(F.col("n_gaps") >= 2)
     )
+
+
+@query(
+    "price_quartile_stats",
+    """
+    WITH q AS (
+        SELECT percentile_cont(0.25) WITHIN GROUP (ORDER BY o_totalprice) AS q1,
+               percentile_cont(0.50) WITHIN GROUP (ORDER BY o_totalprice) AS q2,
+               percentile_cont(0.75) WITHIN GROUP (ORDER BY o_totalprice) AS q3
+        FROM orders
+    )
+    SELECT CASE WHEN o_totalprice <= q.q1 THEN 1
+                WHEN o_totalprice <= q.q2 THEN 2
+                WHEN o_totalprice <= q.q3 THEN 3
+                ELSE 4 END AS quartile,
+           count(*) AS n_orders,
+           round(min(o_totalprice), 2) AS min_price,
+           round(max(o_totalprice), 2) AS max_price,
+           round(avg(o_totalprice), 2) AS avg_price
+    FROM orders CROSS JOIN q
+    GROUP BY 1
+    """,
+)
+def price_quartile_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Quartile banding WITHOUT a global ntile window (which would drag
+    every row through one task): quartile thresholds come from a 1-row
+    percentile aggregate, broadcast-cross-joined back onto the table,
+    and banding is a plain CASE — the threshold-from-aggregate pattern
+    that replaces any global-rank bucketing at scale."""
+    o = _t(spark, sf_dir, "orders")
+    q = o.agg(
+        F.percentile("o_totalprice", F.lit(0.25)).alias("q1"),
+        F.percentile("o_totalprice", F.lit(0.50)).alias("q2"),
+        F.percentile("o_totalprice", F.lit(0.75)).alias("q3"),
+    )
+    banded = o.crossJoin(F.broadcast(q)).withColumn(
+        "quartile",
+        F.when(F.col("o_totalprice") <= F.col("q1"), 1)
+        .when(F.col("o_totalprice") <= F.col("q2"), 2)
+        .when(F.col("o_totalprice") <= F.col("q3"), 3)
+        .otherwise(4),
+    )
+    return banded.groupBy("quartile").agg(
+        F.count("*").alias("n_orders"),
+        F.round(F.min("o_totalprice"), 2).alias("min_price"),
+        F.round(F.max("o_totalprice"), 2).alias("max_price"),
+        F.round(F.avg("o_totalprice"), 2).alias("avg_price"),
+    )
+
+
+@query(
+    "zscore_outlier_events",
+    """
+    WITH stats AS (
+        SELECT event_type,
+               avg(value) AS mu,
+               stddev_samp(value) AS sigma
+        FROM events GROUP BY event_type
+    )
+    SELECT e.event_type,
+           count(*) AS n_events,
+           sum(CASE WHEN abs((e.value - s.mu) / s.sigma) > 2.5
+                    THEN 1 ELSE 0 END) AS n_outliers,
+           round(max(abs((e.value - s.mu) / s.sigma)), 4) AS max_abs_z
+    FROM events e JOIN stats s ON e.event_type = s.event_type
+    GROUP BY e.event_type
+    """,
+)
+def zscore_outlier_events(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Z-score outlier detection per event type: one aggregate pass for
+    (mu, sigma), broadcast back onto the stream-shaped table, outliers
+    counted in a second pass — the monitoring query behind every
+    "metric spiked" alert.  Stats are |types| rows, so the fact side
+    never shuffles for the join."""
+    ev = _t(spark, sf_dir, "events")
+    stats = ev.groupBy("event_type").agg(
+        F.avg("value").alias("mu"), F.stddev_samp("value").alias("sigma")
+    )
+    z = F.abs((F.col("value") - F.col("mu")) / F.col("sigma"))
+    return (
+        ev.join(F.broadcast(stats), "event_type")
+        .groupBy("event_type")
+        .agg(
+            F.count("*").alias("n_events"),
+            F.sum(F.when(z > 2.5, 1).otherwise(0)).alias("n_outliers"),
+            F.round(F.max(z), 4).alias("max_abs_z"),
+        )
+    )
