@@ -3527,3 +3527,33 @@ def zscore_outlier_events(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.round(F.max(z), 4).alias("max_abs_z"),
         )
     )
+
+
+@query(
+    "boolean_aggregates",
+    """
+    SELECT o_orderpriority,
+           count(*) AS n_orders,
+           count_if(o_totalprice > 200000) AS n_big,
+           bool_and(o_totalprice > 1000) AS all_over_1k,
+           bool_or(o_orderstatus = 'P') AS any_pending,
+           mode(o_orderstatus) AS modal_status
+    FROM orders
+    GROUP BY o_orderpriority
+    """,
+)
+def boolean_aggregates(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Boolean/modal aggregate surface: count_if, every (bool_and),
+    some (bool_or), and mode — predicates reduced map-side like any agg,
+    so data-quality assertions over 100 TB cost one aggregation.
+    ``mode`` is only hash-comparable when the modal value is unique per
+    group (true for this data); document that caveat before relying on
+    it cross-engine."""
+    o = _t(spark, sf_dir, "orders")
+    return o.groupBy("o_orderpriority").agg(
+        F.count("*").alias("n_orders"),
+        F.count_if(F.col("o_totalprice") > 200000).alias("n_big"),
+        F.every(F.col("o_totalprice") > 1000).alias("all_over_1k"),
+        F.some(F.col("o_orderstatus") == "P").alias("any_pending"),
+        F.mode("o_orderstatus").alias("modal_status"),
+    )
