@@ -159,3 +159,33 @@ def test_boundary_chunks_never_split_words(spark, sf_dir):
     # no chunk (except single-long-word ones) exceeds width + longest
     # word length.
     assert chunks.filter(F.col("n_chars") > 50 + 30).count() == 0
+
+
+def test_parse_kv_udtf_lateral_join(spark):
+    """Python UDTF surface: row-to-rows expansion usable both as a
+    function call and SQL-registered with a LATERAL join."""
+    from enterprise_sales_data_pipeline_using_aws_lambda_spark.functions.udtfs import (
+        ParseKeyValue,
+        register_udtfs,
+    )
+    from pyspark.sql import functions as F
+
+    out = ParseKeyValue(F.lit("a=1; b = 2;junk;=skipme;c=3")).collect()
+    assert [(r["key"], r["value"]) for r in out] == [
+        ("a", "1"), ("b", "2"), ("c", "3")
+    ]
+
+    register_udtfs(spark)
+    spark.createDataFrame(
+        [(1, "x=10;y=20"), (2, "z=5"), (3, "")], "id long, props string"
+    ).createOrReplaceTempView("kv_rows")
+    rows = spark.sql(
+        """
+        SELECT id, p.key, p.value
+        FROM kv_rows, LATERAL parse_kv(props) AS p
+        ORDER BY id, p.key
+        """
+    ).collect()
+    assert [(r["id"], r["key"], r["value"]) for r in rows] == [
+        (1, "x", "10"), (1, "y", "20"), (2, "z", "5")
+    ]
