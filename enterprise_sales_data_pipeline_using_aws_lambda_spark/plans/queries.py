@@ -3557,3 +3557,50 @@ def boolean_aggregates(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.some(F.col("o_orderstatus") == "P").alias("any_pending"),
         F.mode("o_orderstatus").alias("modal_status"),
     )
+
+
+@query(
+    "cohort_retention",
+    """
+    WITH firsts AS (
+        SELECT user_id,
+               date_trunc('week', min(CAST(ts AS TIMESTAMP))) AS cohort_week
+        FROM events GROUP BY user_id
+    ),
+    activity AS (
+        SELECT DISTINCT user_id,
+               date_trunc('week', CAST(ts AS TIMESTAMP)) AS activity_week
+        FROM events
+    )
+    SELECT CAST(f.cohort_week AS DATE) AS cohort_week,
+           date_diff('day', f.cohort_week, a.activity_week) // 7 AS week_offset,
+           count(*) AS n_users
+    FROM activity a JOIN firsts f ON a.user_id = f.user_id
+    GROUP BY 1, 2
+    """,
+)
+def cohort_retention(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Cohort retention matrix: users bucketed by first-activity week,
+    counted in each subsequent week they return.  Both inputs reduce to
+    |users| (first week) and |user-weeks| (distinct activity) BEFORE the
+    join, and the cohort side is per-user-small — so the retention
+    matrix costs two aggregations and a broadcast join regardless of raw
+    event volume.  Week-truncated timestamps make the offset an exact
+    datediff/7 on both engines."""
+    ev = _t(spark, sf_dir, "events")
+    firsts = ev.groupBy("user_id").agg(
+        F.date_trunc("week", F.min("ts")).alias("cohort_week")
+    )
+    activity = ev.select(
+        "user_id", F.date_trunc("week", F.col("ts")).alias("activity_week")
+    ).distinct()
+    return (
+        activity.join(F.broadcast(firsts), "user_id")
+        .groupBy(
+            F.col("cohort_week").cast("date").alias("cohort_week"),
+            (F.datediff("activity_week", "cohort_week") / 7)
+            .cast("long")
+            .alias("week_offset"),
+        )
+        .agg(F.count("*").alias("n_users"))
+    )
