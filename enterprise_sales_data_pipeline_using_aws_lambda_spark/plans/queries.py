@@ -3604,3 +3604,88 @@ def cohort_retention(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .agg(F.count("*").alias("n_users"))
     )
+
+
+@query(
+    "rfm_segmentation",
+    """
+    WITH rfm AS (
+        SELECT o_custkey,
+               max(CAST(o_orderdate AS DATE)) AS last_order,
+               count(*) AS frequency,
+               round(sum(o_totalprice), 2) AS monetary
+        FROM orders GROUP BY o_custkey
+    ),
+    anchor AS (SELECT max(CAST(o_orderdate AS DATE)) AS max_d FROM orders)
+    SELECT CASE WHEN date_diff('day', last_order, a.max_d) <= 90 THEN 'active'
+                WHEN date_diff('day', last_order, a.max_d) <= 365 THEN 'cooling'
+                ELSE 'dormant' END AS recency_band,
+           CASE WHEN frequency >= 15 THEN 'frequent'
+                WHEN frequency >= 8 THEN 'regular'
+                ELSE 'occasional' END AS frequency_band,
+           count(*) AS n_customers,
+           round(sum(monetary), 2) AS total_monetary,
+           round(avg(monetary), 2) AS avg_monetary
+    FROM rfm CROSS JOIN anchor a
+    GROUP BY 1, 2
+    """,
+)
+def rfm_segmentation(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """RFM segmentation: recency/frequency/monetary per customer reduced
+    in ONE aggregation, then banded against a broadcast 1-row anchor
+    (dataset max date — never wall-clock, which would break determinism
+    and replay).  The segment matrix is a second aggregation over
+    |customers| rows; classic lifecycle analytics at aggregate cost."""
+    o = _t(spark, sf_dir, "orders")
+    rfm = o.groupBy("o_custkey").agg(
+        F.max(F.to_date("o_orderdate")).alias("last_order"),
+        F.count("*").alias("frequency"),
+        F.round(F.sum("o_totalprice"), 2).alias("monetary"),
+    )
+    anchor = o.agg(F.max(F.to_date("o_orderdate")).alias("max_d"))
+    days = F.datediff(F.col("max_d"), F.col("last_order"))
+    return (
+        rfm.crossJoin(F.broadcast(anchor))
+        .select(
+            F.when(days <= 90, "active")
+            .when(days <= 365, "cooling")
+            .otherwise("dormant")
+            .alias("recency_band"),
+            F.when(F.col("frequency") >= 15, "frequent")
+            .when(F.col("frequency") >= 8, "regular")
+            .otherwise("occasional")
+            .alias("frequency_band"),
+            "monetary",
+        )
+        .groupBy("recency_band", "frequency_band")
+        .agg(
+            F.count("*").alias("n_customers"),
+            F.round(F.sum("monetary"), 2).alias("total_monetary"),
+            F.round(F.avg("monetary"), 2).alias("avg_monetary"),
+        )
+    )
+
+
+@query(
+    "decimal_money_totals",
+    """
+    SELECT o_orderstatus,
+           sum(CAST(o_totalprice AS DECIMAL(18, 2))) AS total_exact,
+           count(*) AS n_orders
+    FROM orders
+    GROUP BY o_orderstatus
+    """,
+)
+def decimal_money_totals(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Exact decimal money arithmetic (SURVEY §1.3's documented
+    improvement over the reference's float money): cast once at the
+    edge, aggregate in DecimalType — sums are exact and
+    summation-order-independent, so the result needs NO rounding
+    tolerance anywhere (this query is the only aggregate in the gate
+    with no round() on either side).  Decimal ops cost ~2-3× double in
+    codegen; reserve them for money, keep doubles for stats."""
+    o = _t(spark, sf_dir, "orders")
+    return o.groupBy("o_orderstatus").agg(
+        F.sum(F.col("o_totalprice").cast("decimal(18,2)")).alias("total_exact"),
+        F.count("*").alias("n_orders"),
+    )
