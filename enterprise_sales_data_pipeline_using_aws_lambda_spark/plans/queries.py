@@ -3689,3 +3689,111 @@ def decimal_money_totals(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.sum(F.col("o_totalprice").cast("decimal(18,2)")).alias("total_exact"),
         F.count("*").alias("n_orders"),
     )
+
+
+@query(
+    "referential_integrity_audit",
+    """
+    SELECT
+        (SELECT count(*) FROM orders o
+         WHERE NOT EXISTS (SELECT 1 FROM lineitem l
+                           WHERE l.l_orderkey = o.o_orderkey))
+            AS orders_without_lineitems,
+        (SELECT count(*) FROM lineitem l
+         WHERE NOT EXISTS (SELECT 1 FROM orders o
+                           WHERE o.o_orderkey = l.l_orderkey))
+            AS lineitems_without_order,
+        (SELECT count(*) FROM orders o
+         WHERE NOT EXISTS (SELECT 1 FROM customer c
+                           WHERE c.c_custkey = o.o_custkey))
+            AS orders_without_customer,
+        (SELECT count(*) FROM lineitem l
+         WHERE NOT EXISTS (SELECT 1 FROM part p
+                           WHERE p.p_partkey = l.l_partkey))
+            AS lineitems_without_part
+    """,
+)
+def referential_integrity_audit(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Referential-integrity audit across the star schema: orphan counts
+    for each FK relationship via left-anti joins (each is one hash join
+    against a broadcast-or-shuffled key set — never a row-by-row lookup).
+    The ingest-time data-quality report that decides whether a batch is
+    publishable; zero rows on healthy data is itself the assertion."""
+    o = _t(spark, sf_dir, "orders")
+    li = _t(spark, sf_dir, "lineitem")
+    c = _t(spark, sf_dir, "customer")
+    p = _t(spark, sf_dir, "part")
+
+    def orphans(child, parent, ck, pk):
+        return child.join(
+            parent.select(F.col(pk).alias(ck)), ck, "left_anti"
+        ).count()
+
+    rows = [
+        (
+            orphans(o, li.select("l_orderkey").distinct(), "o_orderkey", "l_orderkey"),
+            orphans(li, o, "l_orderkey", "o_orderkey"),
+            orphans(o, c, "o_custkey", "c_custkey"),
+            orphans(li, p, "l_partkey", "p_partkey"),
+        )
+    ]
+    return spark.createDataFrame(
+        rows,
+        "orders_without_lineitems long, lineitems_without_order long, "
+        "orders_without_customer long, lineitems_without_part long",
+    )
+
+
+@query(
+    "order_reconciliation",
+    """
+    WITH li_sum AS (
+        SELECT l_orderkey,
+               sum(l_extendedprice * (1 - l_discount) * (1 + l_tax)) AS li_total
+        FROM lineitem GROUP BY l_orderkey
+    )
+    SELECT CASE
+               WHEN abs(o.o_totalprice - s.li_total)
+                    / greatest(o.o_totalprice, 1e-9) <= 0.01 THEN 'match_1pct'
+               WHEN abs(o.o_totalprice - s.li_total)
+                    / greatest(o.o_totalprice, 1e-9) <= 0.25 THEN 'close_25pct'
+               ELSE 'mismatch' END AS band,
+           count(*) AS n_orders,
+           round(avg(abs(o.o_totalprice - s.li_total)), 2) AS avg_abs_diff
+    FROM orders o JOIN li_sum s ON o.o_orderkey = s.l_orderkey
+    GROUP BY 1
+    """,
+)
+def order_reconciliation(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Cross-table reconciliation: the order header total vs the total
+    recomputed from its lines, banded by relative difference — the
+    two-sources-of-truth check every warehouse runs after ingest.
+    Lineitem reduces to per-order sums first, so the compare join is
+    |orders| × |orders|-sized."""
+    o = _t(spark, sf_dir, "orders")
+    li = _t(spark, sf_dir, "lineitem")
+    li_sum = li.groupBy(F.col("l_orderkey").alias("o_orderkey")).agg(
+        F.sum(
+            F.col("l_extendedprice")
+            * (1 - F.col("l_discount"))
+            * (1 + F.col("l_tax"))
+        ).alias("li_total")
+    )
+    rel = F.abs(F.col("o_totalprice") - F.col("li_total")) / F.greatest(
+        F.col("o_totalprice"), F.lit(1e-9)
+    )
+    return (
+        o.join(li_sum, "o_orderkey")
+        .select(
+            F.when(rel <= 0.01, "match_1pct")
+            .when(rel <= 0.25, "close_25pct")
+            .otherwise("mismatch")
+            .alias("band"),
+            (F.col("o_totalprice") - F.col("li_total")).alias("diff"),
+        )
+        .groupBy("band")
+        .agg(
+            F.count("*").alias("n_orders"),
+            F.round(F.avg(F.abs(F.col("diff"))), 2).alias("avg_abs_diff"),
+        )
+    )
