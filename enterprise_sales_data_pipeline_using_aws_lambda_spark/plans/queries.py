@@ -3797,3 +3797,40 @@ def order_reconciliation(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.round(F.avg(F.abs(F.col("diff"))), 2).alias("avg_abs_diff"),
         )
     )
+
+
+@query(
+    "bounded_rows_moving_avg",
+    """
+    SELECT o_custkey, o_orderkey,
+           round(avg(o_totalprice) OVER (
+               PARTITION BY o_custkey ORDER BY o_orderdate, o_orderkey
+               ROWS BETWEEN 2 PRECEDING AND CURRENT ROW), 4) AS avg_last3,
+           round(sum(o_totalprice) OVER (
+               PARTITION BY o_custkey ORDER BY o_orderdate, o_orderkey
+               ROWS BETWEEN 2 PRECEDING AND CURRENT ROW), 2) AS sum_last3
+    FROM orders
+    """,
+)
+def bounded_rows_moving_avg(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Bounded ROWS frame: each order's trailing-3 average/sum per
+    customer — the count-based sibling of the RANGE frame in
+    window_moving_avg_range (ROWS counts rows, RANGE counts value
+    distance; conflating them is the second classic window bug after
+    default-frame truncation).  Both expressions share one frame spec →
+    one Window operator, one shuffle+sort."""
+    o = _t(spark, sf_dir, "orders")
+    w = (
+        Window.partitionBy("o_custkey")
+        .orderBy("o_orderdate", "o_orderkey")
+        .rowsBetween(-2, 0)
+    )
+    return o.select(
+        "o_custkey",
+        "o_orderkey",
+        # round at 4, not 2: a 2-row average of cents lands exactly on
+        # .xx5, where double HALF_UP disagrees across engines; at scale 4
+        # the value needs no rounding at all.
+        F.round(F.avg("o_totalprice").over(w), 4).alias("avg_last3"),
+        F.round(F.sum("o_totalprice").over(w), 2).alias("sum_last3"),
+    )
