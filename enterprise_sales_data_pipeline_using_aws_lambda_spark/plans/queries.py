@@ -3834,3 +3834,33 @@ def bounded_rows_moving_avg(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.round(F.avg("o_totalprice").over(w), 4).alias("avg_last3"),
         F.round(F.sum("o_totalprice").over(w), 2).alias("sum_last3"),
     )
+
+
+@query(
+    "crosstab_status_priority",
+    """
+    SELECT o_orderstatus,
+           count(*) FILTER (o_orderpriority = '1-URGENT') AS urgent,
+           count(*) FILTER (o_orderpriority = '2-HIGH') AS high,
+           count(*) FILTER (o_orderpriority = '3-MEDIUM') AS medium,
+           count(*) FILTER (o_orderpriority = '4-NOT SPECIFIED') AS unspecified,
+           count(*) FILTER (o_orderpriority = '5-LOW') AS low
+    FROM orders
+    GROUP BY o_orderstatus
+    """,
+)
+def crosstab_status_priority(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Contingency table via ``df.stat.crosstab`` — the DataFrameStatFunctions
+    face of a pivot (one pass, counts per value pair).  Column names come
+    from data values, so they're re-aliased to a fixed contract; the
+    oracle is the equivalent FILTER-clause aggregation."""
+    o = _t(spark, sf_dir, "orders")
+    ct = o.stat.crosstab("o_orderstatus", "o_orderpriority")
+    return ct.select(
+        F.col("o_orderstatus_o_orderpriority").alias("o_orderstatus"),
+        F.col("`1-URGENT`").alias("urgent"),
+        F.col("`2-HIGH`").alias("high"),
+        F.col("`3-MEDIUM`").alias("medium"),
+        F.col("`4-NOT SPECIFIED`").alias("unspecified"),
+        F.col("`5-LOW`").alias("low"),
+    )

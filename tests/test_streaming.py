@@ -325,3 +325,34 @@ def test_watermark_drops_late_data_across_batches(spark, tmp_path):
     assert all(v != 99.0 for _, v in out.values())
     # On-time windows that closed under the final watermark did emit.
     assert out.get("2024-01-01 10:00:00") == (2, 2.0)
+
+
+def test_sliding_counts_batch_equals_streaming(spark, tmp_path):
+    """sliding_counts (60/30-minute overlapping panes) produces the same
+    windows in batch and streaming execution."""
+    from enterprise_sales_data_pipeline_using_aws_lambda_spark.streaming.windows import (
+        sliding_counts,
+    )
+
+    ev = read_events(spark, SF_DIR)
+    batch_out = {
+        (r["window_start"], r["n_events"], r["total_value"])
+        for r in sliding_counts(ev).collect()
+    }
+    ev.write.parquet(f"{tmp_path}/slide_in", mode="overwrite")
+    stream = spark.readStream.schema(ev.schema).parquet(f"{tmp_path}/slide_in")
+    q = (
+        sliding_counts(stream)
+        .writeStream.format("memory")
+        .queryName("slide_test")
+        .outputMode("complete")
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination(120)
+    stream_out = {
+        (r["window_start"], r["n_events"], r["total_value"])
+        for r in spark.sql("select * from slide_test").collect()
+    }
+    assert batch_out == stream_out
+    assert len(batch_out) > 0
