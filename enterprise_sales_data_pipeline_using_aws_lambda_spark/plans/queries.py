@@ -3864,3 +3864,32 @@ def crosstab_status_priority(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.col("`4-NOT SPECIFIED`").alias("unspecified"),
         F.col("`5-LOW`").alias("low"),
     )
+
+
+@query(
+    "higher_moments_profile",
+    """
+    SELECT l_linestatus,
+           round(skewness(l_extendedprice), 4) AS price_skew,
+           round(kurtosis_pop(l_extendedprice), 4) AS price_kurtosis,
+           round(skewness(l_quantity), 4) AS qty_skew,
+           count(*) AS n_rows
+    FROM lineitem
+    GROUP BY l_linestatus
+    """,
+)
+def higher_moments_profile(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Third/fourth moments per group — distribution-shape profiling
+    (skew → long tails, negative excess kurtosis → flatter than normal)
+    as the same single-pass streaming-moment aggregation as mean/stddev.
+    Engine note pinned by the oracle: Spark's ``kurtosis`` is the
+    POPULATION excess kurtosis (DuckDB ``kurtosis_pop``), not the
+    sample-corrected form; rounded at 4 decimals where the
+    sample-vs-population skewness correction is far below visibility."""
+    li = _t(spark, sf_dir, "lineitem")
+    return li.groupBy("l_linestatus").agg(
+        F.round(F.skewness("l_extendedprice"), 4).alias("price_skew"),
+        F.round(F.kurtosis("l_extendedprice"), 4).alias("price_kurtosis"),
+        F.round(F.skewness("l_quantity"), 4).alias("qty_skew"),
+        F.count("*").alias("n_rows"),
+    )
