@@ -3893,3 +3893,31 @@ def higher_moments_profile(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.round(F.skewness("l_quantity"), 4).alias("qty_skew"),
         F.count("*").alias("n_rows"),
     )
+
+
+@query(
+    "event_seasonality_profile",
+    """
+    SELECT dayofweek(CAST(ts AS TIMESTAMP)) AS dow,
+           hour(CAST(ts AS TIMESTAMP)) AS hod,
+           count(*) AS n_events,
+           round(sum(value), 2) AS total_value
+    FROM events
+    GROUP BY 1, 2
+    """,
+)
+def event_seasonality_profile(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Seasonality profile: event volume by (day-of-week, hour-of-day) —
+    the load-shape matrix behind capacity planning and anomaly
+    baselines.  Engine trap pinned by the oracle: Spark's ``dayofweek``
+    is 1-7 Sunday-start while DuckDB's is 0-6 Sunday-start, so the
+    Spark side shifts by one — date-part numbering is never portable
+    without an explicit contract."""
+    ev = _t(spark, sf_dir, "events")
+    return ev.groupBy(
+        (F.dayofweek("ts") - 1).alias("dow"),
+        F.hour("ts").alias("hod"),
+    ).agg(
+        F.count("*").alias("n_events"),
+        F.round(F.sum("value"), 2).alias("total_value"),
+    )
