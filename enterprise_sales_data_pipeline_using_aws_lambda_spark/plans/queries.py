@@ -3921,3 +3921,68 @@ def event_seasonality_profile(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.count("*").alias("n_events"),
         F.round(F.sum("value"), 2).alias("total_value"),
     )
+
+
+@query(
+    "pareto_abc_customers",
+    """
+    WITH rev AS (
+        SELECT o_custkey, round(sum(o_totalprice), 2) AS revenue
+        FROM orders GROUP BY o_custkey
+    ),
+    ranked AS (
+        SELECT o_custkey, revenue,
+               sum(revenue) OVER (ORDER BY revenue DESC, o_custkey
+                                  ROWS UNBOUNDED PRECEDING) AS cum_rev,
+               sum(revenue) OVER () AS total_rev
+        FROM rev
+    )
+    SELECT CASE WHEN cum_rev / total_rev <= 0.5 THEN 'A'
+                WHEN cum_rev / total_rev <= 0.8 THEN 'B'
+                ELSE 'C' END AS abc_class,
+           count(*) AS n_customers,
+           round(sum(revenue), 2) AS class_revenue,
+           round(sum(revenue) / max(total_rev) * 100, 4) AS revenue_pct
+    FROM ranked
+    GROUP BY 1
+    """,
+)
+def pareto_abc_customers(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Pareto / ABC classification: customers ranked by revenue, classed
+    by CUMULATIVE share (A = first 50% of revenue, B = to 80%, C =
+    rest).  The cumulative window runs over the |customers| aggregate,
+    not raw orders — and is the one deliberate global-ordered window in
+    the inventory: valid here because the frame is aggregate-sized;
+    at 10^9 customers switch to the threshold-from-aggregate banding of
+    price_quartile_stats."""
+    o = _t(spark, sf_dir, "orders")
+    rev = o.groupBy("o_custkey").agg(
+        F.round(F.sum("o_totalprice"), 2).alias("revenue")
+    )
+    w_cum = Window.orderBy(F.desc("revenue"), F.asc("o_custkey")).rowsBetween(
+        Window.unboundedPreceding, Window.currentRow
+    )
+    w_all = Window.partitionBy()
+    ranked = rev.select(
+        "revenue",
+        F.sum("revenue").over(w_cum).alias("cum_rev"),
+        F.sum("revenue").over(w_all).alias("total_rev"),
+    )
+    share = F.col("cum_rev") / F.col("total_rev")
+    return (
+        ranked.select(
+            F.when(share <= 0.5, "A").when(share <= 0.8, "B").otherwise("C").alias(
+                "abc_class"
+            ),
+            "revenue",
+            "total_rev",
+        )
+        .groupBy("abc_class")
+        .agg(
+            F.count("*").alias("n_customers"),
+            F.round(F.sum("revenue"), 2).alias("class_revenue"),
+            F.round(F.sum("revenue") / F.max("total_rev") * 100, 4).alias(
+                "revenue_pct"
+            ),
+        )
+    )
