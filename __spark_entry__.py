@@ -25,6 +25,32 @@ from enterprise_sales_data_pipeline_using_aws_lambda_spark.plans.queries import 
 
 SMOKE_SF_DIR = "/root/testdata/sf0.001"
 
+# Round-1 driver correctness covered exactly 50 of 105 registered queries
+# (CORRECTNESS_r01.json) — it stops after a fixed budget, in dict order.
+# To get the remaining queries their driver rows, ``queries()`` returns the
+# inventory with never-yet-checked entries FIRST (new queries added this
+# round are also unchecked, so they sort first automatically), then the
+# round-1-verified ones in their original order.
+R01_CHECKED = frozenset([
+    "agg_cube_status_priority", "agg_rollup_returns", "anti_join_inactive_customers",
+    "approx_distinct_users_daily", "asof_click_purchase", "dedup_embedding_cosine",
+    "dedup_exact_docs", "dedup_minhash_lsh", "dedup_simhash",
+    "distinct_users_daily", "embedding_vector_stats", "event_daily_agg",
+    "event_sessionize", "except_single_status_customers", "exists_late_orders",
+    "full_outer_nation_balance", "global_topk_orders", "in_subquery_big_orders",
+    "intersect_repeat_customers", "join_region_rollup", "json_props_stats",
+    "multimodal_features", "ngram_jaccard_adjacent", "percentile_summary",
+    "pivot_priority_by_status", "q1_pricing_summary", "q3_shipping_priority",
+    "q5_local_supplier_volume", "q6_revenue_forecast", "range_join_error_burst",
+    "ref_date_format", "ref_dedup_keep_last", "ref_sales_summary",
+    "ref_union", "ref_upsert", "ref_validate_counts",
+    "scalar_function_suite", "scalar_subquery_small_qty", "semi_join_active_customers",
+    "similarity_topk_bruteforce", "similarity_topk_lsh", "text_fingerprint",
+    "text_lang_id", "text_quality", "text_tokens",
+    "top_terms", "window_moving_avg_range", "window_rank_suite",
+    "window_running_total", "window_top_orders_per_cust",
+])
+
 
 def entry(spark: SparkSession) -> DataFrame:
     """Flagship query on /root/testdata/sf0.001; driver checks rows>0.
@@ -36,8 +62,15 @@ def entry(spark: SparkSession) -> DataFrame:
 
 
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
-    """One entry per implemented operator from SURVEY.md §2."""
-    return dict(QUERIES)
+    """One entry per implemented operator from SURVEY.md §2.
+
+    Ordered so queries without a round-1 driver correctness row run
+    first (see ``R01_CHECKED`` above) — the driver verifies entries in
+    dict order under a fixed budget.
+    """
+    unchecked = {n: f for n, f in QUERIES.items() if n not in R01_CHECKED}
+    checked = {n: f for n, f in QUERIES.items() if n in R01_CHECKED}
+    return {**unchecked, **checked}
 
 
 def oracle_sql() -> dict[str, str]:
