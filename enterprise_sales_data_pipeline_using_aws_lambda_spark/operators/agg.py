@@ -10,7 +10,7 @@ megabytes, not the table.
 
 from __future__ import annotations
 
-from pyspark.sql import Column, DataFrame
+from pyspark.sql import Column, DataFrame, Window
 from pyspark.sql import functions as F
 
 #: Output column names of the reference's summary (``lambda.py:185-188``).
@@ -48,4 +48,132 @@ def group_aggregate(
     operator contract — the driver's oracle hashes by column name)."""
     return df.groupBy(*keys).agg(
         *[expr.alias(name) for name, expr in aggs.items()]
+    )
+
+
+def exact_percentiles(
+    df: DataFrame,
+    group_cols: list[str],
+    value_col: str,
+    ps: list[float],
+    aliases: list[str] | None = None,
+    num_partitions: int | None = None,
+) -> DataFrame:
+    """Exact interpolated percentiles (``percentile_cont`` semantics)
+    per group — the scale-safe formulation.
+
+    ``F.percentile``/``F.median`` buffer every group value in the agg
+    state, and a ``Window.partitionBy(group)`` sort puts each group on
+    ONE task — both die when a few groups hold a fact table's rows.
+    This operator instead computes a distributed selection:
+
+    1. range-partition by (group, value) → every partition sort is
+       local, parallel, and spillable;
+    2. per-(partition, group) row counts → a P×G frame whose running
+       sum (a trivially small window) yields each partition's global
+       rank offset — no driver collect, offsets are broadcast-joined;
+    3. global rank = offset + local row_number (window keyed by
+       (partition, group): P×G-way parallelism);
+    4. each requested percentile p needs only ranks
+       ``lo = floor((n-1)p)+1`` and ``lo+1``; all other rows are
+       filtered before the final |groups|-row interpolation agg.
+
+    Exactly matches ``percentile_cont``: v_lo*(1-frac) + v_hi*frac with
+    h = (n-1)p.  Ties are safe — equal ranks carry equal values."""
+    aliases = aliases or [f"p{int(p * 100)}" for p in ps]
+    spark = df.sparkSession
+    num_partitions = num_partitions or int(
+        spark.conf.get("spark.sql.shuffle.partitions", "200")
+    )
+    g = [F.col(c) for c in group_cols]
+    v = F.col(value_col)
+
+    part = (
+        df.select(*group_cols, value_col)
+        .repartitionByRange(num_partitions, *g, v)
+        .withColumn("_pid", F.spark_partition_id())
+    )
+    cnt = part.groupBy("_pid", *group_cols).agg(F.count("*").alias("_pc"))
+    w_off = (
+        Window.partitionBy(*group_cols)
+        .orderBy("_pid")
+        .rowsBetween(Window.unboundedPreceding, -1)
+    )
+    off = cnt.select(
+        "_pid",
+        *group_cols,
+        F.coalesce(F.sum("_pc").over(w_off), F.lit(0)).alias("_off"),
+    )
+    n = cnt.groupBy(*group_cols).agg(F.sum("_pc").alias("_n"))
+
+    w_local = Window.partitionBy("_pid", *group_cols).orderBy(v)
+    ranked = (
+        part.withColumn("_lrn", F.row_number().over(w_local))
+        .join(F.broadcast(off), ["_pid", *group_cols])
+        .join(F.broadcast(n), group_cols)
+        .withColumn("_rn", F.col("_off") + F.col("_lrn"))
+    )
+
+    needed = F.lit(False)
+    contribs = []
+    for p, name in zip(ps, aliases):
+        h = (F.col("_n") - 1) * F.lit(float(p))
+        lo = F.floor(h) + 1
+        frac = h - F.floor(h)
+        needed = needed | (F.col("_rn") == lo) | (F.col("_rn") == lo + 1)
+        contrib = v.cast("double") * (
+            F.when(F.col("_rn") == lo, F.lit(1.0) - frac)
+            .when(F.col("_rn") == lo + 1, frac)
+            .otherwise(F.lit(0.0))
+        )
+        contribs.append(F.sum(contrib).alias(name))
+    return ranked.filter(needed).groupBy(*group_cols).agg(*contribs)
+
+
+def global_cumsum(
+    df: DataFrame,
+    order_cols: list[Column],
+    value_col: str,
+    out_col: str = "cum_sum",
+    num_partitions: int | None = None,
+) -> DataFrame:
+    """Globally-ordered running sum WITHOUT a single-partition window.
+
+    ``Window.orderBy(...)`` with no partitionBy collapses the whole
+    frame onto one task; this operator keeps the sort distributed:
+    range-partition on the ordering (parallel local sorts), running-sum
+    within each partition, then add each partition's offset — the
+    running total of per-partition sums, a P-row frame — via a
+    broadcast join.  Output: input columns + ``out_col``.
+
+    Range partition ids are ordered consistently with the sort, so
+    offset(pid) = Σ partition sums with smaller pid."""
+    spark = df.sparkSession
+    num_partitions = num_partitions or int(
+        spark.conf.get("spark.sql.shuffle.partitions", "200")
+    )
+    part = df.repartitionByRange(num_partitions, *order_cols).withColumn(
+        "_pid", F.spark_partition_id()
+    )
+    w_local = (
+        Window.partitionBy("_pid")
+        .orderBy(*order_cols)
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    )
+    w_off = (
+        Window.orderBy("_pid").rowsBetween(Window.unboundedPreceding, -1)
+    )
+    off = (
+        part.groupBy("_pid")
+        .agg(F.sum(value_col).alias("_ps"))
+        .select(
+            "_pid",
+            F.coalesce(F.sum("_ps").over(w_off), F.lit(0)).alias("_off"),
+        )
+    )
+    return (
+        part.withColumn("_lcum", F.sum(value_col).over(w_local))
+        .join(F.broadcast(off), "_pid")
+        .withColumn(out_col, F.col("_off") + F.col("_lcum"))
+        .drop("_pid", "_lcum", "_off")
     )

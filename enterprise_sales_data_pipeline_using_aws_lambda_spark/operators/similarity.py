@@ -110,6 +110,90 @@ def cosine_topk(
     )
 
 
+def cosine_pairs_blocked(
+    emb: DataFrame,
+    threshold: float = 0.45,
+    n_blocks: int = 8,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+) -> DataFrame:
+    """Exact all-pairs cosine-threshold self-join, fully distributed.
+
+    Output: (id_a, id_b, cosine) with id_a < id_b and cosine ≥ threshold
+    (cosine rounded to 6 dp).
+
+    Execution — blocked (salted) self-join, no driver materialization:
+    each vector is assigned a block ``hash(id) % n_blocks`` and
+    replicated to every block-pair task ``(min(b, j), max(b, j))`` for
+    j in 0..n_blocks-1, so pair (a, b) is examined in exactly one task
+    and the upper triangle needs no post-hoc dedup.  Each task computes
+    one numpy block×block matmul and emits only above-threshold pairs.
+
+    Cost model: shuffle carries N × n_blocks rows; compute is the
+    intrinsic O(N²·D) flops spread over n_blocks(n_blocks+1)/2
+    independent tasks that each hold only two blocks in memory
+    (~N/n_blocks rows each) — pick n_blocks so a block fits an executor.
+    An exact threshold join is inherently quadratic; at 100 TB use the
+    LSH candidate path (:func:`lsh_topk` buckets) for candidate
+    generation and keep this operator for block-sized re-verification."""
+
+    def compute(key, pdf):
+        import numpy as np
+        import pandas as pd
+
+        bi, bj = key
+        left = pdf[pdf["_blk"] == bi]
+        right = pdf[pdf["_blk"] == bj] if bi != bj else left
+        if left.empty or right.empty:
+            return pd.DataFrame({"id_a": [], "id_b": [], "cosine": []}).astype(
+                {"id_a": "int64", "id_b": "int64", "cosine": "float64"}
+            )
+        aids = left[id_col].to_numpy(dtype=np.int64)
+        bids = right[id_col].to_numpy(dtype=np.int64)
+        amat = np.array([list(v) for v in left[vec_col]], dtype=np.float64)
+        bmat = np.array([list(v) for v in right[vec_col]], dtype=np.float64)
+        anorm = np.linalg.norm(amat, axis=1)
+        bnorm = np.linalg.norm(bmat, axis=1)
+        anorm[anorm == 0.0] = 1.0
+        bnorm[bnorm == 0.0] = 1.0
+        sims = (amat @ bmat.T) / np.outer(anorm, bnorm)
+        mask = sims >= threshold
+        if bi == bj:
+            # within one block only the upper triangle (id_a < id_b)
+            mask &= aids[:, None] < bids[None, :]
+        # across blocks the id sets are disjoint, so every pair appears
+        # exactly once — orient it by id afterwards
+        ai, bjx = np.nonzero(mask)
+        return pd.DataFrame(
+            {
+                "id_a": np.minimum(aids[ai], bids[bjx]),
+                "id_b": np.maximum(aids[ai], bids[bjx]),
+                "cosine": np.round(sims[ai, bjx], 6),
+            }
+        )
+
+    replicated = (
+        emb.select(
+            F.col(id_col),
+            F.col(vec_col),
+            F.pmod(F.xxhash64(F.col(id_col)), F.lit(n_blocks)).alias("_blk"),
+        )
+        .withColumn(
+            "_other", F.explode(F.sequence(F.lit(0), F.lit(n_blocks - 1)))
+        )
+        .select(
+            id_col,
+            vec_col,
+            "_blk",
+            F.least("_blk", "_other").alias("_bi"),
+            F.greatest("_blk", "_other").alias("_bj"),
+        )
+    )
+    return replicated.groupBy("_bi", "_bj").applyInPandas(
+        compute, "id_a long, id_b long, cosine double"
+    )
+
+
 def _srp_bucket(vec: Column, table: int, planes: int) -> Column:
     """Sign-random-projection bucket id for one hash table.
 

@@ -906,45 +906,18 @@ def multimodal_features(spark: SparkSession, sf_dir: str) -> DataFrame:
 )
 def dedup_embedding_cosine(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Embedding-cosine near-duplicate pairs (cosine ≥ 0.45) — the
-    embedding-space face of fuzzy dedup.  Exact upper-triangle scan via
-    the same Arrow block-matmul as cosine_topk, emitting only
-    above-threshold pairs from each partition block (the shuffle carries
-    matches, not the N² pair space).  The LSH-bucketed variant
+    embedding-space face of fuzzy dedup, via the blocked (salted)
+    self-join (operators.similarity.cosine_pairs_blocked): each vector
+    replicates to its block-pair tasks, each task runs one block×block
+    numpy matmul, and only above-threshold upper-triangle pairs leave
+    the task.  Nothing is collected to the driver; per-task memory is
+    two blocks, tunable via n_blocks.  The LSH-bucketed variant
     (operators.similarity.lsh_topk) is the 100 TB candidate-generation
     path."""
-    import numpy as np
-    import pandas as pd
+    from ..operators.similarity import cosine_pairs_blocked
 
     emb = _t(spark, sf_dir, "embeddings")
-    rows = emb.select("vec_id", "embedding").collect()
-    ids = np.array([r[0] for r in rows], dtype=np.int64)
-    mat = np.array([list(r[1]) for r in rows], dtype=np.float64)
-    norms = np.linalg.norm(mat, axis=1)
-    norms[norms == 0.0] = 1.0
-
-    def block(batches):
-        for pdf in batches:
-            if pdf.empty:
-                continue
-            bids = pdf["vec_id"].to_numpy(dtype=np.int64)
-            bmat = np.array(
-                [list(v) for v in pdf["embedding"]], dtype=np.float64
-            )
-            bnorm = np.linalg.norm(bmat, axis=1)
-            bnorm[bnorm == 0.0] = 1.0
-            sims = (bmat @ mat.T) / np.outer(bnorm, norms)
-            bi, cj = np.nonzero((sims >= 0.45) & (bids[:, None] < ids[None, :]))
-            yield pd.DataFrame(
-                {
-                    "id_a": bids[bi],
-                    "id_b": ids[cj],
-                    "cosine": np.round(sims[bi, cj], 6),
-                }
-            )
-
-    return emb.select("vec_id", "embedding").mapInPandas(
-        block, "id_a long, id_b long, cosine double"
-    )
+    return cosine_pairs_blocked(emb, threshold=0.45, n_blocks=8)
 
 
 @query(
@@ -1250,16 +1223,32 @@ def window_rank_suite(spark: SparkSession, sf_dir: str) -> DataFrame:
 )
 def percentile_summary(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Exact interpolated percentiles (percentile_cont semantics) per
-    group.  Exact percentile sorts values within each group — fine when
-    group count is small and per-group data fits an executor; the
-    sketch-based scale path is ``approx_percentile`` (t-digest, one pass,
-    mergeable partials), which trades ulp-exactness for no sort."""
+    group via distributed selection (operators.agg.exact_percentiles):
+    range-partition by (group, value), global ranks from partition-count
+    offsets, interpolate only the two rank-neighbor rows per requested
+    p.  No per-group agg buffer and no single-task group sort — with 3
+    groups over a fact table every stage here stays parallel and
+    spillable.  The one-pass sketch alternative is
+    ``approx_percentile_summary`` (t-digest, mergeable partials)."""
+    from ..operators.agg import exact_percentiles
+
     li = _t(spark, sf_dir, "lineitem")
-    return li.groupBy("l_returnflag").agg(
-        F.round(F.percentile("l_extendedprice", F.lit(0.25)), 2).alias("price_p25"),
-        F.round(F.percentile("l_extendedprice", F.lit(0.5)), 2).alias("price_p50"),
-        F.round(F.percentile("l_extendedprice", F.lit(0.75)), 2).alias("price_p75"),
-        F.round(F.median("l_quantity"), 2).alias("qty_median"),
+    price = exact_percentiles(
+        li,
+        ["l_returnflag"],
+        "l_extendedprice",
+        [0.25, 0.5, 0.75],
+        ["price_p25", "price_p50", "price_p75"],
+    )
+    qty = exact_percentiles(
+        li, ["l_returnflag"], "l_quantity", [0.5], ["qty_median"]
+    )
+    return price.join(qty, "l_returnflag").select(
+        "l_returnflag",
+        F.round("price_p25", 2).alias("price_p25"),
+        F.round("price_p50", 2).alias("price_p50"),
+        F.round("price_p75", 2).alias("price_p75"),
+        F.round("qty_median", 2).alias("qty_median"),
     )
 
 
@@ -2429,19 +2418,24 @@ def pmi_bigrams(spark: SparkSession, sf_dir: str) -> DataFrame:
         .agg(F.count("*").alias("c_xy"))
     )
     uni = toks.groupBy("term").agg(F.count("*").alias("c"))
-    n_bi = bi.agg(F.sum("c_xy")).first()[0]
+    # scalar total as a broadcast 1-row join: keeps everything one plan
+    # (no mid-plan driver action, no double-computation of `bi`)
+    n_bi = bi.agg(F.sum("c_xy").alias("n_bi"))
     u1 = uni.select(F.col("term").alias("w1"), F.col("c").alias("c1"))
     u2 = uni.select(F.col("term").alias("w2"), F.col("c").alias("c2"))
     return (
         bi.filter(F.col("c_xy") >= 5)
         .join(F.broadcast(u1), "w1")
         .join(F.broadcast(u2), "w2")
+        .crossJoin(F.broadcast(n_bi))
         .select(
             "w1",
             "w2",
             "c_xy",
             F.round(
-                F.log(F.col("c_xy") * F.lit(float(n_bi)) / (F.col("c1") * F.col("c2"))),
+                F.log(
+                    F.col("c_xy") * F.col("n_bi") / (F.col("c1") * F.col("c2"))
+                ),
                 6,
             ).alias("pmi"),
         )
@@ -2762,22 +2756,27 @@ def mad_robust_spread(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Median absolute deviation — the outlier-robust spread measure
     stddev isn't.  Inherently two passes (deviations need the median
     first): pass one reduces to |groups| medians, broadcast back onto
-    the fact scan for pass two's deviation median.  The broadcast keeps
-    the second pass shuffle-free on the fact side."""
+    the fact scan for pass two's deviation median.  Both medians use the
+    distributed-selection exact percentile
+    (operators.agg.exact_percentiles) — no per-group value buffer, no
+    single-task group sort — and the broadcast keeps the second pass
+    shuffle-free on the fact side."""
+    from ..operators.agg import exact_percentiles
+
     li = _t(spark, sf_dir, "lineitem")
-    med = li.groupBy("l_returnflag").agg(
-        F.median("l_extendedprice").alias("med_price")
+    med = exact_percentiles(
+        li, ["l_returnflag"], "l_extendedprice", [0.5], ["med_price"]
     )
-    return (
-        li.join(F.broadcast(med), "l_returnflag")
-        .groupBy("l_returnflag")
-        .agg(
-            F.round(F.any_value("med_price"), 2).alias("med_price"),
-            F.round(
-                F.median(F.abs(F.col("l_extendedprice") - F.col("med_price"))),
-                2,
-            ).alias("mad_price"),
-        )
+    dev = li.join(F.broadcast(med), "l_returnflag").withColumn(
+        "_dev", F.abs(F.col("l_extendedprice") - F.col("med_price"))
+    )
+    mad = exact_percentiles(
+        dev, ["l_returnflag"], "_dev", [0.5], ["mad_price"]
+    )
+    return med.join(mad, "l_returnflag").select(
+        "l_returnflag",
+        F.round("med_price", 2).alias("med_price"),
+        F.round("mad_price", 2).alias("mad_price"),
     )
 
 
@@ -3950,24 +3949,25 @@ def event_seasonality_profile(spark: SparkSession, sf_dir: str) -> DataFrame:
 def pareto_abc_customers(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Pareto / ABC classification: customers ranked by revenue, classed
     by CUMULATIVE share (A = first 50% of revenue, B = to 80%, C =
-    rest).  The cumulative window runs over the |customers| aggregate,
-    not raw orders — and is the one deliberate global-ordered window in
-    the inventory: valid here because the frame is aggregate-sized;
-    at 10^9 customers switch to the threshold-from-aggregate banding of
-    price_quartile_stats."""
+    rest).  The cumulative sum runs over the |customers| aggregate via
+    operators.agg.global_cumsum — range-partitioned local sorts plus a
+    P-row offset frame, so there is NO single-partition global window:
+    the plan survives 10^9 customers.  The grand total joins in as a
+    broadcast 1-row aggregate."""
+    from ..operators.agg import global_cumsum
+
     o = _t(spark, sf_dir, "orders")
     rev = o.groupBy("o_custkey").agg(
         F.round(F.sum("o_totalprice"), 2).alias("revenue")
     )
-    w_cum = Window.orderBy(F.desc("revenue"), F.asc("o_custkey")).rowsBetween(
-        Window.unboundedPreceding, Window.currentRow
-    )
-    w_all = Window.partitionBy()
-    ranked = rev.select(
+    cum = global_cumsum(
+        rev,
+        [F.desc("revenue"), F.asc("o_custkey")],
         "revenue",
-        F.sum("revenue").over(w_cum).alias("cum_rev"),
-        F.sum("revenue").over(w_all).alias("total_rev"),
+        out_col="cum_rev",
     )
+    total = rev.agg(F.sum("revenue").alias("total_rev"))
+    ranked = cum.crossJoin(F.broadcast(total))
     share = F.col("cum_rev") / F.col("total_rev")
     return (
         ranked.select(

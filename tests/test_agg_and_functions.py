@@ -46,3 +46,71 @@ def test_sales_invariants_hold_on_fixture(sales_df):
                  - (F.col("TotalRevenue") - F.col("TotalCost"))) > 1e-6)
     )
     assert bad.count() == 0
+
+
+def test_exact_percentiles_matches_builtin(spark, sf_dir):
+    """Distributed-selection percentiles == F.percentile (exact
+    percentile_cont) on real data, across interpolated and non-
+    interpolated ranks."""
+    from enterprise_sales_data_pipeline_using_aws_lambda_spark.operators.agg import (
+        exact_percentiles,
+    )
+
+    li = spark.read.parquet(f"{sf_dir}/lineitem.parquet")
+    got = {
+        r["l_returnflag"]: r
+        for r in exact_percentiles(
+            li,
+            ["l_returnflag"],
+            "l_extendedprice",
+            [0.0, 0.25, 0.5, 0.9, 1.0],
+            ["p0", "p25", "p50", "p90", "p100"],
+            num_partitions=7,
+        ).collect()
+    }
+    want = {
+        r["l_returnflag"]: r
+        for r in li.groupBy("l_returnflag")
+        .agg(
+            *[
+                F.percentile("l_extendedprice", F.lit(p)).alias(n)
+                for p, n in [(0.0, "p0"), (0.25, "p25"), (0.5, "p50"),
+                             (0.9, "p90"), (1.0, "p100")]
+            ]
+        )
+        .collect()
+    }
+    assert set(got) == set(want)
+    for k in got:
+        for c in ["p0", "p25", "p50", "p90", "p100"]:
+            assert abs(got[k][c] - want[k][c]) < 1e-6, (k, c)
+
+
+def test_global_cumsum_matches_single_partition_window(spark, sf_dir):
+    """Range-partitioned cumulative sum == the single-partition global
+    window it replaces, even with ties and many partitions."""
+    from enterprise_sales_data_pipeline_using_aws_lambda_spark.operators.agg import (
+        global_cumsum,
+    )
+    from pyspark.sql import Window
+
+    o = spark.read.parquet(f"{sf_dir}/orders.parquet").select(
+        "o_orderkey", "o_orderpriority", "o_totalprice"
+    )
+    got = global_cumsum(
+        o,
+        [F.asc("o_orderpriority"), F.asc("o_orderkey")],
+        "o_totalprice",
+        out_col="cum",
+        num_partitions=13,
+    )
+    w = Window.orderBy(F.asc("o_orderpriority"), F.asc("o_orderkey")).rowsBetween(
+        Window.unboundedPreceding, Window.currentRow
+    )
+    want = o.withColumn("cum", F.sum("o_totalprice").over(w))
+    diff = (
+        got.select("o_orderkey", F.round("cum", 4).alias("cum"))
+        .exceptAll(want.select("o_orderkey", F.round("cum", 4).alias("cum")))
+        .count()
+    )
+    assert diff == 0

@@ -99,3 +99,31 @@ def test_ivf_pruned_recall_vs_bruteforce(spark, sf_dir):
         for r in ivf_topk(emb, queries, k=5, n_lists=8, n_probe=8).collect()
     }
     assert full == exact
+
+
+def test_cosine_pairs_blocked_exact(spark, sf_dir):
+    """Blocked self-join finds EXACTLY the brute-force above-threshold
+    pairs — every pair once, regardless of which blocks ids land in."""
+    import numpy as np
+
+    from enterprise_sales_data_pipeline_using_aws_lambda_spark.operators.similarity import (
+        cosine_pairs_blocked,
+    )
+
+    emb = spark.read.parquet(f"{sf_dir}/embeddings.parquet")
+    got = {
+        (r["id_a"], r["id_b"])
+        for r in cosine_pairs_blocked(emb, threshold=0.45, n_blocks=5).collect()
+    }
+    rows = emb.select("vec_id", "embedding").collect()
+    ids = [r[0] for r in rows]
+    mat = np.array([list(r[1]) for r in rows], dtype=np.float64)
+    mat /= np.linalg.norm(mat, axis=1, keepdims=True)
+    sims = mat @ mat.T
+    want = {
+        (min(ids[i], ids[j]), max(ids[i], ids[j]))
+        for i in range(len(ids))
+        for j in range(i + 1, len(ids))
+        if sims[i, j] >= 0.45
+    }
+    assert got == want
