@@ -6,21 +6,30 @@ payload bytes stay columnar in Parquet, metadata predicates
 (kind/width/duration) push down without touching payloads, and decode
 happens per-partition in Arrow-batched Python.
 
-The actual image/audio/video codecs are NOT present in this
-environment, so the decode step is pluggable: :class:`MediaDecoder`
-implementations turn payload bytes into features.  The default
-:class:`StubDecoder` is a deterministic fake (byte-statistics
-"features") that keeps every piece of Spark plumbing — schema,
-``mapInPandas`` signature, Arrow batch shape, partition parallelism —
-real and testable; swapping in a Pillow/ffmpeg decoder changes one
-function, not the dataflow.
+Decode is REAL for three uncompressed container formats, parsed in
+pure Python (no binary deps ship in this environment):
+
+- **PPM (P6)** images — ASCII header (width/height/maxval) + raw RGB;
+- **WAV** audio — RIFF chunk walk (``fmt `` → channels/rate/bits,
+  ``data`` → PCM payload);
+- **YUV4MPEG2 (y4m)** video — ASCII stream header (W/H/F) + per-frame
+  ``FRAME`` markers + raw planes.
+
+:func:`parse_media` detects the container from its magic bytes (it
+never trusts the ``kind`` metadata) and returns typed structural
+features plus exact integer content statistics — the shape a training
+pipeline filters on (resolution, sample rate, duration, corruption
+checks).  Lossy codecs (JPEG/MP3/H.264) stay pluggable via
+:class:`MediaDecoder`; swapping one in changes the parse function, not
+the dataflow.
 """
 
 from __future__ import annotations
 
 import hashlib
-from collections.abc import Callable, Iterator
-from dataclasses import dataclass
+import re
+import struct
+from collections.abc import Iterator
 
 from pyspark.sql import DataFrame
 from pyspark.sql import functions as F
@@ -59,6 +68,240 @@ FEATURE_SCHEMA = T.StructType(
         T.StructField("feature", T.ArrayType(T.FloatType())),
     ]
 )
+
+
+# ---------------------------------------------------------------------------
+# Real container codecs (pure Python, uncompressed formats)
+# ---------------------------------------------------------------------------
+
+#: Typed structural features produced by :func:`parse_media`; columns
+#: that don't apply to a format are NULL.
+DECODED_SCHEMA = T.StructType(
+    [
+        T.StructField("media_id", T.LongType()),
+        T.StructField("kind", T.StringType()),
+        T.StructField("format", T.StringType()),
+        T.StructField("width", T.IntegerType()),
+        T.StructField("height", T.IntegerType()),
+        T.StructField("n_frames", T.IntegerType()),
+        T.StructField("sample_rate", T.IntegerType()),
+        T.StructField("n_samples", T.IntegerType()),
+        T.StructField("duration_ms", T.LongType()),
+        T.StructField("content_len", T.LongType()),
+        T.StructField("content_byte_sum", T.LongType()),
+    ]
+)
+
+
+def encode_ppm(width: int, height: int, rgb: bytes) -> bytes:
+    """Binary PPM (P6): ASCII header + raw RGB rows, len(rgb) == 3wh."""
+    if len(rgb) != 3 * width * height:
+        raise ValueError("PPM payload must be exactly 3*width*height bytes")
+    return b"P6\n%d %d\n255\n" % (width, height) + rgb
+
+
+def encode_wav(sample_rate: int, samples: bytes) -> bytes:
+    """Canonical RIFF/WAVE container, PCM 8-bit unsigned mono."""
+    data_len = len(samples)
+    return (
+        struct.pack(
+            "<4sI4s4sIHHIIHH4sI",
+            b"RIFF",
+            36 + data_len,
+            b"WAVE",
+            b"fmt ",
+            16,
+            1,  # PCM
+            1,  # mono
+            sample_rate,
+            sample_rate,  # byte rate (8-bit mono)
+            1,  # block align
+            8,  # bits per sample
+            b"data",
+            data_len,
+        )
+        + samples
+    )
+
+
+def encode_y4m(
+    width: int, height: int, frames: list[bytes], fps: int = 25
+) -> bytes:
+    """YUV4MPEG2 stream, C444 (3 full planes per frame)."""
+    out = [b"YUV4MPEG2 W%d H%d F%d:1 Ip A1:1 C444\n" % (width, height, fps)]
+    for fr in frames:
+        if len(fr) != 3 * width * height:
+            raise ValueError("C444 frame must be 3*width*height bytes")
+        out.append(b"FRAME\n")
+        out.append(fr)
+    return b"".join(out)
+
+
+def parse_media(payload: bytes) -> dict:
+    """Parse a real container from its magic bytes → structural features.
+
+    Recognizes PPM (``P6``), WAV (``RIFF..WAVE``), YUV4MPEG2.  Raises
+    ``ValueError`` on anything else (callers route those to quarantine,
+    same policy as the reference's unsupported-format guard,
+    ``lambda.py:73-74``)."""
+    feats = {
+        "format": None,
+        "width": None,
+        "height": None,
+        "n_frames": None,
+        "sample_rate": None,
+        "n_samples": None,
+        "duration_ms": None,
+        "content_len": None,
+        "content_byte_sum": None,
+    }
+    if payload[:2] == b"P6":
+        m = re.match(rb"P6\s+(\d+)\s+(\d+)\s+(\d+)\s", payload)
+        if not m:
+            raise ValueError("malformed PPM header")
+        w, h = int(m.group(1)), int(m.group(2))
+        data = payload[m.end() : m.end() + 3 * w * h]
+        if len(data) != 3 * w * h:
+            raise ValueError("truncated PPM raster")
+        feats.update(
+            format="ppm",
+            width=w,
+            height=h,
+            content_len=len(data),
+            content_byte_sum=sum(data),
+        )
+    elif payload[:4] == b"RIFF" and payload[8:12] == b"WAVE":
+        pos, fmt, data = 12, None, None
+        while pos + 8 <= len(payload):
+            cid = payload[pos : pos + 4]
+            (size,) = struct.unpack("<I", payload[pos + 4 : pos + 8])
+            body = payload[pos + 8 : pos + 8 + size]
+            if cid == b"fmt ":
+                fmt = struct.unpack("<HHIIHH", body[:16])
+            elif cid == b"data":
+                data = body
+            pos += 8 + size + (size & 1)  # chunks are word-aligned
+        if fmt is None or data is None:
+            raise ValueError("WAV missing fmt/data chunk")
+        _, n_ch, rate, _, _, bits = fmt
+        n_samples = len(data) * 8 // (bits * n_ch)
+        feats.update(
+            format="wav",
+            sample_rate=rate,
+            n_samples=n_samples,
+            duration_ms=n_samples * 1000 // rate,
+            content_len=len(data),
+            content_byte_sum=sum(data),
+        )
+    elif payload[:9] == b"YUV4MPEG2":
+        nl = payload.index(b"\n")
+        params = {}
+        for tok in payload[10:nl].split(b" "):
+            if tok:
+                params[tok[:1].decode()] = tok[1:].decode()
+        w, h = int(params["W"]), int(params["H"])
+        num, den = (int(x) for x in params.get("F", "25:1").split(":"))
+        frame_len = 3 * w * h  # C444
+        pos, n_frames, total, byte_sum = nl + 1, 0, 0, 0
+        while pos < len(payload):
+            fnl = payload.index(b"\n", pos)
+            if payload[pos : pos + 5] != b"FRAME":
+                raise ValueError("expected FRAME marker")
+            data = payload[fnl + 1 : fnl + 1 + frame_len]
+            if len(data) != frame_len:
+                raise ValueError("truncated y4m frame")
+            byte_sum += sum(data)
+            total += len(data)
+            n_frames += 1
+            pos = fnl + 1 + frame_len
+        feats.update(
+            format="y4m",
+            width=w,
+            height=h,
+            n_frames=n_frames,
+            duration_ms=n_frames * 1000 * den // num,
+            content_len=total,
+            content_byte_sum=byte_sum,
+        )
+    else:
+        raise ValueError("unrecognized media container")
+    return feats
+
+
+def decode_media(media: DataFrame) -> DataFrame:
+    """Typed structural decode of real containers via ``mapInPandas``.
+
+    Arrow ships (media_id, kind, payload) batches to Python; each
+    partition parses its containers independently (driver never touches
+    payload bytes).  Output one row per media item, :data:`DECODED_SCHEMA`.
+    """
+
+    def parse_partition(batches: Iterator) -> Iterator:
+        import pandas as pd
+
+        for pdf in batches:
+            out = []
+            for mid, kind, payload in zip(
+                pdf["media_id"], pdf["kind"], pdf["payload"]
+            ):
+                row = {"media_id": mid, "kind": kind}
+                row.update(parse_media(bytes(payload or b"")))
+                out.append(row)
+            yield pd.DataFrame(
+                out, columns=[f.name for f in DECODED_SCHEMA.fields]
+            )
+
+    return media.select("media_id", "kind", "payload").mapInPandas(
+        parse_partition, DECODED_SCHEMA
+    )
+
+
+# Deterministic synthesis formulas (shared by synth_payload and the
+# DuckDB oracle in plans/queries.py — content byte i is (doc_id+i)%256).
+def _image_dims(doc_id: int) -> tuple[int, int]:
+    return 8 + doc_id % 8, 8 + doc_id % 4
+
+
+def _audio_params(doc_id: int) -> tuple[int, int]:
+    return 8000 * (1 + doc_id % 2), 200 + (doc_id * 17) % 300
+
+
+def _video_params(doc_id: int) -> tuple[int, int, int]:
+    return 4 + doc_id % 4, 4 + doc_id % 3, 1 + doc_id % 3
+
+
+def _content(doc_id: int, n: int) -> bytes:
+    return bytes((doc_id + i) % 256 for i in range(n))
+
+
+def synth_payload(doc_id: int) -> tuple[str, bytes, dict]:
+    """Deterministic real-container payload for one doc id: kind cycles
+    image→audio→video (PPM/WAV/Y4M).  Returns (kind, payload, meta)."""
+    k = doc_id % 3
+    if k == 0:
+        w, h = _image_dims(doc_id)
+        payload = encode_ppm(w, h, _content(doc_id, 3 * w * h))
+        meta = {"width": w, "height": h, "duration_ms": None}
+        return "image", payload, meta
+    if k == 1:
+        rate, n_samples = _audio_params(doc_id)
+        payload = encode_wav(rate, _content(doc_id, n_samples))
+        meta = {
+            "width": None,
+            "height": None,
+            "duration_ms": n_samples * 1000 // rate,
+        }
+        return "audio", payload, meta
+    w, h, n_frames = _video_params(doc_id)
+    frame_len = 3 * w * h
+    # global byte index continuous across frames
+    raw = _content(doc_id, n_frames * frame_len)
+    frames = [
+        raw[i * frame_len : (i + 1) * frame_len] for i in range(n_frames)
+    ]
+    payload = encode_y4m(w, h, frames)
+    meta = {"width": w, "height": h, "duration_ms": n_frames * 40}
+    return "video", payload, meta
 
 
 class MediaDecoder:
@@ -157,25 +400,36 @@ def sample_frames(
 
 
 def media_from_documents(docs: DataFrame) -> DataFrame:
-    """Build a synthetic media table from the documents fixture (no real
-    media in the test data): payload = utf-8 text bytes, kind assigned
-    round-robin, plausible metadata. Deterministic — used by tests and
-    the rows-only driver check."""
-    kind = F.element_at(
-        F.array(*[F.lit(k) for k in MEDIA_KINDS]),
-        (F.col("doc_id") % 3 + 1).cast("int"),
-    )
-    return docs.select(
-        F.col("doc_id").alias("media_id"),
-        kind.alias("kind"),
-        F.encode("text", "utf-8").alias("payload"),
-        F.struct(
-            F.concat(F.lit("x-stub/"), kind).alias("mime"),
-            F.lit(64).alias("width"),
-            F.lit(64).alias("height"),
-            (F.col("n_chars").cast("long") * 10).alias("duration_ms"),
-        ).alias("meta"),
-    )
+    """Build a media table with REAL container payloads from the
+    documents fixture (no media ships in the test data): each doc_id
+    deterministically synthesizes a PPM image, WAV audio clip, or
+    YUV4MPEG2 video (round-robin) via :func:`synth_payload`.  Payload
+    generation runs per-partition in Arrow batches — same distribution
+    properties as reading real media."""
+
+    def synth_partition(batches: Iterator) -> Iterator:
+        import pandas as pd
+
+        for pdf in batches:
+            rows = []
+            for doc_id in pdf["doc_id"]:
+                kind, payload, meta = synth_payload(int(doc_id))
+                rows.append(
+                    {
+                        "media_id": int(doc_id),
+                        "kind": kind,
+                        "payload": payload,
+                        "meta": {
+                            "mime": f"x-media/{kind}",
+                            "width": meta["width"],
+                            "height": meta["height"],
+                            "duration_ms": meta["duration_ms"],
+                        },
+                    }
+                )
+            yield pd.DataFrame(rows)
+
+    return docs.select("doc_id").mapInPandas(synth_partition, MEDIA_SCHEMA)
 
 
 RESIZED_SCHEMA = (

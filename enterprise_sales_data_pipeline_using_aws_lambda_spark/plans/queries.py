@@ -871,18 +871,61 @@ def similarity_topk_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
     return lsh_topk(emb, emb.filter(F.col("vec_id") < 10), k=5)
 
 
-@query("multimodal_features", None)
+@query(
+    "multimodal_features",
+    """
+    WITH f AS (
+        SELECT doc_id, doc_id % 3 AS k,
+               8 + doc_id % 8 AS iw, 8 + doc_id % 4 AS ih,
+               8000 * (1 + doc_id % 2) AS rate,
+               200 + (doc_id * 17) % 300 AS ns,
+               4 + doc_id % 4 AS vw, 4 + doc_id % 3 AS vh,
+               1 + doc_id % 3 AS vf
+        FROM documents
+    ),
+    g AS (
+        SELECT doc_id, k,
+               CASE k WHEN 0 THEN 'image' WHEN 1 THEN 'audio'
+                      ELSE 'video' END AS kind,
+               CASE k WHEN 0 THEN 'ppm' WHEN 1 THEN 'wav'
+                      ELSE 'y4m' END AS format,
+               CASE WHEN k = 0 THEN iw WHEN k = 2 THEN vw END AS width,
+               CASE WHEN k = 0 THEN ih WHEN k = 2 THEN vh END AS height,
+               CASE WHEN k = 2 THEN vf END AS n_frames,
+               CASE WHEN k = 1 THEN rate END AS sample_rate,
+               CASE WHEN k = 1 THEN ns END AS n_samples,
+               CASE WHEN k = 1 THEN (ns * 1000) // rate
+                    WHEN k = 2 THEN vf * 40 END AS duration_ms,
+               CASE k WHEN 0 THEN 3 * iw * ih WHEN 1 THEN ns
+                      ELSE vf * 3 * vw * vh END AS content_len
+        FROM f
+    )
+    SELECT doc_id AS media_id, kind, format,
+           CAST(width AS INTEGER) AS width,
+           CAST(height AS INTEGER) AS height,
+           CAST(n_frames AS INTEGER) AS n_frames,
+           CAST(sample_rate AS INTEGER) AS sample_rate,
+           CAST(n_samples AS INTEGER) AS n_samples,
+           CAST(duration_ms AS BIGINT) AS duration_ms,
+           CAST(content_len AS BIGINT) AS content_len,
+           CAST(list_sum(list_transform(range(content_len),
+                                        i -> (doc_id + i) % 256))
+                AS BIGINT) AS content_byte_sum
+    FROM g
+    """,
+)
 def multimodal_features(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Multimodal column plumbing (operators.multimodal): opaque binary
-    payload + typed metadata, Arrow-batched mapInPandas feature
-    extraction with the deterministic stub decoder (real codecs are
-    pluggable; none ship in this environment). Rows-only check — the
-    Arrow/pandas boundary is outside DuckDB's reach, but output is
-    deterministic (sha256 + byte-histogram features)."""
-    from ..operators.multimodal import extract_features, media_from_documents
+    """Multimodal decode (operators.multimodal): REAL container parsing
+    — PPM headers, RIFF/WAVE chunk walks, YUV4MPEG2 frame scans — in
+    Arrow-batched mapInPandas over binary payload columns.  The media
+    table synthesizes real containers deterministically from doc_id, so
+    the oracle recomputes every structural feature (dimensions, sample
+    counts, durations) and the exact content byte sum in closed form in
+    SQL — full hash-verification of a binary decode path."""
+    from ..operators.multimodal import decode_media, media_from_documents
 
     docs = _t(spark, sf_dir, "documents")
-    return extract_features(media_from_documents(docs)).drop("feature")
+    return decode_media(media_from_documents(docs))
 
 
 @query(

@@ -22,6 +22,10 @@ def _media(spark):
 
 
 def test_extract_features_round_trip(spark):
+    from enterprise_sales_data_pipeline_using_aws_lambda_spark.operators.multimodal import (
+        synth_payload,
+    )
+
     media = _media(spark)
     feats = extract_features(media)
     rows = feats.collect()
@@ -29,13 +33,68 @@ def test_extract_features_round_trip(spark):
     r = {x["media_id"]: x for x in rows}
     # verify against a locally computed expectation
     doc = spark.read.parquet(f"{SF_DIR}/documents.parquet").first()
-    payload = doc["text"].encode()
-    expect = StubDecoder().decode("image", payload)
+    kind, payload, _ = synth_payload(doc["doc_id"])
+    expect = StubDecoder().decode(kind, payload)
     got = r[doc["doc_id"]]
     assert got["n_bytes"] == len(payload)
     assert got["sha256"] == hashlib.sha256(payload).hexdigest()
     assert len(got["feature"]) == FEATURE_DIM
     assert [round(float(v), 6) for v in got["feature"]] == expect
+
+
+def test_codec_round_trips():
+    """encode → parse recovers the structural features exactly, for all
+    three real containers, independent of Spark."""
+    from enterprise_sales_data_pipeline_using_aws_lambda_spark.operators.multimodal import (
+        encode_ppm,
+        encode_wav,
+        encode_y4m,
+        parse_media,
+    )
+
+    rgb = bytes((i * 7) % 256 for i in range(3 * 5 * 4))
+    p = parse_media(encode_ppm(5, 4, rgb))
+    assert (p["format"], p["width"], p["height"]) == ("ppm", 5, 4)
+    assert p["content_len"] == 60 and p["content_byte_sum"] == sum(rgb)
+
+    pcm = bytes((i * 3) % 256 for i in range(1000))
+    w = parse_media(encode_wav(8000, pcm))
+    assert (w["format"], w["sample_rate"], w["n_samples"]) == ("wav", 8000, 1000)
+    assert w["duration_ms"] == 125 and w["content_byte_sum"] == sum(pcm)
+
+    frames = [bytes((i + f) % 256 for i in range(3 * 4 * 4)) for f in range(3)]
+    v = parse_media(encode_y4m(4, 4, frames, fps=25))
+    assert (v["format"], v["width"], v["height"], v["n_frames"]) == (
+        "y4m", 4, 4, 3,
+    )
+    assert v["duration_ms"] == 120
+    assert v["content_byte_sum"] == sum(sum(f) for f in frames)
+
+
+def test_parse_media_rejects_unknown_container():
+    import pytest
+
+    from enterprise_sales_data_pipeline_using_aws_lambda_spark.operators.multimodal import (
+        parse_media,
+    )
+
+    with pytest.raises(ValueError):
+        parse_media(b"GIF89a not a supported container")
+
+
+def test_decode_media_detects_format_from_magic(spark):
+    """decode_media parses real containers — format comes from payload
+    magic bytes and matches the kind the synthesizer assigned."""
+    from enterprise_sales_data_pipeline_using_aws_lambda_spark.operators.multimodal import (
+        decode_media,
+    )
+
+    out = decode_media(_media(spark)).collect()
+    expected_fmt = {"image": "ppm", "audio": "wav", "video": "y4m"}
+    assert len(out) > 0
+    for r in out:
+        assert r["format"] == expected_fmt[r["kind"]]
+        assert r["content_len"] > 0 and r["content_byte_sum"] > 0
 
 
 def test_features_deterministic_across_runs(spark):
