@@ -254,24 +254,50 @@ def simhash(
     text_col: str = "text",
     id_col: str = "doc_id",
     bits: int = 63,
+    token_hash: str = "xxhash64",
 ) -> DataFrame:
     """(id, simhash) — Charikar random-hyperplane sketch over whitespace
     tokens: bit j is the sign of Σ_tokens (±1 from bit j of
-    xxhash64(token)).  Near-dups have small Hamming distance.
+    hash(token)).  Near-dups have small Hamming distance.
 
-    Pure array arithmetic: tokens → per-token 64-bit hash → per-bit vote
+    Pure array arithmetic: tokens → per-token hash → per-bit vote
     → packed 63-bit value (63, not 64: bit 63 of a signed long would
     overflow under ANSI arithmetic; one sketch bit is noise-level).
-    No shuffle, no UDF."""
-    toks = F.split(F.col(text_col), " ")
-    hashes = F.transform(toks, lambda t: F.xxhash64(t))
+    No shuffle, no UDF.
+
+    ``token_hash``: ``"xxhash64"`` (default — fastest, JVM-native) or
+    ``"md5"`` — engine-portable mode: md5 hex digests are identical in
+    every engine, so an external system (the DuckDB oracle, a
+    validation notebook) can recompute the EXACT same sketches.  The
+    md5 path takes bit j from nibble j//4 of the hex digest (MSB-first
+    within the nibble)."""
+    toks = F.filter(
+        F.split(F.col(text_col), " "), lambda t: t != F.lit("")
+    )
+    if token_hash == "md5":
+        hashes = F.transform(toks, lambda t: F.md5(t.cast("binary")))
+
+        def bit(h: Column, j: Column) -> Column:
+            nibble = F.conv(
+                h.substr((F.floor(j / 4) + 1).cast("int"), F.lit(1)), 16, 10
+            ).cast("long")
+            weight = F.pow(F.lit(2.0), (F.lit(3) - j % 4).cast("double"))
+            return F.floor(nibble / weight).cast("long") % 2
+
+    elif token_hash == "xxhash64":
+        hashes = F.transform(toks, lambda t: F.xxhash64(t))
+
+        def bit(h: Column, j: Column) -> Column:
+            return F.getbit(h, j)
+
+    else:
+        raise ValueError(f"unknown token_hash: {token_hash}")
     bit_votes = F.transform(
         F.sequence(F.lit(0), F.lit(bits - 1)),
         lambda j: F.aggregate(
             hashes,
             F.lit(0).cast("long"),
-            lambda acc, h: acc
-            + F.when(F.getbit(h, j) == 1, 1).otherwise(-1),
+            lambda acc, h: acc + F.when(bit(h, j) == 1, 1).otherwise(-1),
         ),
     )
     # 2^j is exact in a double for any j ≤ 62, so pow+cast packs without
@@ -296,6 +322,7 @@ def simhash_near_duplicates(
     id_col: str = "doc_id",
     max_hamming: int = 3,
     band_bits: int = 16,
+    token_hash: str = "xxhash64",
 ) -> DataFrame:
     """SimHash near-dup pairs with Hamming distance ≤ ``max_hamming``.
 
@@ -303,7 +330,7 @@ def simhash_near_duplicates(
     chunks — any pair within Hamming ≤ (bands-1) shares ≥1 exact band
     (pigeonhole), so with 4 bands of 16 bits recall is total for d ≤ 3.
     Verification: ``bit_count(a XOR b)``."""
-    sh = simhash(df, text_col, id_col)
+    sh = simhash(df, text_col, id_col, token_hash=token_hash)
     n_bands = 64 // band_bits
     mask = (1 << band_bits) - 1
     # Static band unroll: shiftright's bit count must be a Python int.
