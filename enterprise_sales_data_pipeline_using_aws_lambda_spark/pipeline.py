@@ -55,6 +55,8 @@ class PipelineConfig:
     warehouse_dir: str
     quarantine_dir: str
     summary_scope: str = "cumulative"  # or "batch" (reference-exact quirk)
+    jdbc_url: str | None = None  # real serving DB (S6/S7/S9); None = parquet
+    jdbc_properties: dict = field(default_factory=dict)
     dates_as_strings: bool = True  # serving tables restringify dates
     delete_raw: bool = False
     notifier: Notifier | None = None
@@ -113,10 +115,16 @@ def run_batch(
                 serving = serving.withColumn(c, format_date(c))
 
         # 1) append-only log (reference S6, lambda.py:172)
-        write_serving_table(serving, cfg.warehouse_dir, "sales", "append")
+        write_serving_table(
+            serving, cfg.warehouse_dir, "sales", "append",
+            cfg.jdbc_url, cfg.jdbc_properties,
+        )
 
         # 2) keyed keep-last upsert (reference lambda.py:176-181)
-        existing = read_serving_table(spark, cfg.warehouse_dir, "sales_tgt")
+        existing = read_serving_table(
+            spark, cfg.warehouse_dir, "sales_tgt",
+            cfg.jdbc_url, cfg.jdbc_properties,
+        )
         merged = upsert_keep_last(
             existing, serving, [SALES_KEY_COLUMN], broadcast_keys=True
         )
@@ -124,7 +132,10 @@ def run_batch(
         # overwrite truncates. localCheckpoint cuts the lineage (a real
         # deployment uses Delta MERGE and avoids the rewrite entirely).
         merged = merged.localCheckpoint(eager=True)
-        write_serving_table(merged, cfg.warehouse_dir, "sales_tgt", "overwrite")
+        write_serving_table(
+            merged, cfg.warehouse_dir, "sales_tgt", "overwrite",
+            cfg.jdbc_url, cfg.jdbc_properties,
+        )
 
         # 3) per-country summary (reference lambda.py:184-190)
         summary_src = serving if cfg.summary_scope == "batch" else merged
@@ -133,6 +144,8 @@ def run_batch(
             cfg.warehouse_dir,
             "sales_summary",
             "overwrite",
+            cfg.jdbc_url,
+            cfg.jdbc_properties,
         )
 
         if cfg.delete_raw:

@@ -73,26 +73,49 @@ def write_quarantine(
 
 
 def write_serving_table(
-    df: DataFrame, warehouse_dir: str, table: str, mode: str
+    df: DataFrame,
+    warehouse_dir: str,
+    table: str,
+    mode: str,
+    jdbc_url: str | None = None,
+    jdbc_properties: dict | None = None,
 ) -> None:
-    """Serving-table sink standing in for the reference's MySQL writes
+    """Serving-table sink for the reference's MySQL writes
     (S6 append → ``sales``, S9 replace → ``sales_tgt``/``sales_summary``,
     reference ``lambda.py:172,181,190``).
 
-    On a real deployment this is ``df.write.jdbc(url, table, mode=mode)``
-    or a Delta ``MERGE``; locally it is a parquet directory per table so
-    the e2e tests run hermetically.
+    With ``jdbc_url`` set this is the real relational path —
+    ``df.write.jdbc(url, table, mode)`` — usable against MySQL exactly
+    like the reference (tests exercise it against Spark's bundled
+    embedded Derby).  Without it, a parquet directory per table stands
+    in so e2e tests stay hermetic.  ``mode='overwrite'`` reproduces the
+    reference's ``if_exists='replace'`` drop-and-recreate semantics.
     """
-    df.write.mode(mode).parquet(f"{warehouse_dir}/{table}")
+    if jdbc_url:
+        df.write.jdbc(
+            jdbc_url, table, mode=mode, properties=jdbc_properties or {}
+        )
+    else:
+        df.write.mode(mode).parquet(f"{warehouse_dir}/{table}")
 
 
 def read_serving_table(
-    spark: SparkSession, warehouse_dir: str, table: str
+    spark: SparkSession,
+    warehouse_dir: str,
+    table: str,
+    jdbc_url: str | None = None,
+    jdbc_properties: dict | None = None,
 ) -> DataFrame | None:
     """Serving-table scan with the reference's missing-table fallback
     (S7+S8, ``lambda.py:176-178``): returns None when the table does not
-    exist yet — caller substitutes an empty relation."""
+    exist yet — caller substitutes an empty relation.  With ``jdbc_url``
+    set, reads through ``spark.read.jdbc`` (real S7); the fallback
+    applies to both branches."""
     try:
+        if jdbc_url:
+            return spark.read.jdbc(
+                jdbc_url, table, properties=jdbc_properties or {}
+            )
         return spark.read.parquet(f"{warehouse_dir}/{table}")
     except Exception:
         return None
