@@ -280,3 +280,51 @@ def test_asof_join_multiple_right_columns(spark):
     # Both carried columns come from the SAME winning row (11:00).
     assert out[0]["v"] == 9.0 and out[0]["label"] == "high"
     assert str(out[0]["matched_ts"]).startswith("2024-01-01 11:00")
+
+
+def test_salted_join_splits_hot_key_across_partitions(spark):
+    """The 100 TB scenario salting exists for: one key holds most fact
+    rows.  Assert (a) result parity with the plain join, and (b) the
+    hot key's rows actually spread across many (key, salt) shuffle
+    partitions instead of one reducer."""
+    from enterprise_sales_data_pipeline_using_aws_lambda_spark.operators.joins import (
+        salted_join,
+    )
+
+    # 50k rows for the hot key, 50 for each of 100 cold keys
+    hot = spark.range(50_000).select(
+        F.lit(7).alias("k"), F.col("id").alias("v")
+    )
+    cold = spark.range(5_000).select(
+        (F.col("id") % 100 + 100).alias("k"), F.col("id").alias("v")
+    )
+    fact = hot.unionByName(cold)
+    dim = spark.range(300).select(
+        F.col("id").alias("k"), (F.col("id") * 2).alias("attr")
+    )
+
+    out = salted_join(fact, dim, "k", salt_buckets=16)
+    plain = fact.join(dim, "k")
+    assert out.count() == plain.count()
+    assert (
+        out.select(F.sum("v"), F.sum("attr")).first()
+        == plain.select(F.sum("v"), F.sum("attr")).first()
+    )
+
+    # the hot key must occupy >1 salt bucket — measure the actual salt
+    # derivation the operator uses
+    salt = F.pmod(
+        F.xxhash64(*[F.col(c) for c in fact.columns]), F.lit(16)
+    )
+    n_buckets = (
+        fact.filter(F.col("k") == 7)
+        .select(salt.alias("s"))
+        .distinct()
+        .count()
+    )
+    assert n_buckets == 16
+
+    # determinism under retry/recompute: same plan twice, same rows
+    a = sorted(map(tuple, out.collect()))
+    b = sorted(map(tuple, salted_join(fact, dim, "k", salt_buckets=16).collect()))
+    assert a == b
