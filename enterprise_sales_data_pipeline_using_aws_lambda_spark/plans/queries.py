@@ -1417,6 +1417,8 @@ def percentile_summary(spark: SparkSession, sf_dir: str) -> DataFrame:
     from ..operators.agg import exact_percentiles
 
     li = _t(spark, sf_dir, "lineitem")
+    # two independent selection passes (price, qty) measured faster than
+    # melting both metrics through one doubled-width range shuffle
     price = exact_percentiles(
         li,
         ["l_returnflag"],
