@@ -90,6 +90,8 @@ def exact_percentiles(
 
     part = (
         df.select(*group_cols, value_col)
+        # percentile_cont semantics: NULL values are not ranked
+        .filter(v.isNotNull())
         .repartitionByRange(num_partitions, *g, v)
         .withColumn("_pid", F.spark_partition_id())
     )

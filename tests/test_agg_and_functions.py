@@ -114,3 +114,21 @@ def test_global_cumsum_matches_single_partition_window(spark, sf_dir):
         .count()
     )
     assert diff == 0
+
+
+def test_exact_percentiles_ignores_nulls(spark):
+    """percentile_cont parity: NULL values neither rank nor count."""
+    from enterprise_sales_data_pipeline_using_aws_lambda_spark.operators.agg import (
+        exact_percentiles,
+    )
+
+    df = spark.createDataFrame(
+        [("a", 1.0), ("a", None), ("a", 3.0), ("a", None), ("b", 10.0)],
+        "g string, v double",
+    )
+    out = {
+        r["g"]: r["p50"]
+        for r in exact_percentiles(df, ["g"], "v", [0.5], ["p50"],
+                                   num_partitions=3).collect()
+    }
+    assert out == {"a": 2.0, "b": 10.0}
