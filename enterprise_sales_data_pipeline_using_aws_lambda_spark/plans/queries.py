@@ -2996,6 +2996,10 @@ def mad_robust_spread(spark: SparkSession, sf_dir: str) -> DataFrame:
     med = exact_percentiles(
         li, ["l_returnflag"], "l_extendedprice", [0.5], ["med_price"]
     )
+    # two-pass barrier: materialize the |groups|-row median frame so
+    # pass 2's plan doesn't re-derive the whole pass-1 selection in
+    # every branch it appears in
+    med = med.localCheckpoint(eager=True)
     dev = li.join(F.broadcast(med), "l_returnflag").withColumn(
         "_dev", F.abs(F.col("l_extendedprice") - F.col("med_price"))
     )
