@@ -161,6 +161,78 @@ def main() -> int:
         + " rows",
     )
 
+    # 8) Exact percentiles by distributed selection: 3 fact-sized groups
+    # (the shape that OOMs percentile agg buffers and serializes
+    # group-partitioned window sorts).
+    from enterprise_sales_data_pipeline_using_aws_lambda_spark.operators.agg import (
+        exact_percentiles,
+        global_cumsum,
+    )
+
+    skewed = spark.range(0, n).select(
+        (F.col("id") % 3).cast("string").alias("g"),
+        (F.xxhash64("id") % 1_000_003).cast("double").alias("v"),
+    )
+    run(
+        "exact_percentiles_3groups",
+        n,
+        lambda: str(
+            exact_percentiles(
+                skewed, ["g"], "v", [0.25, 0.5, 0.99]
+            ).count()
+        )
+        + " groups",
+    )
+
+    # 9) Globally-ordered cumulative sum without a single-partition
+    # window (Pareto/ABC shape at customer-table volume).
+    run(
+        "global_cumsum",
+        n // 10,
+        lambda: str(
+            global_cumsum(
+                spark.range(0, n // 10).select(
+                    F.col("id").alias("k"),
+                    (F.xxhash64("id") % 997).cast("double").alias("v"),
+                ),
+                [F.desc("v"), F.asc("k")],
+                "v",
+            )
+            .groupBy()
+            .agg(F.max("cum_sum"))
+            .count()
+        )
+        + " row",
+    )
+
+    # 10) Blocked all-pairs cosine self-join at 20k vectors (4×10^8 pair
+    # space, intrinsically quadratic — the point is that it distributes:
+    # 136 independent block-pair matmuls, no driver state).  Planted
+    # duplicate clusters of 4 make the expected output checkable.
+    from enterprise_sales_data_pipeline_using_aws_lambda_spark.operators.similarity import (
+        cosine_pairs_blocked,
+    )
+
+    vecs = spark.range(0, 20_000).select(
+        F.col("id").alias("vec_id"),
+        F.transform(
+            F.sequence(F.lit(0), F.lit(15)),
+            lambda i: (
+                F.xxhash64(F.floor(F.col("id") / 4), i) % 1000
+            ).cast("float"),
+        ).alias("embedding"),
+    )
+    run(
+        "cosine_pairs_blocked_20k",
+        20_000,
+        lambda: str(
+            cosine_pairs_blocked(
+                vecs, threshold=0.999999, n_blocks=16
+            ).count()
+        )
+        + " pairs",
+    )
+
     total = round(sum(r[2] for r in results), 2)
     print(f"TOTAL {total}s for {len(results)} workloads at base n={n:,}")
     spark.stop()
