@@ -150,15 +150,43 @@ def fingerprint(
     unlike md5/xxhash this is reproducible from the algorithm spec, which
     makes it the cross-system dedup key for mirrored corpora."""
     t = F.col(text_col)
-    codes = F.transform(
-        F.sequence(F.lit(1), F.length(t)),
-        lambda i: F.ascii(F.substring(t, i, 1)).cast("long"),
-    )
-    fp = F.aggregate(
-        codes,
-        F.lit(0).cast("long"),
-        lambda acc, c: (acc * 31 + c) % F.lit(mod),
-    )
+    # Chunked Horner: fold 8 characters per lambda step instead of one
+    # (higher-order-function steps are interpreted, so step count is
+    # the cost driver — ~8× fewer steps, same arithmetic).  Per chunk:
+    # acc' = (acc·31^L + Σ ascii(c_i)·31^(L-1-i)) mod M, with the
+    # acc·31^L product split into two ≤31⁴ factors so every
+    # intermediate stays below 2^63 (acc < M ≈ 1e9; M·31⁴ ≈ 9.2e14).
+    chunk = 8
+    pow31 = [31**k for k in range(chunk)]  # 31^0..31^7
+    chunks = F.regexp_extract_all(t, F.lit("(?s).{1,%d}" % chunk), 0)
+
+    def step(acc, ch):
+        length = F.length(ch)
+        inner = None
+        for i in range(1, chunk + 1):
+            # 31^(L-i) via literal lookup; i > L contributes 0
+            term = F.when(
+                F.lit(i) <= length,
+                F.ascii(F.substring(ch, i, 1)).cast("long")
+                * F.element_at(
+                    F.array(*[F.lit(p) for p in pow31]),
+                    (length - i + 1).cast("int"),
+                ),
+            ).otherwise(F.lit(0).cast("long"))
+            inner = term if inner is None else inner + term
+        lo = F.least(length, F.lit(4))
+        hi = length - lo
+        p_lo = F.element_at(
+            F.array(*[F.lit(31**k) for k in range(5)]), (lo + 1).cast("int")
+        )
+        p_hi = F.element_at(
+            F.array(*[F.lit(31**k) for k in range(5)]), (hi + 1).cast("int")
+        )
+        return ((acc * p_lo % F.lit(mod)) * p_hi % F.lit(mod) + inner) % F.lit(
+            mod
+        )
+
+    fp = F.aggregate(chunks, F.lit(0).cast("long"), step)
     return df.select(
         F.col(id_col),
         F.when(F.length(t) == 0, F.lit(0)).otherwise(fp).alias("fingerprint"),
