@@ -84,16 +84,26 @@ def stream_sales_ingest(
         if cfg.dates_as_strings:
             for c in SALES_DATE_COLUMNS:
                 serving = serving.withColumn(c, format_date(c))
-        write_serving_table(serving, cfg.warehouse_dir, "sales", "append")
-        existing = read_serving_table(spark, cfg.warehouse_dir, "sales_tgt")
+        write_serving_table(
+            serving, cfg.warehouse_dir, "sales", "append",
+            cfg.jdbc_url, cfg.jdbc_properties,
+        )
+        existing = read_serving_table(
+            spark, cfg.warehouse_dir, "sales_tgt",
+            cfg.jdbc_url, cfg.jdbc_properties,
+        )
         merged = upsert_keep_last(
             existing, serving, [SALES_KEY_COLUMN], broadcast_keys=True
         ).localCheckpoint(eager=True)
-        write_serving_table(merged, cfg.warehouse_dir, "sales_tgt", "overwrite")
+        write_serving_table(
+            merged, cfg.warehouse_dir, "sales_tgt", "overwrite",
+            cfg.jdbc_url, cfg.jdbc_properties,
+        )
         summary_src = serving if cfg.summary_scope == "batch" else merged
         write_serving_table(
             sales_summary(summary_src), cfg.warehouse_dir,
             "sales_summary", "overwrite",
+            cfg.jdbc_url, cfg.jdbc_properties,
         )
 
     writer = (

@@ -90,3 +90,42 @@ def test_pipeline_e2e_on_jdbc_serving(spark, tmp_path):
     assert r2["status"] == "success"
     assert read_serving_table(spark, "", "sales_tgt", url, DERBY_PROPS).count() == 500
     assert read_serving_table(spark, "", "sales", url, DERBY_PROPS).count() == 1000
+
+
+def test_streaming_ingest_to_jdbc_serving(spark, tmp_path):
+    """The reference's actual architecture — file-event stream feeding
+    relational serving tables — end to end: streaming ingest with
+    foreachBatch writing sales/sales_tgt/sales_summary over JDBC."""
+    import shutil
+
+    from enterprise_sales_data_pipeline_using_aws_lambda_spark.pipeline import (
+        PipelineConfig,
+    )
+    from enterprise_sales_data_pipeline_using_aws_lambda_spark.streaming.pipeline import (
+        stream_sales_ingest,
+    )
+
+    raw = tmp_path / "raw"
+    raw.mkdir()
+    shutil.copy(
+        "/root/reference/sample_data/sales_data_500.csv",
+        raw / "batch1.csv",
+    )
+    url = f"jdbc:derby:memory:stream{uuid.uuid4().hex};create=true"
+    cfg = PipelineConfig(
+        lake_dir=str(tmp_path / "lake"),
+        warehouse_dir=str(tmp_path / "wh-unused"),
+        quarantine_dir=str(tmp_path / "quarantine"),
+        jdbc_url=url,
+        jdbc_properties=DERBY_PROPS,
+    )
+    q = stream_sales_ingest(
+        spark, str(raw), cfg, str(tmp_path / "ckpt"), available_now=True
+    )
+    q.awaitTermination(120)
+    tgt = read_serving_table(spark, "", "sales_tgt", url, DERBY_PROPS)
+    assert tgt.count() == 500
+    assert (
+        read_serving_table(spark, "", "sales_summary", url, DERBY_PROPS).count()
+        == tgt.select("Country").distinct().count()
+    )
