@@ -132,3 +132,43 @@ def test_exact_percentiles_ignores_nulls(spark):
                                    num_partitions=3).collect()
     }
     assert out == {"a": 2.0, "b": 10.0}
+
+
+def test_exact_percentiles_property_random(spark):
+    """Property check on adversarial-ish random data (ties, skewed
+    groups, negative values): distributed selection == F.percentile for
+    every group and every p."""
+    import random
+
+    rng = random.Random(7)
+    rows = []
+    for g in ["x", "y", "z"]:
+        n = rng.choice([1, 2, 5, 97])
+        vals = [round(rng.gauss(0, 100), 1) for _ in range(n)]
+        if n > 3:
+            vals[1] = vals[0]  # force ties
+            vals[2] = vals[0]
+        rows += [(g, v) for v in vals]
+    df = spark.createDataFrame(rows, "g string, v double").repartition(11)
+
+    from enterprise_sales_data_pipeline_using_aws_lambda_spark.operators.agg import (
+        exact_percentiles,
+    )
+
+    ps = [0.0, 0.1, 0.25, 0.5, 0.75, 0.9, 1.0]
+    names = [f"q{i}" for i in range(len(ps))]
+    got = {
+        r["g"]: r
+        for r in exact_percentiles(df, ["g"], "v", ps, names,
+                                   num_partitions=5).collect()
+    }
+    want = {
+        r["g"]: r
+        for r in df.groupBy("g")
+        .agg(*[F.percentile("v", F.lit(p)).alias(n) for p, n in zip(ps, names)])
+        .collect()
+    }
+    assert set(got) == set(want)
+    for g in want:
+        for n in names:
+            assert abs(got[g][n] - want[g][n]) < 1e-9, (g, n)
