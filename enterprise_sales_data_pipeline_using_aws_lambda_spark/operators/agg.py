@@ -10,6 +10,7 @@ megabytes, not the table.
 
 from __future__ import annotations
 
+from pyspark import StorageLevel
 from pyspark.sql import Column, DataFrame, Window
 from pyspark.sql import functions as F
 
@@ -95,6 +96,12 @@ def exact_percentiles(
         .repartitionByRange(num_partitions, *g, v)
         .withColumn("_pid", F.spark_partition_id())
     )
+    # Two plan branches (counts and ranks) consume `part`, and rank
+    # math requires BOTH to see identical range boundaries / _pid
+    # assignments.  The range exchange samples its boundaries at run
+    # time, so pin the materialized result rather than relying on
+    # exchange-reuse staying enabled.
+    part = part.persist(StorageLevel.MEMORY_AND_DISK)
     cnt = part.groupBy("_pid", *group_cols).agg(F.count("*").alias("_pc"))
     w_off = (
         Window.partitionBy(*group_cols)
@@ -157,6 +164,9 @@ def global_cumsum(
     part = df.repartitionByRange(num_partitions, *order_cols).withColumn(
         "_pid", F.spark_partition_id()
     )
+    # same branch-consistency requirement as exact_percentiles: the
+    # offset branch and the cumsum branch must agree on _pid
+    part = part.persist(StorageLevel.MEMORY_AND_DISK)
     w_local = (
         Window.partitionBy("_pid")
         .orderBy(*order_cols)

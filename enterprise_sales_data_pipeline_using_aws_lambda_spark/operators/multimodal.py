@@ -184,6 +184,8 @@ def parse_media(payload: bytes) -> dict:
         if fmt is None or data is None:
             raise ValueError("WAV missing fmt/data chunk")
         _, n_ch, rate, _, _, bits = fmt
+        if n_ch <= 0 or rate <= 0 or bits <= 0:
+            raise ValueError("WAV fmt chunk has zero channels/rate/bits")
         n_samples = len(data) * 8 // (bits * n_ch)
         feats.update(
             format="wav",
@@ -201,7 +203,20 @@ def parse_media(payload: bytes) -> dict:
                 params[tok[:1].decode()] = tok[1:].decode()
         w, h = int(params["W"]), int(params["H"])
         num, den = (int(x) for x in params.get("F", "25:1").split(":"))
-        frame_len = 3 * w * h  # C444
+        if w <= 0 or h <= 0 or num <= 0:
+            raise ValueError("y4m header has zero dimensions/rate")
+        # frame size depends on chroma subsampling; y4m defaults to C420
+        cspace = params.get("C", "420")
+        if cspace.startswith("444"):
+            frame_len = 3 * w * h
+        elif cspace.startswith("422"):
+            frame_len = 2 * w * h
+        elif cspace.startswith("420"):
+            frame_len = w * h * 3 // 2
+        elif cspace.startswith("mono"):
+            frame_len = w * h
+        else:
+            raise ValueError(f"unsupported y4m colorspace: C{cspace}")
         pos, n_frames, total, byte_sum = nl + 1, 0, 0, 0
         while pos < len(payload):
             fnl = payload.index(b"\n", pos)

@@ -101,11 +101,17 @@ def minhash_signatures(
     # single shuffle, same shape as the universal variant (docs ×
     # num_hashes partial-agg values), but each row costs one hash + one
     # mod + num_hashes COMPARES instead of num_hashes mul/add/mod
+    shift = num_hashes.bit_length() - 1
+    if 1 << shift != num_hashes:
+        raise ValueError("oph requires num_hashes to be a power of two")
+    # bin = low log2(k) bits; value = the REMAINING bits, so bin bits
+    # never leak into the minimized value
     binned = exploded.select(
         F.col(id_col),
         F.pmod(F.xxhash64("_sh"), F.lit(num_hashes)).alias("_bin"),
         F.pmod(
-            F.shiftrightunsigned(F.xxhash64("_sh"), 6), F.lit(_MERSENNE31)
+            F.shiftrightunsigned(F.xxhash64("_sh"), shift),
+            F.lit(_MERSENNE31),
         ).alias("_v"),
     )
     aggs = [

@@ -803,8 +803,10 @@ def ngram_jaccard_adjacent(spark: SparkSession, sf_dir: str) -> DataFrame:
     """
     WITH sh AS (
         SELECT doc_id,
-               list_distinct([substr(text, i, 5)
-                              FOR i IN range(1, len(text) - 3)]) AS s
+               CASE WHEN len(text) < 5 THEN [text]
+                    ELSE list_distinct([substr(text, i, 5)
+                                        FOR i IN range(1, len(text) - 3)])
+               END AS s
         FROM documents
     ),
     sizes AS (SELECT doc_id, len(s) AS n FROM sh),
@@ -976,8 +978,7 @@ def similarity_topk_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
     checked = (
         lsh.join(F.broadcast(qv), "qid")
         .join(cv, "vec_id")
-        .withColumn("_true_cos",
-                    F.round(dot / (nrm(F.col("_qv")) * nrm(F.col("_cv"))), 6))
+        .withColumn("_true_cos", dot / (nrm(F.col("_qv")) * nrm(F.col("_cv"))))
     )
     per_qid = checked.groupBy("qid").agg(
         F.count("*").alias("n_rows"),
@@ -985,8 +986,13 @@ def similarity_topk_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
             (F.max("rank") == F.count("*"))
             & (F.count_distinct(F.col("rank")) == F.count("*"))
         ).alias("ranks_ok"),
+        # reported cosine is rounded to 6 dp; the recompute here uses a
+        # different summation order, so compare against the RAW value
+        # with a tolerance that absorbs both the rounding and fp noise
+        # (comparing two independently-rounded values would flip on
+        # x.xxxxx5 boundaries)
         F.every(
-            F.abs(F.col("cosine") - F.col("_true_cos")) < F.lit(1e-9)
+            F.abs(F.col("cosine") - F.col("_true_cos")) < F.lit(1e-5)
         ).alias("cosines_exact"),
         F.collect_set("vec_id").alias("_lsh_ids"),
     )
@@ -2641,7 +2647,11 @@ def pmi_bigrams(spark: SparkSession, sf_dir: str) -> DataFrame:
             "c_xy",
             F.round(
                 F.log(
-                    F.col("c_xy") * F.col("n_bi") / (F.col("c1") * F.col("c2"))
+                    # doubles, not long*long: c_xy·n_bi overflows int64
+                    # at web-corpus scale (n_bi ~1e11 × hot bigram ~1e8)
+                    F.col("c_xy").cast("double")
+                    * F.col("n_bi").cast("double")
+                    / (F.col("c1") * F.col("c2"))
                 ),
                 6,
             ).alias("pmi"),
@@ -2810,7 +2820,10 @@ def shuffle_export_shards(spark: SparkSession, sf_dir: str) -> DataFrame:
     docs = _t(spark, sf_dir, "documents").select("doc_id")
     out = shuffle_export(docs, "doc_id", n_shards=8, seed=42)
     per_shard = out.groupBy("shard_id").agg(
-        F.count("*").alias("n_docs"), F.max("shard_pos").alias("max_pos")
+        F.count("*").alias("n_docs"),
+        F.max("shard_pos").alias("max_pos"),
+        F.min("shard_pos").alias("min_pos"),
+        F.count_distinct("shard_pos").alias("n_pos"),
     )
     return per_shard.agg(
         F.count("*").alias("n_shards"),
@@ -2819,9 +2832,14 @@ def shuffle_export_shards(spark: SparkSession, sf_dir: str) -> DataFrame:
             (F.max("n_docs") <= 2 * F.avg("n_docs"))
             & (F.min("n_docs") >= F.avg("n_docs") / 2)
         ).alias("shards_balanced"),
-        F.every(F.col("max_pos") == F.col("n_docs") - 1).alias(
-            "positions_contiguous"
-        ),
+        # true 0..n-1 range: min 0, max n-1, AND n distinct values —
+        # catches duplicated positions (e.g. rank() regressions), not
+        # just a correct max
+        F.every(
+            (F.col("max_pos") == F.col("n_docs") - 1)
+            & (F.col("min_pos") == 0)
+            & (F.col("n_pos") == F.col("n_docs"))
+        ).alias("positions_contiguous"),
     )
 
 
@@ -3577,8 +3595,10 @@ def key_skew_profile(spark: SparkSession, sf_dir: str) -> DataFrame:
     """
     WITH RECURSIVE sh AS (
         SELECT doc_id,
-               list_distinct([substr(text, i, 5)
-                              FOR i IN range(1, len(text) - 3)]) AS s
+               CASE WHEN len(text) < 5 THEN [text]
+                    ELSE list_distinct([substr(text, i, 5)
+                                        FOR i IN range(1, len(text) - 3)])
+               END AS s
         FROM documents
     ),
     sizes AS (SELECT doc_id, len(s) AS n FROM sh),

@@ -109,16 +109,41 @@ def read_serving_table(
     """Serving-table scan with the reference's missing-table fallback
     (S7+S8, ``lambda.py:176-178``): returns None when the table does not
     exist yet — caller substitutes an empty relation.  With ``jdbc_url``
-    set, reads through ``spark.read.jdbc`` (real S7); the fallback
-    applies to both branches."""
+    set, reads through ``spark.read.jdbc`` (real S7).
+
+    Only a genuinely MISSING table maps to None: any other failure
+    (connection refused, auth, timeout) re-raises.  Swallowing those
+    would be catastrophic downstream — the upsert would treat the
+    serving table as empty and the subsequent overwrite would destroy
+    it while reporting success."""
     try:
         if jdbc_url:
             return spark.read.jdbc(
                 jdbc_url, table, properties=jdbc_properties or {}
             )
         return spark.read.parquet(f"{warehouse_dir}/{table}")
-    except Exception:
-        return None
+    except Exception as ex:
+        # only the message head — the Java stack trace below it contains
+        # class names (JdbcRelationProvider, FilePath...) that would
+        # false-match the object words
+        msg = "\n".join(str(ex).splitlines()[:4]).lower()
+        missing_phrase = any(
+            m in msg
+            for m in (
+                "does not exist",  # Derby: Table/View 'X' does not exist
+                "doesn't exist",   # MySQL: Table 'x' doesn't exist
+                "not found",       # Postgres/generic: relation not found
+                "path_not_found",  # Spark parquet error class
+            )
+        )
+        # a missing DATABASE/connection is infra failure, not S8 — only
+        # a missing table/view/relation/path is the reference fallback
+        missing_object = any(
+            w in msg for w in ("table", "view", "relation", "path")
+        )
+        if missing_phrase and missing_object:
+            return None
+        raise
 
 
 def delete_path(spark: SparkSession, path: str) -> bool:

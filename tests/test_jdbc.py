@@ -129,3 +129,17 @@ def test_streaming_ingest_to_jdbc_serving(spark, tmp_path):
         read_serving_table(spark, "", "sales_summary", url, DERBY_PROPS).count()
         == tgt.select("Country").distinct().count()
     )
+
+
+def test_read_serving_table_reraises_non_missing_errors(spark):
+    """Only a genuinely missing table maps to None; infrastructure
+    failures must propagate (otherwise the upsert-overwrite cycle would
+    destroy the serving table on a transient DB error)."""
+    with pytest.raises(Exception):
+        read_serving_table(
+            spark,
+            "",
+            "sales_tgt",
+            "jdbc:derby:memory:nope",  # no ;create=true -> db doesn't exist
+            DERBY_PROPS,
+        )

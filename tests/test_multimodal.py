@@ -155,3 +155,42 @@ def test_resize_images_rewrites_payload_and_meta(spark, sf_dir):
     # deterministic: same input → same bytes
     again = {r["media_id"]: r["payload"] for r in resize_images(media, 16, 8).collect()}
     assert all(again[r["media_id"]] == r["payload"] for r in rows)
+
+
+def test_parse_y4m_c420_default_colorspace():
+    """y4m defaults to C420 (frame = 1.5·w·h); the parser must honor the
+    colorspace token instead of assuming C444."""
+    from enterprise_sales_data_pipeline_using_aws_lambda_spark.operators.multimodal import (
+        parse_media,
+    )
+
+    w, h, frames = 4, 4, 2
+    frame = bytes(range(w * h * 3 // 2))
+    payload = b"YUV4MPEG2 W4 H4 F25:1\n" + (b"FRAME\n" + frame) * frames
+    p = parse_media(payload)
+    assert (p["format"], p["width"], p["height"], p["n_frames"]) == (
+        "y4m", 4, 4, 2,
+    )
+    assert p["content_len"] == frames * len(frame)
+
+
+def test_parse_wav_zero_rate_raises_value_error():
+    import struct
+
+    import pytest
+
+    from enterprise_sales_data_pipeline_using_aws_lambda_spark.operators.multimodal import (
+        parse_media,
+    )
+
+    bad = (
+        struct.pack(
+            "<4sI4s4sIHHIIHH4sI",
+            b"RIFF", 40, b"WAVE", b"fmt ", 16,
+            1, 0, 0, 0, 1, 0,  # zero channels/rate/bits
+            b"data", 4,
+        )
+        + b"abcd"
+    )
+    with pytest.raises(ValueError):
+        parse_media(bad)
