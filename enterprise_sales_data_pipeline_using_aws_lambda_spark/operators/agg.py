@@ -10,7 +10,6 @@ megabytes, not the table.
 
 from __future__ import annotations
 
-from pyspark import StorageLevel
 from pyspark.sql import Column, DataFrame, Window
 from pyspark.sql import functions as F
 
@@ -100,8 +99,13 @@ def exact_percentiles(
     # math requires BOTH to see identical range boundaries / _pid
     # assignments.  The range exchange samples its boundaries at run
     # time, so pin the materialized result rather than relying on
-    # exchange-reuse staying enabled.
-    part = part.persist(StorageLevel.MEMORY_AND_DISK)
+    # exchange-reuse staying enabled.  Eager localCheckpoint (not
+    # DataFrame.persist): partition ids are frozen even across calls
+    # composed into one plan, and the backing RDD cache is reclaimed by
+    # the ContextCleaner once the frame is unreachable — CacheManager
+    # entries from .persist() leak until an explicit unpersist, which a
+    # lazy operator has no safe point to issue.
+    part = part.localCheckpoint(eager=True)
     cnt = part.groupBy("_pid", *group_cols).agg(F.count("*").alias("_pc"))
     w_off = (
         Window.partitionBy(*group_cols)
@@ -165,8 +169,9 @@ def global_cumsum(
         "_pid", F.spark_partition_id()
     )
     # same branch-consistency requirement as exact_percentiles: the
-    # offset branch and the cumsum branch must agree on _pid
-    part = part.persist(StorageLevel.MEMORY_AND_DISK)
+    # offset branch and the cumsum branch must agree on _pid (eager
+    # checkpoint, not persist — see exact_percentiles)
+    part = part.localCheckpoint(eager=True)
     w_local = (
         Window.partitionBy("_pid")
         .orderBy(*order_cols)

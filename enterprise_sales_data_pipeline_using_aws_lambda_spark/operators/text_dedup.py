@@ -281,18 +281,20 @@ def minhash_near_duplicates(
     borderline pair (true j == threshold) is missed with p ≈ Φ(-2.5σ)
     < 1%; report-exactness is unaffected — surviving pairs carry exact
     Jaccard."""
-    from pyspark import StorageLevel
-
     # Both intermediates are consumed twice (signatures by banding and
     # the estimate stage; shingles by signatures and the exact verify).
     # Signatures are docs × num_hashes longs — cacheable at any corpus
     # size; shingles are corpus-sized, so spill-to-disk caching trades
-    # one full re-shingling pass for local disk.
-    shingled = shingle_sets(df, text_col, id_col, n).persist(
-        StorageLevel.MEMORY_AND_DISK
+    # one full re-shingling pass for local disk.  Eager localCheckpoint
+    # instead of .persist(): the ContextCleaner reclaims the backing
+    # cache once the frames go unreachable, whereas CacheManager
+    # entries from persist leak across invocations (each bench/job
+    # re-run stacked another corpus-sized cached copy).
+    shingled = shingle_sets(df, text_col, id_col, n).localCheckpoint(
+        eager=True
     )
-    sigs = minhash_signatures(shingled, id_col, num_hashes).persist(
-        StorageLevel.MEMORY_AND_DISK
+    sigs = minhash_signatures(shingled, id_col, num_hashes).localCheckpoint(
+        eager=True
     )
     cands = lsh_candidate_pairs(sigs, id_col, bands)
     est = estimate_jaccard_on_pairs(cands, sigs, id_col)
