@@ -835,9 +835,12 @@ def dedup_minhash_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
     at j ≥ 0.92, where a 16-band/4-row miss has p < 1e-9."""
     from ..operators.text_dedup import minhash_near_duplicates
 
+    # no trailing orderBy: the driver compare is order-insensitive, and a
+    # global sort's range-sampling pass re-executes the whole post-shuffle
+    # estimate+verify compute a second time (~20% of query cost)
     return minhash_near_duplicates(
         _t(spark, sf_dir, "documents"), threshold=0.5
-    ).orderBy("id_a", "id_b")
+    )
 
 
 @query(
@@ -2514,7 +2517,9 @@ def tfidf_top_terms(spark: SparkSession, sf_dir: str) -> DataFrame:
     join against a broadcast — the corpus shuffles once for tf and once
     for the per-doc window, never for the idf."""
     docs = _t(spark, sf_dir, "documents")
-    n_docs = docs.count()
+    # corpus size as a broadcast 1-row aggregate, not a driver .count():
+    # keeps the whole query one plan (no mid-build job / second scan)
+    n_docs = docs.agg(F.count("*").alias("_n_docs"))
     toks = docs.select(
         "doc_id",
         F.explode(
@@ -2526,13 +2531,23 @@ def tfidf_top_terms(spark: SparkSession, sf_dir: str) -> DataFrame:
     ).filter(F.col("term") != "")
     tf = toks.groupBy("doc_id", "term").agg(F.count("*").alias("tf"))
     dfreq = tf.groupBy("term").agg(F.countDistinct("doc_id").alias("df"))
-    scored = tf.join(F.broadcast(dfreq), "term").select(
-        "doc_id",
-        "term",
-        F.round(
-            F.col("tf") * (F.log((n_docs + 1.0) / (F.col("df") + 1.0)) + 1.0),
-            6,
-        ).alias("tfidf"),
+    scored = (
+        tf.join(F.broadcast(dfreq), "term")
+        .crossJoin(F.broadcast(n_docs))
+        .select(
+            "doc_id",
+            "term",
+            F.round(
+                F.col("tf")
+                * (
+                    F.log(
+                        (F.col("_n_docs") + 1.0) / (F.col("df") + 1.0)
+                    )
+                    + 1.0
+                ),
+                6,
+            ).alias("tfidf"),
+        )
     )
     w = Window.partitionBy("doc_id").orderBy(F.desc("tfidf"), F.asc("term"))
     return (
@@ -3580,13 +3595,21 @@ def key_skew_profile(spark: SparkSession, sf_dir: str) -> DataFrame:
     cheap aggregations; the first reduces the table to |keys| rows, the
     second to |distinct frequencies|."""
     o = _t(spark, sf_dir, "orders")
-    total = o.count()
+    # table size as a broadcast 1-row aggregate, not a driver .count()
+    # (same one-plan rule as tfidf_top_terms / pmi_bigrams)
+    total = o.agg(F.count("*").cast("double").alias("_total"))
     per_key = o.groupBy("o_custkey").agg(F.count("*").alias("key_rows"))
-    return per_key.groupBy("key_rows").agg(
-        F.count("*").alias("n_keys"),
-        F.round(
-            F.col("key_rows") * F.count("*") / F.lit(float(total)), 6
-        ).alias("row_share"),
+    return (
+        per_key.groupBy("key_rows")
+        .agg(F.count("*").alias("n_keys"))
+        .crossJoin(F.broadcast(total))
+        .select(
+            "key_rows",
+            "n_keys",
+            F.round(
+                F.col("key_rows") * F.col("n_keys") / F.col("_total"), 6
+            ).alias("row_share"),
+        )
     )
 
 
@@ -4079,23 +4102,28 @@ def referential_integrity_audit(spark: SparkSession, sf_dir: str) -> DataFrame:
     c = _t(spark, sf_dir, "customer")
     p = _t(spark, sf_dir, "part")
 
-    def orphans(child, parent, ck, pk):
-        return child.join(
-            parent.select(F.col(pk).alias(ck)), ck, "left_anti"
-        ).count()
-
-    rows = [
-        (
-            orphans(o, li.select("l_orderkey").distinct(), "o_orderkey", "l_orderkey"),
-            orphans(li, o, "l_orderkey", "o_orderkey"),
-            orphans(o, c, "o_custkey", "c_custkey"),
-            orphans(li, p, "l_partkey", "p_partkey"),
+    def orphans(child, parent, ck, pk, out):
+        # 1-row aggregate per FK edge; all four stay lazy and run as
+        # branches of ONE plan (no driver .count() per edge)
+        return (
+            child.join(parent.select(F.col(pk).alias(ck)), ck, "left_anti")
+            .agg(F.count("*").alias(out))
         )
-    ]
-    return spark.createDataFrame(
-        rows,
-        "orders_without_lineitems long, lineitems_without_order long, "
-        "orders_without_customer long, lineitems_without_part long",
+
+    return (
+        orphans(
+            o, li.select("l_orderkey").distinct(), "o_orderkey",
+            "l_orderkey", "orders_without_lineitems",
+        )
+        .crossJoin(
+            orphans(li, o, "l_orderkey", "o_orderkey", "lineitems_without_order")
+        )
+        .crossJoin(
+            orphans(o, c, "o_custkey", "c_custkey", "orders_without_customer")
+        )
+        .crossJoin(
+            orphans(li, p, "l_partkey", "p_partkey", "lineitems_without_part")
+        )
     )
 
 

@@ -28,6 +28,61 @@ ALLOWED_GLOBAL_WINDOWS = {
 
 SF_DIR = "/root/testdata/sf0.001"
 
+#: query name → why a driver-side action inside the BUILDER is justified
+#: there.  Everything else must build one lazy plan: a mid-build
+#: .count()/.first()/.collect() is an extra pass over data the optimizer
+#: can't see or prune (the pmi_bigrams / tfidf_top_terms regressions
+#: this guard pins).  Actions inside operators/ modules are separately
+#: documented design decisions (bounded collects, iterative fixpoints)
+#: and are out of this lint's scope.
+ALLOWED_BUILDER_ACTIONS: dict[str, str] = {}
+
+#: DataFrame actions are zero-arg calls (df.count(), df.collect(), ...);
+#: the same names WITH args are harmless Column functions (F.count("*"),
+#: F.first(col)).  take/head are actions regardless of arity.
+_ZERO_ARG_ACTIONS = {"count", "first", "collect", "toPandas"}
+_ALWAYS_ACTIONS = {"take", "head", "toLocalIterator"}
+
+
+def test_no_driver_actions_in_query_builders():
+    """Query builders must not run Spark actions mid-build (AST lint)."""
+    import ast
+    import inspect
+    import textwrap
+
+    def is_action(node: "ast.Call") -> bool:
+        if not isinstance(node.func, ast.Attribute):
+            return False
+        if node.func.attr in _ALWAYS_ACTIONS:
+            return True
+        return (
+            node.func.attr in _ZERO_ARG_ACTIONS
+            and not node.args
+            and not node.keywords
+        )
+
+    offenders = {}
+    for name, fn in QUERIES.items():
+        src = textwrap.dedent(inspect.getsource(fn))
+        tree = ast.parse(src)
+        hits = [
+            f"{node.func.attr}() at line {node.lineno}"
+            for node in ast.walk(tree)
+            if isinstance(node, ast.Call) and is_action(node)
+        ]
+        if hits:
+            offenders[name] = hits
+    unlisted = sorted(set(offenders) - set(ALLOWED_BUILDER_ACTIONS))
+    assert not unlisted, (
+        "driver-side actions inside query builders (hidden extra scans; "
+        "inline the scalar as a broadcast 1-row aggregate instead): "
+        f"{ {n: offenders[n] for n in unlisted} }"
+    )
+    stale = sorted(set(ALLOWED_BUILDER_ACTIONS) - set(offenders))
+    assert not stale, (
+        f"builder-action allowlist entries no longer needed: {stale}"
+    )
+
 
 @pytest.mark.slow
 def test_no_unlisted_single_partition_windows(spark):
