@@ -269,3 +269,136 @@ def chunk_documents_boundary(
         )
         .withColumn("n_chars", F.length("chunk_text"))
     )
+
+
+def repetition_stats(
+    df: DataFrame,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    n: int = 2,
+) -> DataFrame:
+    """Gopher-style repetition filters (Rae et al. '21, public): the
+    duplicate-word fraction and the share of the single most-frequent
+    word n-gram — the standard "is this document degenerate boilerplate"
+    signals a training-data pipeline applies before tokenization.
+
+    Scale shape: per-(doc, ngram) frequencies via explode + hash
+    aggregate (map-side combine collapses repeats before the shuffle,
+    which carries one row per DISTINCT (doc, ngram)), then a per-doc
+    max.  Never an O(len²) per-row array scan — a 10⁶-token document
+    costs 10⁶ explode rows, not 10¹² comparisons.  The top-ngram tie
+    rule is max(struct(count, ngram)): highest count, then
+    lexicographically greatest ngram — deterministic on both engines."""
+    toks = F.filter(
+        F.split(F.col(text_col), " "), lambda x: x != F.lit("")
+    )
+    base = df.select(F.col(id_col), toks.alias("_t"))
+    word_stats = base.select(
+        F.col(id_col),
+        F.size("_t").cast("long").alias("n_words"),
+        F.round(
+            F.lit(1.0)
+            - F.size(F.array_distinct("_t"))
+            / F.greatest(F.size("_t"), F.lit(1)),
+            4,
+        ).alias("dup_word_frac"),
+    )
+    grams = F.when(
+        F.size("_t") >= n,
+        F.transform(
+            F.sequence(F.lit(0), F.size("_t") - n),
+            lambda i: F.concat_ws(
+                " ", F.slice(F.col("_t"), i + 1, n)
+            ),
+        ),
+    ).otherwise(F.array().cast("array<string>"))
+    per_gram = (
+        base.select(F.col(id_col), F.explode(grams).alias("_g"))
+        .groupBy(id_col, "_g")
+        .agg(F.count("*").alias("_n"))
+    )
+    top = (
+        per_gram.groupBy(id_col)
+        .agg(
+            F.max(F.struct(F.col("_n"), F.col("_g"))).alias("_top"),
+            F.sum("_n").alias("_total"),
+        )
+        .select(
+            F.col(id_col),
+            F.col("_top._g").alias("top_ngram"),
+            F.col("_top._n").cast("long").alias("top_ngram_n"),
+            F.round(F.col("_top._n") / F.col("_total"), 4).alias(
+                "top_ngram_frac"
+            ),
+        )
+    )
+    return word_stats.join(top, id_col, "left").select(
+        id_col,
+        "n_words",
+        "dup_word_frac",
+        F.coalesce(F.col("top_ngram"), F.lit("")).alias("top_ngram"),
+        F.coalesce(F.col("top_ngram_n"), F.lit(0)).alias("top_ngram_n"),
+        F.coalesce(F.col("top_ngram_frac"), F.lit(0.0)).alias(
+            "top_ngram_frac"
+        ),
+    )
+
+
+def benchmark_overlap(
+    df: DataFrame,
+    bench: DataFrame,
+    n: int = 8,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    bench_id_col: str = "bench_id",
+) -> DataFrame:
+    """Benchmark decontamination: flag training documents sharing any
+    word n-gram with an eval-suite document — the n-gram-overlap rule
+    public LLM pipelines apply before training (GPT-3 appendix C /
+    Dolma's decontamination stage use 8-13-gram variants).
+
+    ``bench`` is small BY CONTRACT (eval suites are 10³-10⁵ docs), so
+    its exploded distinct shingles broadcast to every executor; the
+    corpus side streams through a broadcast hash join with no text
+    shuffle — the only shuffle is the per-doc match aggregate, which
+    carries (doc_id, matched-gram) pairs.  Output: one row per
+    CONTAMINATED doc (n_shared_ngrams ≥ 1, self-matches excluded)."""
+
+    def grams(frame: DataFrame, out_id: str) -> DataFrame:
+        toks = F.filter(
+            F.split(F.col(text_col), " "), lambda x: x != F.lit("")
+        )
+        gs = F.array_distinct(
+            F.when(
+                F.size("_t") >= n,
+                F.transform(
+                    F.sequence(F.lit(0), F.size("_t") - n),
+                    lambda i: F.concat_ws(
+                        " ", F.slice(F.col("_t"), i + 1, n)
+                    ),
+                ),
+            ).otherwise(F.array().cast("array<string>"))
+        )
+        return (
+            frame.select(F.col(id_col).alias(out_id), toks.alias("_t"))
+            .select(out_id, gs.alias("_gs"))
+            .select(
+                out_id,
+                F.size("_gs").alias("_n_doc_grams"),
+                F.explode("_gs").alias("_g"),
+            )
+        )
+
+    corpus = grams(df, id_col)
+    bench_g = grams(bench, bench_id_col).select(bench_id_col, "_g")
+    joined = corpus.join(F.broadcast(bench_g), "_g").filter(
+        F.col(id_col) != F.col(bench_id_col)
+    )
+    return joined.groupBy(id_col).agg(
+        F.countDistinct("_g").cast("long").alias("n_shared_ngrams"),
+        F.countDistinct(bench_id_col).cast("long").alias("n_bench_docs"),
+        F.min(bench_id_col).alias("min_bench_id"),
+        F.round(
+            F.countDistinct("_g") / F.max("_n_doc_grams"), 4
+        ).alias("shared_frac"),
+    )

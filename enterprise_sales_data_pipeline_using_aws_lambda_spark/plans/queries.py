@@ -4370,3 +4370,91 @@ def pareto_abc_customers(spark: SparkSession, sf_dir: str) -> DataFrame:
             ),
         )
     )
+
+
+@query(
+    "doc_repetition_stats",
+    """
+    WITH t AS (
+        SELECT doc_id,
+               list_filter(string_split(text, ' '), x -> x <> '') AS tk
+        FROM documents
+    ),
+    ws AS (
+        SELECT doc_id, len(tk) AS n_words,
+               round(1.0 - len(list_distinct(tk)) * 1.0
+                     / greatest(len(tk), 1), 4) AS dup_word_frac
+        FROM t
+    ),
+    pg AS (
+        SELECT doc_id,
+               unnest([tk[i] || ' ' || tk[i + 1]
+                       FOR i IN range(1, len(tk))]) AS gr
+        FROM t WHERE len(tk) >= 2
+    ),
+    cnt AS (SELECT doc_id, gr, count(*) AS n FROM pg GROUP BY 1, 2),
+    top AS (
+        SELECT doc_id, gr, n,
+               row_number() OVER (
+                   PARTITION BY doc_id ORDER BY n DESC, gr DESC) AS rn,
+               sum(n) OVER (PARTITION BY doc_id) AS total
+        FROM cnt
+    )
+    SELECT ws.doc_id, ws.n_words, ws.dup_word_frac,
+           coalesce(top.gr, '') AS top_ngram,
+           coalesce(top.n, 0) AS top_ngram_n,
+           coalesce(round(top.n * 1.0 / top.total, 4), 0.0) AS top_ngram_frac
+    FROM ws LEFT JOIN (SELECT * FROM top WHERE rn = 1) top USING (doc_id)
+    """,
+)
+def doc_repetition_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Gopher-style repetition filters per document
+    (operators.text_analysis.repetition_stats): duplicate-word fraction
+    and the most-frequent-bigram share — the boilerplate/degeneracy
+    signals a training pipeline thresholds before tokenization.  Exact
+    oracle: DuckDB replays tokenization, bigram frequencies, and the
+    (count, ngram) tie rule in SQL."""
+    from ..operators.text_analysis import repetition_stats
+
+    return repetition_stats(_t(spark, sf_dir, "documents"))
+
+
+@query(
+    "benchmark_decontamination",
+    """
+    WITH t AS (
+        SELECT doc_id,
+               list_filter(string_split(text, ' '), x -> x <> '') AS tk
+        FROM documents
+    ),
+    g AS (
+        SELECT doc_id,
+               list_distinct([array_to_string(tk[i:i + 7], ' ')
+                              FOR i IN range(1, len(tk) - 6)]) AS gs
+        FROM t WHERE len(tk) >= 8
+    ),
+    dg AS (SELECT doc_id, len(gs) AS n_doc, unnest(gs) AS g FROM g),
+    bg AS (SELECT doc_id AS bench_id, unnest(gs) AS g FROM g
+           WHERE doc_id % 10 = 0)
+    SELECT dg.doc_id,
+           count(DISTINCT dg.g) AS n_shared_ngrams,
+           count(DISTINCT bg.bench_id) AS n_bench_docs,
+           min(bg.bench_id) AS min_bench_id,
+           round(count(DISTINCT dg.g) * 1.0 / max(dg.n_doc), 4)
+               AS shared_frac
+    FROM dg JOIN bg ON dg.g = bg.g AND dg.doc_id <> bg.bench_id
+    GROUP BY dg.doc_id
+    """,
+)
+def benchmark_decontamination(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Benchmark decontamination
+    (operators.text_analysis.benchmark_overlap): training docs sharing
+    any word 8-gram with an "eval suite" (stand-in: every 10th doc_id;
+    in production a separate small table) are flagged with match counts
+    and the contaminated fraction of their shingles.  The eval side
+    broadcasts by contract; the corpus never shuffles text."""
+    from ..operators.text_analysis import benchmark_overlap
+
+    docs = _t(spark, sf_dir, "documents")
+    bench = docs.filter(F.col("doc_id") % 10 == 0)
+    return benchmark_overlap(docs, bench, n=8)

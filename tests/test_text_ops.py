@@ -189,3 +189,65 @@ def test_parse_kv_udtf_lateral_join(spark):
     assert [(r["id"], r["key"], r["value"]) for r in rows] == [
         (1, "x", "10"), (1, "y", "20"), (2, "z", "5")
     ]
+
+
+def test_repetition_stats_known_docs(spark):
+    """Gopher repetition filters: hand-computed dup-word fraction and
+    top-bigram share, including the (count, ngram) tie rule and the
+    sub-n-word degenerate doc."""
+    from enterprise_sales_data_pipeline_using_aws_lambda_spark.operators.text_analysis import (
+        repetition_stats,
+    )
+
+    docs = spark.createDataFrame(
+        [
+            # "a b a b a" -> bigrams [a b, b a, a b, b a]: tie 2-2,
+            # tie rule picks lexicographically greatest -> "b a"
+            (1, "a b a b a"),
+            # all distinct words, every bigram unique
+            (2, "x y z"),
+            # single word: no bigrams -> zero-filled top columns
+            (3, "solo"),
+        ],
+        "doc_id long, text string",
+    )
+    rows = {r["doc_id"]: r for r in repetition_stats(docs).collect()}
+    r1 = rows[1]
+    assert r1["n_words"] == 5
+    assert r1["dup_word_frac"] == 0.6  # 1 - 2/5
+    assert r1["top_ngram"] == "b a" and r1["top_ngram_n"] == 2
+    assert r1["top_ngram_frac"] == 0.5  # 2 of 4
+    r2 = rows[2]
+    assert r2["dup_word_frac"] == 0.0 and r2["top_ngram_n"] == 1
+    r3 = rows[3]
+    assert (r3["top_ngram"], r3["top_ngram_n"], r3["top_ngram_frac"]) == (
+        "", 0, 0.0
+    )
+
+
+def test_benchmark_overlap_contamination(spark):
+    """Decontamination: doc sharing an 8-gram with a bench doc is
+    flagged (self-matches excluded); disjoint docs are not."""
+    from enterprise_sales_data_pipeline_using_aws_lambda_spark.operators.text_analysis import (
+        benchmark_overlap,
+    )
+
+    bench_text = "one two three four five six seven eight nine ten"
+    docs = spark.createDataFrame(
+        [
+            (100, bench_text),                     # the bench doc itself
+            (1, "zz " + bench_text + " yy"),       # contains all bench 8-grams
+            (2, "alpha beta gamma delta epsilon zeta eta theta iota"),
+            (3, "one two three four five six seven"),  # only 7 words
+        ],
+        "doc_id long, text string",
+    )
+    bench = docs.filter("doc_id = 100")
+    out = {r["doc_id"]: r for r in benchmark_overlap(docs, bench).collect()}
+    # bench doc excluded by self-match rule; only doc 1 contaminated
+    assert set(out) == {1}
+    r = out[1]
+    # bench has 3 8-grams; doc 1 has 5, of which 3 shared
+    assert r["n_shared_ngrams"] == 3
+    assert r["n_bench_docs"] == 1 and r["min_bench_id"] == 100
+    assert r["shared_frac"] == 0.6
