@@ -233,6 +233,49 @@ def main() -> int:
         + " pairs",
     )
 
+    # 12/13) Text-pipeline ops on a synthetic corpus: n/20 docs of ~50
+    # words from a 30-word vocabulary (JVM-generated, no Python).
+    # repetition_stats explodes ~49 bigrams/doc into a hash aggregate;
+    # benchmark_overlap joins ~43 8-grams/doc against a broadcast
+    # eval-suite shingle set (docs ending in 999 are "eval" docs).
+    nd = n // 20
+    vocab = F.array(*[F.lit(f"w{i}") for i in range(30)])
+    corpus = spark.range(0, nd).select(
+        F.col("id").alias("doc_id"),
+        F.concat_ws(
+            " ",
+            F.transform(
+                F.sequence(F.lit(1), F.lit(50)),
+                lambda i: F.element_at(
+                    vocab,
+                    F.pmod(F.xxhash64(F.col("id") * 50 + i), 30).cast("int")
+                    + 1,
+                ),
+            ),
+        ).alias("text"),
+    )
+    from enterprise_sales_data_pipeline_using_aws_lambda_spark.operators.text_analysis import (
+        benchmark_overlap,
+        repetition_stats,
+    )
+
+    run(
+        "repetition_stats",
+        nd,
+        lambda: repetition_stats(corpus)
+        .write.format("noop").mode("overwrite").save()
+        or "~49 bigrams/doc",
+    )
+    bench_docs = corpus.filter(F.col("doc_id") % 1000 == 999)
+    run(
+        "benchmark_decontamination",
+        nd,
+        lambda: str(
+            benchmark_overlap(corpus, bench_docs, n=8).count()
+        )
+        + " contaminated",
+    )
+
     total = round(sum(r[2] for r in results), 2)
     print(f"TOTAL {total}s for {len(results)} workloads at base n={n:,}")
     spark.stop()
