@@ -35,6 +35,12 @@ def get_spark(app_name: str = "enterprise-sales-engine", cpus: int | None = None
         .config("spark.sql.adaptive.skewJoin.enabled", "true")
         .config("spark.sql.execution.arrow.pyspark.enabled", "true")
         .config("spark.sql.session.timeZone", "UTC")
+        # Parquet timestamps written without a timezone annotation
+        # (isAdjustedToUTC=false) would otherwise read back as
+        # TIMESTAMP_NTZ, which event-time watermarks reject.  With the
+        # session pinned to UTC the LTZ reading is value-identical, so
+        # keep the classic behavior: every timestamp column is TIMESTAMP.
+        .config("spark.sql.parquet.inferTimestampNTZ.enabled", "false")
         .config("spark.driver.memory", os.environ.get("SPARK_GRAFT_DRIVER_MEM", "8g"))
         .config("spark.ui.enabled", "false")
         .config("spark.sql.autoBroadcastJoinThreshold", str(64 * 1024 * 1024))

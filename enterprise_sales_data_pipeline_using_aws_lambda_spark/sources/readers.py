@@ -138,11 +138,25 @@ def read_sales(
     return read_any(spark, path, sales_ingest_schema(), infer)
 
 
+def _normalize_ntz(df: DataFrame) -> DataFrame:
+    """Parquet timestamps written without a timezone annotation surface as
+    TIMESTAMP_NTZ under Spark's default NTZ inference.  Event-time
+    watermarks reject NTZ, and the rest of the engine (and the round-1
+    test corpus) speaks TIMESTAMP; with the session pinned to UTC the
+    cast is value-identical, so normalize at the single load point."""
+    ntz = [f.name for f in df.schema.fields if f.dataType.typeName() == "timestamp_ntz"]
+    for c in ntz:
+        df = df.withColumn(c, F.col(c).cast("timestamp"))
+    return df
+
+
 def read_table(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
     """Load one star-schema test table from a scale-factor directory."""
     if name == "events":
         return read_events(spark, sf_dir)
-    return spark.read.parquet(os.path.join(sf_dir, f"{name}.parquet"))
+    return _normalize_ntz(
+        spark.read.parquet(os.path.join(sf_dir, f"{name}.parquet"))
+    )
 
 
 def read_events(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -162,7 +176,7 @@ def read_events(spark: SparkSession, sf_dir: str) -> DataFrame:
         df = df.withColumn(
             "ts", F.expr("timestamp_micros(ts div 1000)")
         )
-    return df
+    return _normalize_ntz(df)
 
 
 def star_tables(spark: SparkSession, sf_dir: str) -> dict[str, DataFrame]:

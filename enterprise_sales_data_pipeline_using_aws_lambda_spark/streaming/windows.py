@@ -15,10 +15,19 @@ from pyspark.sql import DataFrame
 from pyspark.sql import functions as F
 
 
+def _event_time(df: DataFrame, col: str) -> DataFrame:
+    """Watermarks require TIMESTAMP (LTZ); parquet files written without
+    a timezone annotation surface as TIMESTAMP_NTZ under default configs.
+    The session is pinned to UTC, so the cast is value-identical."""
+    if dict(df.dtypes).get(col) == "timestamp_ntz":
+        df = df.withColumn(col, F.col(col).cast("timestamp"))
+    return df
+
+
 def with_watermark(events: DataFrame, delay: str = "1 hour") -> DataFrame:
     """Late-data bound: state for windows older than max(ts) - delay is
     evicted; later rows are dropped (documented late policy)."""
-    return events.withWatermark("ts", delay)
+    return _event_time(events, "ts").withWatermark("ts", delay)
 
 
 def tumbling_counts(
@@ -85,7 +94,7 @@ def sliding_counts(
     Batch face: plans/queries.sliding_window_event_rate (same operator,
     no watermark)."""
     return (
-        events.withWatermark("ts", delay)
+        with_watermark(events, delay)
         .groupBy(F.window("ts", width, slide).alias("win"))
         .agg(
             F.count("*").alias("n_events"),
@@ -119,12 +128,12 @@ def stream_stream_click_purchase(
 
     Input frames must carry (user_id, ts, ...) and may be the same
     source filtered two ways."""
-    c = clicks.select(
+    c = _event_time(clicks, "ts").select(
         F.col("user_id"),
         F.col("ts").alias("click_ts"),
         F.col("event_id").alias("click_id"),
     ).withWatermark("click_ts", delay)
-    p = purchases.select(
+    p = _event_time(purchases, "ts").select(
         F.col("user_id").alias("p_user_id"),
         F.col("ts").alias("purchase_ts"),
         F.col("value").alias("purchase_value"),
