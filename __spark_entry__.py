@@ -84,6 +84,8 @@ LOW_PRIORITY = [
 # puts them first next round.
 DEFERRED_NEW = [
     "doc_repetition_stats", "benchmark_decontamination",
+    "boilerplate_ngram_stats", "pii_scrub_contacts", "passage_dedup_stats",
+    "bpe_pair_top", "deterministic_split_docs",
 ]
 
 # Measured local gate cost (Spark + DuckDB oracle, seconds at sf0.01).

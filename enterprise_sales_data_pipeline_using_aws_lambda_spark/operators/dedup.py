@@ -199,3 +199,46 @@ def weighted_sample(
         .limit(k)
         .drop("_priority")
     )
+
+
+def deterministic_split(
+    df: DataFrame,
+    key_col: str,
+    weights: dict[str, float] | None = None,
+    seed: int = 0,
+    buckets: int = 1000,
+) -> DataFrame:
+    """Deterministic train/val/test assignment by hashed key — the split
+    rule a training-data pipeline needs: stable across runs, retries,
+    repartitioning, AND engines (the same row lands in the same split
+    when the pipeline is re-run on a different stack), with zero
+    coordination — no global sort, no shuffle, no state; assignment is a
+    pure projection fused into the scan.
+
+    The bucket is derived from the hex digits of ``md5(seed:key)`` —
+    md5 is bit-identical in every engine (unlike murmur/xxhash
+    availability), so an external system can reproduce the split from
+    the spec alone.  Six hex digits give 16^6 = 16.7M values, uniform
+    mod ``buckets``; cumulative weight thresholds map buckets to split
+    names.  Stratification is the hash-proportional kind used in
+    practice: a uniform hash splits every stratum to the target
+    fractions in expectation with no per-stratum bookkeeping (exact
+    per-stratum quotas would require a per-stratum rank — a corpus-wide
+    ordered shuffle this operator exists to avoid)."""
+    weights = weights or {"train": 0.8, "val": 0.1, "test": 0.1}
+    hexd = F.md5(F.concat(F.lit(f"s{seed}:"), F.col(key_col).cast("string")))
+    val = F.lit(0).cast("long")
+    for i in range(1, 7):
+        digit = F.instr(F.lit("0123456789abcdef"), F.substring(hexd, i, 1)) - 1
+        val = val * 16 + digit
+    bucket = F.pmod(val, F.lit(buckets))
+    total = sum(weights.values())
+    expr, acc = None, 0.0
+    names = list(weights)
+    for name in names[:-1]:
+        acc += weights[name] / total
+        cond = bucket < int(round(acc * buckets))
+        expr = F.when(cond, F.lit(name)) if expr is None else expr.when(cond, F.lit(name))
+    split = (expr.otherwise(F.lit(names[-1]))
+             if expr is not None else F.lit(names[-1]))
+    return df.withColumn("bucket", bucket.cast("long")).withColumn("split", split)

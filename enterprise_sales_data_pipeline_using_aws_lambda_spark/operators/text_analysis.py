@@ -344,6 +344,189 @@ def repetition_stats(
     )
 
 
+def _word_tokens(text_col: str) -> Column:
+    """Whitespace tokens with empties dropped — the shared tokenizer of
+    the corpus-level operators (same rule as the DuckDB oracles)."""
+    return F.filter(
+        F.split(F.col(text_col), " "), lambda x: x != F.lit("")
+    )
+
+
+def boilerplate_ngram_stats(
+    df: DataFrame,
+    n: int = 3,
+    min_docs: int = 5,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+) -> DataFrame:
+    """Corpus-level boilerplate detection (the CCNet/C4 idea at phrase
+    granularity): a word n-gram appearing in ≥ ``min_docs`` DISTINCT
+    documents is boilerplate (headers, footers, license blurbs); each
+    document reports how much of it is made of such phrases.
+
+    Scale shape — two shuffles, both on the n-gram key:
+    1. per-doc DISTINCT grams via ``array_distinct`` (JVM-side, before
+       any explode fan-out reaches a shuffle), then a gram-keyed hash
+       aggregate counting distinct docs.  Map-side partial aggregation
+       collapses each gram to one row per partition, so the shuffle
+       carries one (gram, partial) row per distinct gram per partition —
+       never one row per occurrence.
+    2. the (doc, gram) pairs re-join the boilerplate gram set on the
+       same gram key (co-partitioned: Catalyst reuses the exchange) and
+       aggregate back to one row per doc.
+    The boilerplate set itself is corpus-frequency-bounded (a gram needs
+    ``min_docs`` distinct docs), so no driver materialization anywhere.
+    """
+    grams_arr = F.when(
+        F.size("_t") >= n,
+        F.array_distinct(
+            F.transform(
+                F.sequence(F.lit(0), F.size("_t") - n),
+                lambda i: F.concat_ws(" ", F.slice(F.col("_t"), i + 1, n)),
+            )
+        ),
+    ).otherwise(F.array().cast("array<string>"))
+    doc_grams = (
+        df.select(F.col(id_col), _word_tokens(text_col).alias("_t"))
+        .select(F.col(id_col), F.explode_outer(grams_arr).alias("_g"))
+    )
+    boiler = (
+        doc_grams.filter(F.col("_g").isNotNull())
+        .groupBy("_g")
+        .agg(F.count("*").alias("_df"))  # rows are per-doc DISTINCT grams
+        .filter(F.col("_df") >= min_docs)
+    )
+    return (
+        doc_grams.join(boiler, "_g", "left")
+        .groupBy(id_col)
+        .agg(
+            F.count(F.col("_g")).cast("long").alias("n_grams"),
+            F.count(F.col("_df")).cast("long").alias("n_boiler_grams"),
+            F.round(
+                F.count(F.col("_df"))
+                / F.greatest(F.count(F.col("_g")), F.lit(1)),
+                4,
+            ).alias("boiler_frac"),
+        )
+    )
+
+
+#: Redaction patterns, applied in order (URLs first so an embedded
+#: email-like path segment is not double-counted).  ASCII-only classes —
+#: identical semantics under Java regex (Spark) and RE2 (DuckDB).
+PII_PATTERNS: list[tuple[str, str, str]] = [
+    ("url", r"https?://[A-Za-z0-9./_%-]+", "<URL>"),
+    ("email", r"[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\.[A-Za-z][A-Za-z]+", "<EMAIL>"),
+    ("ip", r"[0-9]{1,3}\.[0-9]{1,3}\.[0-9]{1,3}\.[0-9]{1,3}", "<IP>"),
+]
+
+
+def pii_scrub(
+    df: DataFrame, text_col: str = "text", id_col: str = "doc_id"
+) -> DataFrame:
+    """PII scrubbing: sequential regex redaction of URLs, emails, and
+    IPv4-shaped numbers with typed placeholder tokens, plus per-category
+    match counts — the pre-training privacy pass every public pipeline
+    (C4, Dolma, RefinedWeb) runs in some form.
+
+    Each category's count is evaluated on the text AFTER the previous
+    category's redaction, so an email inside a URL counts once as URL.
+    Pure ``regexp_replace``/``regexp_count`` column expressions: the
+    whole scrub fuses into one codegen span over the scan — zero
+    shuffles, scales linearly with corpus bytes."""
+    t = F.col(text_col)
+    counts = []
+    for name, pat, token in PII_PATTERNS:
+        counts.append(F.regexp_count(t, F.lit(pat)).cast("long").alias(f"n_{name}"))
+        t = F.regexp_replace(t, pat, token)
+    return df.select(F.col(id_col), *counts, t.alias("clean_text"))
+
+
+def passage_dedup_stats(
+    df: DataFrame,
+    width: int = 20,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+) -> DataFrame:
+    """Passage-level exact duplication profile: documents are cut into
+    non-overlapping ``width``-word passages; a passage text occurring in
+    ≥2 distinct documents is a duplicate passage.  Per doc: passage
+    count, duplicated-passage count, and the duplicated fraction — the
+    sub-document dedup signal (C4 dedups at 3-sentence spans) that
+    document-level hashing misses.
+
+    Scale shape: passage fan-out is a JVM ``sequence``+``transform``
+    (no UDF); the corpus-frequency aggregate groups by passage text with
+    map-side partials, then the per-doc rollup re-uses the same
+    passage-keyed partitioning.  The shuffle carries one row per
+    distinct (passage, doc) — for production-size corpora swap the
+    passage string for ``xxhash64(passage)`` to shrink shuffle bytes
+    (collision odds ~n²/2⁶⁴); the gate keeps the text so the oracle is
+    exact."""
+    toks = _word_tokens(text_col)
+    passages = F.transform(
+        F.sequence(F.lit(1), F.greatest(F.size("_t"), F.lit(1)), F.lit(width)),
+        lambda i: F.concat_ws(" ", F.slice(F.col("_t"), i, width)),
+    )
+    doc_pass = (
+        df.select(F.col(id_col), toks.alias("_t"))
+        .filter(F.size("_t") > 0)
+        .select(F.col(id_col), F.explode(passages).alias("_p"))
+    )
+    by_passage = doc_pass.groupBy("_p").agg(
+        F.countDistinct(id_col).alias("_docs")
+    )
+    return (
+        doc_pass.join(by_passage, "_p")
+        .groupBy(id_col)
+        .agg(
+            F.count("*").cast("long").alias("n_passages"),
+            F.sum((F.col("_docs") >= 2).cast("long")).alias("n_dup_passages"),
+            F.round(
+                F.sum((F.col("_docs") >= 2).cast("int"))
+                / F.count("*"),
+                4,
+            ).alias("dup_passage_frac"),
+        )
+    )
+
+
+def bpe_pair_counts(
+    df: DataFrame,
+    top_k: int = 20,
+    text_col: str = "text",
+) -> DataFrame:
+    """One BPE merge step over the corpus: global frequencies of adjacent
+    character pairs inside whitespace words, top-k by (count desc, pair
+    asc) — the inner loop of byte-pair-encoding vocabulary induction,
+    run corpus-wide as a distributed aggregate.
+
+    Scale shape: per-word pair fan-out is JVM ``sequence``+``transform``
+    (a w-char word yields w-1 pairs before any shuffle); the pair
+    frequency aggregate is a hash agg with map-side combine — the
+    shuffle carries one row per distinct pair per partition, and the
+    pair alphabet is tiny (≤ |charset|²), so the final agg is
+    broadcast-sized regardless of corpus size.  Top-k is a
+    TakeOrderedAndProject, never a global sort."""
+    words = df.select(
+        F.explode(_word_tokens(text_col)).alias("_w")
+    ).filter(F.length("_w") >= 2)
+    pairs = words.select(
+        F.explode(
+            F.transform(
+                F.sequence(F.lit(1), F.length("_w") - 1),
+                lambda i: F.substring(F.col("_w"), i, 2),
+            )
+        ).alias("pair")
+    )
+    return (
+        pairs.groupBy("pair")
+        .agg(F.count("*").cast("long").alias("n"))
+        .orderBy(F.col("n").desc(), F.col("pair"))
+        .limit(top_k)
+    )
+
+
 def benchmark_overlap(
     df: DataFrame,
     bench: DataFrame,

@@ -4458,3 +4458,233 @@ def benchmark_decontamination(spark: SparkSession, sf_dir: str) -> DataFrame:
     docs = _t(spark, sf_dir, "documents")
     bench = docs.filter(F.col("doc_id") % 10 == 0)
     return benchmark_overlap(docs, bench, n=8)
+
+
+@query(
+    "boilerplate_ngram_stats",
+    """
+    WITH t AS (
+        SELECT doc_id,
+               list_filter(string_split(text, ' '), x -> x <> '') AS tk
+        FROM documents
+    ),
+    g AS (
+        SELECT doc_id,
+               list_distinct([array_to_string(tk[i:i + 2], ' ')
+                              FOR i IN range(1, len(tk) - 1)]) AS gs
+        FROM t WHERE len(tk) >= 3
+    ),
+    dg AS (SELECT doc_id, unnest(gs) AS g FROM g),
+    boiler AS (SELECT g FROM dg GROUP BY g HAVING count(*) >= 5),
+    per AS (
+        SELECT dg.doc_id, count(*) AS n_grams,
+               sum(CASE WHEN b.g IS NOT NULL THEN 1 ELSE 0 END) AS n_boiler
+        FROM dg LEFT JOIN boiler b USING (g) GROUP BY dg.doc_id
+    )
+    SELECT t.doc_id,
+           coalesce(per.n_grams, 0) AS n_grams,
+           coalesce(per.n_boiler, 0) AS n_boiler_grams,
+           round(coalesce(per.n_boiler, 0) * 1.0
+                 / greatest(coalesce(per.n_grams, 0), 1), 4) AS boiler_frac
+    FROM t LEFT JOIN per ON t.doc_id = per.doc_id
+    """,
+)
+def boilerplate_ngram_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Corpus-level boilerplate phrases
+    (operators.text_analysis.boilerplate_ngram_stats): word 3-grams
+    present in >= 5 distinct documents are boilerplate; per doc, the
+    fraction of its distinct 3-grams that are boilerplate.  Two
+    gram-keyed shuffles (frequency agg + join back), map-side partials
+    both times; the CCNet-style repeated-content signal at corpus
+    scope where repetition_stats is per-document."""
+    from ..operators.text_analysis import boilerplate_ngram_stats
+
+    return boilerplate_ngram_stats(
+        _t(spark, sf_dir, "documents"), n=3, min_docs=5
+    )
+
+
+@query(
+    "pii_scrub_contacts",
+    """
+    WITH raw AS (
+        SELECT c_custkey AS doc_id,
+               c_name
+               || CASE WHEN c_custkey % 3 = 0
+                       THEN ' contact user' || CAST(c_custkey AS VARCHAR)
+                            || '@corp.example.com' ELSE '' END
+               || CASE WHEN c_custkey % 4 = 0
+                       THEN ' see https://docs.example.com/'
+                            || lower(c_mktsegment) || '/'
+                            || CAST(c_custkey AS VARCHAR) ELSE '' END
+               || CASE WHEN c_custkey % 5 = 0
+                       THEN ' host 10.' || CAST(c_nationkey AS VARCHAR)
+                            || '.0.' || CAST(c_custkey % 200 AS VARCHAR)
+                       ELSE '' END AS text
+        FROM customer
+    ),
+    s1 AS (
+        SELECT doc_id,
+               len(regexp_extract_all(text, 'https?://[A-Za-z0-9./_%-]+')) AS n_url,
+               regexp_replace(text, 'https?://[A-Za-z0-9./_%-]+', '<URL>', 'g') AS t1
+        FROM raw
+    ),
+    s2 AS (
+        SELECT doc_id, n_url,
+               len(regexp_extract_all(t1,
+                   '[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\\.[A-Za-z][A-Za-z]+')) AS n_email,
+               regexp_replace(t1,
+                   '[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\\.[A-Za-z][A-Za-z]+',
+                   '<EMAIL>', 'g') AS t2
+        FROM s1
+    )
+    SELECT doc_id, n_url, n_email,
+           len(regexp_extract_all(t2,
+               '[0-9]{1,3}\\.[0-9]{1,3}\\.[0-9]{1,3}\\.[0-9]{1,3}')) AS n_ip,
+           regexp_replace(t2,
+               '[0-9]{1,3}\\.[0-9]{1,3}\\.[0-9]{1,3}\\.[0-9]{1,3}',
+               '<IP>', 'g') AS clean_text
+    FROM s2
+    """,
+)
+def pii_scrub_contacts(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """PII scrubbing (operators.text_analysis.pii_scrub) over a
+    deterministic contact-card corpus derived from ``customer`` (the
+    documents table contains no PII-shaped tokens, so the gate builds
+    input with known URL/email/IPv4 density from the star schema).
+    Sequential category redaction — each count evaluated after the
+    previous category's replacement, so an email-like path inside a URL
+    counts once as URL.  Zero shuffles: the scrub is one codegen span."""
+    from ..operators.text_analysis import pii_scrub
+
+    cust = _t(spark, sf_dir, "customer")
+    k = F.col("c_custkey")
+    raw = cust.select(
+        k.alias("doc_id"),
+        F.concat(
+            F.col("c_name"),
+            F.when(
+                k % 3 == 0,
+                F.concat(F.lit(" contact user"), k.cast("string"),
+                         F.lit("@corp.example.com")),
+            ).otherwise(F.lit("")),
+            F.when(
+                k % 4 == 0,
+                F.concat(F.lit(" see https://docs.example.com/"),
+                         F.lower("c_mktsegment"), F.lit("/"), k.cast("string")),
+            ).otherwise(F.lit("")),
+            F.when(
+                k % 5 == 0,
+                F.concat(F.lit(" host 10."),
+                         F.col("c_nationkey").cast("string"),
+                         F.lit(".0."), (k % 200).cast("string")),
+            ).otherwise(F.lit("")),
+        ).alias("text"),
+    )
+    return pii_scrub(raw)
+
+
+@query(
+    "passage_dedup_stats",
+    """
+    WITH t AS (
+        SELECT doc_id,
+               list_filter(string_split(text, ' '), x -> x <> '') AS tk
+        FROM documents
+    ),
+    p AS (
+        SELECT doc_id,
+               unnest([array_to_string(tk[i:i + 19], ' ')
+                       FOR i IN range(1, len(tk) + 1, 20)]) AS p
+        FROM t WHERE len(tk) > 0
+    ),
+    byp AS (SELECT p, count(DISTINCT doc_id) AS docs FROM p GROUP BY p)
+    SELECT doc_id,
+           count(*) AS n_passages,
+           sum(CASE WHEN docs >= 2 THEN 1 ELSE 0 END) AS n_dup_passages,
+           round(sum(CASE WHEN docs >= 2 THEN 1 ELSE 0 END) * 1.0
+                 / count(*), 4) AS dup_passage_frac
+    FROM p JOIN byp USING (p)
+    GROUP BY doc_id
+    """,
+)
+def passage_dedup_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Sub-document exact dedup profile
+    (operators.text_analysis.passage_dedup_stats): non-overlapping
+    20-word passages; a passage text in >= 2 distinct docs is a
+    duplicate.  Passage-keyed frequency agg + same-key join back —
+    the C4-style span-level dedup signal document hashing misses."""
+    from ..operators.text_analysis import passage_dedup_stats
+
+    return passage_dedup_stats(_t(spark, sf_dir, "documents"), width=20)
+
+
+@query(
+    "bpe_pair_top",
+    """
+    WITH w AS (
+        SELECT unnest(list_filter(string_split(text, ' '), x -> x <> ''))
+               AS w
+        FROM documents
+    ),
+    p AS (
+        SELECT unnest([substr(w, i, 2) FOR i IN range(1, len(w))]) AS pair
+        FROM w WHERE len(w) >= 2
+    )
+    SELECT pair, count(*) AS n
+    FROM p GROUP BY pair
+    ORDER BY n DESC, pair
+    LIMIT 20
+    """,
+)
+def bpe_pair_top(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """One BPE vocabulary-induction step
+    (operators.text_analysis.bpe_pair_counts): global adjacent
+    character-pair frequencies inside words, top-20 by (count desc,
+    pair asc).  The pair alphabet is bounded by |charset|^2, so the
+    final aggregate is broadcast-sized at any corpus size; top-k is
+    TakeOrderedAndProject, never a global sort."""
+    from ..operators.text_analysis import bpe_pair_counts
+
+    return bpe_pair_counts(_t(spark, sf_dir, "documents"), top_k=20)
+
+
+@query(
+    "deterministic_split_docs",
+    """
+    WITH h AS (
+        SELECT doc_id, lang,
+               md5('s0:' || CAST(doc_id AS VARCHAR)) AS hx
+        FROM documents
+    ),
+    b AS (
+        SELECT doc_id, lang,
+               ((((((strpos('0123456789abcdef', substr(hx, 1, 1)) - 1) * 16
+                  + (strpos('0123456789abcdef', substr(hx, 2, 1)) - 1)) * 16
+                  + (strpos('0123456789abcdef', substr(hx, 3, 1)) - 1)) * 16
+                  + (strpos('0123456789abcdef', substr(hx, 4, 1)) - 1)) * 16
+                  + (strpos('0123456789abcdef', substr(hx, 5, 1)) - 1)) * 16
+                  + (strpos('0123456789abcdef', substr(hx, 6, 1)) - 1))
+               % 1000 AS bucket
+        FROM h
+    )
+    SELECT doc_id, lang, bucket,
+           CASE WHEN bucket < 800 THEN 'train'
+                WHEN bucket < 900 THEN 'val'
+                ELSE 'test' END AS split
+    FROM b
+    """,
+)
+def deterministic_split_docs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Deterministic train/val/test assignment
+    (operators.dedup.deterministic_split): engine-portable md5-derived
+    bucket (reproducible from the spec on any stack), cumulative-weight
+    thresholds, zero shuffles — assignment is a projection fused into
+    the scan.  The oracle replays every hex digit of the hash, so the
+    driver hash-match proves bit-identical split assignment."""
+    from ..operators.dedup import deterministic_split
+
+    docs = _t(spark, sf_dir, "documents")
+    return deterministic_split(docs, "doc_id").select(
+        "doc_id", "lang", "bucket", "split"
+    )

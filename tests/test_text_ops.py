@@ -251,3 +251,99 @@ def test_benchmark_overlap_contamination(spark):
     assert r["n_shared_ngrams"] == 3
     assert r["n_bench_docs"] == 1 and r["min_bench_id"] == 100
     assert r["shared_frac"] == 0.6
+
+
+def test_boilerplate_ngram_stats(spark):
+    from enterprise_sales_data_pipeline_using_aws_lambda_spark.operators.text_analysis import (
+        boilerplate_ngram_stats,
+    )
+
+    # "all rights reserved" appears in 5 docs -> boilerplate at min_docs=5;
+    # every other 3-gram is unique to its doc.
+    texts = [f"doc {i} body all rights reserved" for i in range(5)]
+    texts.append("totally original content here")
+    texts.append("xy")  # shorter than n=3 -> 0 grams
+    df = _docs(spark, texts)
+    r = {x["doc_id"]: x for x in boilerplate_ngram_stats(df, n=3, min_docs=5).collect()}
+    assert len(r) == 7
+    # doc 0 grams: 'doc 0 body', '0 body all', 'body all rights', 'all rights reserved'
+    # shared across all 5 docs: 'body all rights' and 'all rights reserved'
+    assert r[0]["n_grams"] == 4
+    assert r[0]["n_boiler_grams"] == 2
+    assert r[0]["boiler_frac"] == 0.5
+    assert r[5]["n_boiler_grams"] == 0
+    assert r[6]["n_grams"] == 0 and r[6]["boiler_frac"] == 0.0
+
+
+def test_pii_scrub_counts_and_order(spark):
+    from enterprise_sales_data_pipeline_using_aws_lambda_spark.operators.text_analysis import (
+        pii_scrub,
+    )
+
+    df = _docs(
+        spark,
+        [
+            "mail a@b.com or visit https://x.org/path from 10.0.0.1",
+            "version 1.2.3.4 and 256.1.1.1 plain text",
+            "no matches at all",
+        ],
+    )
+    r = {x["doc_id"]: x for x in pii_scrub(df).collect()}
+    assert (r[0]["n_url"], r[0]["n_email"], r[0]["n_ip"]) == (1, 1, 1)
+    assert r[0]["clean_text"] == "mail <EMAIL> or visit <URL> from <IP>"
+    # IPv4-shaped version strings match by design (documented limitation)
+    assert r[1]["n_ip"] == 2
+    assert (r[2]["n_url"], r[2]["n_email"], r[2]["n_ip"]) == (0, 0, 0)
+    assert r[2]["clean_text"] == "no matches at all"
+
+
+def test_passage_dedup_stats(spark):
+    from enterprise_sales_data_pipeline_using_aws_lambda_spark.operators.text_analysis import (
+        passage_dedup_stats,
+    )
+
+    shared = " ".join(f"w{i}" for i in range(4))  # one 4-word passage
+    df = _docs(spark, [shared + " tail only here", shared + " other ending words", "unique words entirely different"])
+    r = {x["doc_id"]: x for x in passage_dedup_stats(df, width=4).collect()}
+    # docs 0/1: passages [shared, tail(3 words)] -> shared duplicated
+    assert r[0]["n_passages"] == 2 and r[0]["n_dup_passages"] == 1
+    assert r[0]["dup_passage_frac"] == 0.5
+    assert r[2]["n_dup_passages"] == 0
+
+
+def test_bpe_pair_counts(spark):
+    from enterprise_sales_data_pipeline_using_aws_lambda_spark.operators.text_analysis import (
+        bpe_pair_counts,
+    )
+
+    df = _docs(spark, ["aaa ab", "ba a"])
+    got = {r["pair"]: r["n"] for r in bpe_pair_counts(df, top_k=10).collect()}
+    # 'aaa' -> aa, aa ; 'ab' -> ab ; 'ba' -> ba ; 'a' dropped (len<2)
+    assert got == {"aa": 2, "ab": 1, "ba": 1}
+
+
+def test_deterministic_split_portable_and_stable(spark):
+    import hashlib
+
+    from enterprise_sales_data_pipeline_using_aws_lambda_spark.operators.dedup import (
+        deterministic_split,
+    )
+
+    df = spark.range(0, 500).withColumnRenamed("id", "k")
+    out = deterministic_split(df, "k").collect()
+    # engine-portable: bucket reproducible from the md5 spec in plain Python
+    for row in out[:50]:
+        hx = hashlib.md5(f"s0:{row['k']}".encode()).hexdigest()
+        assert row["bucket"] == int(hx[:6], 16) % 1000
+        expected = "train" if row["bucket"] < 800 else ("val" if row["bucket"] < 900 else "test")
+        assert row["split"] == expected
+    # every row assigned exactly once; proportions near 80/10/10
+    from collections import Counter
+
+    c = Counter(r["split"] for r in out)
+    assert sum(c.values()) == 500
+    assert 330 <= c["train"] <= 470  # loose 3-sigma-ish band around 400... 500*0.8=400
+    assert c["val"] + c["test"] <= 170
+    # stability: a second evaluation yields identical assignment
+    again = {r["k"]: r["split"] for r in deterministic_split(df, "k").collect()}
+    assert all(again[r["k"]] == r["split"] for r in out)
