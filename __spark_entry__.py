@@ -85,7 +85,7 @@ LOW_PRIORITY = [
 DEFERRED_NEW = [
     "doc_repetition_stats", "benchmark_decontamination",
     "boilerplate_ngram_stats", "pii_scrub_contacts", "passage_dedup_stats",
-    "bpe_pair_top", "deterministic_split_docs",
+    "bpe_pair_top", "deterministic_split_docs", "hll_sketch_rollup",
 ]
 
 # Measured local gate cost (Spark + DuckDB oracle, seconds at sf0.01).

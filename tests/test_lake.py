@@ -256,3 +256,65 @@ def test_append_log_idempotent_on_replay(spark, tmp_path):
     assert spark.read.parquet(path).count() == 100  # no double-append
     assert append_log_idempotent(spark, df, path, "b2") is True
     assert spark.read.parquet(path).count() == 200
+
+
+def test_zorder_lake_clusters_both_dimensions(spark, tmp_path):
+    """write_zorder_lake row groups must be narrow in BOTH clustered
+    columns (each spanning a small fraction of its domain), so selective
+    predicates on either dimension prune row groups — the property
+    one-dimensional sorting cannot give the second column."""
+    import glob
+
+    import pyarrow.parquet as pq
+
+    from enterprise_sales_data_pipeline_using_aws_lambda_spark.sources.writers import (
+        write_zorder_lake,
+    )
+
+    n = 100_000
+    # Two independent uniform dimensions (decorrelated via hashing).
+    df = spark.range(0, n).select(
+        F.col("id"),
+        F.pmod(F.xxhash64("id"), F.lit(n)).alias("x"),
+        F.pmod(F.xxhash64((F.col("id") + 7).cast("string")), F.lit(n)).alias("y"),
+    )
+    path = str(tmp_path / "zorder_lake")
+    write_zorder_lake(df, path, ["x", "y"], n_files=16, bits=16)
+
+    spans = {"x": [], "y": []}
+    boxes = []
+    for f in glob.glob(f"{path}/*.parquet"):
+        md = pq.ParquetFile(f).metadata
+        for rg in range(md.num_row_groups):
+            st = {}
+            for i in range(md.num_columns):
+                col = md.row_group(rg).column(i)
+                name = col.path_in_schema
+                if name in spans:
+                    st[name] = (col.statistics.min, col.statistics.max)
+                    spans[name].append(
+                        col.statistics.max - col.statistics.min
+                    )
+            boxes.append(st)
+    assert spans["x"] and spans["y"]
+    # Z-range files that straddle a quadrant boundary legitimately span
+    # one dimension widely (boundaries come from range-partition
+    # sampling), so assert on the MEAN: measured ~0.3-0.4n per dim for
+    # 16 files; an unclustered column would sit near the full domain n.
+    assert sum(spans["x"]) / len(spans["x"]) < 0.6 * n
+    assert sum(spans["y"]) / len(spans["y"]) < 0.6 * n
+    # The property that pays at scan time: a small 2-D predicate box
+    # overlaps only a handful of row groups (measured 2-3 of 16).
+    qx, qy, w = 30_000, 70_000, 2_000
+    hits = sum(
+        1
+        for b in boxes
+        if b["x"][0] <= qx + w and b["x"][1] >= qx
+        and b["y"][0] <= qy + w and b["y"][1] >= qy
+    )
+    assert hits <= 6
+
+    back = spark.read.parquet(path)
+    assert back.count() == n
+    assert set(back.columns) == {"id", "x", "y"}
+    assert back.agg(F.sum("id")).first()[0] == n * (n - 1) // 2
