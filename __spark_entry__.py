@@ -86,6 +86,7 @@ DEFERRED_NEW = [
     "doc_repetition_stats", "benchmark_decontamination",
     "boilerplate_ngram_stats", "pii_scrub_contacts", "passage_dedup_stats",
     "bpe_pair_top", "deterministic_split_docs", "hll_sketch_rollup",
+    "feature_hash_vectors", "topk_sketch_rollup",
 ]
 
 # Measured local gate cost (Spark + DuckDB oracle, seconds at sf0.01).

@@ -585,3 +585,38 @@ def benchmark_overlap(
             F.countDistinct("_g") / F.max("_n_doc_grams"), 4
         ).alias("shared_frac"),
     )
+
+
+def feature_hash_counts(
+    df: DataFrame,
+    dims: int = 64,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+) -> DataFrame:
+    """Hashing-trick bag-of-words (Weinberger et al. '09): every token
+    maps to ``dim = md5_bucket(token) mod dims`` and the document's
+    feature vector is the per-dim token count, emitted as sparse
+    (doc_id, dim, n) rows — the fixed-width featurization step before
+    classical quality classifiers (fastText-style) in curation
+    pipelines.
+
+    The md5-hex-digit bucket (same spec as
+    ``operators.dedup.deterministic_split``) keeps the feature space
+    engine-portable: any stack reproduces identical vectors from the
+    spec.  Dataflow: explode tokens → project dim → hash aggregate with
+    map-side combine; the shuffle carries one row per distinct
+    (doc, dim) — bounded by ``dims`` per document regardless of length."""
+    toks = df.select(
+        F.col(id_col), F.explode(_word_tokens(text_col)).alias("_w")
+    )
+    hexd = F.md5(F.col("_w"))
+    val = F.lit(0).cast("long")
+    for i in range(1, 7):
+        val = val * 16 + (
+            F.instr(F.lit("0123456789abcdef"), F.substring(hexd, i, 1)) - 1
+        )
+    return (
+        toks.withColumn("dim", F.pmod(val, F.lit(dims)).cast("long"))
+        .groupBy(id_col, "dim")
+        .agg(F.count("*").cast("long").alias("n"))
+    )

@@ -4738,3 +4738,71 @@ def hll_sketch_rollup(spark: SparkSession, sf_dir: str) -> DataFrame:
             <= F.greatest((F.col("_exact") * 0.05).cast("long"), F.lit(2))
         ).alias("users_within_tol"),
     )
+
+
+@query(
+    "feature_hash_vectors",
+    """
+    WITH tok AS (
+        SELECT doc_id,
+               unnest(list_filter(string_split(text, ' '), x -> x <> ''))
+               AS w
+        FROM documents
+    ),
+    d AS (
+        SELECT doc_id,
+               ((((((strpos('0123456789abcdef', substr(md5(w), 1, 1)) - 1) * 16
+                  + (strpos('0123456789abcdef', substr(md5(w), 2, 1)) - 1)) * 16
+                  + (strpos('0123456789abcdef', substr(md5(w), 3, 1)) - 1)) * 16
+                  + (strpos('0123456789abcdef', substr(md5(w), 4, 1)) - 1)) * 16
+                  + (strpos('0123456789abcdef', substr(md5(w), 5, 1)) - 1)) * 16
+                  + (strpos('0123456789abcdef', substr(md5(w), 6, 1)) - 1))
+               % 64 AS dim
+        FROM tok
+    )
+    SELECT doc_id, dim, count(*) AS n
+    FROM d GROUP BY doc_id, dim
+    """,
+)
+def feature_hash_vectors(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Hashing-trick featurization
+    (operators.text_analysis.feature_hash_counts): 64-dim bag-of-words
+    via the engine-portable md5 bucket; sparse (doc, dim, count) rows.
+    The oracle replays the hash digit-for-digit, so the driver
+    hash-match proves bit-identical feature vectors across engines."""
+    from ..operators.text_analysis import feature_hash_counts
+
+    return feature_hash_counts(_t(spark, sf_dir, "documents"), dims=64)
+
+
+@query(
+    "topk_sketch_rollup",
+    """
+    SELECT event_type AS item, count(*) AS n
+    FROM events
+    GROUP BY event_type
+    ORDER BY n DESC, item
+    LIMIT 5
+    """,
+)
+def topk_sketch_rollup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Mergeable frequent-items rollup (DataSketches via Spark 4's
+    approx_top_k_accumulate/combine/estimate): per-day sketches of the
+    event-type stream combine into the global top-k WITHOUT rescanning
+    raw events — same persist-sketches-with-partitions pattern as
+    ``hll_sketch_rollup``, for heavy hitters instead of cardinality.
+
+    With distinct items ≤ maxItemsTracked the sketch is EXACT, so the
+    oracle pins precise counts (the sketch's error bound only engages
+    above capacity — capacity 20 ≫ 5 event types by construction)."""
+    ev = _t(spark, sf_dir, "events")
+    daily = ev.groupBy(F.to_date("ts").alias("day")).agg(
+        F.expr("approx_top_k_accumulate(event_type, 20)").alias("sk")
+    )
+    merged = daily.agg(
+        F.expr("approx_top_k_combine(sk, 20)").alias("m")
+    ).select(F.explode(F.expr("approx_top_k_estimate(m, 5)")).alias("e"))
+    return merged.select(
+        F.col("e.item").alias("item"),
+        F.col("e.count").cast("long").alias("n"),
+    )

@@ -1,0 +1,112 @@
+"""Incremental materialized-rollup maintenance: a streaming aggregate
+serving table kept current per micro-batch, touching only the partitions
+a batch affects.
+
+The pattern a 100 TB pipeline needs for "keep the daily dashboard table
+fresh": per batch, aggregate JUST the new rows to batch-partials, read
+back ONLY the affected day partitions of the serving table, re-combine,
+and dynamically overwrite those partitions.  Work per batch is
+O(batch + affected partitions) — never a rescan of raw history, never a
+rewrite of the whole serving table (the two failure modes the reference's
+overwrite-everything summary has, ``lambda.py:184-190``).
+
+Counts and sums are associative, so partial + existing re-aggregation is
+exact; the same shape extends to any algebraic aggregate (avg via
+sum/count pairs, variance via moment triples, distinct via HLL sketch
+columns — see ``plans.queries.hll_sketch_rollup``).
+"""
+
+from __future__ import annotations
+
+import os
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+from pyspark.errors import AnalysisException
+
+
+ROLLUP_TABLE = "events_daily_rollup"
+
+
+def _batch_partials(batch_df: DataFrame) -> DataFrame:
+    return batch_df.groupBy(
+        F.to_date("ts").alias("day"), "event_type"
+    ).agg(
+        F.count("*").alias("n_events"),
+        F.sum("value").alias("total_value"),
+    )
+
+
+def merge_rollup_batch(
+    spark: SparkSession, batch_df: DataFrame, serving_dir: str
+) -> None:
+    """One incremental maintenance step (callable from ``foreachBatch``
+    or a batch backfill loop): combine this batch's partials with the
+    existing aggregates of the AFFECTED days only, then dynamically
+    overwrite just those day partitions.
+
+    The affected-day set is bounded by the batch's event-time span (a
+    handful of partitions under any sane ingest), so the read-back is
+    partition-pruned and the broadcast join trivially small."""
+    inc = _batch_partials(batch_df)
+    path = os.path.join(serving_dir, ROLLUP_TABLE)
+    try:
+        existing = spark.read.parquet(path)
+        has_existing = True
+    except AnalysisException:  # first batch: serving table not created yet
+        has_existing = False
+    if has_existing:
+        affected = inc.select("day").distinct()
+        relevant = existing.join(F.broadcast(affected), "day")
+        inc = (
+            relevant.unionByName(inc)
+            .groupBy("day", "event_type")
+            .agg(
+                F.sum("n_events").cast("long").alias("n_events"),
+                F.sum("total_value").alias("total_value"),
+            )
+        )
+    writer = inc.withColumn("day", F.col("day").cast("string"))
+    (
+        writer.write.mode("overwrite")
+        .option("partitionOverwriteMode", "dynamic")
+        .partitionBy("day")
+        .parquet(path)
+    )
+
+
+def stream_events_rollup(
+    spark: SparkSession,
+    events_dir: str,
+    serving_dir: str,
+    checkpoint_dir: str,
+    available_now: bool = True,
+    glob_filter: str | None = None,
+):
+    """Maintain the daily (day, event_type) rollup of an events stream.
+
+    File-source ingest → ``foreachBatch(merge_rollup_batch)`` under a
+    checkpoint: replays skip completed batches, and because each batch's
+    merge is a deterministic re-aggregation of (existing ∪ partials),
+    a batch that reruns after a mid-write crash converges to the same
+    partition contents — maintenance is idempotent at the partition
+    level."""
+    schema = spark.read.parquet(events_dir).schema
+    reader = spark.readStream.schema(schema).option(
+        "maxFilesPerTrigger", 4
+    )
+    if glob_filter:
+        reader = reader.option("pathGlobFilter", glob_filter)
+    stream = reader.parquet(events_dir)
+
+    def process(batch_df: DataFrame, batch_id: int) -> None:
+        merge_rollup_batch(spark, batch_df, serving_dir)
+
+    writer = (
+        stream.writeStream.foreachBatch(process)
+        .option("checkpointLocation", checkpoint_dir)
+        .outputMode("append")
+    )
+    if available_now:
+        writer = writer.trigger(availableNow=True)
+    return writer.start()

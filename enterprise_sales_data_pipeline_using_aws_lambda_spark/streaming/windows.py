@@ -82,6 +82,26 @@ def stream_dedup(events: DataFrame, delay: str = "1 hour") -> DataFrame:
     return with_watermark(events, delay).dropDuplicates(["event_id"])
 
 
+def stream_dedup_within_watermark(
+    events: DataFrame, delay: str = "1 hour"
+) -> DataFrame:
+    """Duplicate suppression with BOUNDED state even when duplicates
+    carry different event times: ``dropDuplicatesWithinWatermark``
+    deduplicates keys whose arrivals land within the watermark delay of
+    each other, then evicts the key's state once the watermark passes.
+
+    Contrast with :func:`stream_dedup` (plain ``dropDuplicates`` under a
+    watermark): that variant keys state on (event_id, exact ts), so a
+    retransmission with a slightly different timestamp — the common
+    at-least-once-producer case — is NOT collapsed.  This variant
+    collapses any duplicates separated by less than ``delay``, which is
+    the semantics an ingest dedup actually wants, with the same O(keys
+    in window) state bound."""
+    return _event_time(events, "ts").withWatermark(
+        "ts", delay
+    ).dropDuplicatesWithinWatermark(["event_id"])
+
+
 def sliding_counts(
     events: DataFrame,
     width: str = "60 minutes",

@@ -356,3 +356,73 @@ def test_sliding_counts_batch_equals_streaming(spark, tmp_path):
     }
     assert batch_out == stream_out
     assert len(batch_out) > 0
+
+
+def test_dedup_within_watermark_collapses_jittered_dupes(spark, tmp_path):
+    """Retransmitted events with slightly different timestamps (the
+    at-least-once-producer case) must collapse to one row — the property
+    plain dropDuplicates on (event_id, ts) cannot give."""
+    from enterprise_sales_data_pipeline_using_aws_lambda_spark.streaming.windows import (
+        stream_dedup_within_watermark,
+    )
+
+    ev = read_events(spark, SF_DIR).limit(200)
+    jittered = ev.withColumn("ts", F.col("ts") + F.expr("INTERVAL 5 SECONDS"))
+    ev.unionByName(jittered).write.parquet(f"{tmp_path}/jit_in", mode="overwrite")
+    stream = spark.readStream.schema(ev.schema).parquet(f"{tmp_path}/jit_in")
+    q = (
+        stream_dedup_within_watermark(stream, delay="1 hour")
+        .writeStream.format("memory")
+        .queryName("dedup_wm_test")
+        .outputMode("append")
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination(120)
+    n = spark.sql(
+        "select count(distinct event_id) c, count(*) n from dedup_wm_test"
+    ).first()
+    assert n["c"] == n["n"] == 200
+
+
+def test_incremental_rollup_matches_batch_aggregate(spark, tmp_path):
+    """Streaming maintenance of the daily rollup (merge-affected-
+    partitions-only) must converge to exactly the batch GROUP BY over
+    all data, including across a checkpointed restart with new files."""
+    from enterprise_sales_data_pipeline_using_aws_lambda_spark.streaming.rollup import (
+        ROLLUP_TABLE,
+        stream_events_rollup,
+    )
+
+    ev = read_events(spark, SF_DIR)
+    in_dir = f"{tmp_path}/ev_in"
+    # Two waves of files: drain wave 1, then add wave 2 and drain again
+    # over the same checkpoint (restart path).
+    w1 = ev.filter(F.col("event_id") % 2 == 0)
+    w2 = ev.filter(F.col("event_id") % 2 == 1)
+    w1.coalesce(2).write.parquet(in_dir, mode="overwrite")
+    serving = f"{tmp_path}/serving"
+    ckpt = f"{tmp_path}/ckpt"
+    q = stream_events_rollup(spark, in_dir, serving, ckpt)
+    q.awaitTermination(120)
+    w2.coalesce(2).write.parquet(in_dir, mode="append")
+    q2 = stream_events_rollup(spark, in_dir, serving, ckpt)
+    q2.awaitTermination(120)
+
+    got = (
+        spark.read.parquet(f"{serving}/{ROLLUP_TABLE}")
+        .select(
+            F.col("day").cast("date").alias("day"),
+            "event_type",
+            "n_events",
+            F.round("total_value", 2).alias("total_value"),
+        )
+    )
+    want = ev.groupBy(F.to_date("ts").alias("day"), "event_type").agg(
+        F.count("*").alias("n_events"),
+        F.round(F.sum("value"), 2).alias("total_value"),
+    )
+    assert got.count() == want.count()
+    assert (
+        got.exceptAll(want).count() == 0 and want.exceptAll(got).count() == 0
+    )
