@@ -4806,3 +4806,82 @@ def topk_sketch_rollup(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.col("e.item").alias("item"),
         F.col("e.count").cast("long").alias("n"),
     )
+
+
+@query(
+    "inverted_index_topk",
+    """
+    WITH t AS (
+        SELECT doc_id,
+               list_filter(string_split(text, ' '), x -> x <> '') AS tk
+        FROM documents
+    ),
+    posts AS (
+        SELECT term, doc_id, count(*) AS tf
+        FROM (SELECT doc_id, unnest(tk) AS term FROM t)
+        GROUP BY term, doc_id
+    ),
+    dfreq AS (SELECT term, count(*) AS df FROM posts GROUP BY term),
+    ranked AS (
+        SELECT term, doc_id, tf,
+               row_number() OVER (
+                   PARTITION BY term ORDER BY tf DESC, doc_id) AS rank
+        FROM posts
+    )
+    SELECT r.term, dfreq.df, r.rank, r.doc_id, r.tf
+    FROM ranked r JOIN dfreq USING (term)
+    WHERE r.rank <= 5
+    """,
+)
+def inverted_index_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Truncated inverted index (operators.retrieval.inverted_index_topk):
+    top-5 posting rows per term by (tf desc, doc_id asc) plus document
+    frequency.  Term-keyed shuffle, local per-term sort, rank cutoff
+    bounds output; the deterministic tie rule makes the oracle exact."""
+    from ..operators.retrieval import inverted_index_topk
+
+    return inverted_index_topk(_t(spark, sf_dir, "documents"), k=5)
+
+
+@query(
+    "bm25_retrieval",
+    """
+    WITH t AS (
+        SELECT doc_id,
+               list_filter(string_split(text, ' '), x -> x <> '') AS tk
+        FROM documents
+    ),
+    posts AS (
+        SELECT term, doc_id, count(*) AS tf, min(dl) AS dl
+        FROM (SELECT doc_id, len(tk) AS dl, unnest(tk) AS term FROM t)
+        WHERE term IN ('spark', 'join', 'table')
+        GROUP BY term, doc_id
+    ),
+    dfreq AS (SELECT term, count(*) * 1.0 AS df FROM posts GROUP BY term),
+    stats AS (
+        SELECT count(*) * 1.0 AS n_docs, avg(len(tk)) AS avgdl FROM t
+    )
+    SELECT doc_id,
+           round(sum(
+               ln(1.0 + (n_docs - df + 0.5) / (df + 0.5))
+               * (tf * 2.2)
+               / (tf + 1.2 * (1 - 0.75 + 0.75 * dl / avgdl))
+           ), 4) AS bm25
+    FROM posts JOIN dfreq USING (term) CROSS JOIN stats
+    GROUP BY doc_id
+    ORDER BY bm25 DESC, doc_id
+    LIMIT 50
+    """,
+)
+def bm25_retrieval(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """BM25 ranking (operators.retrieval.bm25_scores) of the corpus
+    against the query bag {spark, join, table} — the lexical-retrieval
+    primitive for seed-query curation and hard-negative mining.  Term
+    filter prunes before any shuffle; corpus constants broadcast; the
+    Lucene idf and (k1=1.2, b=0.75) weighting are replayed exactly by
+    the oracle, rounded to 4 decimals on both sides."""
+    from ..operators.retrieval import bm25_scores
+
+    return bm25_scores(
+        _t(spark, sf_dir, "documents"), ["spark", "join", "table"]
+    )

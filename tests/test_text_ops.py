@@ -347,3 +347,40 @@ def test_deterministic_split_portable_and_stable(spark):
     # stability: a second evaluation yields identical assignment
     again = {r["k"]: r["split"] for r in deterministic_split(df, "k").collect()}
     assert all(again[r["k"]] == r["split"] for r in out)
+
+
+def test_inverted_index_topk_ranks_and_df(spark):
+    from enterprise_sales_data_pipeline_using_aws_lambda_spark.operators.retrieval import (
+        inverted_index_topk,
+    )
+
+    df = _docs(spark, ["a a b", "a b b", "b c"])
+    rows = inverted_index_topk(df, k=2).collect()
+    got = {(r["term"], r["rank"]): (r["doc_id"], r["tf"], r["df"]) for r in rows}
+    # term a: doc0 tf2, doc1 tf1; df=2
+    assert got[("a", 1)] == (0, 2, 2)
+    assert got[("a", 2)] == (1, 1, 2)
+    # term b: doc1 tf2 first, then tie tf1 broken by doc_id -> doc0
+    assert got[("b", 1)] == (1, 2, 3)
+    assert got[("b", 2)] == (0, 1, 3)
+    assert got[("c", 1)] == (2, 1, 1)
+    # k cutoff: term b has 3 postings, only 2 survive
+    assert len([r for r in rows if r["term"] == "b"]) == 2
+
+
+def test_bm25_hand_computed(spark):
+    import math
+
+    from enterprise_sales_data_pipeline_using_aws_lambda_spark.operators.retrieval import (
+        bm25_scores,
+    )
+
+    df = _docs(spark, ["x x y", "x z z", "z z z"])
+    out = {r["doc_id"]: r["bm25"] for r in bm25_scores(df, ["x"]).collect()}
+    n_docs, avgdl, dfx, k1, b = 3.0, 3.0, 2.0, 1.2, 0.75
+    idf = math.log(1.0 + (n_docs - dfx + 0.5) / (dfx + 0.5))
+
+    def s(tf, dl):
+        return round(idf * (tf * (k1 + 1)) / (tf + k1 * (1 - b + b * dl / avgdl)), 4)
+
+    assert out == {0: s(2, 3), 1: s(1, 3)}  # doc2 has no 'x': absent
