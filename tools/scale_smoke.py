@@ -276,6 +276,58 @@ def main() -> int:
         + " contaminated",
     )
 
+    # 14-17) Round-2 text/retrieval ops on the same synthetic corpus.
+    from enterprise_sales_data_pipeline_using_aws_lambda_spark.operators.retrieval import (
+        bm25_scores,
+        inverted_index_topk,
+    )
+    from enterprise_sales_data_pipeline_using_aws_lambda_spark.operators.text_analysis import (
+        boilerplate_ngram_stats,
+        feature_hash_counts,
+        passage_dedup_stats,
+    )
+
+    run(
+        "boilerplate_ngram_stats",
+        nd,
+        lambda: boilerplate_ngram_stats(corpus, n=3, min_docs=50)
+        .write.format("noop").mode("overwrite").save()
+        or "gram-keyed agg+join",
+    )
+    run(
+        "passage_dedup_stats",
+        nd,
+        lambda: passage_dedup_stats(corpus, width=20)
+        .write.format("noop").mode("overwrite").save()
+        or "~3 passages/doc",
+    )
+    run(
+        "feature_hash_counts",
+        nd,
+        lambda: feature_hash_counts(corpus, dims=64)
+        .write.format("noop").mode("overwrite").save()
+        or "<=64 dims/doc",
+    )
+    run(
+        "bm25_scores",
+        nd,
+        lambda: str(bm25_scores(corpus, ["w1", "w7", "w13"]).count())
+        + " ranked",
+    )
+    # Deliberate worst-case skew for the per-term rank window: a 30-term
+    # vocabulary means every posting list is ~|corpus| long.  Documented
+    # hazard of inverted_index_topk — run at nd/10 so each of the 30
+    # term-sorts still handles ~100k postings in one task.
+    run(
+        "inverted_index_topk_skew",
+        nd // 10,
+        lambda: inverted_index_topk(
+            corpus.filter(F.col("doc_id") % 10 == 0), k=5
+        )
+        .write.format("noop").mode("overwrite").save()
+        or "30 megaterms",
+    )
+
     total = round(sum(r[2] for r in results), 2)
     print(f"TOTAL {total}s for {len(results)} workloads at base n={n:,}")
     spark.stop()
