@@ -89,6 +89,15 @@ HEADLINE = [
     "order_history_features",
     "embedding_preprocess",
     "chunk_documents_boundary",
+    # round-2 additions: corpus curation, retrieval, sketch rollups
+    "boilerplate_ngram_stats",
+    "passage_dedup_stats",
+    "feature_hash_vectors",
+    "deterministic_split_docs",
+    "bm25_retrieval",
+    "inverted_index_topk",
+    "hll_sketch_rollup",
+    "topk_sketch_rollup",
 ]
 
 

@@ -384,3 +384,48 @@ def test_bm25_hand_computed(spark):
         return round(idf * (tf * (k1 + 1)) / (tf + k1 * (1 - b + b * dl / avgdl)), 4)
 
     assert out == {0: s(2, 3), 1: s(1, 3)}  # doc2 has no 'x': absent
+
+
+def test_pii_scrub_idempotent(spark):
+    """Scrubbing already-scrubbed text must be a no-op: placeholders
+    contain no PII-shaped tokens, so a second pass finds zero matches."""
+    from enterprise_sales_data_pipeline_using_aws_lambda_spark.operators.text_analysis import (
+        pii_scrub,
+    )
+
+    df = _docs(
+        spark,
+        [
+            "mail a@b.com or visit https://x.org/path from 10.0.0.1",
+            "double http://y.io/z and c.d@e.org and 172.16.254.3 end",
+        ],
+    )
+    once = pii_scrub(df).select(
+        F.col("doc_id"), F.col("clean_text").alias("text")
+    )
+    twice = {r["doc_id"]: r for r in pii_scrub(once).collect()}
+    for r in twice.values():
+        assert (r["n_url"], r["n_email"], r["n_ip"]) == (0, 0, 0)
+    first = {r["doc_id"]: r["clean_text"] for r in pii_scrub(df).collect()}
+    assert all(twice[k]["clean_text"] == first[k] for k in first)
+
+
+def test_boilerplate_fraction_bounds_on_real_corpus(spark, sf_dir):
+    """boiler_frac is a fraction of the doc's own distinct grams:
+    always within [0, 1], and n_boiler_grams never exceeds n_grams."""
+    from enterprise_sales_data_pipeline_using_aws_lambda_spark.operators.text_analysis import (
+        boilerplate_ngram_stats,
+    )
+    from enterprise_sales_data_pipeline_using_aws_lambda_spark.sources.readers import (
+        read_table,
+    )
+
+    out = boilerplate_ngram_stats(
+        read_table(spark, sf_dir, "documents"), n=3, min_docs=5
+    )
+    bad = out.filter(
+        (F.col("boiler_frac") < 0)
+        | (F.col("boiler_frac") > 1)
+        | (F.col("n_boiler_grams") > F.col("n_grams"))
+    )
+    assert bad.count() == 0
