@@ -87,7 +87,7 @@ DEFERRED_NEW = [
     "boilerplate_ngram_stats", "pii_scrub_contacts", "passage_dedup_stats",
     "bpe_pair_top", "deterministic_split_docs", "hll_sketch_rollup",
     "feature_hash_vectors", "topk_sketch_rollup",
-    "inverted_index_topk", "bm25_retrieval",
+    "inverted_index_topk", "bm25_retrieval", "training_split_summary",
 ]
 
 # Measured local gate cost (Spark + DuckDB oracle, seconds at sf0.01).

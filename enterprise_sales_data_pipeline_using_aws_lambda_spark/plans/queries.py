@@ -4885,3 +4885,66 @@ def bm25_retrieval(spark: SparkSession, sf_dir: str) -> DataFrame:
     return bm25_scores(
         _t(spark, sf_dir, "documents"), ["spark", "join", "table"]
     )
+
+
+@query(
+    "training_split_summary",
+    """
+    WITH gated AS (
+        SELECT doc_id, lang, text,
+               len(list_filter(string_split(text, ' '), x -> x <> ''))
+               AS n_words
+        FROM documents
+        WHERE n_chars >= 100
+    ),
+    h AS (
+        SELECT doc_id, lang, n_words,
+               md5('s0:' || CAST(doc_id AS VARCHAR)) AS hx
+        FROM gated
+    ),
+    b AS (
+        SELECT doc_id, lang, n_words,
+               ((((((strpos('0123456789abcdef', substr(hx, 1, 1)) - 1) * 16
+                  + (strpos('0123456789abcdef', substr(hx, 2, 1)) - 1)) * 16
+                  + (strpos('0123456789abcdef', substr(hx, 3, 1)) - 1)) * 16
+                  + (strpos('0123456789abcdef', substr(hx, 4, 1)) - 1)) * 16
+                  + (strpos('0123456789abcdef', substr(hx, 5, 1)) - 1)) * 16
+                  + (strpos('0123456789abcdef', substr(hx, 6, 1)) - 1))
+               % 1000 AS bucket
+        FROM h
+    )
+    SELECT CASE WHEN bucket < 800 THEN 'train'
+                WHEN bucket < 900 THEN 'val'
+                ELSE 'test' END AS split,
+           lang,
+           count(*) AS n_docs,
+           sum(n_words) AS total_words,
+           round(avg(n_words), 2) AS avg_words
+    FROM b
+    GROUP BY 1, 2
+    """,
+)
+def training_split_summary(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """End-to-end training-export accounting: quality gate (length
+    floor) → deterministic md5-bucket split → per-(split, lang) doc and
+    token totals — the report a data-engineering run emits before
+    handing shards to training.  One plan: the gate filter prunes at
+    the scan, split assignment is a fused projection
+    (operators.dedup.deterministic_split), and the rollup is a single
+    hash aggregate; the oracle replays every stage exactly."""
+    from ..operators.dedup import deterministic_split
+
+    docs = _t(spark, sf_dir, "documents").filter(F.col("n_chars") >= 100)
+    split = deterministic_split(docs, "doc_id")
+    toks = F.filter(F.split("text", " "), lambda x: x != F.lit(""))
+    return (
+        split.select(
+            "split", "lang", F.size(toks).cast("long").alias("_nw")
+        )
+        .groupBy("split", "lang")
+        .agg(
+            F.count("*").cast("long").alias("n_docs"),
+            F.sum("_nw").cast("long").alias("total_words"),
+            F.round(F.avg("_nw"), 2).alias("avg_words"),
+        )
+    )
