@@ -328,6 +328,33 @@ def main() -> int:
         or "30 megaterms",
     )
 
+    # 18) Z-order clustered write: 10M rows, 2 decorrelated dimensions,
+    # 64 output files — one min/max aggregate + range shuffle + local
+    # sort, the same cost profile as a plain sorted write.
+    import shutil
+    import tempfile
+
+    from enterprise_sales_data_pipeline_using_aws_lambda_spark.sources.writers import (
+        write_zorder_lake,
+    )
+
+    zn = n // 2
+    zdf = spark.range(0, zn).select(
+        F.col("id"),
+        F.pmod(F.xxhash64("id"), F.lit(zn)).alias("x"),
+        F.pmod(F.xxhash64((F.col("id") + 7).cast("string")), F.lit(zn)).alias("y"),
+    )
+    zdir = tempfile.mkdtemp(prefix="zorder_smoke_")
+    try:
+        run(
+            "zorder_write_2d",
+            zn,
+            lambda: write_zorder_lake(zdf, zdir, ["x", "y"], n_files=64)
+            or "64 files",
+        )
+    finally:
+        shutil.rmtree(zdir, ignore_errors=True)
+
     total = round(sum(r[2] for r in results), 2)
     print(f"TOTAL {total}s for {len(results)} workloads at base n={n:,}")
     spark.stop()
