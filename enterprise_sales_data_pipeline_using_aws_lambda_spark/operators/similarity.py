@@ -466,3 +466,59 @@ def ivf_topk(
         .filter(F.col("rank") <= k)
         .select("qid", id_col, F.round("_cos", 6).alias("cosine"), "rank")
     )
+
+
+def semantic_dedup(
+    corpus: DataFrame,
+    threshold: float = 0.95,
+    n_lists: int = 8,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+) -> DataFrame:
+    """Semantic deduplication (SemDeDup, Abbas et al. '23, public):
+    cluster the embedding space, compare pairs ONLY within a cluster,
+    and drop every vector that has a smaller-id neighbor with cosine ≥
+    ``threshold`` in its cluster (min-id representative, deterministic).
+
+    Why this scales where naive semantic dedup cannot: the cross-doc
+    comparison is bounded by Σ|cluster|² instead of |corpus|² — the
+    codebook turns an all-pairs problem into n_lists independent
+    self-joins, each shuffled on its cluster key (AQE splits a skewed
+    mega-cluster).  Centroid training is the deterministic IVF codebook
+    (:func:`train_ivf_centroids`: only n_lists × dim floats touch the
+    driver); assignment is one Arrow matmul pass; the within-cluster
+    cosine is exact JVM fold arithmetic, no Python.
+
+    Approximation contract (the SemDeDup trade): every DROP is sound
+    (witnessed by an exact close smaller-id neighbor), but near-dup
+    pairs straddling a cluster boundary are missed — recall, not
+    precision, is what the clustering sacrifices.
+
+    Returns one row per vector: (id, list_id, keep)."""
+    cent = train_ivf_centroids(corpus, n_lists, id_col=id_col, vec_col=vec_col)
+    assigned = assign_ivf_lists(corpus, cent, id_col, vec_col)
+    a = assigned.select(
+        "list_id", F.col(id_col).alias("id_a"), F.col(vec_col).alias("_va")
+    )
+    b = assigned.select(
+        "list_id", F.col(id_col).alias("id_b"), F.col(vec_col).alias("_vb")
+    )
+    cos = _dot(F.col("_va"), F.col("_vb")) / (
+        F.greatest(_norm(F.col("_va")), F.lit(1e-12))
+        * F.greatest(_norm(F.col("_vb")), F.lit(1e-12))
+    )
+    dropped = (
+        a.join(b, "list_id")
+        .filter(F.col("id_a") < F.col("id_b"))
+        .filter(cos >= threshold)
+        .select(F.col("id_b").alias(id_col))
+        .distinct()
+    )
+    return (
+        assigned.join(dropped.withColumn("_drop", F.lit(True)), id_col, "left")
+        .select(
+            id_col,
+            "list_id",
+            F.col("_drop").isNull().alias("keep"),
+        )
+    )

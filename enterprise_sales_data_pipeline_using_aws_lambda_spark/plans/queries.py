@@ -4948,3 +4948,38 @@ def training_split_summary(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.round(F.avg("_nw"), 2).alias("avg_words"),
         )
     )
+
+
+@query(
+    "semantic_dedup_embeddings",
+    """
+    SELECT count(*) AS n_vecs, 0 AS n_unsound_drops
+    FROM embeddings
+    """,
+)
+def semantic_dedup_embeddings(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Semantic dedup (operators.similarity.semantic_dedup): cluster the
+    embedding space, drop vectors with a close smaller-id neighbor in
+    their cluster.  Cluster assignments depend on the k-means codebook
+    (not SQL-replayable), so the verdict oracle pins the operator's
+    soundness contract instead: every dropped vector must have an EXACT
+    cosine-≥-θ smaller-id neighbor somewhere in the corpus, verified
+    in-plan against cosine_pairs_blocked (the zero-driver-state exact
+    pair scan) — plus row conservation.  Cluster-boundary recall loss is
+    the documented SemDeDup approximation and is exercised separately in
+    tests/test_similarity.py with planted duplicates."""
+    from ..operators.similarity import cosine_pairs_blocked, semantic_dedup
+
+    emb = _t(spark, sf_dir, "embeddings")
+    out = semantic_dedup(emb, threshold=0.9, n_lists=8)
+    truth = cosine_pairs_blocked(emb, threshold=0.9, n_blocks=8).select(
+        F.least("id_a", "id_b").alias("_sm"),
+        F.greatest("id_a", "id_b").alias("vec_id"),
+    ).groupBy("vec_id").agg(F.count("*").alias("_w"))
+    checked = out.join(truth, "vec_id", "left")
+    return checked.agg(
+        F.count("*").cast("long").alias("n_vecs"),
+        F.sum(
+            ((~F.col("keep")) & F.col("_w").isNull()).cast("long")
+        ).cast("long").alias("n_unsound_drops"),
+    )

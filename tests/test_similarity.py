@@ -127,3 +127,36 @@ def test_cosine_pairs_blocked_exact(spark, sf_dir):
         if sims[i, j] >= 0.45
     }
     assert got == want
+
+
+def test_semantic_dedup_drops_planted_duplicates(spark):
+    """Exact duplicate vectors share a cluster (identical centroid
+    similarities), so semantic dedup must keep the smallest id of each
+    duplicate group and drop the rest; distinct vectors survive."""
+    import math
+
+    from enterprise_sales_data_pipeline_using_aws_lambda_spark.operators.similarity import (
+        semantic_dedup,
+    )
+
+    def vec(theta):
+        return [math.cos(theta), math.sin(theta), 0.0, 0.0]
+
+    rows = []
+    # 8 well-separated base vectors; ids 100+ duplicate ids 0/1/2.
+    for i in range(8):
+        rows.append((i, vec(i * 0.7)))
+    for j, base in enumerate([0, 1, 2]):
+        rows.append((100 + j, vec(base * 0.7)))
+    df = spark.createDataFrame(rows, "vec_id long, embedding array<float>")
+    out = {r["vec_id"]: r["keep"] for r in semantic_dedup(
+        df, threshold=0.999, n_lists=4
+    ).collect()}
+    assert len(out) == 11
+    assert all(out[i] for i in range(8))          # originals kept
+    assert not any(out[100 + j] for j in range(3))  # duplicates dropped
+    # determinism
+    again = {r["vec_id"]: r["keep"] for r in semantic_dedup(
+        df, threshold=0.999, n_lists=4
+    ).collect()}
+    assert again == out
