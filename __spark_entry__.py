@@ -88,7 +88,7 @@ DEFERRED_NEW = [
     "bpe_pair_top", "deterministic_split_docs", "hll_sketch_rollup",
     "feature_hash_vectors", "topk_sketch_rollup",
     "inverted_index_topk", "bm25_retrieval", "training_split_summary",
-    "semantic_dedup_embeddings",
+    "semantic_dedup_embeddings", "lm_perplexity_scores",
 ]
 
 # Measured local gate cost (Spark + DuckDB oracle, seconds at sf0.01).

@@ -620,3 +620,63 @@ def feature_hash_counts(
         .groupBy(id_col, "dim")
         .agg(F.count("*").cast("long").alias("n"))
     )
+
+
+def bigram_lm_scores(
+    df: DataFrame,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+) -> DataFrame:
+    """Corpus-trained bigram language-model scoring (the CCNet/KenLM
+    idea, count-based): train add-one-smoothed bigram probabilities on
+    the corpus itself, then score every document by its mean negative
+    log-probability — low = fluent-for-this-corpus, high = outlier or
+    degenerate text.  The standard statistical quality filter between
+    heuristics (repetition_stats) and a learned classifier.
+
+    P(w2 | w1) = (c(w1 w2) + 1) / (c(w1) + V),  V = |vocabulary|;
+    score(doc) = avg over the doc's bigrams of −ln P.
+
+    Scale shape: training and scoring share ONE bigram explode — the
+    (w1, w2)-keyed frequency aggregate (map-side combined) joins back to
+    the per-doc bigram stream on the same key (exchange reuse); unigram
+    counts are vocabulary-sized (broadcast), V is one row.  Nothing
+    buffers per group; cost is two passes over exploded bigrams."""
+    toks = _word_tokens(text_col)
+    grams = (
+        df.select(F.col(id_col), toks.alias("_t"))
+        .filter(F.size("_t") >= 2)
+        .select(
+            F.col(id_col),
+            F.explode(
+                F.transform(
+                    F.sequence(F.lit(1), F.size("_t") - 1),
+                    lambda i: F.struct(
+                        F.element_at(F.col("_t"), i).alias("w1"),
+                        F.element_at(F.col("_t"), i + 1).alias("w2"),
+                    ),
+                )
+            ).alias("_g"),
+        )
+        .select(id_col, "_g.w1", "_g.w2")
+    )
+    c_xy = grams.groupBy("w1", "w2").agg(F.count("*").alias("_cxy"))
+    c_x = grams.groupBy("w1").agg(F.count("*").alias("_cx"))
+    vocab = df.select(
+        F.explode(_word_tokens(text_col)).alias("_w")
+    ).agg(F.countDistinct("_w").cast("double").alias("_v"))
+    scored = (
+        grams.join(c_xy, ["w1", "w2"])
+        .join(F.broadcast(c_x), "w1")
+        .crossJoin(F.broadcast(vocab))
+        .select(
+            F.col(id_col),
+            (
+                -F.log((F.col("_cxy") + 1) / (F.col("_cx") + F.col("_v")))
+            ).alias("_nll"),
+        )
+    )
+    return scored.groupBy(id_col).agg(
+        F.count("*").cast("long").alias("n_bigrams"),
+        F.round(F.avg("_nll"), 4).alias("avg_nll"),
+    )

@@ -4983,3 +4983,43 @@ def semantic_dedup_embeddings(spark: SparkSession, sf_dir: str) -> DataFrame:
             ((~F.col("keep")) & F.col("_w").isNull()).cast("long")
         ).cast("long").alias("n_unsound_drops"),
     )
+
+
+@query(
+    "lm_perplexity_scores",
+    """
+    WITH t AS (
+        SELECT doc_id,
+               list_filter(string_split(text, ' '), x -> x <> '') AS tk
+        FROM documents
+    ),
+    g AS (
+        SELECT doc_id,
+               unnest([{'w1': tk[i], 'w2': tk[i + 1]}
+                       FOR i IN range(1, len(tk))]) AS bg
+        FROM t WHERE len(tk) >= 2
+    ),
+    grams AS (SELECT doc_id, bg.w1 AS w1, bg.w2 AS w2 FROM g),
+    cxy AS (SELECT w1, w2, count(*) AS cxy FROM grams GROUP BY w1, w2),
+    cx AS (SELECT w1, count(*) AS cx FROM grams GROUP BY w1),
+    v AS (
+        SELECT count(DISTINCT w) * 1.0 AS v
+        FROM (SELECT unnest(tk) AS w FROM t)
+    )
+    SELECT doc_id,
+           count(*) AS n_bigrams,
+           round(avg(-ln((cxy + 1) / (cx + v))), 4) AS avg_nll
+    FROM grams JOIN cxy USING (w1, w2) JOIN cx USING (w1) CROSS JOIN v
+    GROUP BY doc_id
+    """,
+)
+def lm_perplexity_scores(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Bigram LM quality scoring
+    (operators.text_analysis.bigram_lm_scores): add-one-smoothed
+    corpus-trained bigram model, per-doc mean negative log-probability —
+    the statistical fluency filter of CCNet-style pipelines.  The oracle
+    replays training and scoring exactly (4-decimal parity on the
+    averaged log)."""
+    from ..operators.text_analysis import bigram_lm_scores
+
+    return bigram_lm_scores(_t(spark, sf_dir, "documents"))

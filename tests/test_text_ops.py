@@ -429,3 +429,33 @@ def test_boilerplate_fraction_bounds_on_real_corpus(spark, sf_dir):
         | (F.col("n_boiler_grams") > F.col("n_grams"))
     )
     assert bad.count() == 0
+
+
+def test_bigram_lm_scores_hand_computed(spark):
+    """Add-one-smoothed bigram NLL on a 3-doc corpus, checked against a
+    plain-Python replay of training and scoring."""
+    import math
+    from collections import Counter
+
+    from enterprise_sales_data_pipeline_using_aws_lambda_spark.operators.text_analysis import (
+        bigram_lm_scores,
+    )
+
+    texts = ["a b a", "b a", "c"]
+    df = _docs(spark, texts)
+    got = {r["doc_id"]: r for r in bigram_lm_scores(df).collect()}
+
+    toks = [t.split() for t in texts]
+    grams = [(w[i], w[i + 1]) for w in toks for i in range(len(w) - 1)]
+    cxy, cx = Counter(grams), Counter(g[0] for g in grams)
+    v = len({w for t in toks for w in t})
+
+    def nll(pair):
+        return -math.log((cxy[pair] + 1) / (cx[pair[0]] + v))
+
+    doc0 = [("a", "b"), ("b", "a")]
+    assert got[0]["n_bigrams"] == 2
+    assert got[0]["avg_nll"] == round(sum(map(nll, doc0)) / 2, 4)
+    assert got[1]["n_bigrams"] == 1
+    assert got[1]["avg_nll"] == round(nll(("b", "a")), 4)
+    assert 2 not in got  # single-word doc has no bigrams
