@@ -89,6 +89,7 @@ DEFERRED_NEW = [
     "feature_hash_vectors", "topk_sketch_rollup",
     "inverted_index_topk", "bm25_retrieval", "training_split_summary",
     "semantic_dedup_embeddings", "lm_perplexity_scores",
+    "mixture_resample_docs",
 ]
 
 # Measured local gate cost (Spark + DuckDB oracle, seconds at sf0.01).

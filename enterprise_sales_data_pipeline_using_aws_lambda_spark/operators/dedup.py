@@ -201,6 +201,20 @@ def weighted_sample(
     )
 
 
+def md5_bucket(key, seed: int = 0, buckets: int = 1000):
+    """Engine-portable uniform bucket in [0, buckets): the first six hex
+    digits of ``md5(seed:key)`` as an integer, mod ``buckets``.  md5 is
+    bit-identical everywhere (unlike murmur/xxhash availability), so any
+    stack reproduces the bucket from the spec alone — the primitive
+    behind :func:`deterministic_split` and :func:`mixture_resample`."""
+    hexd = F.md5(F.concat(F.lit(f"s{seed}:"), key.cast("string")))
+    val = F.lit(0).cast("long")
+    for i in range(1, 7):
+        digit = F.instr(F.lit("0123456789abcdef"), F.substring(hexd, i, 1)) - 1
+        val = val * 16 + digit
+    return F.pmod(val, F.lit(buckets))
+
+
 def deterministic_split(
     df: DataFrame,
     key_col: str,
@@ -226,12 +240,7 @@ def deterministic_split(
     per-stratum quotas would require a per-stratum rank — a corpus-wide
     ordered shuffle this operator exists to avoid)."""
     weights = weights or {"train": 0.8, "val": 0.1, "test": 0.1}
-    hexd = F.md5(F.concat(F.lit(f"s{seed}:"), F.col(key_col).cast("string")))
-    val = F.lit(0).cast("long")
-    for i in range(1, 7):
-        digit = F.instr(F.lit("0123456789abcdef"), F.substring(hexd, i, 1)) - 1
-        val = val * 16 + digit
-    bucket = F.pmod(val, F.lit(buckets))
+    bucket = md5_bucket(F.col(key_col), seed, buckets)
     total = sum(weights.values())
     expr, acc = None, 0.0
     names = list(weights)
@@ -242,3 +251,33 @@ def deterministic_split(
     split = (expr.otherwise(F.lit(names[-1]))
              if expr is not None else F.lit(names[-1]))
     return df.withColumn("bucket", bucket.cast("long")).withColumn("split", split)
+
+
+def mixture_resample(
+    df: DataFrame,
+    rate,
+    key_col: str,
+    seed: int = 1,
+    buckets: int = 1000,
+) -> DataFrame:
+    """Domain-mixture resampling: each row gets a deterministic copy
+    count realizing a fractional repeat ``rate`` (the data-mixing step
+    that applies per-domain weights — downsample boilerplate-heavy web
+    text, upsample rare high-quality sources; DoReMi et al. tune the
+    rates, THIS op applies them).
+
+    ``n_copies = floor(rate) + 1{md5_bucket(key) < frac(rate)·buckets}``
+    — so a rate of 2.25 yields 2 copies always plus a third for a
+    deterministic 25% of keys: exactly-reproducible expected-rate
+    resampling with zero coordination, no RNG state, and stability
+    across runs/retries/engines (the md5 spec).  ``rate`` is a Column
+    (derive it from the source/domain column); output adds ``n_copies``
+    — expand with ``explode(sequence(1, n_copies))`` when materializing
+    shards, or keep it as a weight for weighted training."""
+    r = rate.cast("double")
+    whole = F.floor(r).cast("long")
+    frac_th = F.round((r - F.floor(r)) * buckets).cast("long")
+    extra = (
+        md5_bucket(F.col(key_col), seed, buckets) < frac_th
+    ).cast("long")
+    return df.withColumn("n_copies", whole + extra)

@@ -5023,3 +5023,47 @@ def lm_perplexity_scores(spark: SparkSession, sf_dir: str) -> DataFrame:
     from ..operators.text_analysis import bigram_lm_scores
 
     return bigram_lm_scores(_t(spark, sf_dir, "documents"))
+
+
+@query(
+    "mixture_resample_docs",
+    """
+    WITH h AS (
+        SELECT doc_id, source,
+               CASE WHEN length(source) = 4 THEN 0.5 ELSE 2.25 END AS rate,
+               md5('s1:' || CAST(doc_id AS VARCHAR)) AS hx
+        FROM documents
+    ),
+    b AS (
+        SELECT doc_id, source, rate,
+               ((((((strpos('0123456789abcdef', substr(hx, 1, 1)) - 1) * 16
+                  + (strpos('0123456789abcdef', substr(hx, 2, 1)) - 1)) * 16
+                  + (strpos('0123456789abcdef', substr(hx, 3, 1)) - 1)) * 16
+                  + (strpos('0123456789abcdef', substr(hx, 4, 1)) - 1)) * 16
+                  + (strpos('0123456789abcdef', substr(hx, 5, 1)) - 1)) * 16
+                  + (strpos('0123456789abcdef', substr(hx, 6, 1)) - 1))
+               % 1000 AS bucket
+        FROM h
+    )
+    SELECT doc_id, source,
+           CAST(floor(rate) AS BIGINT)
+           + CASE WHEN bucket < CAST(round((rate - floor(rate)) * 1000)
+                                    AS BIGINT)
+                  THEN 1 ELSE 0 END AS n_copies
+    FROM b
+    """,
+)
+def mixture_resample_docs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Domain-mixture resampling (operators.dedup.mixture_resample):
+    single-digit sources (src0-src9) downsample at rate 0.5, the rest
+    upsample at 2.25 — per-row deterministic copy counts realizing
+    fractional repeat factors via the engine-portable md5 bucket.  The
+    oracle replays the hash digit-for-digit, so the driver hash-match
+    proves bit-identical mixing decisions across engines."""
+    from ..operators.dedup import mixture_resample
+
+    docs = _t(spark, sf_dir, "documents")
+    rate = F.when(F.length("source") == 4, F.lit(0.5)).otherwise(F.lit(2.25))
+    return mixture_resample(docs, rate, "doc_id").select(
+        "doc_id", "source", "n_copies"
+    )

@@ -277,3 +277,32 @@ def test_weighted_sample_properties(spark, sf_dir):
         ._jdf.queryExecution().executedPlan().toString()
     )
     assert "TakeOrderedAndProject" in plan
+
+
+def test_mixture_resample_rates_and_determinism(spark):
+    """Fractional repeat factors: floor(rate) copies always, plus one
+    more for a deterministic frac(rate) share of keys; totals converge
+    to rate * n and reruns are identical."""
+    from pyspark.sql import functions as F
+
+    from enterprise_sales_data_pipeline_using_aws_lambda_spark.operators.dedup import (
+        mixture_resample,
+    )
+
+    df = spark.range(0, 2000).withColumnRenamed("id", "k")
+    out = mixture_resample(df, F.lit(2.25), "k").collect()
+    copies = {r["k"]: r["n_copies"] for r in out}
+    assert set(copies.values()) <= {2, 3}
+    total = sum(copies.values())
+    # expectation 2000 * 2.25 = 4500; md5 buckets are uniform, allow 5%
+    assert abs(total - 4500) < 225
+    # pure downsample: rate 0.5 keeps ~half with 0/1 copies
+    down = mixture_resample(df, F.lit(0.5), "k").collect()
+    dcopies = [r["n_copies"] for r in down]
+    assert set(dcopies) <= {0, 1}
+    assert abs(sum(dcopies) - 1000) < 100
+    # determinism
+    again = {r["k"]: r["n_copies"] for r in mixture_resample(
+        df, F.lit(2.25), "k"
+    ).collect()}
+    assert again == copies
