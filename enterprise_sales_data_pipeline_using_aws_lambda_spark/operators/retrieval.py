@@ -118,9 +118,18 @@ def bm25_scores(
             ).alias("_s"),
         )
     )
+    # bm25_e3 (floor-scaled integer millis) is the ranking/gate column:
+    # float sums accumulate in engine-specific order, so ordering or
+    # hash-comparing the raw double makes the top-k cutoff
+    # cross-engine nondeterministic.  The double stays for callers.
     return (
         scored.groupBy(id_col)
-        .agg(F.round(F.sum("_s"), 4).alias("bm25"))
-        .orderBy(F.desc("bm25"), F.asc(id_col))
+        .agg(F.sum("_s").alias("_sum"))
+        .select(
+            F.col(id_col),
+            F.round("_sum", 4).alias("bm25"),
+            F.floor(F.col("_sum") * 1000.0).cast("long").alias("bm25_e3"),
+        )
+        .orderBy(F.desc("bm25_e3"), F.asc(id_col))
         .limit(top)
     )

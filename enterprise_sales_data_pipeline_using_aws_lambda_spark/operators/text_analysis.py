@@ -676,7 +676,10 @@ def bigram_lm_scores(
             ).alias("_nll"),
         )
     )
+    # avg_nll_e3: floor-scaled integer variant for float-exact gates —
+    # the double average accumulates in engine-specific order.
     return scored.groupBy(id_col).agg(
         F.count("*").cast("long").alias("n_bigrams"),
         F.round(F.avg("_nll"), 4).alias("avg_nll"),
+        F.floor(F.avg("_nll") * 1000.0).cast("long").alias("avg_nll_e3"),
     )

@@ -2140,7 +2140,8 @@ def sliding_window_event_rate(spark: SparkSession, sf_dir: str) -> DataFrame:
     SELECT source, lang,
            count(*) AS n_docs,
            sum(CASE WHEN dup_rank = 1 THEN 1 ELSE 0 END) AS n_unique,
-           round(avg(n_tokens), 2) AS avg_tokens
+           CAST(floor(sum(n_tokens) * 100.0 / count(*)) AS BIGINT)
+               AS avg_tokens_e2
     FROM kept
     GROUP BY source, lang
     """,
@@ -2173,7 +2174,13 @@ def document_pipeline(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.sum(F.when(F.col("dup_rank") == 1, 1).otherwise(0)).alias(
             "n_unique"
         ),
-        F.round(F.avg("n_tokens"), 2).alias("avg_tokens"),
+        # floor(exact-long-sum * 100 / count): identical IEEE op order on
+        # both engines → bit-identical, unlike round(avg(..)) whose
+        # accumulation order and half-rounding mode are engine-specific
+        # (round-2 driver hash mismatch).
+        F.floor(F.sum("n_tokens") * 100.0 / F.count("*"))
+        .cast("long")
+        .alias("avg_tokens_e2"),
     )
 
 
@@ -3016,30 +3023,19 @@ def regression_per_flag(spark: SparkSession, sf_dir: str) -> DataFrame:
 )
 def mad_robust_spread(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Median absolute deviation — the outlier-robust spread measure
-    stddev isn't.  Inherently two passes (deviations need the median
-    first): pass one reduces to |groups| medians, broadcast back onto
-    the fact scan for pass two's deviation median.  Both medians use the
-    distributed-selection exact percentile
-    (operators.agg.exact_percentiles) — no per-group value buffer, no
-    single-task group sort — and the broadcast keeps the second pass
-    shuffle-free on the fact side."""
-    from ..operators.agg import exact_percentiles
+    stddev isn't.  Uses the fused operators.agg.mad_spread: two
+    distributed-selection passes (no per-group value buffer, no
+    single-task group sort) sharing ONE fact scan — the deviation pass
+    reuses pass 1's materialized range-partitioned frame instead of
+    re-reading the source (the round-2 regression was exactly that
+    second scan + re-projection)."""
+    from ..operators.agg import mad_spread
 
     li = _t(spark, sf_dir, "lineitem")
-    med = exact_percentiles(
-        li, ["l_returnflag"], "l_extendedprice", [0.5], ["med_price"]
+    out = mad_spread(
+        li, ["l_returnflag"], "l_extendedprice", "med_price", "mad_price"
     )
-    # two-pass barrier: materialize the |groups|-row median frame so
-    # pass 2's plan doesn't re-derive the whole pass-1 selection in
-    # every branch it appears in
-    med = med.localCheckpoint(eager=True)
-    dev = li.join(F.broadcast(med), "l_returnflag").withColumn(
-        "_dev", F.abs(F.col("l_extendedprice") - F.col("med_price"))
-    )
-    mad = exact_percentiles(
-        dev, ["l_returnflag"], "_dev", [0.5], ["mad_price"]
-    )
-    return med.join(mad, "l_returnflag").select(
+    return out.select(
         "l_returnflag",
         F.round("med_price", 2).alias("med_price"),
         F.round("mad_price", 2).alias("mad_price"),
@@ -3050,8 +3046,10 @@ def mad_robust_spread(spark: SparkSession, sf_dir: str) -> DataFrame:
     "collect_order_arrays",
     """
     SELECT o_custkey,
-           list_sort(list(o_orderpriority)) AS priorities,
-           list_sort(list(DISTINCT o_orderstatus)) AS statuses,
+           array_to_string(list_sort(list(o_orderpriority)), '|')
+               AS priorities,
+           array_to_string(list_sort(list(DISTINCT o_orderstatus)), '|')
+               AS statuses,
            len(list(o_orderpriority)) AS n_orders
     FROM orders
     GROUP BY o_custkey
@@ -3064,16 +3062,25 @@ def collect_order_arrays(spark: SparkSession, sf_dir: str) -> DataFrame:
     both engines — collection order is partition-dependent, so canonical
     ordering is what makes the result deterministic).  Arrays build
     via partial aggregation like any agg state; memory is bounded by
-    per-group cardinality, which HAVING keeps honest here."""
+    per-group cardinality, which HAVING keeps honest here.  The gate
+    projection serializes the arrays to '|'-joined strings because the
+    driver's hasher only handles scalar columns — the array aggregation
+    itself still runs in-plan."""
     o = _t(spark, sf_dir, "orders")
     return (
         o.groupBy("o_custkey")
         .agg(
-            F.sort_array(F.collect_list("o_orderpriority")).alias("priorities"),
-            F.sort_array(F.collect_set("o_orderstatus")).alias("statuses"),
+            F.sort_array(F.collect_list("o_orderpriority")).alias("pri_arr"),
+            F.sort_array(F.collect_set("o_orderstatus")).alias("st_arr"),
             F.count("*").alias("n_orders"),
         )
         .filter(F.col("n_orders") >= 3)
+        .select(
+            "o_custkey",
+            F.concat_ws("|", "pri_arr").alias("priorities"),
+            F.concat_ws("|", "st_arr").alias("statuses"),
+            "n_orders",
+        )
     )
 
 
@@ -3243,12 +3250,13 @@ def llm_data_pipeline(spark: SparkSession, sf_dir: str) -> DataFrame:
         FROM embeddings
     )
     SELECT vec_id, label,
-           round(nrm, 6) AS l2_norm,
-           round(list_sum(list_transform(embedding,
-                 x -> x::DOUBLE / greatest(nrm, 1e-12))), 6) AS unit_sum,
-           list_transform(embedding,
+           CAST(floor(nrm * 1000000.0) AS BIGINT) AS l2_norm_e6,
+           CAST(floor(list_sum(list_transform(embedding,
+                x -> x::DOUBLE / greatest(nrm, 1e-12))) * 10000.0) AS BIGINT)
+               AS unit_sum_e4,
+           array_to_string(list_transform(embedding,
                  x -> least(greatest(round(x::DOUBLE / greatest(nrm, 1e-12)
-                                           * 127.0), -127), 127)::BIGINT)
+                                           * 127.0), -127), 127)::BIGINT), ',')
                AS q8
     FROM n
     """,
@@ -3259,7 +3267,10 @@ def embedding_preprocess(spark: SparkSession, sf_dir: str) -> DataFrame:
     catches normalization bugs), and symmetric int8 quantization
     (×127 round-clamp) — 4× smaller vectors for the ANN index with
     recall loss bounded by quantization error.  No UDF, no Arrow: the
-    arrays never leave Tungsten."""
+    arrays never leave Tungsten.  Gate projection: q8 serialized to a
+    CSV string (driver hasher is scalar-only) and the two float outputs
+    floor-scaled to integers (driver hash is float-exact; Spark's and
+    DuckDB's list-fold sums can differ by ulps)."""
     emb = _t(spark, sf_dir, "embeddings")
     nrm = F.sqrt(
         F.aggregate(
@@ -3285,9 +3296,9 @@ def embedding_preprocess(spark: SparkSession, sf_dir: str) -> DataFrame:
     return withn.select(
         "vec_id",
         "label",
-        F.round("nrm", 6).alias("l2_norm"),
-        F.round(unit_sum, 6).alias("unit_sum"),
-        q8.alias("q8"),
+        F.floor(F.col("nrm") * 1000000.0).cast("long").alias("l2_norm_e6"),
+        F.floor(unit_sum * 10000.0).cast("long").alias("unit_sum_e4"),
+        F.concat_ws(",", q8.cast("array<string>")).alias("q8"),
     )
 
 
@@ -3878,9 +3889,10 @@ def price_quartile_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     SELECT e.event_type,
            count(*) AS n_events,
-           sum(CASE WHEN abs((e.value - s.mu) / s.sigma) > 2.5
+           sum(CASE WHEN round(abs((e.value - s.mu) / s.sigma), 6) > 2.5
                     THEN 1 ELSE 0 END) AS n_outliers,
-           round(max(abs((e.value - s.mu) / s.sigma)), 4) AS max_abs_z
+           CAST(floor(max(abs((e.value - s.mu) / s.sigma)) * 100.0) AS BIGINT)
+               AS max_abs_z_e2
     FROM events e JOIN stats s ON e.event_type = s.event_type
     GROUP BY e.event_type
     """,
@@ -3890,7 +3902,11 @@ def zscore_outlier_events(spark: SparkSession, sf_dir: str) -> DataFrame:
     (mu, sigma), broadcast back onto the stream-shaped table, outliers
     counted in a second pass — the monitoring query behind every
     "metric spiked" alert.  Stats are |types| rows, so the fact side
-    never shuffles for the join."""
+    never shuffles for the join.  Gate determinism: Spark's and DuckDB's
+    partial-agg orders give mu/sigma that differ by ulps, so the
+    threshold predicate rounds z to 6 digits first (ulp-stable unless a
+    z sits exactly on 2.5) and the max is floor-scaled to an integer
+    instead of a float-exact-hashed round()."""
     ev = _t(spark, sf_dir, "events")
     stats = ev.groupBy("event_type").agg(
         F.avg("value").alias("mu"), F.stddev_samp("value").alias("sigma")
@@ -3901,8 +3917,10 @@ def zscore_outlier_events(spark: SparkSession, sf_dir: str) -> DataFrame:
         .groupBy("event_type")
         .agg(
             F.count("*").alias("n_events"),
-            F.sum(F.when(z > 2.5, 1).otherwise(0)).alias("n_outliers"),
-            F.round(F.max(z), 4).alias("max_abs_z"),
+            F.sum(F.when(F.round(z, 6) > 2.5, 1).otherwise(0)).alias(
+                "n_outliers"
+            ),
+            F.floor(F.max(z) * 100.0).cast("long").alias("max_abs_z_e2"),
         )
     )
 
@@ -3910,31 +3928,58 @@ def zscore_outlier_events(spark: SparkSession, sf_dir: str) -> DataFrame:
 @query(
     "boolean_aggregates",
     """
-    SELECT o_orderpriority,
-           count(*) AS n_orders,
-           count_if(o_totalprice > 200000) AS n_big,
-           bool_and(o_totalprice > 1000) AS all_over_1k,
-           bool_or(o_orderstatus = 'P') AS any_pending,
-           mode(o_orderstatus) AS modal_status
-    FROM orders
-    GROUP BY o_orderpriority
+    WITH sc AS (
+        SELECT o_orderpriority, o_orderstatus, count(*) AS c
+        FROM orders GROUP BY o_orderpriority, o_orderstatus
+    ),
+    modal AS (
+        SELECT o_orderpriority, o_orderstatus AS modal_status,
+               row_number() OVER (
+                   PARTITION BY o_orderpriority
+                   ORDER BY c DESC, o_orderstatus DESC
+               ) AS rn
+        FROM sc
+    )
+    SELECT b.o_orderpriority, b.n_orders, b.n_big, b.all_over_1k,
+           b.any_pending, m.modal_status
+    FROM (
+        SELECT o_orderpriority,
+               count(*) AS n_orders,
+               count_if(o_totalprice > 200000) AS n_big,
+               bool_and(o_totalprice > 1000) AS all_over_1k,
+               bool_or(o_orderstatus = 'P') AS any_pending
+        FROM orders
+        GROUP BY o_orderpriority
+    ) b JOIN modal m ON b.o_orderpriority = m.o_orderpriority AND m.rn = 1
     """,
 )
 def boolean_aggregates(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Boolean/modal aggregate surface: count_if, every (bool_and),
-    some (bool_or), and mode — predicates reduced map-side like any agg,
-    so data-quality assertions over 100 TB cost one aggregation.
-    ``mode`` is only hash-comparable when the modal value is unique per
-    group (true for this data); document that caveat before relying on
-    it cross-engine."""
+    some (bool_or), and a DETERMINISTIC mode — bare ``mode()`` is
+    tie-nondeterministic across engines (it broke the round-2 driver
+    hash), so the modal value is computed as max_by(status,
+    (count, status)): highest count, ties broken by the larger status.
+    Predicates reduce map-side like any agg, so data-quality assertions
+    over 100 TB cost one aggregation; the modal pass adds one more over
+    |priority × status| partials."""
     o = _t(spark, sf_dir, "orders")
-    return o.groupBy("o_orderpriority").agg(
+    base = o.groupBy("o_orderpriority").agg(
         F.count("*").alias("n_orders"),
         F.count_if(F.col("o_totalprice") > 200000).alias("n_big"),
         F.every(F.col("o_totalprice") > 1000).alias("all_over_1k"),
         F.some(F.col("o_orderstatus") == "P").alias("any_pending"),
-        F.mode("o_orderstatus").alias("modal_status"),
     )
+    modal = (
+        o.groupBy("o_orderpriority", "o_orderstatus")
+        .agg(F.count("*").alias("c"))
+        .groupBy("o_orderpriority")
+        .agg(
+            F.max_by(
+                "o_orderstatus", F.struct("c", "o_orderstatus")
+            ).alias("modal_status")
+        )
+    )
+    return base.join(F.broadcast(modal), "o_orderpriority")
 
 
 @query(
@@ -4048,7 +4093,8 @@ def rfm_segmentation(spark: SparkSession, sf_dir: str) -> DataFrame:
     "decimal_money_totals",
     """
     SELECT o_orderstatus,
-           sum(CAST(o_totalprice AS DECIMAL(18, 2))) AS total_exact,
+           CAST(sum(CAST(o_totalprice AS DECIMAL(18, 2))) AS VARCHAR)
+               AS total_exact,
            count(*) AS n_orders
     FROM orders
     GROUP BY o_orderstatus
@@ -4059,12 +4105,17 @@ def decimal_money_totals(spark: SparkSession, sf_dir: str) -> DataFrame:
     improvement over the reference's float money): cast once at the
     edge, aggregate in DecimalType — sums are exact and
     summation-order-independent, so the result needs NO rounding
-    tolerance anywhere (this query is the only aggregate in the gate
-    with no round() on either side).  Decimal ops cost ~2-3× double in
-    codegen; reserve them for money, keep doubles for stats."""
+    tolerance anywhere.  Decimal ops cost ~2-3× double in codegen;
+    reserve them for money, keep doubles for stats.  The gate projects
+    the sum to its canonical string form: Spark's decimal(28,2) and
+    DuckDB's decimal(38,2) are numerically equal but hash differently
+    in the driver's pandas representation (round-2 red row) — the
+    decimal math stays internal, only the projection is stringly."""
     o = _t(spark, sf_dir, "orders")
     return o.groupBy("o_orderstatus").agg(
-        F.sum(F.col("o_totalprice").cast("decimal(18,2)")).alias("total_exact"),
+        F.sum(F.col("o_totalprice").cast("decimal(18,2)"))
+        .cast("string")
+        .alias("total_exact"),
         F.count("*").alias("n_orders"),
     )
 
@@ -4862,14 +4913,14 @@ def inverted_index_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
         SELECT count(*) * 1.0 AS n_docs, avg(len(tk)) AS avgdl FROM t
     )
     SELECT doc_id,
-           round(sum(
+           CAST(floor(sum(
                ln(1.0 + (n_docs - df + 0.5) / (df + 0.5))
                * (tf * 2.2)
                / (tf + 1.2 * (1 - 0.75 + 0.75 * dl / avgdl))
-           ), 4) AS bm25
+           ) * 1000.0) AS BIGINT) AS bm25_e3
     FROM posts JOIN dfreq USING (term) CROSS JOIN stats
     GROUP BY doc_id
-    ORDER BY bm25 DESC, doc_id
+    ORDER BY bm25_e3 DESC, doc_id
     LIMIT 50
     """,
 )
@@ -4879,12 +4930,15 @@ def bm25_retrieval(spark: SparkSession, sf_dir: str) -> DataFrame:
     primitive for seed-query curation and hard-negative mining.  Term
     filter prunes before any shuffle; corpus constants broadcast; the
     Lucene idf and (k1=1.2, b=0.75) weighting are replayed exactly by
-    the oracle, rounded to 4 decimals on both sides."""
+    the oracle.  Gate compares the floor-scaled integer score (float
+    sums are accumulation-order-sensitive; the driver hash is
+    float-exact) and the top-50 cutoff orders by that integer, so the
+    selected row set is cross-engine deterministic."""
     from ..operators.retrieval import bm25_scores
 
     return bm25_scores(
         _t(spark, sf_dir, "documents"), ["spark", "join", "table"]
-    )
+    ).select("doc_id", "bm25_e3")
 
 
 @query(
@@ -5008,7 +5062,8 @@ def semantic_dedup_embeddings(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     SELECT doc_id,
            count(*) AS n_bigrams,
-           round(avg(-ln((cxy + 1) / (cx + v))), 4) AS avg_nll
+           CAST(floor(avg(-ln((cxy + 1) / (cx + v))) * 1000.0) AS BIGINT)
+               AS avg_nll_e3
     FROM grams JOIN cxy USING (w1, w2) JOIN cx USING (w1) CROSS JOIN v
     GROUP BY doc_id
     """,
@@ -5018,11 +5073,14 @@ def lm_perplexity_scores(spark: SparkSession, sf_dir: str) -> DataFrame:
     (operators.text_analysis.bigram_lm_scores): add-one-smoothed
     corpus-trained bigram model, per-doc mean negative log-probability —
     the statistical fluency filter of CCNet-style pipelines.  The oracle
-    replays training and scoring exactly (4-decimal parity on the
-    averaged log)."""
+    replays training and scoring exactly; the gate compares the
+    floor-scaled integer score because the double average accumulates in
+    engine-specific order (driver hash is float-exact)."""
     from ..operators.text_analysis import bigram_lm_scores
 
-    return bigram_lm_scores(_t(spark, sf_dir, "documents"))
+    return bigram_lm_scores(_t(spark, sf_dir, "documents")).select(
+        "doc_id", "n_bigrams", "avg_nll_e3"
+    )
 
 
 @query(

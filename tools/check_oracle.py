@@ -24,15 +24,28 @@ TABLES = [
 ]
 
 
+class UnhashableOutput(Exception):
+    """Raised when a gate query outputs a column the driver's pandas
+    hasher cannot hash (list/dict/set → TypeError: unhashable type)."""
+
+
 def canon(v):
     if isinstance(v, float):
         if math.isnan(v):
             return "NaN"
-        return repr(round(v, 9))
+        # Driver-strict: the driver's hash is float-exact (no rounding
+        # tolerance).  Exact repr here makes local red ⇔ driver red.
+        return repr(v)
     if hasattr(v, "isoformat"):
         return v.isoformat()
-    if isinstance(v, list):
-        return "[" + ",".join(canon(x) for x in v) + "]"
+    if isinstance(v, (list, dict, set)):
+        # The driver's pandas-based hasher crashes on non-scalar output
+        # columns (CORRECTNESS_r02: "TypeError: unhashable type: 'list'").
+        # Replicate that failure locally so it never reaches the driver.
+        raise UnhashableOutput(
+            f"non-scalar output value {type(v).__name__}: project arrays/"
+            "maps to to_json/concat_ws in the gate output"
+        )
     if isinstance(v, (bytes, bytearray)):
         return v.hex()
     return repr(v)
@@ -89,9 +102,13 @@ def main() -> int:
         if sorted(scols) != sorted(ocols):
             problems.append(f"cols spark={sorted(scols)} oracle={sorted(ocols)}")
         if not problems:
-            sset = rowset(scols, srows)
-            oset = rowset(ocols, orows)
-            if sset != oset:
+            try:
+                sset = rowset(scols, srows)
+                oset = rowset(ocols, orows)
+            except UnhashableOutput as e:
+                problems.append(f"driver-unhashable output: {e}")
+                sset = oset = None
+            if sset is not None and sset != oset:
                 diff = [
                     (a, b) for a, b in zip(sset, oset) if a != b
                 ][:3]
