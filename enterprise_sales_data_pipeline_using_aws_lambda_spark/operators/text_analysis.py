@@ -639,8 +639,13 @@ def bigram_lm_scores(
 
     Scale shape: training and scoring share ONE bigram explode — the
     (w1, w2)-keyed frequency aggregate (map-side combined) joins back to
-    the per-doc bigram stream on the same key (exchange reuse); unigram
-    counts are vocabulary-sized (broadcast), V is one row.  Nothing
+    the per-doc bigram stream on the same key (exchange reuse).  The
+    unigram-count join carries NO broadcast hint: a web-scale
+    whitespace-token vocabulary (URLs, junk tokens) is unbounded, so
+    forcing vocab-sized state through the driver/executors is an OOM
+    hazard — the join shuffles on w1 (the bigram stream's key prefix)
+    and AQE still broadcasts at runtime when c_x measures small.  Only
+    the 1-row vocabulary-size aggregate is a forced broadcast.  Nothing
     buffers per group; cost is two passes over exploded bigrams."""
     toks = _word_tokens(text_col)
     grams = (
@@ -667,7 +672,7 @@ def bigram_lm_scores(
     ).agg(F.countDistinct("_w").cast("double").alias("_v"))
     scored = (
         grams.join(c_xy, ["w1", "w2"])
-        .join(F.broadcast(c_x), "w1")
+        .join(c_x, "w1")
         .crossJoin(F.broadcast(vocab))
         .select(
             F.col(id_col),

@@ -2518,11 +2518,13 @@ def profile_lineitem_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
 def tfidf_top_terms(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Per-document top-3 TF-IDF terms (smoothed idf =
     ln((N+1)/(df+1)) + 1).  Plan shape: one explode → (doc, term) tf
-    hash agg → term-level df agg (|vocabulary| rows, broadcast back) →
-    per-doc rank window.  The document-frequency table is the ONLY
-    global state and it is vocabulary-sized, so the fact-side tf rows
-    join against a broadcast — the corpus shuffles once for tf and once
-    for the per-doc window, never for the idf."""
+    hash agg → term-level df agg → term-keyed join back → per-doc rank
+    window.  The df join deliberately carries NO broadcast hint: a
+    web-corpus vocabulary (especially with n-gram terms) can exceed any
+    broadcast/driver budget, so the join shuffles on term — already the
+    tf aggregation's key family — and AQE still converts it to a
+    broadcast at runtime whenever dfreq measures small.  The only
+    forced broadcast is the 1-row corpus count."""
     docs = _t(spark, sf_dir, "documents")
     # corpus size as a broadcast 1-row aggregate, not a driver .count():
     # keeps the whole query one plan (no mid-build job / second scan)
@@ -2539,7 +2541,7 @@ def tfidf_top_terms(spark: SparkSession, sf_dir: str) -> DataFrame:
     tf = toks.groupBy("doc_id", "term").agg(F.count("*").alias("tf"))
     dfreq = tf.groupBy("term").agg(F.countDistinct("doc_id").alias("df"))
     scored = (
-        tf.join(F.broadcast(dfreq), "term")
+        tf.join(dfreq, "term")
         .crossJoin(F.broadcast(n_docs))
         .select(
             "doc_id",

@@ -26,6 +26,15 @@ def get_spark(app_name: str = "enterprise-sales-engine", cpus: int | None = None
     (or ``spark.sql.adaptive.coalescePartitions.initialPartitionNum``).
     """
     n = cpus or default_parallelism()
+    # One BLAS thread per Python worker: Spark already runs `n` workers
+    # in parallel, so a multithreaded OpenBLAS inside each oversubscribes
+    # n× and thrashes (measured 30×+ slowdown on the 1M-vector IVF
+    # assignment).  Workers inherit the JVM's environment, so this must
+    # be set before the session starts; setdefault keeps any explicit
+    # operator override.
+    for var in ("OPENBLAS_NUM_THREADS", "OMP_NUM_THREADS",
+                "MKL_NUM_THREADS"):
+        os.environ.setdefault(var, "1")
     builder = (
         SparkSession.builder.appName(app_name)
         .master(f"local[{n}]")

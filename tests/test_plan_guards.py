@@ -106,3 +106,32 @@ def test_no_unlisted_single_partition_windows(spark):
     assert not stale, (
         f"allowlist entries no longer needed (tighten the list): {stale}"
     )
+
+
+def test_no_forced_vocabulary_broadcasts(spark):
+    """Unbounded (vocabulary-sized) frames must never carry an explicit
+    broadcast hint: a web-corpus vocabulary exceeds broadcast/driver
+    budgets, and AQE already promotes genuinely-small sides at runtime.
+    The allowed hints in these plans are provably-bounded frames only
+    (1-row aggregates, |query-term| filters, P×G selection offsets).
+    Counted on the ANALYZED plan: the optimizer folds ResolvedHint
+    nodes into joins, so the optimized plan always shows zero."""
+    # (query, max allowed ResolvedHint nodes, what the survivors are)
+    cases = {
+        "tfidf_top_terms": 1,        # 1-row corpus count
+        "lm_perplexity_scores": 1,   # 1-row vocabulary size
+        "bm25_retrieval": 2,         # |query-term| dfreq + 1-row stats
+    }
+    for name, allowed in cases.items():
+        plan = (
+            QUERIES[name](spark, SF_DIR)
+            ._jdf.queryExecution()
+            .analyzed()
+            .toString()
+        )
+        hints = plan.count("ResolvedHint")
+        assert hints <= allowed, (
+            f"{name}: {hints} broadcast hints in optimized plan "
+            f"(allowed {allowed}) — a vocabulary-sized side got a "
+            f"forced broadcast back:\n{plan[:2000]}"
+        )
