@@ -13,6 +13,8 @@ from __future__ import annotations
 from pyspark.sql import Column, DataFrame, Window
 from pyspark.sql import functions as F
 
+from .materialize import materialize
+
 #: Output column names of the reference's summary (``lambda.py:185-188``).
 SUMMARY_COLUMNS = [
     "max_units_sold",
@@ -132,7 +134,7 @@ def _ranked_partitions(
     )
     spark = df.sparkSession
     if spark.conf.get("spark.sql.exchange.reuse", "true") == "false":
-        part = part.localCheckpoint(eager=True)
+        part = materialize(part)
     return part
 
 
@@ -272,7 +274,7 @@ def global_cumsum(
     # same branch-consistency requirement as exact_percentiles: the
     # offset branch and the cumsum branch must agree on _pid (eager
     # checkpoint, not persist — see exact_percentiles)
-    part = part.localCheckpoint(eager=True)
+    part = materialize(part)
     w_local = (
         Window.partitionBy("_pid")
         .orderBy(*order_cols)

@@ -16,6 +16,8 @@ from __future__ import annotations
 from pyspark.sql import Column, DataFrame, Window
 from pyspark.sql import functions as F
 
+from .materialize import materialize
+
 
 def dedup_keep_last(
     df: DataFrame,
@@ -143,8 +145,8 @@ def global_row_numbers(
     part_df = (
         df.repartitionByRange(F.col(order_col))
         .withColumn("_pid", F.spark_partition_id())
-        .localCheckpoint(eager=True)
     )
+    part_df = materialize(part_df)
     counts = (
         part_df.groupBy("_pid").count().orderBy("_pid").collect()
     )

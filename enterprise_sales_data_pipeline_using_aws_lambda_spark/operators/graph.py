@@ -30,6 +30,8 @@ from __future__ import annotations
 from pyspark.sql import DataFrame
 from pyspark.sql import functions as F
 
+from .materialize import materialize
+
 
 def _canonical_edges(edges: DataFrame, src: str, dst: str) -> DataFrame:
     """Undirected edge list → canonical (u < v) pairs, self-loops and
@@ -97,10 +99,10 @@ def connected_components(
         ).first()
         return (r["n"], r["h"])
 
-    e = _canonical_edges(edges, src, dst).localCheckpoint()
+    e = materialize(_canonical_edges(edges, src, dst))
     sig = _sig(e)
     for _ in range(max_iter):
-        e2 = _small_star(_large_star(e)).localCheckpoint()
+        e2 = materialize(_small_star(_large_star(e)))
         # Converged when the edge set is stable: every edge then links a
         # node directly to its component minimum (a star graph).
         sig2 = _sig(e2)

@@ -1,0 +1,49 @@
+"""Lineage-cut materialization with a cluster-durability mode switch.
+
+Several operators pin an intermediate frame (consistent partition ids,
+iteration lineage cuts, pre-truncate reads).  On local[N],
+``localCheckpoint`` is the right call — in-memory, no configured
+checkpoint directory needed.  But localCheckpoint blocks survive only as
+long as their executor: on a real cluster a lost executor FAILS the job
+(the data cannot be recomputed — the lineage was cut) instead of
+recovering.  For long-running cluster jobs, switch to reliable
+checkpointing:
+
+    spark.sparkContext.setCheckpointDir("hdfs://.../checkpoints")
+    spark.conf.set("spark.graft.checkpoint.mode", "reliable")
+
+Every operator lineage-cut in this package routes through
+:func:`materialize`, so one session-level switch covers them all.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame
+
+#: Session conf key selecting the materialization strategy.
+CHECKPOINT_MODE_KEY = "spark.graft.checkpoint.mode"
+
+
+def materialize(df: DataFrame, eager: bool = True) -> DataFrame:
+    """Cut ``df``'s lineage and pin its result, per the session's
+    ``spark.graft.checkpoint.mode``:
+
+    - ``local`` (default): ``localCheckpoint`` — executor-memory blocks,
+      reclaimed by the ContextCleaner when the frame is unreachable.
+      Fast; not durable to executor loss.
+    - ``reliable``: ``DataFrame.checkpoint`` — writes to the
+      SparkContext checkpoint directory (HDFS/S3), survives executor
+      loss and is what a 1000-executor run should use for multi-hour
+      lineages.  Requires ``setCheckpointDir`` first (Spark raises a
+      clear error otherwise).
+    """
+    spark = df.sparkSession
+    mode = spark.conf.get(CHECKPOINT_MODE_KEY, "local")
+    if mode == "reliable":
+        return df.checkpoint(eager=eager)
+    if mode != "local":
+        raise ValueError(
+            f"{CHECKPOINT_MODE_KEY} must be 'local' or 'reliable', "
+            f"got {mode!r}"
+        )
+    return df.localCheckpoint(eager=eager)

@@ -20,6 +20,8 @@ from pyspark.sql import Column, DataFrame
 from pyspark.sql import functions as F
 from pyspark.sql import Window
 
+from .materialize import materialize
+
 #: Ceiling on the broadcast-sized query set the top-k operators collect
 #: to the driver.  The "queries are broadcast-sized" contract was
 #: previously only documentation; above this, collecting silently turns
@@ -572,7 +574,7 @@ def semantic_dedup(
     # and the final keep-join), and a mapInPandas stage is opaque to
     # exchange reuse — materialize the one Arrow pass instead of
     # running it twice.
-    assigned = assigned.localCheckpoint(eager=True)
+    assigned = materialize(assigned)
 
     thr = float(threshold)
 

@@ -414,6 +414,11 @@ def boilerplate_ngram_stats(
 #: Redaction patterns, applied in order (URLs first so an embedded
 #: email-like path segment is not double-counted).  ASCII-only classes —
 #: identical semantics under Java regex (Spark) and RE2 (DuckDB).
+#: The angle brackets are load-bearing: '<'/'>' sit outside every
+#: pattern's character class, so a placeholder can never extend into a
+#: later pattern's match (e.g. '<URL>@dom.tld' is not an email — the
+#: local part would need a class character where '>' is).  Pinned by
+#: tests/test_text_ops.py::test_pii_scrub_placeholders_cannot_synthesize_matches.
 PII_PATTERNS: list[tuple[str, str, str]] = [
     ("url", r"https?://[A-Za-z0-9./_%-]+", "<URL>"),
     ("email", r"[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\.[A-Za-z][A-Za-z]+", "<EMAIL>"),

@@ -21,6 +21,8 @@ from __future__ import annotations
 from pyspark.sql import Column, DataFrame
 from pyspark.sql import functions as F
 
+from .materialize import materialize
+
 from ..functions.text import char_ngrams
 
 
@@ -290,12 +292,8 @@ def minhash_near_duplicates(
     # cache once the frames go unreachable, whereas CacheManager
     # entries from persist leak across invocations (each bench/job
     # re-run stacked another corpus-sized cached copy).
-    shingled = shingle_sets(df, text_col, id_col, n).localCheckpoint(
-        eager=True
-    )
-    sigs = minhash_signatures(shingled, id_col, num_hashes).localCheckpoint(
-        eager=True
-    )
+    shingled = materialize(shingle_sets(df, text_col, id_col, n))
+    sigs = materialize(minhash_signatures(shingled, id_col, num_hashes))
     cands = lsh_candidate_pairs(sigs, id_col, bands)
     est = estimate_jaccard_on_pairs(cands, sigs, id_col)
     plausible = est.filter(

@@ -18,6 +18,8 @@ from __future__ import annotations
 from pyspark.sql import Column, DataFrame
 from pyspark.sql import functions as F
 
+from .materialize import materialize
+
 from .dedup import dedup_keep_last
 
 
@@ -99,7 +101,7 @@ def partitioned_upsert(
     # Materialize before the overwrite: the merged plan reads the very
     # files the dynamic overwrite replaces (same trap as the serving
     # upsert — a table format with snapshot isolation avoids this copy).
-    merged = merged.localCheckpoint(eager=True)
+    merged = materialize(merged)
 
     prev = spark.conf.get("spark.sql.sources.partitionOverwriteMode", "static")
     try:

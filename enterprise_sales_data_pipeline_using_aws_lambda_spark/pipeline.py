@@ -32,6 +32,7 @@ from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 
 from .functions.dates import format_date
+from .operators.materialize import materialize
 from .operators.agg import sales_summary
 from .operators.upsert import upsert_keep_last
 from .operators.validate import validate_batch
@@ -129,9 +130,9 @@ def run_batch(
             existing, serving, [SALES_KEY_COLUMN], broadcast_keys=True
         )
         # Materialize before overwrite: the plan reads the same files the
-        # overwrite truncates. localCheckpoint cuts the lineage (a real
+        # overwrite truncates, so the lineage must be cut (a real
         # deployment uses Delta MERGE and avoids the rewrite entirely).
-        merged = merged.localCheckpoint(eager=True)
+        merged = materialize(merged)
         write_serving_table(
             merged, cfg.warehouse_dir, "sales_tgt", "overwrite",
             cfg.jdbc_url, cfg.jdbc_properties,

@@ -18,6 +18,7 @@ from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 
 from ..functions.dates import format_date
+from ..operators.materialize import materialize
 from ..operators.agg import sales_summary
 from ..operators.upsert import upsert_keep_last
 from ..operators.validate import (
@@ -94,7 +95,8 @@ def stream_sales_ingest(
         )
         merged = upsert_keep_last(
             existing, serving, [SALES_KEY_COLUMN], broadcast_keys=True
-        ).localCheckpoint(eager=True)
+        )
+        merged = materialize(merged)
         write_serving_table(
             merged, cfg.warehouse_dir, "sales_tgt", "overwrite",
             cfg.jdbc_url, cfg.jdbc_properties,

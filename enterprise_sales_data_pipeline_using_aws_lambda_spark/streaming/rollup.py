@@ -38,7 +38,10 @@ def _batch_partials(batch_df: DataFrame) -> DataFrame:
 
 
 def merge_rollup_batch(
-    spark: SparkSession, batch_df: DataFrame, serving_dir: str
+    spark: SparkSession,
+    batch_df: DataFrame,
+    serving_dir: str,
+    batch_id: int | None = None,
 ) -> None:
     """One incremental maintenance step (callable from ``foreachBatch``
     or a batch backfill loop): combine this batch's partials with the
@@ -47,8 +50,22 @@ def merge_rollup_batch(
 
     The affected-day set is bounded by the batch's event-time span (a
     handful of partitions under any sane ingest), so the read-back is
-    partition-pruned and the broadcast join trivially small."""
+    partition-pruned and the broadcast join trivially small.
+
+    Replay safety (``batch_id``): foreachBatch is at-least-once — a
+    batch can re-run after its partition write committed but before the
+    streaming checkpoint recorded it.  Each partition therefore carries
+    ``last_batch_id``, written ATOMICALLY with the data it describes:
+    on replay, a day whose marker already reached ``batch_id`` is
+    skipped entirely (neither re-merged nor rewritten), so re-running a
+    batch cannot double-count.  A separate commit log could not give
+    this guarantee — no write order makes log+data atomic, but marker
+    and data living in the same files makes each PARTITION exactly-once.
+    A mid-write crash of the (non-atomic) multi-partition dynamic
+    overwrite leaves some days updated and some not; the per-day marker
+    makes the replay finish exactly the unfinished days."""
     inc = _batch_partials(batch_df)
+    bid = -1 if batch_id is None else int(batch_id)
     path = os.path.join(serving_dir, ROLLUP_TABLE)
     try:
         existing = spark.read.parquet(path)
@@ -56,17 +73,31 @@ def merge_rollup_batch(
     except AnalysisException:  # first batch: serving table not created yet
         has_existing = False
     if has_existing:
+        if "last_batch_id" not in existing.columns:
+            existing = existing.withColumn("last_batch_id", F.lit(-1))
         affected = inc.select("day").distinct()
         relevant = existing.join(F.broadcast(affected), "day")
+        if batch_id is not None:
+            done = (
+                relevant.groupBy("day")
+                .agg(F.max("last_batch_id").alias("_b"))
+                .filter(F.col("_b") >= bid)
+                .select("day")
+            )
+            inc = inc.join(F.broadcast(done), "day", "left_anti")
+            relevant = relevant.join(F.broadcast(done), "day", "left_anti")
         inc = (
-            relevant.unionByName(inc)
+            relevant.select("day", "event_type", "n_events", "total_value")
+            .unionByName(inc)
             .groupBy("day", "event_type")
             .agg(
                 F.sum("n_events").cast("long").alias("n_events"),
                 F.sum("total_value").alias("total_value"),
             )
         )
-    writer = inc.withColumn("day", F.col("day").cast("string"))
+    writer = inc.withColumn("day", F.col("day").cast("string")).withColumn(
+        "last_batch_id", F.lit(bid)
+    )
     (
         writer.write.mode("overwrite")
         .option("partitionOverwriteMode", "dynamic")
@@ -86,11 +117,11 @@ def stream_events_rollup(
     """Maintain the daily (day, event_type) rollup of an events stream.
 
     File-source ingest → ``foreachBatch(merge_rollup_batch)`` under a
-    checkpoint: replays skip completed batches, and because each batch's
-    merge is a deterministic re-aggregation of (existing ∪ partials),
-    a batch that reruns after a mid-write crash converges to the same
-    partition contents — maintenance is idempotent at the partition
-    level."""
+    checkpoint: the checkpoint skips batches whose completion it
+    recorded, and the per-partition ``last_batch_id`` marker (see
+    merge_rollup_batch) makes the at-least-once replay window — a batch
+    re-running after its write committed but before the checkpoint did —
+    a per-partition no-op instead of a double-merge."""
     schema = spark.read.parquet(events_dir).schema
     reader = spark.readStream.schema(schema).option(
         "maxFilesPerTrigger", 4
@@ -100,7 +131,7 @@ def stream_events_rollup(
     stream = reader.parquet(events_dir)
 
     def process(batch_df: DataFrame, batch_id: int) -> None:
-        merge_rollup_batch(spark, batch_df, serving_dir)
+        merge_rollup_batch(spark, batch_df, serving_dir, batch_id=batch_id)
 
     writer = (
         stream.writeStream.foreachBatch(process)

@@ -172,3 +172,36 @@ def test_exact_percentiles_property_random(spark):
     for g in want:
         for n in names:
             assert abs(got[g][n] - want[g][n]) < 1e-9, (g, n)
+
+
+def test_materialize_mode_switch(spark, tmp_path):
+    """materialize() honors spark.graft.checkpoint.mode: 'local' (the
+    default) localCheckpoints; 'reliable' writes a real checkpoint to
+    the configured directory (cluster-durable — survives executor
+    loss); anything else fails fast."""
+    import os
+
+    import pytest as _pytest
+
+    from enterprise_sales_data_pipeline_using_aws_lambda_spark.operators.materialize import (
+        CHECKPOINT_MODE_KEY,
+        materialize,
+    )
+
+    df = spark.range(100).withColumn("v", F.col("id") * 2)
+    local = materialize(df)
+    assert local.count() == 100
+
+    ckdir = str(tmp_path / "reliable_ck")
+    spark.sparkContext.setCheckpointDir(ckdir)
+    spark.conf.set(CHECKPOINT_MODE_KEY, "reliable")
+    try:
+        rel = materialize(df)
+        assert rel.count() == 100
+        # the reliable checkpoint actually landed on disk
+        assert any(os.scandir(ckdir))
+        spark.conf.set(CHECKPOINT_MODE_KEY, "bogus")
+        with _pytest.raises(ValueError, match="local.*reliable|reliable.*local"):
+            materialize(df)
+    finally:
+        spark.conf.set(CHECKPOINT_MODE_KEY, "local")

@@ -426,3 +426,40 @@ def test_incremental_rollup_matches_batch_aggregate(spark, tmp_path):
     assert (
         got.exceptAll(want).count() == 0 and want.exceptAll(got).count() == 0
     )
+
+
+def test_rollup_batch_replay_is_idempotent(spark, tmp_path):
+    """foreachBatch is at-least-once: a batch can re-run after its
+    partition write committed but before the streaming checkpoint did.
+    Re-applying the SAME batch_id must not double-count (per-partition
+    last_batch_id marker), while the next batch_id must still merge."""
+    from enterprise_sales_data_pipeline_using_aws_lambda_spark.streaming.rollup import (
+        ROLLUP_TABLE,
+        merge_rollup_batch,
+    )
+
+    ev = read_events(spark, SF_DIR)
+    serving = f"{tmp_path}/serving"
+    b0 = ev.filter(F.col("event_id") % 2 == 0)
+    b1 = ev.filter(F.col("event_id") % 2 == 1)
+
+    merge_rollup_batch(spark, b0, serving, batch_id=0)
+    once = spark.read.parquet(f"{tmp_path}/serving/{ROLLUP_TABLE}")
+    want = [
+        (r["day"], r["event_type"], r["n_events"], round(r["total_value"], 2))
+        for r in once.collect()
+    ]
+    # replay of the committed batch: all affected days carry marker 0
+    merge_rollup_batch(spark, b0, serving, batch_id=0)
+    again = spark.read.parquet(f"{tmp_path}/serving/{ROLLUP_TABLE}")
+    got = [
+        (r["day"], r["event_type"], r["n_events"], round(r["total_value"], 2))
+        for r in again.collect()
+    ]
+    assert sorted(got) == sorted(want)
+
+    # the NEXT batch still merges on top
+    merge_rollup_batch(spark, b1, serving, batch_id=1)
+    final = spark.read.parquet(f"{tmp_path}/serving/{ROLLUP_TABLE}")
+    total = final.agg(F.sum("n_events").alias("n")).first()["n"]
+    assert total == ev.count()

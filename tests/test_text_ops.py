@@ -459,3 +459,29 @@ def test_bigram_lm_scores_hand_computed(spark):
     assert got[1]["n_bigrams"] == 1
     assert got[1]["avg_nll"] == round(nll(("b", "a")), 4)
     assert 2 not in got  # single-word doc has no bigrams
+
+
+def test_pii_scrub_placeholders_cannot_synthesize_matches(spark):
+    """A placeholder must never extend into a later pattern: after URL
+    redaction, '<URL>@dom.tld' must NOT count as an email ('>' is
+    outside the email local-part class, so no match can end at the
+    '@'), and '<IP>'/'<EMAIL>' contain no digits to feed the IP rule.
+    Pins the boundary-guard property of the angle-bracket tokens."""
+    from enterprise_sales_data_pipeline_using_aws_lambda_spark.operators.text_analysis import (
+        pii_scrub,
+    )
+
+    df = _docs(
+        spark,
+        [
+            "visit https://x.org@dom.tld now",          # dangling @domain
+            "go https://a.b/c@d.ee end",                # url eats local part
+            "ping 10.0.0.1.2 tail",                     # ip + residue
+        ],
+    )
+    rows = {r["doc_id"]: r for r in pii_scrub(df).collect()}
+    assert (rows[0]["n_url"], rows[0]["n_email"]) == (1, 0)
+    assert "<URL>@dom.tld" in rows[0]["clean_text"]
+    assert (rows[1]["n_url"], rows[1]["n_email"]) == (1, 0)
+    assert (rows[2]["n_ip"], rows[2]["n_email"]) == (1, 0)
+    assert "<IP>.2" in rows[2]["clean_text"]
