@@ -80,6 +80,13 @@ CHANGED_THIS_ROUND = [
     "mad_robust_spread", "tfidf_top_terms", "percentile_summary",
 ]
 
+# Queries ADDED this round (locally strict-oracle-green): sequence
+# packing, quantile-gated quality filter, truncated-vocab OOV rates.
+NEW_THIS_ROUND = [
+    "sequence_packing", "quality_percentile_filter", "oov_rate_by_source",
+    "stratified_split_quotas", "dup_cluster_size_profile",
+]
+
 
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     """One entry per implemented operator from SURVEY.md §2.
@@ -87,11 +94,14 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     Ordered so the driver's budgeted (50-entry, dict-ordered)
     verification spends its budget where it matters: (1) the 6 round-2
     red rows, now fixed, (2) the 26 never-hash-verified entries,
-    (3) green queries whose plans changed this round, (4) the verified
-    rest.  1+2+3 = 35 < 50, so every unverified or changed gate gets a
-    driver row this round.
+    (3) green queries whose plans changed this round, (4) queries added
+    this round, (5) the verified rest.  1+2+3+4 = 38 < 50, so every
+    unverified, changed, or new gate gets a driver row this round.
     """
-    explicit = R02_RED + NEVER_CHECKED + R01_NO_ORACLE + CHANGED_THIS_ROUND
+    explicit = (
+        R02_RED + NEVER_CHECKED + R01_NO_ORACLE + CHANGED_THIS_ROUND
+        + NEW_THIS_ROUND
+    )
 
     def bucket(name: str) -> tuple:
         if name in explicit:

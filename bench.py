@@ -98,6 +98,19 @@ HEADLINE = [
     "inverted_index_topk",
     "hll_sketch_rollup",
     "topk_sketch_rollup",
+    # round-3 additions: LM scoring, curation splits, decontamination,
+    # sequence packing, quantile filtering, OOV profiling
+    "lm_perplexity_scores",
+    "doc_repetition_stats",
+    "benchmark_decontamination",
+    "pii_scrub_contacts",
+    "mixture_resample_docs",
+    "training_split_summary",
+    "sequence_packing",
+    "quality_percentile_filter",
+    "oov_rate_by_source",
+    "stratified_split_quotas",
+    "dup_cluster_size_profile",
 ]
 
 
@@ -118,15 +131,38 @@ def main() -> None:
     # compilation + codegen JIT; the min is the steady-state cost a
     # recurring production job sees.  (Total wall below is the sum of
     # the per-query minima.)
-    timings: dict[str, float] = {}
-    for name in HEADLINE:
-        fn = QUERIES[name]
+    def _minhash_engine_only(spark_, sf_dir_):
+        # The dedup_minhash_lsh GATE folds an exact-Jaccard verify stage
+        # (its oracle upgrade); benching the engine path separately
+        # keeps the engine's own cost trend visible.
+        from enterprise_sales_data_pipeline_using_aws_lambda_spark.operators.text_dedup import (  # noqa: E501
+            minhash_near_duplicates,
+        )
+        from enterprise_sales_data_pipeline_using_aws_lambda_spark.sources.readers import (  # noqa: E501
+            read_table,
+        )
+
+        return minhash_near_duplicates(
+            read_table(spark_, sf_dir_, "documents"),
+            threshold=0.5,
+            verify=False,
+        )
+
+    # aux entries are measured identically but reported OUTSIDE
+    # "queries" (and the headline total): they are not registry gate
+    # queries, just cost-trend instrumentation.
+    AUX = {"dedup_minhash_lsh_engine": _minhash_engine_only}
+
+    def _time(fn) -> float:
         best = float("inf")
         for _ in range(2):
             t0 = time.perf_counter()
             fn(spark, sf_dir).write.format("noop").mode("overwrite").save()
             best = min(best, time.perf_counter() - t0)
-        timings[name] = round(best, 3)
+        return round(best, 3)
+
+    timings = {name: _time(QUERIES[name]) for name in HEADLINE}
+    aux = {name: _time(fn) for name, fn in AUX.items()}
 
     sf = os.path.basename(sf_dir.rstrip("/")).replace("sf", "")
     result = {
@@ -134,6 +170,7 @@ def main() -> None:
         "value": round(sum(timings.values()), 3),
         "unit": "sec",
         "queries": timings,
+        "aux": aux,
         "runs_per_query": 2,
         "timing": "min-of-2 (steady state)",
         "sf": float(sf) if sf else sf_dir,

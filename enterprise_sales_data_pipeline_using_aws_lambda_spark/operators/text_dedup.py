@@ -270,10 +270,16 @@ def minhash_near_duplicates(
     bands: int = 16,
     threshold: float = 0.7,
     estimate_margin: float = 0.15,
+    verify: bool = True,
 ) -> DataFrame:
     """End-to-end MinHash-LSH near-dup detection:
     shingle → signature → banded candidates → sketch-estimate filter →
     exact-Jaccard verify.
+
+    ``verify=False`` stops after the sketch-estimate filter and returns
+    (id_a, id_b, est_jaccard) — the pure engine path, used by bench.py
+    to report engine cost separately from the exact-verify stage the
+    correctness gate folds in.
 
     The estimate stage drops candidates whose sketch-estimated Jaccard
     is below ``threshold - estimate_margin`` (margin ≈ 2.5σ of the
@@ -298,8 +304,12 @@ def minhash_near_duplicates(
     est = estimate_jaccard_on_pairs(cands, sigs, id_col)
     plausible = est.filter(
         F.col("est_jaccard") >= threshold - estimate_margin
-    ).select("id_a", "id_b")
-    scored = jaccard_on_pairs(plausible, shingled, id_col)
+    )
+    if not verify:
+        return plausible
+    scored = jaccard_on_pairs(
+        plausible.select("id_a", "id_b"), shingled, id_col
+    )
     return scored.filter(F.col("jaccard") >= threshold)
 
 

@@ -5127,3 +5127,260 @@ def mixture_resample_docs(spark: SparkSession, sf_dir: str) -> DataFrame:
     return mixture_resample(docs, rate, "doc_id").select(
         "doc_id", "source", "n_copies"
     )
+
+
+@query(
+    "sequence_packing",
+    """
+    WITH t AS (
+        SELECT doc_id,
+               len(list_filter(string_split(text, ' '), x -> x <> ''))
+                   AS n_tok
+        FROM documents
+    ),
+    c AS (
+        SELECT doc_id, n_tok,
+               sum(n_tok) OVER (ORDER BY doc_id
+                                ROWS UNBOUNDED PRECEDING) AS cum
+        FROM t
+    )
+    SELECT CAST((cum - n_tok) // 2048 AS BIGINT) AS pack_id,
+           count(*) AS n_docs,
+           sum(n_tok) AS pack_tokens
+    FROM c
+    GROUP BY 1
+    """,
+)
+def sequence_packing(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Sequence packing for LLM training: documents (in stable doc_id
+    order) are packed into fixed 2048-token training sequences;
+    pack_id = floor(exclusive-prefix-tokens / budget), so a document
+    starts in the pack its predecessor's budget left open (the simple
+    contiguous packing public pipelines use before shuffling packs).
+
+    The prefix sum uses operators.agg.global_cumsum — range-partitioned
+    parallel local sums + a P-row broadcast offset frame — NOT a
+    single-partition window; the oracle is the naive global window, the
+    operator is the one that survives 10^11 rows."""
+    from ..operators.agg import global_cumsum
+
+    docs = _t(spark, sf_dir, "documents")
+    toks = F.size(
+        F.filter(F.split("text", " "), lambda x: x != F.lit(""))
+    ).cast("long")
+    t = docs.select("doc_id", toks.alias("n_tok"))
+    c = global_cumsum(t, [F.col("doc_id")], "n_tok", "cum")
+    return (
+        c.groupBy(
+            F.floor((F.col("cum") - F.col("n_tok")) / 2048)
+            .cast("long")
+            .alias("pack_id")
+        )
+        .agg(
+            F.count("*").alias("n_docs"),
+            F.sum("n_tok").alias("pack_tokens"),
+        )
+    )
+
+
+@query(
+    "quality_percentile_filter",
+    """
+    WITH t AS (
+        SELECT doc_id, lang,
+               len(list_filter(string_split(text, ' '), x -> x <> ''))
+                   AS n_tok
+        FROM documents
+    ),
+    ranked AS (
+        SELECT doc_id, lang, n_tok,
+               row_number() OVER (PARTITION BY lang
+                                  ORDER BY n_tok DESC, doc_id) AS rn,
+               count(*) OVER (PARTITION BY lang) AS n_lang
+        FROM t
+    )
+    SELECT lang,
+           count(*) AS n_kept,
+           min(n_tok) AS min_tokens,
+           max(n_tok) AS max_tokens,
+           sum(n_tok) AS kept_tokens
+    FROM ranked
+    WHERE rn * 4 <= n_lang
+    GROUP BY lang
+    """,
+)
+def quality_percentile_filter(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Quantile-gated quality filtering: keep each language's top
+    quarter of documents by token count (rank*4 <= group size — the
+    integer-exact way to say 'top 25%' with no percent_rank float
+    boundary), the select-by-score-quantile stage between heuristic
+    filters and training.  Ranks are per-lang windows (bounded
+    partitions); ties break by doc_id so the kept set is deterministic
+    on both engines."""
+    docs = _t(spark, sf_dir, "documents")
+    toks = F.size(
+        F.filter(F.split("text", " "), lambda x: x != F.lit(""))
+    ).cast("long")
+    t = docs.select("doc_id", "lang", toks.alias("n_tok"))
+    w = Window.partitionBy("lang").orderBy(F.desc("n_tok"), F.asc("doc_id"))
+    ranked = t.select(
+        "lang",
+        "n_tok",
+        F.row_number().over(w).alias("rn"),
+        F.count("*").over(Window.partitionBy("lang")).alias("n_lang"),
+    )
+    return (
+        ranked.filter(F.col("rn") * 4 <= F.col("n_lang"))
+        .groupBy("lang")
+        .agg(
+            F.count("*").alias("n_kept"),
+            F.min("n_tok").alias("min_tokens"),
+            F.max("n_tok").alias("max_tokens"),
+            F.sum("n_tok").alias("kept_tokens"),
+        )
+    )
+
+
+@query(
+    "oov_rate_by_source",
+    """
+    WITH toks AS (
+        SELECT source, unnest(list_filter(string_split(text, ' '),
+                                          x -> x <> '')) AS term
+        FROM documents
+    ),
+    vocab AS (
+        SELECT term FROM (
+            SELECT term, count(*) AS c FROM toks GROUP BY term
+        ) ORDER BY c DESC, term LIMIT 500
+    )
+    SELECT t.source,
+           count(*) AS n_tokens,
+           sum(CASE WHEN v.term IS NULL THEN 1 ELSE 0 END) AS n_oov,
+           CAST(floor(sum(CASE WHEN v.term IS NULL THEN 1 ELSE 0 END)
+                      * 10000.0 / count(*)) AS BIGINT) AS oov_rate_e4
+    FROM toks t LEFT JOIN vocab v ON t.term = v.term
+    GROUP BY t.source
+    """,
+)
+def oov_rate_by_source(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Out-of-vocabulary profiling under a truncated vocabulary: build
+    the corpus top-500 vocabulary (frequency, ties lexicographic — the
+    deterministic truncation a tokenizer build uses), then measure each
+    source's OOV token share.  The vocabulary is LIMIT-bounded, so its
+    join side is a 500-row broadcast by construction (a legitimate
+    forced broadcast — contrast the unbounded dfreq in tfidf);
+    top-500 itself is TakeOrdered, never a global sort.  The rate is
+    floor-scaled exact-integer arithmetic (identical IEEE op order both
+    engines)."""
+    docs = _t(spark, sf_dir, "documents")
+    toks = docs.select(
+        "source",
+        F.explode(
+            F.filter(F.split("text", " "), lambda x: x != F.lit(""))
+        ).alias("term"),
+    )
+    vocab = (
+        toks.groupBy("term")
+        .agg(F.count("*").alias("c"))
+        .orderBy(F.desc("c"), F.asc("term"))
+        .limit(500)
+        .select("term", F.lit(True).alias("_in_vocab"))
+    )
+    joined = toks.join(F.broadcast(vocab), "term", "left")
+    oov = F.when(F.col("_in_vocab").isNull(), 1).otherwise(0)
+    return joined.groupBy("source").agg(
+        F.count("*").alias("n_tokens"),
+        F.sum(oov).alias("n_oov"),
+        F.floor(F.sum(oov) * 10000.0 / F.count("*"))
+        .cast("long")
+        .alias("oov_rate_e4"),
+    )
+
+
+@query(
+    "stratified_split_quotas",
+    """
+    WITH r AS (
+        SELECT doc_id, source,
+               row_number() OVER (PARTITION BY source
+                                  ORDER BY md5(CAST(doc_id AS VARCHAR)),
+                                           doc_id) AS rn,
+               count(*) OVER (PARTITION BY source) AS n_src
+        FROM documents
+    ),
+    s AS (
+        SELECT source,
+               CASE WHEN rn * 10 <= n_src * 8 THEN 'train'
+                    WHEN rn * 10 <= n_src * 9 THEN 'val'
+                    ELSE 'test' END AS split
+        FROM r
+    )
+    SELECT source, split, count(*) AS n_docs
+    FROM s
+    GROUP BY source, split
+    """,
+)
+def stratified_split_quotas(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Quota-exact stratified splitting: each source contributes exactly
+    its 80/10/10 share (integer-exact rank*10 <= n*8 rule) — unlike
+    hash-rate splits (deterministic_split_docs) whose per-stratum counts
+    are only binomially close to the rates.  Order within a stratum is
+    the md5 of the id (stable, content-independent shuffling), ties by
+    id; the window partitions by source, so parallelism is |sources| and
+    no stratum leaves one task.  This is the split to use when an eval
+    set must have an exact size."""
+    docs = _t(spark, sf_dir, "documents")
+    w = Window.partitionBy("source").orderBy(
+        F.md5(F.col("doc_id").cast("string")), F.col("doc_id")
+    )
+    r = docs.select(
+        "source",
+        F.row_number().over(w).alias("rn"),
+        F.count("*").over(Window.partitionBy("source")).alias("n_src"),
+    )
+    split = (
+        F.when(F.col("rn") * 10 <= F.col("n_src") * 8, "train")
+        .when(F.col("rn") * 10 <= F.col("n_src") * 9, "val")
+        .otherwise("test")
+    )
+    return (
+        r.select("source", split.alias("split"))
+        .groupBy("source", "split")
+        .agg(F.count("*").alias("n_docs"))
+    )
+
+
+@query(
+    "dup_cluster_size_profile",
+    """
+    WITH g AS (
+        SELECT md5(text) AS h, count(*) AS group_size
+        FROM documents GROUP BY md5(text)
+    )
+    SELECT group_size,
+           count(*) AS n_groups,
+           CAST(group_size * count(*) AS BIGINT) AS n_docs,
+           CAST((group_size - 1) * count(*) AS BIGINT) AS n_removable
+    FROM g
+    GROUP BY group_size
+    """,
+)
+def dup_cluster_size_profile(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Exact-duplicate cluster-size distribution: how much of the corpus
+    is singletons vs 2-dup vs k-dup clusters, and how many rows exact
+    dedup would remove — the before/after accounting every dedup run
+    reports.  Two hash aggregations (content hash, then size), both
+    map-side combined; the content hash is md5 so the oracle replays it
+    bit-for-bit."""
+    docs = _t(spark, sf_dir, "documents")
+    g = docs.groupBy(F.md5("text").alias("h")).agg(
+        F.count("*").alias("group_size")
+    )
+    return g.groupBy("group_size").agg(
+        F.count("*").alias("n_groups"),
+        (F.col("group_size") * F.count("*")).cast("long").alias("n_docs"),
+        ((F.col("group_size") - 1) * F.count("*"))
+        .cast("long")
+        .alias("n_removable"),
+    )

@@ -24,6 +24,8 @@ from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 from pyspark.errors import AnalysisException
 
+from ..operators.materialize import materialize
+
 
 ROLLUP_TABLE = "events_daily_rollup"
 
@@ -98,6 +100,12 @@ def merge_rollup_batch(
     writer = inc.withColumn("day", F.col("day").cast("string")).withColumn(
         "last_batch_id", F.lit(bid)
     )
+    # Materialize before writing: the merge plan READS the same files
+    # the dynamic overwrite replaces.  Relying on the writer staging the
+    # whole output before commit is version-sensitive; cutting the
+    # lineage makes the read-before-truncate explicit and cheap (the
+    # frame is |affected days × types| partials).
+    writer = materialize(writer)
     (
         writer.write.mode("overwrite")
         .option("partitionOverwriteMode", "dynamic")

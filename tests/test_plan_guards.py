@@ -24,6 +24,7 @@ ALLOWED_GLOBAL_WINDOWS = {
     # (≤ spark.sql.shuffle.partitions rows); the data-sized cumsum is
     # range-partitioned
     "pareto_abc_customers": "partition-count offset frame (global_cumsum)",
+    "sequence_packing": "partition-count offset frame (global_cumsum)",
 }
 
 SF_DIR = "/root/testdata/sf0.001"
