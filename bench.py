@@ -111,6 +111,7 @@ HEADLINE = [
     "oov_rate_by_source",
     "stratified_split_quotas",
     "dup_cluster_size_profile",
+    "debounce_events",
 ]
 
 

@@ -5384,3 +5384,47 @@ def dup_cluster_size_profile(spark: SparkSession, sf_dir: str) -> DataFrame:
         .cast("long")
         .alias("n_removable"),
     )
+
+
+@query(
+    "debounce_events",
+    """
+    WITH o AS (
+        SELECT event_type, ts,
+               lag(ts) OVER (PARTITION BY user_id, event_type
+                             ORDER BY ts, event_id) AS prev_ts
+        FROM events
+    )
+    SELECT event_type,
+           count(*) AS n_events,
+           sum(CASE WHEN prev_ts IS NULL
+                      OR ts > prev_ts + INTERVAL 5 SECOND
+                    THEN 1 ELSE 0 END) AS n_kept
+    FROM o
+    GROUP BY event_type
+    """,
+)
+def debounce_events(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Debounce dedup: an event survives only if the SAME (user, type)
+    stream was quiet for >5 s before it — the batch face of retry/
+    double-click suppression (the streaming face is
+    dropDuplicatesWithinWatermark).  One lag window per (user, type)
+    partition — bounded, parallel — and the 5 s guard is INTERVAL
+    arithmetic on full timestamps, exact at microsecond precision on
+    both engines (no epoch-float rounding)."""
+    ev = _t(spark, sf_dir, "events")
+    w = Window.partitionBy("user_id", "event_type").orderBy(
+        "ts", "event_id"
+    )
+    o = ev.select(
+        "event_type",
+        "ts",
+        F.lag("ts").over(w).alias("prev_ts"),
+    )
+    keep = F.col("prev_ts").isNull() | (
+        F.col("ts") > F.col("prev_ts") + F.expr("INTERVAL 5 SECONDS")
+    )
+    return o.groupBy("event_type").agg(
+        F.count("*").alias("n_events"),
+        F.sum(F.when(keep, 1).otherwise(0)).alias("n_kept"),
+    )

@@ -112,3 +112,30 @@ def test_asof_join_single_shuffle_no_join_node(spark):
     plan = plan_of(asof_join(left, right, ["k"], "lts", "rts", ["v"]))
     assert "Join" not in plan
     assert plan.count("Exchange hashpartitioning") == 1
+
+
+def test_rotation_and_bench_integrity():
+    """The driver checks exactly 50 queries() entries in dict order, so
+    rotation bugs silently waste a round: assert the explicit priority
+    block leads the dict, every name resolves, and every bench HEADLINE
+    entry is a registered query."""
+    import __spark_entry__ as entry
+    import bench
+
+    qs = entry.queries()
+    names = list(qs)
+    explicit = (
+        entry.R02_RED + entry.NEVER_CHECKED + entry.R01_NO_ORACLE
+        + entry.CHANGED_THIS_ROUND + entry.NEW_THIS_ROUND
+    )
+    assert len(explicit) == len(set(explicit)), "duplicate rotation entry"
+    missing = [n for n in explicit if n not in qs]
+    assert not missing, f"rotation names not registered: {missing}"
+    assert names[: len(explicit)] == explicit, (
+        "explicit rotation block must lead queries() exactly"
+    )
+    assert len(explicit) <= 50, "priority block exceeds the driver budget"
+    bad = [n for n in bench.HEADLINE if n not in qs]
+    assert not bad, f"bench HEADLINE entries not registered: {bad}"
+    oracles = entry.oracle_sql()
+    assert set(oracles) == set(qs), "oracle/query key sets diverge"

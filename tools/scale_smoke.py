@@ -184,6 +184,17 @@ def main() -> int:
         + " groups",
     )
 
+    # 8b) Fused median + MAD: two selection passes sharing one scan.
+    from enterprise_sales_data_pipeline_using_aws_lambda_spark.operators.agg import (
+        mad_spread,
+    )
+
+    run(
+        "mad_spread_3groups",
+        n,
+        lambda: str(mad_spread(skewed, ["g"], "v").count()) + " groups",
+    )
+
     # 9) Globally-ordered cumulative sum without a single-partition
     # window (Pareto/ABC shape at customer-table volume).
     run(
