@@ -85,7 +85,7 @@ CHANGED_THIS_ROUND = [
 NEW_THIS_ROUND = [
     "sequence_packing", "quality_percentile_filter", "oov_rate_by_source",
     "stratified_split_quotas", "dup_cluster_size_profile",
-    "debounce_events",
+    "debounce_events", "bloom_incremental_dedup",
 ]
 
 

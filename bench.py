@@ -112,6 +112,7 @@ HEADLINE = [
     "stratified_split_quotas",
     "dup_cluster_size_profile",
     "debounce_events",
+    "bloom_incremental_dedup",
 ]
 
 

@@ -5428,3 +5428,60 @@ def debounce_events(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.count("*").alias("n_events"),
         F.sum(F.when(keep, 1).otherwise(0)).alias("n_kept"),
     )
+
+
+@query(
+    "bloom_incremental_dedup",
+    """
+    WITH seen AS (SELECT doc_id FROM documents WHERE doc_id % 3 = 0),
+         batch AS (SELECT doc_id FROM documents WHERE doc_id % 2 = 0)
+    SELECT (SELECT count(*) FROM batch) AS n_batch,
+           (SELECT count(*) FROM batch b
+            WHERE EXISTS (SELECT 1 FROM seen s WHERE s.doc_id = b.doc_id))
+               AS n_truly_seen,
+           0 AS n_false_negatives,
+           CAST(TRUE AS BOOLEAN) AS fp_rate_ok
+    """,
+)
+def bloom_incremental_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Cross-batch Bloom dedup (operators.bloom): build the sparse
+    (word_idx, word_bits) relation over the 'seen' history, probe a new
+    batch, keep only definitely-new keys.  xxhash64 positions are not
+    SQL-replayable, so the verdict oracle pins the operator's
+    CONTRACT, computed exactly in-plan against a real anti-join:
+    n_false_negatives — truly-seen keys the filter called new — must be
+    ZERO (the Bloom guarantee), and the false-positive count must stay
+    under 3× the (1-e^(-kn/m))^k analytic bound (m = 16n, k = 7 ⇒
+    ~0.2%; 3× absorbs small-n variance).  n_batch / n_truly_seen are
+    exact cross-engine counts."""
+    import math
+
+    from ..operators.bloom import build_bloom, probe_bloom
+
+    docs = _t(spark, sf_dir, "documents").select("doc_id")
+    seen = docs.filter(F.col("doc_id") % 3 == 0)
+    batch = docs.filter(F.col("doc_id") % 2 == 0)
+    n_seen = seen.count()  # sizing aggregate (documented driver scalar)
+    m_bits = max(64, 16 * n_seen)
+    k = 7
+    words = build_bloom(seen, "doc_id", m_bits, k)
+    probed = probe_bloom(batch, words, "doc_id", m_bits, k)
+    truth = probed.join(
+        seen.withColumn("_truly", F.lit(True)), "doc_id", "left"
+    )
+    fp_bound = (1.0 - math.exp(-k * n_seen / m_bits)) ** k
+    return truth.agg(
+        F.count("*").alias("n_batch"),
+        F.sum(F.col("_truly").isNotNull().cast("long")).alias("n_truly_seen"),
+        F.sum(
+            (F.col("_truly").isNotNull() & ~F.col("possibly_seen"))
+            .cast("long")
+        ).alias("n_false_negatives"),
+        (
+            F.sum(
+                (F.col("_truly").isNull() & F.col("possibly_seen"))
+                .cast("long")
+            )
+            <= F.lit(max(10.0, 3.0 * fp_bound * n_seen))
+        ).alias("fp_rate_ok"),
+    )

@@ -205,3 +205,55 @@ def test_materialize_mode_switch(spark, tmp_path):
             materialize(df)
     finally:
         spark.conf.set(CHECKPOINT_MODE_KEY, "local")
+
+
+def test_mad_spread_matches_naive(spark):
+    """mad_spread == median/MAD computed naively per group (percentile_
+    cont semantics), including even-count interpolation."""
+    import statistics
+
+    from enterprise_sales_data_pipeline_using_aws_lambda_spark.operators.agg import (
+        mad_spread,
+    )
+
+    rows = [("a", float(v)) for v in [1, 3, 5, 9]] + [
+        ("b", float(v)) for v in [10, 20, 40]
+    ]
+    df = spark.createDataFrame(rows, "g string, v double")
+    got = {
+        r["g"]: (r["med"], r["mad"])
+        for r in mad_spread(df, ["g"], "v").collect()
+    }
+    for g in ("a", "b"):
+        vals = [v for gg, v in rows if gg == g]
+        med = statistics.median(vals)
+        mad = statistics.median(sorted(abs(v - med) for v in vals))
+        assert got[g] == (med, mad), (g, got[g], (med, mad))
+
+
+def test_sequence_packing_invariants(spark, sf_dir):
+    """Packing conserves tokens, pack ids are contiguous from 0, and
+    every pack except possibly the last holds ≥ budget - max_doc
+    tokens (no pack is left needlessly short by the floor rule)."""
+    from enterprise_sales_data_pipeline_using_aws_lambda_spark.plans.queries import (
+        QUERIES,
+    )
+    from enterprise_sales_data_pipeline_using_aws_lambda_spark.sources.readers import (
+        read_table,
+    )
+
+    out = QUERIES["sequence_packing"](spark, sf_dir).collect()
+    packs = {r["pack_id"]: (r["n_docs"], r["pack_tokens"]) for r in out}
+    assert sorted(packs) == list(range(len(packs)))  # contiguous ids
+
+    docs = read_table(spark, sf_dir, "documents")
+    toks = F.size(F.filter(F.split("text", " "), lambda x: x != F.lit("")))
+    agg = docs.agg(
+        F.sum(toks).alias("total"), F.max(toks).alias("max_doc")
+    ).first()
+    assert sum(t for _, t in packs.values()) == agg["total"]  # conservation
+    # a doc lands in pack floor(prefix/2048): a pack only closes once the
+    # prefix crosses its boundary, so every non-final pack spans at
+    # least (2048 - max_doc_tokens) tokens
+    for pid in range(len(packs) - 1):
+        assert packs[pid][1] > 2048 - agg["max_doc"] - 1

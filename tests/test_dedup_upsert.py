@@ -306,3 +306,27 @@ def test_mixture_resample_rates_and_determinism(spark):
         df, F.lit(2.25), "k"
     ).collect()}
     assert again == copies
+
+
+def test_bloom_filter_contract(spark):
+    """Bloom membership: ZERO false negatives (every seen key probes
+    possibly_seen), definitely-new keys are genuinely absent, and on a
+    generously-sized filter (m = 16n, k = 7) unseen keys are mostly
+    not flagged."""
+    from enterprise_sales_data_pipeline_using_aws_lambda_spark.operators.bloom import (
+        build_bloom,
+        probe_bloom,
+    )
+
+    seen = spark.range(0, 2000).select(F.col("id").alias("k"))
+    batch = spark.range(1000, 4000).select(F.col("id").alias("k"))
+    m = 16 * 2000
+    words = build_bloom(seen, "k", m, 7)
+    out = probe_bloom(batch, words, "k", m, 7)
+    rows = {r["k"]: r["possibly_seen"] for r in out.collect()}
+    assert len(rows) == 3000
+    # no false negatives: 1000..1999 were seen
+    assert all(rows[k] for k in range(1000, 2000))
+    # unseen keys flagged at ~fp rate: far fewer than 10%
+    fps = sum(1 for k in range(2000, 4000) if rows[k])
+    assert fps < 200, f"false positives way over bound: {fps}"

@@ -36,7 +36,13 @@ SF_DIR = "/root/testdata/sf0.001"
 #: this guard pins).  Actions inside operators/ modules are separately
 #: documented design decisions (bounded collects, iterative fixpoints)
 #: and are out of this lint's scope.
-ALLOWED_BUILDER_ACTIONS: dict[str, str] = {}
+ALLOWED_BUILDER_ACTIONS: dict[str, str] = {
+    # Bloom sizing: m_bits must be FIXED before the bit positions are
+    # computed (they depend on m), so |seen| is a pre-pass scalar by
+    # construction — one count() over a single projected column, the
+    # same pattern as training an index before using it.
+    "bloom_incremental_dedup": "bloom m_bits sizing count()",
+}
 
 #: DataFrame actions are zero-arg calls (df.count(), df.collect(), ...);
 #: the same names WITH args are harmless Column functions (F.count("*"),
