@@ -100,3 +100,15 @@ def probe_bloom(
     return df.join(
         hit.withColumnRenamed("_k", key_col), key_col, "left"
     )
+
+
+def merge_bloom_words(existing: DataFrame, new_words: DataFrame) -> DataFrame:
+    """Merge two word relations: union + per-word ``bit_or``.  Bloom
+    bitmaps are mergeable state (like HLL registers), so incremental
+    maintenance needs no rebuild — a foreachBatch can fold each batch's
+    words into the serving relation with one bounded aggregation."""
+    return (
+        existing.unionByName(new_words)
+        .groupBy("word_idx")
+        .agg(F.bit_or("word_bits").alias("word_bits"))
+    )

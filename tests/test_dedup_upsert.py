@@ -330,3 +330,28 @@ def test_bloom_filter_contract(spark):
     # unseen keys flagged at ~fp rate: far fewer than 10%
     fps = sum(1 for k in range(2000, 4000) if rows[k])
     assert fps < 200, f"false positives way over bound: {fps}"
+
+
+def test_bloom_incremental_merge_across_batches(spark):
+    """Folding batch 2's words into batch 1's filter (bit_or merge) is
+    equivalent to building over the union — and the merged filter keeps
+    the zero-false-negative guarantee across both batches."""
+    from enterprise_sales_data_pipeline_using_aws_lambda_spark.operators.bloom import (
+        build_bloom,
+        merge_bloom_words,
+        probe_bloom,
+    )
+
+    m = 16 * 3000
+    b1 = spark.range(0, 1500).select(F.col("id").alias("k"))
+    b2 = spark.range(1500, 3000).select(F.col("id").alias("k"))
+    merged = merge_bloom_words(
+        build_bloom(b1, "k", m, 7), build_bloom(b2, "k", m, 7)
+    )
+    direct = build_bloom(b1.unionByName(b2), "k", m, 7)
+    assert merged.exceptAll(direct).count() == 0
+    assert direct.exceptAll(merged).count() == 0
+
+    probe = spark.range(0, 3000).select(F.col("id").alias("k"))
+    out = probe_bloom(probe, merged, "k", m, 7)
+    assert out.filter(~F.col("possibly_seen")).count() == 0  # FN = 0
