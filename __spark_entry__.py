@@ -86,6 +86,10 @@ NEW_THIS_ROUND = [
     "sequence_packing", "quality_percentile_filter", "oov_rate_by_source",
     "stratified_split_quotas", "dup_cluster_size_profile",
     "debounce_events", "bloom_incremental_dedup",
+    "event_transition_matrix", "token_entropy_quality",
+    "basket_part_pairs_lift", "dedup_edit_distance_blocked",
+    "ewma_monthly_revenue", "weighted_median_price",
+    "skyline_price_quantity", "dedup_token_sort_fingerprint",
 ]
 
 
@@ -96,8 +100,9 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     verification spends its budget where it matters: (1) the 6 round-2
     red rows, now fixed, (2) the 26 never-hash-verified entries,
     (3) green queries whose plans changed this round, (4) queries added
-    this round, (5) the verified rest.  1+2+3+4 = 38 < 50, so every
-    unverified, changed, or new gate gets a driver row this round.
+    this round, (5) the verified rest.  1+2+3+4 = 50, so the driver's
+    budget exactly covers every unverified, changed, or new gate this
+    round (asserted by tests/test_plans.py's rotation guard).
     """
     explicit = (
         R02_RED + NEVER_CHECKED + R01_NO_ORACLE + CHANGED_THIS_ROUND

@@ -113,6 +113,14 @@ HEADLINE = [
     "dup_cluster_size_profile",
     "debounce_events",
     "bloom_incremental_dedup",
+    "event_transition_matrix",
+    "token_entropy_quality",
+    "basket_part_pairs_lift",
+    "dedup_edit_distance_blocked",
+    "ewma_monthly_revenue",
+    "weighted_median_price",
+    "skyline_price_quantity",
+    "dedup_token_sort_fingerprint",
 ]
 
 

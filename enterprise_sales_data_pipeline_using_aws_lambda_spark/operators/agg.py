@@ -297,3 +297,77 @@ def global_cumsum(
         .withColumn(out_col, F.col("_off") + F.col("_lcum"))
         .drop("_pid", "_lcum", "_off")
     )
+
+
+def weighted_median(
+    df: DataFrame,
+    group_cols: list[str],
+    value_col: str,
+    weight_col: str,
+    bucket_width: float,
+    med_alias: str = "wmedian",
+) -> DataFrame:
+    """Exact lower weighted median per group — the smallest value whose
+    cumulative weight reaches half the group's total — without putting
+    any group's rows on a single task.
+
+    The naive formulation (cumulative-weight window per group ordered
+    by value) sorts each group on ONE task, the same failure mode
+    ``exact_percentiles`` exists to avoid.  This operator prunes with a
+    histogram instead:
+
+    1. bucket values by ``floor(value / bucket_width)`` and hash-agg
+       per-(group, bucket) weight — map-side combined, the shuffle
+       carries |groups| x |buckets| rows, not the fact;
+    2. a running-sum window over that SMALL frame finds, per group, the
+       single bucket where cumulative weight crosses half the total
+       (entry offset ``_prev`` and total ``_tot`` ride along);
+    3. only rows in that bucket are re-scanned (broadcast semi-join
+       prunes the fact), and a per-group window over this
+       1/|buckets|-sized slice finds the crossing value exactly.
+
+    Weights are cast to long, so every comparison is integer-exact
+    (identical across engines — no float cumulative-sum ulps).  NULL
+    values and non-positive weights are excluded, matching
+    ``percentile_cont``'s null handling."""
+    g = [F.col(c) for c in group_cols]
+    v = F.col(value_col)
+    w = df.select(
+        *group_cols,
+        v.alias("_v"),
+        F.col(weight_col).cast("long").alias("_w"),
+    ).filter(v.isNotNull() & (F.col("_w") > 0))
+    b = w.groupBy(
+        *group_cols, F.floor(F.col("_v") / F.lit(bucket_width)).alias("_b")
+    ).agg(F.sum("_w").alias("_bw"))
+    w_cum = (
+        Window.partitionBy(*group_cols)
+        .orderBy("_b")
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    )
+    w_tot = Window.partitionBy(*group_cols)
+    cum = b.select(
+        *group_cols,
+        "_b",
+        (F.sum("_bw").over(w_cum) - F.col("_bw")).alias("_prev"),
+        F.sum("_bw").over(w_cum).alias("_cum"),
+        F.sum("_bw").over(w_tot).alias("_tot"),
+    )
+    # exactly one bucket per group: cumulative weight crosses _tot/2
+    # inside it (2*_cum >= _tot first holds here)
+    sel = cum.filter(
+        (2 * F.col("_cum") >= F.col("_tot"))
+        & (2 * F.col("_prev") < F.col("_tot"))
+    ).select(*group_cols, "_b", "_prev", "_tot")
+    w_in = (
+        Window.partitionBy(*group_cols)
+        .orderBy("_v")
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    )
+    hit = (
+        w.withColumn("_b", F.floor(F.col("_v") / F.lit(bucket_width)))
+        .join(F.broadcast(sel), [*group_cols, "_b"])
+        .withColumn("_c", F.col("_prev") + F.sum("_w").over(w_in))
+        .filter(2 * F.col("_c") >= F.col("_tot"))
+    )
+    return hit.groupBy(*group_cols).agg(F.min("_v").alias(med_alias))

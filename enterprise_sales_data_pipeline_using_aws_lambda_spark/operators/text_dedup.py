@@ -435,3 +435,50 @@ def simhash_near_duplicates(
     return pairs.select(
         "id_a", "id_b", ham.alias("hamming")
     ).filter(F.col("hamming") <= max_hamming)
+
+
+def edit_distance_candidates(
+    df: DataFrame,
+    block_cols: list,
+    prefix_len: int = 120,
+    max_dist: int = 25,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+) -> DataFrame:
+    """Blocked Levenshtein near-duplicate pairs: candidate pairs are
+    generated ONLY within a block (same ``block_cols`` values — e.g.
+    language + a length bucket), then scored with the built-in JVM
+    ``levenshtein`` on a ``prefix_len``-char prefix.
+
+    Edit distance is quadratic per pair, so the all-pairs formulation
+    is unusable at corpus scale; blocking bounds work at
+    Σ|block|² pairs, the same candidate-limiting contract as the LSH
+    banding operators (which are the scale path for fuzzy dedup — this
+    operator is the high-precision scorer applied to small blocks or to
+    LSH survivor pairs).  The prefix cap bounds per-pair cost at
+    ``prefix_len²`` char ops regardless of document length.  The join
+    shuffles on the block key; no text leaves its block's partition
+    twice.  Output: (id_a, id_b, dist), id_a < id_b, dist <= max_dist."""
+    base = df.select(
+        *[F.col(c) if isinstance(c, str) else c for c in block_cols],
+        F.col(id_col),
+        F.substring(F.col(text_col), 1, prefix_len).alias("_pfx"),
+    )
+    names = base.columns[: len(block_cols)]
+    a = base.select(
+        *names, F.col(id_col).alias("id_a"), F.col("_pfx").alias("_pa")
+    )
+    b = base.select(
+        *names, F.col(id_col).alias("id_b"), F.col("_pfx").alias("_pb")
+    )
+    return (
+        a.join(b, names)
+        .filter(F.col("id_a") < F.col("id_b"))
+        .select(
+            *names,
+            "id_a",
+            "id_b",
+            F.levenshtein("_pa", "_pb").alias("dist"),
+        )
+        .filter(F.col("dist") <= max_dist)
+    )

@@ -5485,3 +5485,422 @@ def bloom_incremental_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
             <= F.lit(max(10.0, 3.0 * fp_bound * n_seen))
         ).alias("fp_rate_ok"),
     )
+
+
+# ---------------------------------------------------------------------------
+# Round 3 additions: Markov transition profile, entropy quality signal,
+# co-occurrence lift, blocked edit-distance dedup, EWMA smoothing, exact
+# weighted median, Pareto skyline, token-sort fingerprint dedup.
+# ---------------------------------------------------------------------------
+
+@query(
+    "event_transition_matrix",
+    """
+    WITH o AS (
+        SELECT event_type,
+               lag(event_type) OVER (PARTITION BY user_id
+                                     ORDER BY ts, event_id) AS prev_type
+        FROM events
+    ),
+    c AS (
+        SELECT prev_type, event_type, count(*) AS n_transitions
+        FROM o WHERE prev_type IS NOT NULL GROUP BY prev_type, event_type
+    ),
+    t AS (SELECT prev_type, sum(n_transitions) AS tot FROM c
+          GROUP BY prev_type)
+    SELECT c.prev_type, c.event_type, c.n_transitions,
+           CAST((c.n_transitions * 1000000) // t.tot AS BIGINT) AS rate_e6
+    FROM c JOIN t USING (prev_type)
+    """,
+)
+def event_transition_matrix(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """First-order Markov transition matrix of the event stream: for
+    every (prev_type -> type) pair, the transition count and the
+    empirical P(type | prev_type), floor-scaled to an exact integer
+    rate (counts*10^6 div total — no float division crosses the gate).
+    The lag window partitions by user (bounded, |users|-way parallel);
+    the transition aggregate is map-side combined and
+    |types|²-bounded.  This is the session-model profile behind
+    next-event prediction features and anomaly scores."""
+    ev = _t(spark, sf_dir, "events")
+    w = Window.partitionBy("user_id").orderBy("ts", "event_id")
+    o = ev.select(
+        "event_type", F.lag("event_type").over(w).alias("prev_type")
+    ).filter(F.col("prev_type").isNotNull())
+    c = o.groupBy("prev_type", "event_type").agg(
+        F.count("*").alias("n_transitions")
+    )
+    t = c.groupBy("prev_type").agg(F.sum("n_transitions").alias("tot"))
+    return (
+        c.join(t, "prev_type")
+        .select(
+            "prev_type",
+            "event_type",
+            "n_transitions",
+            F.expr("(n_transitions * CAST(1000000 AS BIGINT)) div tot")
+            .alias("rate_e6"),
+        )
+    )
+
+
+@query(
+    "token_entropy_quality",
+    """
+    WITH toks AS (
+        SELECT doc_id, unnest(string_split(text, ' ')) AS term
+        FROM documents
+    ),
+    c AS (
+        SELECT doc_id, term, count(*) AS c FROM toks
+        WHERE term <> '' GROUP BY doc_id, term
+    )
+    SELECT doc_id,
+           CAST(sum(c) AS BIGINT) AS n_tokens,
+           count(*) AS n_distinct,
+           CAST(floor(1000.0 * (ln(sum(c)) - sum(c * ln(c)) / sum(c)))
+                AS BIGINT) AS entropy_e3
+    FROM c GROUP BY doc_id
+    """,
+)
+def token_entropy_quality(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-document Shannon entropy of the token distribution,
+    H = ln(n) − Σ c·ln(c)/n — a quality/degeneracy signal: low entropy
+    flags repeated-token spam that length or stopword ratios miss
+    (complements repetition_stats' bigram view).  One explode → one
+    (doc, term) hash aggregate → one per-doc aggregate, all map-side
+    combined; entropy crosses the gate floor-scaled at 10⁻³ (the two
+    engines' ln agree to ulps; the margin to a grid boundary is ~10
+    orders wider)."""
+    docs = _t(spark, sf_dir, "documents")
+    c = (
+        docs.select(
+            "doc_id",
+            F.explode(
+                F.filter(
+                    F.split(F.col("text"), " "),
+                    lambda x: x != F.lit(""),
+                )
+            ).alias("term"),
+        )
+        .groupBy("doc_id", "term")
+        .agg(F.count("*").alias("c"))
+    )
+    n = F.sum("c")
+    return c.groupBy("doc_id").agg(
+        n.cast("long").alias("n_tokens"),
+        F.count("*").alias("n_distinct"),
+        F.floor(
+            1000.0 * (F.log(n) - F.sum(F.col("c") * F.log("c")) / n)
+        )
+        .cast("long")
+        .alias("entropy_e3"),
+    )
+
+
+@query(
+    "basket_part_pairs_lift",
+    """
+    WITH li AS (SELECT DISTINCT l_orderkey, l_partkey FROM lineitem),
+    pc AS (SELECT l_partkey, count(*) AS c FROM li GROUP BY l_partkey),
+    n AS (SELECT count(DISTINCT l_orderkey) AS n_orders FROM li),
+    pr AS (
+        SELECT a.l_partkey AS part_a, b.l_partkey AS part_b,
+               count(*) AS n_both
+        FROM li a JOIN li b
+          ON a.l_orderkey = b.l_orderkey AND a.l_partkey < b.l_partkey
+        GROUP BY a.l_partkey, b.l_partkey
+    )
+    SELECT part_a, part_b, n_both, ca.c AS n_a, cb.c AS n_b,
+           CAST((n_both * n.n_orders * 1000000) // (ca.c * cb.c)
+                AS BIGINT) AS lift_e6
+    FROM pr
+    JOIN pc ca ON pr.part_a = ca.l_partkey
+    JOIN pc cb ON pr.part_b = cb.l_partkey
+    CROSS JOIN n
+    ORDER BY n_both DESC, part_a, part_b
+    LIMIT 50
+    """,
+)
+def basket_part_pairs_lift(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Market-basket co-occurrence: the top-50 part pairs by support
+    with their lift = N·c(a,b) / (c(a)·c(b)), exact-integer-scaled.
+    The pair space is generated by an orderkey-keyed self-join — the
+    shuffle is the basket key, fanout is bounded by (basket size)² per
+    order (TPC-H: ≤7² rows), never all-pairs over parts.  Lift crosses
+    the gate as (N·c_ab·10⁶) div (c_a·c_b) — pure bigint math, no
+    float ratio.  TakeOrdered bounds the output at 50 rows."""
+    li = (
+        _t(spark, sf_dir, "lineitem")
+        .select("l_orderkey", "l_partkey")
+        .distinct()
+    )
+    pc = li.groupBy("l_partkey").agg(F.count("*").alias("c"))
+    n = li.agg(
+        F.countDistinct("l_orderkey").alias("n_orders")
+    )
+    a = li.select(
+        F.col("l_orderkey"), F.col("l_partkey").alias("part_a")
+    )
+    b = li.select(
+        F.col("l_orderkey"), F.col("l_partkey").alias("part_b")
+    )
+    pr = (
+        a.join(b, "l_orderkey")
+        .filter(F.col("part_a") < F.col("part_b"))
+        .groupBy("part_a", "part_b")
+        .agg(F.count("*").alias("n_both"))
+    )
+    return (
+        pr.join(
+            pc.select(F.col("l_partkey").alias("part_a"), F.col("c").alias("n_a")),
+            "part_a",
+        )
+        .join(
+            pc.select(F.col("l_partkey").alias("part_b"), F.col("c").alias("n_b")),
+            "part_b",
+        )
+        .crossJoin(F.broadcast(n))
+        .select(
+            "part_a",
+            "part_b",
+            "n_both",
+            "n_a",
+            "n_b",
+            F.expr(
+                "(n_both * n_orders * CAST(1000000 AS BIGINT))"
+                " div (n_a * n_b)"
+            ).alias("lift_e6"),
+        )
+        .orderBy(F.desc("n_both"), "part_a", "part_b")
+        .limit(50)
+    )
+
+
+@query(
+    "dedup_edit_distance_blocked",
+    """
+    WITH b AS (
+        SELECT lang, CAST(floor(n_chars / 100) AS BIGINT) AS len_bucket,
+               doc_id, substring(text, 1, 120) AS pfx
+        FROM documents
+    ),
+    p AS (
+        SELECT a.lang, b2.doc_id AS id_b,
+               levenshtein(a.pfx, b2.pfx) AS dist
+        FROM b a JOIN b b2
+          ON a.lang = b2.lang AND a.len_bucket = b2.len_bucket
+         AND a.doc_id < b2.doc_id
+    )
+    SELECT lang, count(*) AS n_dup_pairs, min(dist) AS min_dist,
+           count(DISTINCT id_b) AS n_docs_removable
+    FROM p WHERE dist <= 25 GROUP BY lang
+    """,
+)
+def dedup_edit_distance_blocked(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Blocked Levenshtein near-dup detection
+    (operators.text_dedup.edit_distance_candidates): candidate pairs
+    come only from (lang, length-bucket) blocks, scored with the JVM
+    built-in edit distance on a 120-char prefix, thresholded at 25.
+    Per language: surviving pair count, closest distance, and documents
+    removable (distinct higher ids).  This is the high-precision scorer
+    of the fuzzy-dedup family — MinHash/SimHash are the recall path at
+    scale; both share the candidates-before-compare contract."""
+    from ..operators.text_dedup import edit_distance_candidates
+
+    docs = _t(spark, sf_dir, "documents")
+    pairs = edit_distance_candidates(
+        docs,
+        block_cols=[
+            F.col("lang"),
+            F.floor(F.col("n_chars") / 100).alias("len_bucket"),
+        ],
+        prefix_len=120,
+        max_dist=25,
+    )
+    return pairs.groupBy("lang").agg(
+        F.count("*").alias("n_dup_pairs"),
+        F.min("dist").alias("min_dist"),
+        F.countDistinct("id_b").alias("n_docs_removable"),
+    )
+
+
+@query(
+    "ewma_monthly_revenue",
+    """
+    WITH d AS (
+        SELECT CAST(date_trunc('month', o_orderdate) AS DATE) AS month,
+               CAST(o_orderdate AS DATE) AS day,
+               sum(o_totalprice) AS rev
+        FROM orders GROUP BY month, day
+    ),
+    r AS (
+        SELECT month, rev,
+               row_number() OVER (PARTITION BY month ORDER BY day) AS rn,
+               count(*) OVER (PARTITION BY month) AS n_days
+        FROM d
+    )
+    SELECT month, CAST(max(n_days) AS BIGINT) AS n_days,
+           CAST(floor(0.2 * sum(power(0.8, n_days - rn) * rev))
+                AS BIGINT) AS ewma_floor
+    FROM r GROUP BY month
+    """,
+)
+def ewma_monthly_revenue(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Month-end exponentially-weighted moving average of daily
+    revenue (α = 0.2): y = α·Σ (1−α)^(n−i)·x_i over the month's days.
+    The recursive EWMA definition is inherently sequential; the closed
+    form turns it into ONE weighted group-by — weights come from the
+    day's rank within its month (a window over the per-day aggregate,
+    |days|-sized, partitioned by month), so the fact table is touched
+    once and nothing sequential survives in the plan.  Gate output is
+    floor(dollars): the pow/sum float error is ~10⁻⁷ of a grid step."""
+    o = _t(spark, sf_dir, "orders")
+    d = o.groupBy(
+        F.to_date(F.date_trunc("month", "o_orderdate")).alias("month"),
+        F.to_date("o_orderdate").alias("day"),
+    ).agg(F.sum("o_totalprice").alias("rev"))
+    w = Window.partitionBy("month").orderBy("day")
+    r = d.select(
+        "month",
+        "rev",
+        F.row_number().over(w).alias("rn"),
+        F.count("*").over(Window.partitionBy("month")).alias("n_days"),
+    )
+    return r.groupBy("month").agg(
+        F.max("n_days").cast("long").alias("n_days"),
+        F.floor(
+            0.2
+            * F.sum(
+                F.pow(F.lit(0.8), F.col("n_days") - F.col("rn"))
+                * F.col("rev")
+            )
+        )
+        .cast("long")
+        .alias("ewma_floor"),
+    )
+
+
+@query(
+    "weighted_median_price",
+    """
+    WITH w AS (
+        SELECT l_returnflag AS flag, l_extendedprice AS v,
+               CAST(l_quantity AS BIGINT) AS wt
+        FROM lineitem
+        WHERE l_extendedprice IS NOT NULL AND l_quantity > 0
+    ),
+    c AS (
+        SELECT flag, v,
+               sum(wt) OVER (PARTITION BY flag ORDER BY v) AS cum,
+               sum(wt) OVER (PARTITION BY flag) AS tot
+        FROM w
+    )
+    SELECT flag, min(v) AS wmedian FROM c
+    WHERE 2 * cum >= tot GROUP BY flag
+    """,
+)
+def weighted_median_price(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Exact quantity-weighted median price per return flag
+    (operators.agg.weighted_median): the smallest price whose
+    cumulative quantity reaches half the flag's total.  The oracle is
+    the textbook one-window formulation (each flag on one task — fine
+    for DuckDB at sf0.01); the Spark side is the scale-safe two-phase
+    histogram prune: a (flag, price-bucket) weight histogram finds the
+    crossing bucket, and only that bucket's rows are re-scanned.
+    Integer weights make the crossing rule exact on both engines."""
+    from ..operators.agg import weighted_median
+
+    li = _t(spark, sf_dir, "lineitem")
+    return weighted_median(
+        li.select(
+            F.col("l_returnflag").alias("flag"),
+            "l_extendedprice",
+            "l_quantity",
+        ),
+        ["flag"],
+        "l_extendedprice",
+        "l_quantity",
+        bucket_width=100.0,
+        med_alias="wmedian",
+    )
+
+
+@query(
+    "skyline_price_quantity",
+    """
+    WITH d AS (
+        SELECT DISTINCT l_extendedprice, l_quantity FROM lineitem
+        WHERE l_extendedprice IS NOT NULL AND l_quantity IS NOT NULL
+    ),
+    r AS (
+        SELECT l_extendedprice, l_quantity,
+               max(l_quantity) OVER (
+                   ORDER BY l_extendedprice DESC, l_quantity DESC
+                   ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING
+               ) AS mx
+        FROM d
+    )
+    SELECT l_extendedprice, l_quantity FROM r
+    WHERE mx IS NULL OR mx < l_quantity
+    """,
+)
+def skyline_price_quantity(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Pareto skyline of (price, quantity), both maximized
+    (operators.frontier.skyline_2d): line items no other item beats on
+    both dimensions.  Spark runs the two-phase distributed scheme —
+    parallel per-range local skylines, then one pass over the (tiny)
+    survivor union; the oracle runs the same running-max scan as one
+    window.  Only comparisons cross the gate — no float arithmetic, so
+    doubles compare bit-exactly."""
+    from ..operators.frontier import skyline_2d
+
+    li = _t(spark, sf_dir, "lineitem")
+    return skyline_2d(li, "l_extendedprice", "l_quantity")
+
+
+@query(
+    "dedup_token_sort_fingerprint",
+    """
+    WITH f AS (
+        SELECT md5(text) AS exact_fp,
+               md5(array_to_string(
+                   list_sort(list_filter(string_split(text, ' '),
+                                         x -> x <> '')),
+                   ' ')) AS ts_fp
+        FROM documents
+    )
+    SELECT count(*) AS n_docs,
+           count(DISTINCT exact_fp) AS n_exact_clusters,
+           count(DISTINCT ts_fp) AS n_tokensort_clusters,
+           count(*) - count(DISTINCT exact_fp) AS n_exact_removable,
+           count(*) - count(DISTINCT ts_fp) AS n_tokensort_removable
+    FROM f
+    """,
+)
+def dedup_token_sort_fingerprint(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Token-sort fingerprint dedup: md5 over the document's SORTED
+    token multiset catches reordered-word duplicates (shuffled
+    boilerplate, template permutations) that exact hashing misses,
+    at exact-dedup cost — one projection + one aggregate, no pairs.
+    Output compares cluster counts under both fingerprints; the
+    tokenizer and byte-order sort are replayed identically by the
+    oracle (array_sort and list_sort both compare UTF-8 bytes)."""
+    docs = _t(spark, sf_dir, "documents")
+    toks = F.filter(
+        F.split(F.col("text"), " "), lambda x: x != F.lit("")
+    )
+    f = docs.select(
+        F.md5("text").alias("exact_fp"),
+        F.md5(F.concat_ws(" ", F.array_sort(toks))).alias("ts_fp"),
+    )
+    return f.agg(
+        F.count("*").alias("n_docs"),
+        F.countDistinct("exact_fp").alias("n_exact_clusters"),
+        F.countDistinct("ts_fp").alias("n_tokensort_clusters"),
+        (F.count("*") - F.countDistinct("exact_fp")).alias(
+            "n_exact_removable"
+        ),
+        (F.count("*") - F.countDistinct("ts_fp")).alias(
+            "n_tokensort_removable"
+        ),
+    )

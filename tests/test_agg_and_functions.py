@@ -257,3 +257,100 @@ def test_sequence_packing_invariants(spark, sf_dir):
     # least (2048 - max_doc_tokens) tokens
     for pid in range(len(packs) - 1):
         assert packs[pid][1] > 2048 - agg["max_doc"] - 1
+
+
+def test_weighted_median_matches_naive(spark):
+    """weighted_median == the lower weighted median computed naively
+    (expand each row weight times, take the element at ceil(n/2)),
+    across random groups, weights, ties, and bucket boundaries."""
+    import random
+
+    from enterprise_sales_data_pipeline_using_aws_lambda_spark.operators.agg import (
+        weighted_median,
+    )
+
+    rng = random.Random(7)
+    rows = [
+        (f"g{rng.randrange(3)}", float(rng.choice([0, 50, 100, 150, 199, 200, 250])),
+         rng.randrange(1, 6))
+        for _ in range(200)
+    ]
+    df = spark.createDataFrame(rows, "g string, v double, w int")
+    got = {
+        r["g"]: r["wm"]
+        for r in weighted_median(
+            df, ["g"], "v", "w", bucket_width=100.0, med_alias="wm"
+        ).collect()
+    }
+    by_g = {}
+    for g, v, w in rows:
+        by_g.setdefault(g, []).extend([v] * w)
+    for g, vals in by_g.items():
+        vals.sort()
+        # lower weighted median: smallest v with cum weight >= half
+        expect = vals[(len(vals) + 1) // 2 - 1]
+        assert got[g] == expect, (g, got[g], expect)
+
+
+def test_weighted_median_ignores_nulls_and_nonpositive_weights(spark):
+    from enterprise_sales_data_pipeline_using_aws_lambda_spark.operators.agg import (
+        weighted_median,
+    )
+
+    df = spark.createDataFrame(
+        [("a", 1.0, 1), ("a", None, 9), ("a", 5.0, 0), ("a", 3.0, 1)],
+        "g string, v double, w int",
+    )
+    [r] = weighted_median(df, ["g"], "v", "w", 10.0, "wm").collect()
+    assert r["wm"] == 1.0  # only (1.0, w1) and (3.0, w1) rank
+
+
+def test_skyline_2d_matches_bruteforce(spark):
+    """Two-phase skyline == brute-force non-dominated set on random
+    points with duplicates and axis ties."""
+    import random
+
+    from enterprise_sales_data_pipeline_using_aws_lambda_spark.operators.frontier import (
+        skyline_2d,
+    )
+
+    rng = random.Random(11)
+    pts = [
+        (float(rng.randrange(20)), float(rng.randrange(20)))
+        for _ in range(300)
+    ]
+    df = spark.createDataFrame(pts, "x double, y double")
+    got = {(r["x"], r["y"]) for r in skyline_2d(df, "x", "y", 8).collect()}
+    dpts = set(pts)
+    expect = {
+        (x, y)
+        for x, y in dpts
+        if not any(
+            (a >= x and b >= y and (a, b) != (x, y)) for a, b in dpts
+        )
+    }
+    assert got == expect
+
+
+def test_edit_distance_candidates_blocked(spark):
+    """Pairs only form within a block; distance and threshold are
+    exact; ids are ordered a < b."""
+    from pyspark.sql import functions as F
+
+    from enterprise_sales_data_pipeline_using_aws_lambda_spark.operators.text_dedup import (
+        edit_distance_candidates,
+    )
+
+    df = spark.createDataFrame(
+        [
+            (1, "en", "the quick brown fox"),
+            (2, "en", "the quick brown fix"),   # dist 1 from doc 1
+            (3, "en", "zzzz completely other"),
+            (4, "de", "the quick brown fox"),   # same text, other block
+        ],
+        "doc_id long, lang string, text string",
+    )
+    out = edit_distance_candidates(
+        df, block_cols=[F.col("lang")], prefix_len=50, max_dist=5
+    ).collect()
+    assert [(r["id_a"], r["id_b"], r["dist"]) for r in out] == [(1, 2, 1)]

@@ -25,6 +25,10 @@ ALLOWED_GLOBAL_WINDOWS = {
     # range-partitioned
     "pareto_abc_customers": "partition-count offset frame (global_cumsum)",
     "sequence_packing": "partition-count offset frame (global_cumsum)",
+    # skyline phase 2: the global scan runs over the UNION OF LOCAL
+    # SKYLINES only (phase 1 pruned each range partition in parallel);
+    # that survivor frame is output-sized, not fact-sized
+    "skyline_price_quantity": "survivor-union scan (skyline_2d phase 2)",
 }
 
 SF_DIR = "/root/testdata/sf0.001"
