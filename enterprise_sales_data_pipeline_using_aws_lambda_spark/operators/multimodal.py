@@ -6,10 +6,13 @@ payload bytes stay columnar in Parquet, metadata predicates
 (kind/width/duration) push down without touching payloads, and decode
 happens per-partition in Arrow-batched Python.
 
-Decode is REAL for three uncompressed container formats, parsed in
-pure Python (no binary deps ship in this environment):
+Decode is REAL for four container formats, parsed in pure Python
+(no binary deps ship in this environment):
 
 - **PPM (P6)** images — ASCII header (width/height/maxval) + raw RGB;
+- **PNG** images — full spec-subset decode: CRC-verified chunk walk,
+  zlib IDAT inflate, per-scanline unfilter (None/Sub/Up/Average/
+  Paeth), color types gray/RGB/RGBA at bit depth 8;
 - **WAV** audio — RIFF chunk walk (``fmt `` → channels/rate/bits,
   ``data`` → PCM payload);
 - **YUV4MPEG2 (y4m)** video — ASCII stream header (W/H/F) + per-frame
@@ -19,9 +22,13 @@ pure Python (no binary deps ship in this environment):
 never trusts the ``kind`` metadata) and returns typed structural
 features plus exact integer content statistics — the shape a training
 pipeline filters on (resolution, sample rate, duration, corruption
-checks).  Lossy codecs (JPEG/MP3/H.264) stay pluggable via
-:class:`MediaDecoder`; swapping one in changes the parse function, not
-the dataflow.
+checks) — and, on request, the decoded content bytes themselves.
+:class:`PixelDecoder` (the production default of
+:func:`extract_features`) computes feature vectors from those DECODED
+bytes; :func:`resize_images` is a real nearest-neighbor resample of
+the decoded raster.  Codecs outside the pure-Python subset (JPEG/MP3/
+H.264) stay pluggable via :class:`MediaDecoder`; swapping one in
+changes the parse function, not the dataflow.
 """
 
 from __future__ import annotations
@@ -137,13 +144,157 @@ def encode_y4m(
     return b"".join(out)
 
 
-def parse_media(payload: bytes) -> dict:
+#: PNG signature + supported (color_type → samples per pixel).
+_PNG_SIG = b"\x89PNG\r\n\x1a\n"
+_PNG_CHANNELS = {0: 1, 2: 3, 6: 4}
+
+
+def encode_png(
+    width: int,
+    height: int,
+    raster: bytes,
+    color_type: int = 2,
+    filters: list[int] | None = None,
+) -> bytes:
+    """Real PNG writer (pure Python, stdlib ``zlib``): IHDR + one IDAT
+    (deflate of filtered scanlines) + IEND, CRC32 per chunk.
+
+    ``filters`` optionally pins a per-row filter type (0-4, PNG spec
+    §6); each row is FORWARD-filtered accordingly so a spec-compliant
+    reader reconstructs ``raster`` exactly — this is how the tests
+    drive every unfilter path in :func:`parse_media`.  Supported color
+    types: 0 (gray), 2 (RGB), 6 (RGBA), bit depth 8."""
+    import zlib
+
+    bpp = _PNG_CHANNELS[color_type]
+    if len(raster) != width * height * bpp:
+        raise ValueError("raster must be width*height*channels bytes")
+    filters = filters or [0] * height
+    stride = width * bpp
+    out = bytearray()
+    prev = bytes(stride)
+    for y in range(height):
+        row = raster[y * stride : (y + 1) * stride]
+        ft = filters[y]
+        out.append(ft)
+        if ft == 0:
+            out += row
+        else:
+            for x in range(stride):
+                a = row[x - bpp] if x >= bpp else 0
+                b = prev[x]
+                c = prev[x - bpp] if x >= bpp else 0
+                if ft == 1:
+                    pred = a
+                elif ft == 2:
+                    pred = b
+                elif ft == 3:
+                    pred = (a + b) // 2
+                else:  # Paeth
+                    p = a + b - c
+                    pa, pb, pc = abs(p - a), abs(p - b), abs(p - c)
+                    pred = a if pa <= pb and pa <= pc else (
+                        b if pb <= pc else c
+                    )
+                out.append((row[x] - pred) & 0xFF)
+        prev = row
+
+    def chunk(ctype: bytes, body: bytes) -> bytes:
+        crc = zlib.crc32(ctype + body) & 0xFFFFFFFF
+        return struct.pack(">I", len(body)) + ctype + body + struct.pack(
+            ">I", crc
+        )
+
+    ihdr = struct.pack(">IIBBBBB", width, height, 8, color_type, 0, 0, 0)
+    return (
+        _PNG_SIG
+        + chunk(b"IHDR", ihdr)
+        + chunk(b"IDAT", zlib.compress(bytes(out), 6))
+        + chunk(b"IEND", b"")
+    )
+
+
+def _png_decode(payload: bytes) -> tuple[int, int, int, bytes]:
+    """Full PNG decode: chunk walk (CRC-verified), IDAT inflate,
+    per-scanline unfilter.  Returns (width, height, channels, raster).
+    Supports bit depth 8, color types 0/2/6, no interlace — the subset
+    a curation pipeline normalizes to; anything else raises (callers
+    quarantine, the reference's unsupported-format policy)."""
+    import zlib
+
+    if payload[:8] != _PNG_SIG:
+        raise ValueError("not a PNG")
+    pos, ihdr, idat = 8, None, bytearray()
+    while pos + 8 <= len(payload):
+        (size,) = struct.unpack(">I", payload[pos : pos + 4])
+        ctype = payload[pos + 4 : pos + 8]
+        body = payload[pos + 8 : pos + 8 + size]
+        (crc,) = struct.unpack(
+            ">I", payload[pos + 8 + size : pos + 12 + size]
+        )
+        if zlib.crc32(ctype + body) & 0xFFFFFFFF != crc:
+            raise ValueError(f"PNG chunk {ctype!r} CRC mismatch")
+        if ctype == b"IHDR":
+            ihdr = struct.unpack(">IIBBBBB", body)
+        elif ctype == b"IDAT":
+            idat += body
+        elif ctype == b"IEND":
+            break
+        pos += 12 + size
+    if ihdr is None or not idat:
+        raise ValueError("PNG missing IHDR/IDAT")
+    w, h, depth, color_type, comp, filt, interlace = ihdr
+    if depth != 8 or color_type not in _PNG_CHANNELS:
+        raise ValueError(
+            f"unsupported PNG depth/color: {depth}/{color_type}"
+        )
+    if comp != 0 or filt != 0 or interlace != 0:
+        raise ValueError("unsupported PNG compression/filter/interlace")
+    bpp = _PNG_CHANNELS[color_type]
+    stride = w * bpp
+    data = zlib.decompress(bytes(idat))
+    if len(data) != h * (stride + 1):
+        raise ValueError("PNG raster size mismatch")
+    out = bytearray(h * stride)
+    prev = bytes(stride)
+    for y in range(h):
+        ft = data[y * (stride + 1)]
+        row = bytearray(data[y * (stride + 1) + 1 : (y + 1) * (stride + 1)])
+        if ft:
+            for x in range(stride):
+                a = row[x - bpp] if x >= bpp else 0
+                b = prev[x]
+                c = prev[x - bpp] if x >= bpp else 0
+                if ft == 1:
+                    pred = a
+                elif ft == 2:
+                    pred = b
+                elif ft == 3:
+                    pred = (a + b) // 2
+                elif ft == 4:
+                    p = a + b - c
+                    pa, pb, pc = abs(p - a), abs(p - b), abs(p - c)
+                    pred = a if pa <= pb and pa <= pc else (
+                        b if pb <= pc else c
+                    )
+                else:
+                    raise ValueError(f"bad PNG filter type {ft}")
+                row[x] = (row[x] + pred) & 0xFF
+        out[y * stride : (y + 1) * stride] = row
+        prev = bytes(row)
+    return w, h, bpp, bytes(out)
+
+
+def parse_media(payload: bytes, with_content: bool = False) -> dict:
     """Parse a real container from its magic bytes → structural features.
 
-    Recognizes PPM (``P6``), WAV (``RIFF..WAVE``), YUV4MPEG2.  Raises
-    ``ValueError`` on anything else (callers route those to quarantine,
-    same policy as the reference's unsupported-format guard,
-    ``lambda.py:73-74``)."""
+    Recognizes PPM (``P6``), PNG (full decode: CRC-verified chunk walk,
+    zlib inflate, scanline unfilter), WAV (``RIFF..WAVE``), YUV4MPEG2.
+    Raises ``ValueError`` on anything else (callers route those to
+    quarantine, same policy as the reference's unsupported-format
+    guard, ``lambda.py:73-74``).  With ``with_content=True`` the dict
+    additionally carries ``content`` — the DECODED bytes (raster / PCM
+    samples / concatenated planes) real feature extractors consume."""
     feats = {
         "format": None,
         "width": None,
@@ -170,6 +321,17 @@ def parse_media(payload: bytes) -> dict:
             content_len=len(data),
             content_byte_sum=sum(data),
         )
+        content = data
+    elif payload[:8] == _PNG_SIG:
+        w, h, _bpp, raster = _png_decode(payload)
+        feats.update(
+            format="png",
+            width=w,
+            height=h,
+            content_len=len(raster),
+            content_byte_sum=sum(raster),
+        )
+        content = raster
     elif payload[:4] == b"RIFF" and payload[8:12] == b"WAVE":
         pos, fmt, data = 12, None, None
         while pos + 8 <= len(payload):
@@ -195,6 +357,7 @@ def parse_media(payload: bytes) -> dict:
             content_len=len(data),
             content_byte_sum=sum(data),
         )
+        content = data
     elif payload[:9] == b"YUV4MPEG2":
         nl = payload.index(b"\n")
         params = {}
@@ -218,6 +381,7 @@ def parse_media(payload: bytes) -> dict:
         else:
             raise ValueError(f"unsupported y4m colorspace: C{cspace}")
         pos, n_frames, total, byte_sum = nl + 1, 0, 0, 0
+        chunks = []
         while pos < len(payload):
             fnl = payload.index(b"\n", pos)
             if payload[pos : pos + 5] != b"FRAME":
@@ -229,6 +393,8 @@ def parse_media(payload: bytes) -> dict:
             total += len(data)
             n_frames += 1
             pos = fnl + 1 + frame_len
+            if with_content:
+                chunks.append(data)
         feats.update(
             format="y4m",
             width=w,
@@ -238,8 +404,11 @@ def parse_media(payload: bytes) -> dict:
             content_len=total,
             content_byte_sum=byte_sum,
         )
+        content = b"".join(chunks) if with_content else b""
     else:
         raise ValueError("unrecognized media container")
+    if with_content:
+        feats["content"] = content
     return feats
 
 
@@ -285,17 +454,33 @@ def _video_params(doc_id: int) -> tuple[int, int, int]:
     return 4 + doc_id % 4, 4 + doc_id % 3, 1 + doc_id % 3
 
 
+def _png_dims(doc_id: int) -> tuple[int, int]:
+    return 4 + doc_id % 6, 4 + doc_id % 5
+
+
 def _content(doc_id: int, n: int) -> bytes:
     return bytes((doc_id + i) % 256 for i in range(n))
 
 
 def synth_payload(doc_id: int) -> tuple[str, bytes, dict]:
     """Deterministic real-container payload for one doc id: kind cycles
-    image→audio→video (PPM/WAV/Y4M).  Returns (kind, payload, meta)."""
-    k = doc_id % 3
+    image→audio→video→image (PPM/WAV/Y4M/PNG).  The PNG quarter
+    exercises the COMPRESSED path — its raster is deflated behind a
+    per-doc scanline filter (``doc_id % 5`` covers all five PNG filter
+    types across the corpus), so any decode verifier sweeps inflate +
+    every unfilter branch.  Returns (kind, payload, meta)."""
+    k = doc_id % 4
     if k == 0:
         w, h = _image_dims(doc_id)
         payload = encode_ppm(w, h, _content(doc_id, 3 * w * h))
+        meta = {"width": w, "height": h, "duration_ms": None}
+        return "image", payload, meta
+    if k == 3:
+        w, h = _png_dims(doc_id)
+        payload = encode_png(
+            w, h, _content(doc_id, 3 * w * h),
+            color_type=2, filters=[doc_id % 5] * h,
+        )
         meta = {"width": w, "height": h, "duration_ms": None}
         return "image", payload, meta
     if k == 1:
@@ -320,13 +505,55 @@ def synth_payload(doc_id: int) -> tuple[str, bytes, dict]:
 
 
 class MediaDecoder:
-    """Decode payload bytes → fixed-dim feature vector."""
+    """Decode payload bytes → fixed-dim feature vector.
+
+    Abstract plug-point: :class:`PixelDecoder` is the real pure-Python
+    implementation for the PPM/PNG/WAV/Y4M subset; decoders for codecs
+    needing binary deps (JPEG via Pillow, MP3/H.264 via ffmpeg) subclass
+    this without touching the Spark dataflow."""
 
     def decode(self, kind: str, payload: bytes) -> list[float]:
         raise NotImplementedError(
-            "real decoders (Pillow/torchaudio/ffmpeg) are not available in "
-            "this environment — plug one in by subclassing MediaDecoder"
+            "subclass MediaDecoder (PixelDecoder handles PPM/PNG/WAV/Y4M; "
+            "JPEG/MP3/H.264 need Pillow/ffmpeg, absent here)"
         )
+
+
+class PixelDecoder(MediaDecoder):
+    """REAL content decode → 8 signal statistics.
+
+    Runs the full container decode (:func:`parse_media` with content:
+    for PNG that is inflate + unfilter, for WAV the PCM samples, for
+    Y4M the concatenated planes) and computes deterministic features of
+    the DECODED signal — mean/std/min/max level, bright fraction, mean
+    absolute first difference (texture/roughness), distinct-level
+    fraction, and normalized length.  These are the cheap statistics
+    curation pipelines threshold on (blank/overexposed images, silent
+    or clipped audio) before any learned model sees the data."""
+
+    def decode(self, kind: str, payload: bytes) -> list[float]:
+        if not payload:
+            return [0.0] * FEATURE_DIM
+        content = parse_media(payload, with_content=True)["content"]
+        n = len(content)
+        if n == 0:
+            return [0.0] * FEATURE_DIM
+        mean = sum(content) / n
+        var = sum((b - mean) ** 2 for b in content) / n
+        d1 = (
+            sum(abs(content[i] - content[i - 1]) for i in range(1, n))
+            / max(n - 1, 1)
+        )
+        return [
+            round(mean / 255.0, 6),
+            round(var ** 0.5 / 255.0, 6),
+            round(min(content) / 255.0, 6),
+            round(max(content) / 255.0, 6),
+            round(sum(1 for b in content if b > 127) / n, 6),
+            round(d1 / 255.0, 6),
+            round(len(set(content)) / 256.0, 6),
+            round(min(n, 10 ** 6) / 10 ** 6, 6),
+        ]
 
 
 class StubDecoder(MediaDecoder):
@@ -353,8 +580,12 @@ def extract_features(
     Arrow moves (media_id, kind, payload) to Python in columnar batches;
     each partition decodes independently — on a cluster this scales with
     executors × cores, and payload bytes never pass through the driver.
-    Output: (media_id, kind, n_bytes, sha256, feature[8])."""
-    decoder = decoder or StubDecoder()
+    Output: (media_id, kind, n_bytes, sha256, feature[8]).
+
+    Default decoder is the REAL :class:`PixelDecoder` (full container
+    decode, statistics of the decoded signal); pass a custom
+    :class:`MediaDecoder` for codecs outside the pure-Python subset."""
+    decoder = decoder or PixelDecoder()
 
     def decode_partition(batches: Iterator) -> Iterator:
         import pandas as pd
@@ -417,8 +648,9 @@ def sample_frames(
 def media_from_documents(docs: DataFrame) -> DataFrame:
     """Build a media table with REAL container payloads from the
     documents fixture (no media ships in the test data): each doc_id
-    deterministically synthesizes a PPM image, WAV audio clip, or
-    YUV4MPEG2 video (round-robin) via :func:`synth_payload`.  Payload
+    deterministically synthesizes a PPM image, WAV audio clip,
+    YUV4MPEG2 video, or zlib-compressed PNG (round-robin) via
+    :func:`synth_payload`.  Payload
     generation runs per-partition in Arrow batches — same distribution
     properties as reading real media."""
 
@@ -456,50 +688,54 @@ RESIZED_SCHEMA = (
 def resize_images(
     media: DataFrame, target_w: int = 32, target_h: int = 32
 ) -> DataFrame:
-    """Image resize over the binary payload column (kind == 'image').
+    """REAL image resize over the binary payload column (kind ==
+    'image'): decode the container (PPM raster or PNG inflate+unfilter),
+    nearest-neighbor resample the pixel grid, re-encode in the SAME
+    format (PNG output is re-deflated with CRCs — a spec-valid file).
 
-    Spark-side shape is production-real: metadata filter prunes at the
-    scan, Arrow batches carry (media_id, payload, meta) to Python per
-    partition, the transform runs vectorized per batch, and the typed
+    Spark-side shape: metadata filter prunes at the scan, Arrow batches
+    carry (media_id, payload, meta) to Python per partition, the typed
     ``meta`` struct is rewritten with the new dimensions — nothing
-    driver-side.  The pixel work is pluggable: Pillow when importable,
-    else a deterministic stub (payload folded to target_w × target_h
-    bytes) so the plumbing is testable in this container (brief: image
-    libs absent → stub the decode, keep the dataflow real)."""
-    try:  # pragma: no cover - exercised only where Pillow exists
-        from PIL import Image  # noqa: F401
+    driver-side, cost scales with executors × cores.  Undecodable
+    payloads raise, surfacing as task errors callers route to
+    quarantine (the reference's unsupported-format policy)."""
 
-        have_pil = True
-    except Exception:
-        have_pil = False
+    def _resize_one(p: bytes) -> tuple[bytes, str]:
+        if p[:2] == b"P6":
+            feats = parse_media(p, with_content=True)
+            w, h, bpp, raster = (
+                feats["width"], feats["height"], 3, feats["content"]
+            )
+            fmt = "ppm"
+        else:
+            w, h, bpp, raster = _png_decode(p)
+            fmt = "png"
+        stride = w * bpp
+        out = bytearray(target_w * target_h * bpp)
+        for ty in range(target_h):
+            sy = ty * h // target_h
+            row = raster[sy * stride : (sy + 1) * stride]
+            for tx in range(target_w):
+                sx = tx * w // target_w
+                o = (ty * target_w + tx) * bpp
+                out[o : o + bpp] = row[sx * bpp : (sx + 1) * bpp]
+        if fmt == "ppm":
+            return encode_ppm(target_w, target_h, bytes(out)), fmt
+        ct = {1: 0, 3: 2, 4: 6}[bpp]
+        return encode_png(target_w, target_h, bytes(out), ct), fmt
 
     def transform(batches: Iterator) -> Iterator:
         import pandas as pd
 
         for pdf in batches:
-            out_payload = []
+            out_payload, mimes = [], []
             for p in pdf["payload"]:
-                p = p or b""
-                if have_pil:  # pragma: no cover
-                    import io
-
-                    from PIL import Image
-
-                    img = Image.open(io.BytesIO(p)).resize((target_w, target_h))
-                    buf = io.BytesIO()
-                    img.save(buf, format="PNG")
-                    out_payload.append(buf.getvalue())
-                else:
-                    size = target_w * target_h
-                    # Fold payload bytes into a fixed-size buffer —
-                    # deterministic, size-correct stand-in for pixels.
-                    buf = bytearray(size)
-                    for i, b in enumerate(p):
-                        buf[i % size] ^= b
-                    out_payload.append(bytes(buf))
+                payload, fmt = _resize_one(bytes(p or b""))
+                out_payload.append(payload)
+                mimes.append(f"image/{fmt}")
             meta = pd.DataFrame(
                 {
-                    "mime": ["x-stub/image"] * len(pdf),
+                    "mime": mimes,
                     "width": [target_w] * len(pdf),
                     "height": [target_h] * len(pdf),
                     "duration_ms": [m["duration_ms"] for m in pdf["meta"]],
@@ -516,4 +752,57 @@ def resize_images(
     images = media.filter(F.col("kind") == "image")
     return images.select("media_id", "payload", "meta").mapInPandas(
         transform, RESIZED_SCHEMA
+    )
+
+
+FRAME_SCHEMA = T.StructType(
+    [
+        T.StructField("media_id", T.LongType()),
+        T.StructField("frame_idx", T.IntegerType()),
+        T.StructField("width", T.IntegerType()),
+        T.StructField("height", T.IntegerType()),
+        T.StructField("frame", T.BinaryType()),
+    ]
+)
+
+
+def extract_frames(media: DataFrame, every_n: int = 1) -> DataFrame:
+    """REAL video frame extraction: parse each Y4M payload and emit
+    every ``every_n``-th decoded frame (full plane bytes) as its own
+    row — the explode-shaped op a vision-training pipeline runs before
+    per-frame featurization.  The container walk happens per partition
+    in Arrow batches (:data:`FRAME_SCHEMA` output); frames inherit the
+    payload's partitioning, so downstream per-frame work is already
+    distributed.  Compare :func:`sample_frames`, the JVM-side
+    byte-slice approximation kept for payloads with no parser."""
+
+    def frames_partition(batches: Iterator) -> Iterator:
+        import pandas as pd
+
+        for pdf in batches:
+            rows = []
+            for mid, p in zip(pdf["media_id"], pdf["payload"]):
+                feats = parse_media(bytes(p or b""), with_content=True)
+                if feats["format"] != "y4m":
+                    continue
+                w, h = feats["width"], feats["height"]
+                flen = feats["content_len"] // max(feats["n_frames"], 1)
+                content = feats["content"]
+                for i in range(0, feats["n_frames"], every_n):
+                    rows.append(
+                        {
+                            "media_id": mid,
+                            "frame_idx": i,
+                            "width": w,
+                            "height": h,
+                            "frame": content[i * flen : (i + 1) * flen],
+                        }
+                    )
+            yield pd.DataFrame(
+                rows, columns=[f.name for f in FRAME_SCHEMA.fields]
+            )
+
+    video = media.filter(F.col("kind") == "video")
+    return video.select("media_id", "payload").mapInPandas(
+        frames_partition, FRAME_SCHEMA
     )

@@ -1025,29 +1025,33 @@ def similarity_topk_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
     "multimodal_features",
     """
     WITH f AS (
-        SELECT doc_id, doc_id % 3 AS k,
+        SELECT doc_id, doc_id % 4 AS k,
                8 + doc_id % 8 AS iw, 8 + doc_id % 4 AS ih,
                8000 * (1 + doc_id % 2) AS rate,
                200 + (doc_id * 17) % 300 AS ns,
                4 + doc_id % 4 AS vw, 4 + doc_id % 3 AS vh,
-               1 + doc_id % 3 AS vf
+               1 + doc_id % 3 AS vf,
+               4 + doc_id % 6 AS pw, 4 + doc_id % 5 AS ph
         FROM documents
     ),
     g AS (
         SELECT doc_id, k,
                CASE k WHEN 0 THEN 'image' WHEN 1 THEN 'audio'
-                      ELSE 'video' END AS kind,
+                      WHEN 2 THEN 'video' ELSE 'image' END AS kind,
                CASE k WHEN 0 THEN 'ppm' WHEN 1 THEN 'wav'
-                      ELSE 'y4m' END AS format,
-               CASE WHEN k = 0 THEN iw WHEN k = 2 THEN vw END AS width,
-               CASE WHEN k = 0 THEN ih WHEN k = 2 THEN vh END AS height,
+                      WHEN 2 THEN 'y4m' ELSE 'png' END AS format,
+               CASE WHEN k = 0 THEN iw WHEN k = 2 THEN vw
+                    WHEN k = 3 THEN pw END AS width,
+               CASE WHEN k = 0 THEN ih WHEN k = 2 THEN vh
+                    WHEN k = 3 THEN ph END AS height,
                CASE WHEN k = 2 THEN vf END AS n_frames,
                CASE WHEN k = 1 THEN rate END AS sample_rate,
                CASE WHEN k = 1 THEN ns END AS n_samples,
                CASE WHEN k = 1 THEN (ns * 1000) // rate
                     WHEN k = 2 THEN vf * 40 END AS duration_ms,
                CASE k WHEN 0 THEN 3 * iw * ih WHEN 1 THEN ns
-                      ELSE vf * 3 * vw * vh END AS content_len
+                      WHEN 2 THEN vf * 3 * vw * vh
+                      ELSE 3 * pw * ph END AS content_len
         FROM f
     )
     SELECT doc_id AS media_id, kind, format,
@@ -1066,12 +1070,15 @@ def similarity_topk_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
 )
 def multimodal_features(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Multimodal decode (operators.multimodal): REAL container parsing
-    — PPM headers, RIFF/WAVE chunk walks, YUV4MPEG2 frame scans — in
-    Arrow-batched mapInPandas over binary payload columns.  The media
-    table synthesizes real containers deterministically from doc_id, so
-    the oracle recomputes every structural feature (dimensions, sample
-    counts, durations) and the exact content byte sum in closed form in
-    SQL — full hash-verification of a binary decode path."""
+    — PPM headers, RIFF/WAVE chunk walks, YUV4MPEG2 frame scans, and
+    FULL PNG decode (CRC-verified chunks, zlib inflate, per-scanline
+    unfilter; the synth corpus varies the filter type over all five) —
+    in Arrow-batched mapInPandas over binary payload columns.  The
+    media table synthesizes real containers deterministically from
+    doc_id, so the oracle recomputes every structural feature and the
+    exact content byte sum in closed form in SQL: a PNG row only
+    hash-matches if decompression + unfiltering reproduced the original
+    raster byte-for-byte."""
     from ..operators.multimodal import decode_media, media_from_documents
 
     docs = _t(spark, sf_dir, "documents")
