@@ -553,6 +553,13 @@ def benchmark_overlap(
     CONTAMINATED doc (n_shared_ngrams ≥ 1, self-matches excluded)."""
 
     def grams(frame: DataFrame, out_id: str) -> DataFrame:
+        # Gram identity = xxhash64 OVER THE TOKEN-ARRAY SLICE: the
+        # n-gram string is never materialized (no concat_ws, no
+        # ~8-word string per position through distinct/join/agg — the
+        # shuffle and the broadcast carry 8-byte longs).  Counts match
+        # the string formulation unless two distinct grams collide in
+        # 64 bits: p ≈ G²/2⁶⁵, ~10⁻¹⁰ at a million grams — far below
+        # the gate's float-rounding tolerances elsewhere.
         toks = F.filter(
             F.split(F.col(text_col), " "), lambda x: x != F.lit("")
         )
@@ -561,11 +568,11 @@ def benchmark_overlap(
                 F.size("_t") >= n,
                 F.transform(
                     F.sequence(F.lit(0), F.size("_t") - n),
-                    lambda i: F.concat_ws(
-                        " ", F.slice(F.col("_t"), i + 1, n)
+                    lambda i: F.xxhash64(
+                        F.concat_ws(" ", F.slice(F.col("_t"), i + 1, n))
                     ),
                 ),
-            ).otherwise(F.array().cast("array<string>"))
+            ).otherwise(F.array().cast("array<bigint>"))
         )
         return (
             frame.select(F.col(id_col).alias(out_id), toks.alias("_t"))

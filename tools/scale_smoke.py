@@ -195,6 +195,39 @@ def main() -> int:
         lambda: str(mad_spread(skewed, ["g"], "v").count()) + " groups",
     )
 
+    # 8c) Exact weighted median: the histogram prune must keep every
+    # group off the single-task path even when 3 groups hold n rows.
+    from enterprise_sales_data_pipeline_using_aws_lambda_spark.operators.agg import (
+        weighted_median,
+    )
+
+    weighted = skewed.withColumn("w", (F.col("v") % 7 + 1).cast("long"))
+    run(
+        "weighted_median_3groups",
+        n,
+        lambda: str(
+            weighted_median(weighted, ["g"], "v", "w", 10.0).count()
+        )
+        + " groups",
+    )
+
+    # 8d) Two-phase skyline: local prune must shrink n distinct points
+    # to a survivor union orders of magnitude smaller before the final
+    # single-task scan (anti-correlated dims = worst-case-ish frontier).
+    from enterprise_sales_data_pipeline_using_aws_lambda_spark.operators.frontier import (
+        skyline_2d,
+    )
+
+    pts = spark.range(0, n).select(
+        (F.col("id") % 1_000_003).cast("double").alias("x"),
+        ((F.col("id") * 2_654_435_761) % 1_000_033).cast("double").alias("y"),
+    )
+    run(
+        "skyline_2d_points",
+        n,
+        lambda: str(skyline_2d(pts, "x", "y").count()) + " frontier pts",
+    )
+
     # 9) Globally-ordered cumulative sum without a single-partition
     # window (Pareto/ABC shape at customer-table volume).
     run(
