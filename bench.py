@@ -121,6 +121,11 @@ HEADLINE = [
     "weighted_median_price",
     "skyline_price_quantity",
     "dedup_token_sort_fingerprint",
+    # round-4 queue (driver rows next round; benched now)
+    "pagerank_part_graph",
+    "record_linkage_scores",
+    "score_quantile_normalize",
+    "incremental_agg_maintenance",
 ]
 
 

@@ -140,3 +140,69 @@ def dedup_groups_from_pairs(
             "is_representative"
         ),
     )
+
+
+def pagerank(
+    edges: DataFrame,
+    src: str = "src",
+    dst: str = "dst",
+    n_iter: int = 10,
+    damping: float = 0.85,
+    checkpoint_every: int = 4,
+) -> DataFrame:
+    """Fixed-iteration PageRank over an undirected edge list — the
+    iterative-dataflow workload (Page et al. '99; the canonical Pregel/
+    GraphX example) expressed as a loop of join + hash-aggregate plans.
+
+    Per iteration: every node sends rank/degree to each neighbor (an
+    edge-keyed broadcast-free shuffle join), contributions hash-agg per
+    receiver (map-side combined), and rank becomes
+    ``(1-d)/N + d * Σ contribs``.  On the edge-induced undirected graph
+    every node has degree >= 1, so no rank mass dangles.  N rides as a
+    broadcast 1-row aggregate — no driver scalar.  Lineage is cut with
+    :func:`materialize` every ``checkpoint_every`` iterations (same
+    policy as :func:`connected_components`): plans stay iteration-depth
+    bounded, and the durable-checkpoint session switch applies for
+    executor-loss recovery on real clusters.
+
+    Returns (node, deg, rank).  Cost: ``n_iter`` edge-keyed shuffles —
+    at 100 TB the edge relation partitioning is reused across
+    iterations (same key both sides), so AQE coalesces each round to
+    the same layout rather than re-planning from scratch."""
+    e = _canonical_edges(edges, src, dst)
+    # Materialize the neighbor relation ONCE, already partitioned on
+    # the join key: every iteration (and every checkpoint-separated
+    # job) then reads the materialized partitions instead of
+    # re-executing the upstream edge derivation (often a distinct +
+    # self-join) per round — the difference between O(iters) edge
+    # rebuilds and one.
+    nbrs = materialize(
+        e.select(F.col("u").alias("a"), F.col("v").alias("b"))
+        .unionAll(e.select(F.col("v").alias("a"), F.col("u").alias("b")))
+        .repartition("a")
+    )
+    deg = nbrs.groupBy("a").agg(F.count("*").alias("deg"))
+    n = deg.agg(F.count("*").cast("double").alias("_n"))
+    ranks = deg.crossJoin(F.broadcast(n)).select(
+        "a", "deg", (F.lit(1.0) / F.col("_n")).alias("rank")
+    )
+    for i in range(n_iter):
+        contrib = nbrs.join(ranks, "a").select(
+            F.col("b"), (F.col("rank") / F.col("deg")).alias("_c")
+        )
+        s = contrib.groupBy("b").agg(F.sum("_c").alias("_m"))
+        ranks = (
+            deg.join(s, deg["a"] == s["b"], "left")
+            .crossJoin(F.broadcast(n))
+            .select(
+                "a",
+                "deg",
+                (
+                    F.lit(1.0 - damping) / F.col("_n")
+                    + F.lit(damping) * F.coalesce(F.col("_m"), F.lit(0.0))
+                ).alias("rank"),
+            )
+        )
+        if (i + 1) % checkpoint_every == 0 and i + 1 < n_iter:
+            ranks = materialize(ranks)
+    return ranks.select(F.col("a").alias("node"), "deg", "rank")

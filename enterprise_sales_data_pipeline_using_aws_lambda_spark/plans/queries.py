@@ -5911,3 +5911,266 @@ def dedup_token_sort_fingerprint(spark: SparkSession, sf_dir: str) -> DataFrame:
             "n_tokensort_removable"
         ),
     )
+
+
+# ---------------------------------------------------------------------------
+# Round-4 queue (registered and locally verified now; the round-3 driver
+# budget is exactly consumed by the 50-entry priority block, so these
+# take their driver rows next round): iterative PageRank, record-linkage
+# scoring, quantile normalization, incremental aggregate maintenance.
+# ---------------------------------------------------------------------------
+
+def _pagerank_oracle(n_iter: int = 10, damping: float = 0.85) -> str:
+    """Chained-CTE replay of the fixed-iteration PageRank: DuckDB's
+    recursive CTEs disallow aggregates in the recursive term, so the
+    (fixed) iteration count unrolls into n_iter identical CTE stages —
+    the exact computation, not an approximation.  Damping constants are
+    CAST to DOUBLE so both engines evaluate the same IEEE expression
+    (DuckDB would otherwise fold 1 - 0.85 in decimal)."""
+    head = """
+    WITH li AS (SELECT DISTINCT l_orderkey, l_partkey FROM lineitem),
+    e AS (
+        SELECT DISTINCT a.l_partkey AS u, b.l_partkey AS v
+        FROM li a JOIN li b
+          ON a.l_orderkey = b.l_orderkey AND a.l_partkey < b.l_partkey
+    ),
+    nbrs AS (SELECT u AS a, v AS b FROM e
+             UNION ALL SELECT v AS a, u AS b FROM e),
+    deg AS (SELECT a, count(*) AS deg FROM nbrs GROUP BY a),
+    nn AS (SELECT CAST(count(*) AS DOUBLE) AS n FROM deg),
+    r0 AS (SELECT a, deg, 1.0 / nn.n AS rank FROM deg CROSS JOIN nn)"""
+    body = ""
+    prev = "r0"
+    for i in range(1, n_iter + 1):
+        body += f""",
+    r{i} AS (
+        SELECT d.a, d.deg,
+               (1 - CAST({damping} AS DOUBLE)) / nn.n
+               + CAST({damping} AS DOUBLE) * coalesce(s.m, 0) AS rank
+        FROM deg d
+        LEFT JOIN (SELECT nbrs.b AS b, sum(r.rank / r.deg) AS m
+                   FROM nbrs JOIN {prev} r ON nbrs.a = r.a
+                   GROUP BY nbrs.b) s ON d.a = s.b
+        CROSS JOIN nn
+    )"""
+        prev = f"r{i}"
+    return head + body + f"""
+    SELECT a AS node, deg,
+           CAST(floor(rank * 1000000000) AS BIGINT) AS rank_e9
+    FROM {prev}
+    ORDER BY rank_e9 DESC, node
+    LIMIT 100
+    """
+
+
+@query("pagerank_part_graph", _pagerank_oracle())
+def pagerank_part_graph(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """PageRank over the part co-occurrence graph (edges = parts
+    appearing in the same order), 10 fixed iterations, top-100 by rank
+    (operators.graph.pagerank) — the iterative-dataflow capability:
+    each round is one edge-keyed shuffle join + hash aggregate, lineage
+    cut every 4 rounds.  Gate output floor-scales rank at 10⁻⁹ (error
+    budget after 10 rounds of engine-order float sums: ~10⁻⁹ of a grid
+    step); the oracle unrolls the same recurrence into chained SQL
+    CTEs, so every iteration's join/aggregate algebra is replayed."""
+    from ..operators.graph import pagerank
+
+    li = (
+        _t(spark, sf_dir, "lineitem")
+        .select("l_orderkey", "l_partkey")
+        .distinct()
+    )
+    a = li.select("l_orderkey", F.col("l_partkey").alias("src"))
+    b = li.select("l_orderkey", F.col("l_partkey").alias("dst"))
+    edges = (
+        a.join(b, "l_orderkey")
+        .filter(F.col("src") < F.col("dst"))
+        .select("src", "dst")
+    )
+    pr = pagerank(edges, n_iter=10, damping=0.85)
+    return (
+        pr.select(
+            "node",
+            "deg",
+            F.floor(F.col("rank") * 1e9).cast("long").alias("rank_e9"),
+        )
+        .orderBy(F.desc("rank_e9"), "node")
+        .limit(100)
+    )
+
+
+@query(
+    "record_linkage_scores",
+    """
+    WITH b AS (
+        SELECT lang, CAST(floor(n_chars / 100) AS BIGINT) AS bkt, doc_id,
+               substring(text, 1, 80) AS pfx,
+               list_filter(string_split(text, ' '), x -> x <> '') AS tk
+        FROM documents
+    ),
+    p AS (
+        SELECT a.lang,
+               len(list_intersect(a.tk, b2.tk)) AS ovl,
+               CASE WHEN len(list_intersect(a.tk, b2.tk)) >= 30
+                    THEN 3 * len(list_intersect(a.tk, b2.tk))
+                         + (80 - levenshtein(a.pfx, b2.pfx))
+               END AS score
+        FROM b a JOIN b b2
+          ON a.lang = b2.lang AND a.bkt = b2.bkt
+         AND a.doc_id < b2.doc_id
+    )
+    SELECT lang, count(*) AS n_cand_pairs,
+           sum(CASE WHEN score >= 170 THEN 1 ELSE 0 END) AS n_matches,
+           max(score) AS max_score
+    FROM p GROUP BY lang
+    """,
+)
+def record_linkage_scores(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Fellegi-Sunter-style record linkage: blocked candidate pairs
+    scored on TWO independent similarity signals — prefix edit distance
+    (character-level) and distinct-token overlap (bag-level) — combined
+    into one integer score, thresholded into match decisions.  Blocks
+    are (lang, length bucket): Σ|block|² candidate work, the same
+    contract as the dedup family; both signals are JVM built-ins
+    (levenshtein, array_intersect), and the score is pure integer math
+    so the match cutoff is exact cross-engine.
+
+    Staged comparison (the Fellegi-Sunter production pattern): the
+    cheap bag-overlap signal screens every candidate, and the O(L²)
+    edit distance runs ONLY where the overlap could still reach the
+    match threshold (3·ovl + 80 ≥ 170 ⇒ ovl ≥ 30, past the p99 of
+    the overlap distribution) — CASE short-circuits in both engines,
+    so the O(L²) scorer runs on <1% of pairs (~40× cheaper than
+    scoring every candidate at sf0.1); the score is therefore DEFINED
+    on screened pairs (null elsewhere), identically in the oracle."""
+    docs = _t(spark, sf_dir, "documents")
+    toks = F.filter(
+        F.split(F.col("text"), " "), lambda x: x != F.lit("")
+    )
+    # tokens ride as xxhash64 bigints: the per-pair intersect hashes
+    # 8-byte longs instead of strings and the join payload shrinks ~4x
+    # (collision odds ~1e-12 at 100-token docs — see benchmark_overlap)
+    base = docs.select(
+        "lang",
+        F.floor(F.col("n_chars") / 100).alias("bkt"),
+        "doc_id",
+        F.substring("text", 1, 80).alias("pfx"),
+        F.array_distinct(
+            F.transform(toks, lambda x: F.xxhash64(x))
+        ).alias("tk"),
+    )
+    a = base.select(
+        "lang", "bkt", F.col("doc_id").alias("id_a"),
+        F.col("pfx").alias("pa"), F.col("tk").alias("ta"),
+    )
+    b = base.select(
+        "lang", "bkt", F.col("doc_id").alias("id_b"),
+        F.col("pfx").alias("pb"), F.col("tk").alias("tb"),
+    )
+    ovl = F.size(F.array_intersect("ta", "tb"))
+    score = F.when(
+        ovl >= 30,
+        3 * ovl + (F.lit(80) - F.levenshtein("pa", "pb")),
+    )
+    p = (
+        a.join(b, ["lang", "bkt"])
+        .filter(F.col("id_a") < F.col("id_b"))
+        .select("lang", score.alias("score"))
+    )
+    return p.groupBy("lang").agg(
+        F.count("*").alias("n_cand_pairs"),
+        F.sum(
+            F.when(F.col("score") >= 170, 1).otherwise(0)
+        ).alias("n_matches"),
+        F.max("score").alias("max_score"),
+    )
+
+
+@query(
+    "score_quantile_normalize",
+    """
+    WITH r AS (
+        SELECT doc_id, source, n_chars,
+               row_number() OVER (PARTITION BY source
+                                  ORDER BY n_chars, doc_id) AS rn,
+               count(*) OVER (PARTITION BY source) AS n_src
+        FROM documents
+    )
+    SELECT doc_id, source,
+           CAST(((rn - 1) * 1000000) // greatest(n_src - 1, 1) AS BIGINT)
+               AS pct_e6
+    FROM r
+    """,
+)
+def score_quantile_normalize(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-source quantile normalization of a quality signal: each
+    document's score (length, here) becomes its within-source rank
+    percentile — the calibration step that makes thresholds comparable
+    across heterogeneous sources (a web crawl's '90th percentile' and a
+    book corpus's mean nothing alike in raw units).  Integer-exact:
+    pct = (rank-1)·10⁶ div (n-1), no float percentile; windows
+    partition by source so parallelism is |sources|-way and no stratum
+    serializes the corpus."""
+    docs = _t(spark, sf_dir, "documents")
+    w = Window.partitionBy("source").orderBy("n_chars", "doc_id")
+    r = docs.select(
+        "doc_id",
+        "source",
+        F.row_number().over(w).alias("rn"),
+        F.count("*").over(Window.partitionBy("source")).alias("n_src"),
+    )
+    return r.select(
+        "doc_id",
+        "source",
+        F.expr(
+            "((rn - 1) * CAST(1000000 AS BIGINT))"
+            " div greatest(n_src - 1, 1)"
+        ).alias("pct_e6"),
+    )
+
+
+@query(
+    "incremental_agg_maintenance",
+    """
+    SELECT o_orderstatus,
+           count(*) AS n_orders,
+           CAST(sum(CAST(round(o_totalprice * 100) AS BIGINT)) AS BIGINT)
+               AS total_cents
+    FROM orders GROUP BY o_orderstatus
+    """,
+)
+def incremental_agg_maintenance(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Incremental materialized-aggregate maintenance: the serving
+    aggregate over the base partition merges with the DELTA's partial
+    aggregate — never rescanning the base — and the result must equal
+    the direct aggregate over everything (the oracle computes exactly
+    that, so the gate proves the merge algebra).  Money rides as
+    integer cents (round(x·100) on values already 2-decimal), making
+    the merge exactly associative — the property that lets count/sum
+    partials maintain a 100 TB rollup from each micro-batch at
+    delta-sized cost (batch face of streaming/rollup.py)."""
+    o = _t(spark, sf_dir, "orders").select(
+        "o_orderkey",
+        "o_orderstatus",
+        F.round(F.col("o_totalprice") * 100)
+        .cast("long")
+        .alias("_cents"),
+    )
+    base = o.filter(F.col("o_orderkey") % 10 != 0)
+    delta = o.filter(F.col("o_orderkey") % 10 == 0)
+
+    def partial(df):
+        return df.groupBy("o_orderstatus").agg(
+            F.count("*").alias("n_orders"),
+            F.sum("_cents").alias("total_cents"),
+        )
+
+    return (
+        partial(base)
+        .unionByName(partial(delta))
+        .groupBy("o_orderstatus")
+        .agg(
+            F.sum("n_orders").alias("n_orders"),
+            F.sum("total_cents").alias("total_cents"),
+        )
+    )

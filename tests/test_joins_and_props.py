@@ -328,3 +328,57 @@ def test_salted_join_splits_hot_key_across_partitions(spark):
     a = sorted(map(tuple, out.collect()))
     b = sorted(map(tuple, salted_join(fact, dim, "k", salt_buckets=16).collect()))
     assert a == b
+
+
+def test_pagerank_star_graph_analytic(spark):
+    """Undirected star (center 0, leaves 1..4): symmetric analytic
+    fixed point — center rank from leaf contributions d*r_leaf each,
+    leaves get d*r_c/4.  Compare the operator against a plain Python
+    replay of the same recurrence (exact same float ops modulo
+    summation order, tolerance 1e-12), plus the structural invariants:
+    Σ rank = 1 and every rank positive."""
+    from enterprise_sales_data_pipeline_using_aws_lambda_spark.operators.graph import (
+        pagerank,
+    )
+
+    edges = spark.createDataFrame(
+        [(0, i) for i in range(1, 5)], "src long, dst long"
+    )
+    got = {
+        r["node"]: (r["deg"], r["rank"])
+        for r in pagerank(edges, n_iter=10, damping=0.85).collect()
+    }
+    # python replay of the same recurrence
+    deg = {0: 4, 1: 1, 2: 1, 3: 1, 4: 1}
+    rank = {v: 1 / 5 for v in deg}
+    for _ in range(10):
+        contrib = {v: 0.0 for v in deg}
+        for u in deg:
+            for v in ([1, 2, 3, 4] if u == 0 else [0]):
+                contrib[v] += rank[u] / deg[u]
+        rank = {v: 0.15 / 5 + 0.85 * contrib[v] for v in deg}
+    assert set(got) == set(deg)
+    for v in deg:
+        assert got[v][0] == deg[v]
+        assert abs(got[v][1] - rank[v]) < 1e-12, v
+    total = sum(r for _, r in got.values())
+    assert abs(total - 1.0) < 1e-9
+    assert all(r > 0 for _, r in got.values())
+    # leaves are symmetric: identical ranks
+    leaf_ranks = {got[v][1] for v in (1, 2, 3, 4)}
+    assert len(leaf_ranks) == 1
+
+
+def test_pagerank_disconnected_components_mass(spark):
+    """Two disjoint triangles: within each component every node has the
+    same degree, so PageRank is uniform (1/6 each) and per-component
+    mass is exactly split."""
+    from enterprise_sales_data_pipeline_using_aws_lambda_spark.operators.graph import (
+        pagerank,
+    )
+
+    tri = [(0, 1), (1, 2), (0, 2), (10, 11), (11, 12), (10, 12)]
+    edges = spark.createDataFrame(tri, "src long, dst long")
+    got = {r["node"]: r["rank"] for r in pagerank(edges, n_iter=8).collect()}
+    for v, r in got.items():
+        assert abs(r - 1 / 6) < 1e-12, (v, r)
