@@ -98,6 +98,8 @@ NEW_THIS_ROUND = [
 R4_QUEUE = [
     "pagerank_part_graph", "record_linkage_scores",
     "score_quantile_normalize", "incremental_agg_maintenance",
+    "triangle_count_parts", "dq_expectation_suite",
+    "snapshot_diff", "daily_value_percentiles",
 ]
 
 

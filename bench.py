@@ -126,6 +126,10 @@ HEADLINE = [
     "record_linkage_scores",
     "score_quantile_normalize",
     "incremental_agg_maintenance",
+    "triangle_count_parts",
+    "dq_expectation_suite",
+    "snapshot_diff",
+    "daily_value_percentiles",
 ]
 
 

@@ -6174,3 +6174,282 @@ def incremental_agg_maintenance(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.sum("total_cents").alias("total_cents"),
         )
     )
+
+
+@query(
+    "triangle_count_parts",
+    """
+    WITH li AS (SELECT DISTINCT l_orderkey, l_partkey FROM lineitem),
+    e AS (
+        SELECT a.l_partkey AS u, b.l_partkey AS v
+        FROM li a JOIN li b
+          ON a.l_orderkey = b.l_orderkey AND a.l_partkey < b.l_partkey
+        GROUP BY a.l_partkey, b.l_partkey HAVING count(*) >= 2
+    ),
+    deg AS (
+        SELECT n, count(*) AS d FROM (
+            SELECT u AS n FROM e UNION ALL SELECT v AS n FROM e
+        ) GROUP BY n
+    ),
+    tri AS (
+        SELECT count(*) AS n_triangles
+        FROM e e1 JOIN e e2 ON e1.v = e2.u
+                  JOIN e e3 ON e3.u = e1.u AND e3.v = e2.v
+    ),
+    w AS (SELECT sum(d * (d - 1) // 2) AS n_wedges FROM deg)
+    SELECT (SELECT count(*) FROM e) AS n_edges,
+           (SELECT count(*) FROM deg) AS n_nodes,
+           tri.n_triangles,
+           CAST(w.n_wedges AS BIGINT) AS n_wedges,
+           CAST((tri.n_triangles * 3 * 1000000) // w.n_wedges AS BIGINT)
+               AS clustering_e6
+    FROM tri CROSS JOIN w
+    """,
+)
+def triangle_count_parts(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Triangle counting + global clustering coefficient on the
+    support-≥2 part co-occurrence graph — the ordered wedge-join
+    algorithm (Suri & Vassilvitskii '11, public): with edges canonical
+    (u < v), each triangle u<v<w matches exactly one (e1=(u,v),
+    e2=(v,w), e3=(u,w)) join chain, so two edge-keyed shuffle joins
+    count every triangle once, no dedup pass.  The support threshold
+    prunes the edge set BEFORE the quadratic wedge stage (the
+    standard density knob at web scale); clustering = 3·triangles /
+    wedges crosses the gate as exact integer math."""
+    li = (
+        _t(spark, sf_dir, "lineitem")
+        .select("l_orderkey", "l_partkey")
+        .distinct()
+    )
+    a = li.select("l_orderkey", F.col("l_partkey").alias("u"))
+    b = li.select("l_orderkey", F.col("l_partkey").alias("v"))
+    e = (
+        a.join(b, "l_orderkey")
+        .filter(F.col("u") < F.col("v"))
+        .groupBy("u", "v")
+        .agg(F.count("*").alias("_c"))
+        .filter(F.col("_c") >= 2)
+        .select("u", "v")
+    )
+    deg = (
+        e.select(F.col("u").alias("n"))
+        .unionAll(e.select(F.col("v").alias("n")))
+        .groupBy("n")
+        .agg(F.count("*").alias("d"))
+    )
+    e1 = e.select(F.col("u").alias("x"), F.col("v").alias("y"))
+    e2 = e.select(F.col("u").alias("y"), F.col("v").alias("z"))
+    e3 = e.select(F.col("u").alias("x"), F.col("v").alias("z"))
+    tri = (
+        e1.join(e2, "y").join(e3, ["x", "z"])
+        .agg(F.count("*").alias("n_triangles"))
+    )
+    stats = deg.agg(
+        F.count("*").alias("n_nodes"),
+        F.sum(F.expr("(d * (d - 1)) div 2"))
+        .cast("long")
+        .alias("n_wedges"),
+    )
+    n_edges = e.agg(F.count("*").alias("n_edges"))
+    return (
+        n_edges.crossJoin(F.broadcast(stats))
+        .crossJoin(F.broadcast(tri))
+        .select(
+            "n_edges",
+            "n_nodes",
+            "n_triangles",
+            "n_wedges",
+            F.expr(
+                "(n_triangles * 3 * CAST(1000000 AS BIGINT))"
+                " div n_wedges"
+            ).alias("clustering_e6"),
+        )
+    )
+
+
+@query(
+    "dq_expectation_suite",
+    """
+    SELECT
+        (SELECT count(*) - count(DISTINCT o_orderkey) FROM orders)
+            AS pk_dup_orders,
+        (SELECT count(*) FROM lineitem l
+         WHERE NOT EXISTS (SELECT 1 FROM orders o
+                           WHERE o.o_orderkey = l.l_orderkey))
+            AS fk_orphan_lineitems,
+        (SELECT count(*) FROM orders WHERE o_orderdate IS NULL
+            OR o_totalprice IS NULL) AS null_violations,
+        (SELECT count(*) FROM lineitem
+         WHERE l_quantity < 1 OR l_quantity > 50
+            OR l_discount < 0 OR l_discount > 0.1)
+            AS range_violations,
+        (SELECT count(*) FROM orders
+         WHERE o_orderstatus NOT IN ('F', 'O', 'P'))
+            AS domain_violations,
+        (SELECT count(*) FROM orders WHERE o_totalprice <= 0)
+            AS nonpositive_money
+    """,
+)
+def dq_expectation_suite(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Data-quality expectation battery as ONE relational verdict row —
+    the dbt-test / Great-Expectations surface every serving pipeline
+    runs before publishing: primary-key uniqueness, foreign-key
+    orphans (left-anti), null contracts, accepted value ranges, domain
+    membership, sign checks.  Each expectation is an independent
+    aggregate branch crossJoined as 1-row broadcasts; everything is
+    map-side combined and the fact tables are scanned once per
+    expectation family with column pruning (only the checked columns
+    reach the scan)."""
+    o = _t(spark, sf_dir, "orders")
+    li = _t(spark, sf_dir, "lineitem")
+    pk = o.agg(
+        (F.count("*") - F.countDistinct("o_orderkey")).alias(
+            "pk_dup_orders"
+        )
+    )
+    fk = (
+        li.join(o.select("o_orderkey"),
+                li["l_orderkey"] == o["o_orderkey"], "left_anti")
+        .agg(F.count("*").alias("fk_orphan_lineitems"))
+    )
+    nulls = o.agg(
+        F.sum(
+            (
+                F.col("o_orderdate").isNull()
+                | F.col("o_totalprice").isNull()
+            ).cast("long")
+        ).alias("null_violations")
+    )
+    rng = li.agg(
+        F.sum(
+            (
+                (F.col("l_quantity") < 1)
+                | (F.col("l_quantity") > 50)
+                | (F.col("l_discount") < 0)
+                | (F.col("l_discount") > 0.1)
+            ).cast("long")
+        ).alias("range_violations")
+    )
+    dom = o.agg(
+        F.sum(
+            (~F.col("o_orderstatus").isin("F", "O", "P")).cast("long")
+        ).alias("domain_violations")
+    )
+    money = o.agg(
+        F.sum((F.col("o_totalprice") <= 0).cast("long")).alias(
+            "nonpositive_money"
+        )
+    )
+    out = pk
+    for frame in (fk, nulls, rng, dom, money):
+        out = out.crossJoin(F.broadcast(frame))
+    return out
+
+
+@query(
+    "snapshot_diff",
+    """
+    WITH v1 AS (
+        SELECT o_orderkey, o_orderstatus, o_totalprice
+        FROM orders WHERE o_orderkey % 7 <> 0
+    ),
+    v2 AS (
+        SELECT o_orderkey, o_orderstatus,
+               o_totalprice
+               + CASE WHEN o_orderkey % 5 = 0 THEN 1 ELSE 0 END
+                   AS o_totalprice
+        FROM orders
+    ),
+    d AS (
+        SELECT coalesce(v1.o_orderstatus, v2.o_orderstatus) AS status,
+               CASE WHEN v1.o_orderkey IS NULL THEN 'added'
+                    WHEN v2.o_orderkey IS NULL THEN 'removed'
+                    WHEN v1.o_totalprice <> v2.o_totalprice THEN 'changed'
+                    ELSE 'unchanged' END AS kind
+        FROM v1 FULL OUTER JOIN v2 ON v1.o_orderkey = v2.o_orderkey
+    )
+    SELECT status, kind, count(*) AS n FROM d GROUP BY status, kind
+    """,
+)
+def snapshot_diff(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Snapshot reconciliation (CDC-style diff of two table versions):
+    a keyed full-outer join classifies every key as added / removed /
+    changed / unchanged and rolls counts up per status — the audit
+    report a lake pipeline emits when republishing a table (the
+    row-level face of order_reconciliation's totals-only view).  One
+    key-shuffled join, AQE-sized; the version deltas here are
+    deterministic arithmetic so the oracle replays them exactly."""
+    o = _t(spark, sf_dir, "orders").select(
+        "o_orderkey", "o_orderstatus", "o_totalprice"
+    )
+    v1 = o.filter(F.col("o_orderkey") % 7 != 0).select(
+        F.col("o_orderkey").alias("k1"),
+        F.col("o_orderstatus").alias("s1"),
+        F.col("o_totalprice").alias("p1"),
+    )
+    v2 = o.select(
+        F.col("o_orderkey").alias("k2"),
+        F.col("o_orderstatus").alias("s2"),
+        (
+            F.col("o_totalprice")
+            + F.when(F.col("o_orderkey") % 5 == 0, 1).otherwise(0)
+        ).alias("p2"),
+    )
+    d = v1.join(v2, v1["k1"] == v2["k2"], "full_outer").select(
+        F.coalesce("s1", "s2").alias("status"),
+        F.when(F.col("k1").isNull(), "added")
+        .when(F.col("k2").isNull(), "removed")
+        .when(F.col("p1") != F.col("p2"), "changed")
+        .otherwise("unchanged")
+        .alias("kind"),
+    )
+    return d.groupBy("status", "kind").agg(F.count("*").alias("n"))
+
+
+@query(
+    "daily_value_percentiles",
+    """
+    SELECT CAST(ts AS DATE) AS day,
+           CAST(floor(percentile_cont(0.5)
+                WITHIN GROUP (ORDER BY value) * 100) AS BIGINT)
+               AS value_p50_e2,
+           CAST(floor(percentile_cont(0.95)
+                WITHIN GROUP (ORDER BY value) * 100) AS BIGINT)
+               AS value_p95_e2,
+           CAST(floor(percentile_cont(0.99)
+                WITHIN GROUP (ORDER BY value) * 100) AS BIGINT)
+               AS value_p99_e2
+    FROM events GROUP BY day
+    """,
+)
+def daily_value_percentiles(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Daily P50/P95/P99 of the event value — the latency-dashboard
+    shape — via the distributed-selection exact percentile operator
+    grouped by day: range-partitioned by (day, value), so every day's
+    sort is parallel-local and only rank-neighbor rows reach the
+    interpolation agg (operators.agg.exact_percentiles; same plan
+    contract as percentile_summary, here with |days| groups).  Gate
+    values floor-scale to integer cents: the event values carry full
+    double precision, so a round(,2) gate would sit ON the half-cent
+    tie boundary whenever interpolation lands there — the exact
+    document_pipeline failure class from round 2; flooring moves the
+    risk from tie-rule divergence (engine-dependent) to a ~1e-12
+    grid-proximity window."""
+    from ..operators.agg import exact_percentiles
+
+    ev = _t(spark, sf_dir, "events").select(
+        F.to_date("ts").alias("day"), "value"
+    )
+    out = exact_percentiles(
+        ev,
+        ["day"],
+        "value",
+        [0.5, 0.95, 0.99],
+        aliases=["value_p50", "value_p95", "value_p99"],
+    )
+    return out.select(
+        "day",
+        F.floor(F.col("value_p50") * 100).cast("long").alias("value_p50_e2"),
+        F.floor(F.col("value_p95") * 100).cast("long").alias("value_p95_e2"),
+        F.floor(F.col("value_p99") * 100).cast("long").alias("value_p99_e2"),
+    )
