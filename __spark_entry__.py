@@ -100,6 +100,7 @@ R4_QUEUE = [
     "score_quantile_normalize", "incremental_agg_maintenance",
     "triangle_count_parts", "dq_expectation_suite",
     "snapshot_diff", "daily_value_percentiles",
+    "pattern_three_rising", "higher_order_array_ops",
 ]
 
 

@@ -130,6 +130,8 @@ HEADLINE = [
     "dq_expectation_suite",
     "snapshot_diff",
     "daily_value_percentiles",
+    "pattern_three_rising",
+    "higher_order_array_ops",
 ]
 
 

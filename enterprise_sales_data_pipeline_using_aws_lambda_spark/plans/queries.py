@@ -6453,3 +6453,104 @@ def daily_value_percentiles(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.floor(F.col("value_p95") * 100).cast("long").alias("value_p95_e2"),
         F.floor(F.col("value_p99") * 100).cast("long").alias("value_p99_e2"),
     )
+
+
+@query(
+    "pattern_three_rising",
+    """
+    WITH o AS (
+        SELECT user_id, value,
+               lag(value, 1) OVER w AS v1,
+               lag(value, 2) OVER w AS v2
+        FROM events
+        WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id)
+    ),
+    hits AS (
+        SELECT user_id FROM o
+        WHERE v2 IS NOT NULL AND v2 < v1 AND v1 < value
+    )
+    SELECT (SELECT count(*) FROM hits) AS n_matches,
+           (SELECT count(DISTINCT user_id) FROM hits) AS n_users,
+           (SELECT count(DISTINCT user_id) FROM events) AS n_users_total
+    """,
+)
+def pattern_three_rising(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Sequence-pattern detection (MATCH_RECOGNIZE-lite): occurrences
+    of three strictly-rising event values in a row within a user's
+    stream.  Row-pattern engines compile such patterns to exactly this
+    plan — per-key ordered lag windows plus a predicate — so the
+    operator demonstrates the pattern-matching surface without a
+    dedicated runtime: one (user)-partitioned window (bounded,
+    |users|-way parallel), no state beyond two lags, and the match
+    predicate stays in whole-stage codegen.  Doubles are only
+    COMPARED, never combined — exact cross-engine."""
+    ev = _t(spark, sf_dir, "events")
+    w = Window.partitionBy("user_id").orderBy("ts", "event_id")
+    o = ev.select(
+        "user_id",
+        "value",
+        F.lag("value", 1).over(w).alias("v1"),
+        F.lag("value", 2).over(w).alias("v2"),
+    )
+    hits = o.filter(
+        F.col("v2").isNotNull()
+        & (F.col("v2") < F.col("v1"))
+        & (F.col("v1") < F.col("value"))
+    )
+    h = hits.agg(
+        F.count("*").alias("n_matches"),
+        F.countDistinct("user_id").alias("n_users"),
+    )
+    tot = ev.agg(F.countDistinct("user_id").alias("n_users_total"))
+    return h.crossJoin(F.broadcast(tot))
+
+
+@query(
+    "higher_order_array_ops",
+    """
+    WITH t AS (
+        SELECT doc_id,
+               list_filter(string_split(text, ' '), x -> x <> '') AS tk
+        FROM documents
+    )
+    SELECT doc_id,
+           len(tk) AS n_tokens,
+           len(list_filter(tk, x -> len(x) >= 6)) AS n_long,
+           CAST(list_sum(list_transform(tk, x -> len(x))) AS BIGINT)
+               AS total_chars,
+           CAST(list_max(list_transform(tk, x -> len(x))) AS INTEGER)
+               AS max_token_len,
+           array_to_string(list_transform(tk[1:3], x -> upper(x)), '_')
+               AS head_upper
+    FROM t WHERE len(tk) > 0
+    """,
+)
+def higher_order_array_ops(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Higher-order array functions as first-class relational
+    expressions — filter/transform/aggregate/slice lambdas evaluated
+    JVM-side inside codegen, zero Python: the idiom that keeps
+    nested-data manipulation (token lists, embedding chunks, shingle
+    sets) OUT of UDFs.  The oracle replays every lambda with DuckDB's
+    list functions; all outputs are integers/strings so the comparison
+    is exact."""
+    docs = _t(spark, sf_dir, "documents")
+    tk = F.filter(F.split(F.col("text"), " "), lambda x: x != F.lit(""))
+    t = docs.select("doc_id", tk.alias("tk")).filter(F.size("tk") > 0)
+    lens = F.transform(F.col("tk"), lambda x: F.length(x))
+    return t.select(
+        "doc_id",
+        F.size("tk").alias("n_tokens"),
+        F.size(
+            F.filter(F.col("tk"), lambda x: F.length(x) >= 6)
+        ).alias("n_long"),
+        F.aggregate(
+            lens, F.lit(0).cast("long"), lambda acc, x: acc + x
+        ).alias("total_chars"),
+        F.array_max(lens).cast("int").alias("max_token_len"),
+        F.concat_ws(
+            "_",
+            F.transform(
+                F.slice(F.col("tk"), 1, 3), lambda x: F.upper(x)
+            ),
+        ).alias("head_upper"),
+    )

@@ -228,6 +228,24 @@ def main() -> int:
         lambda: str(skyline_2d(pts, "x", "y").count()) + " frontier pts",
     )
 
+    # 8e) Iterative PageRank: n/2 synthetic edges, 5 rounds — the
+    # per-round cost must be one edge-keyed shuffle + combine-sized
+    # aggregate (neighbor relation materialized once, never rebuilt).
+    from enterprise_sales_data_pipeline_using_aws_lambda_spark.operators.graph import (
+        pagerank,
+    )
+
+    n_nodes = max(n // 20, 1000)
+    pedges = spark.range(0, n // 2).select(
+        (F.col("id") % n_nodes).alias("src"),
+        ((F.col("id") * 2_654_435_761 + 1) % n_nodes).alias("dst"),
+    )
+    run(
+        "pagerank_5rounds",
+        n // 2,
+        lambda: str(pagerank(pedges, n_iter=5).count()) + " nodes",
+    )
+
     # 9) Globally-ordered cumulative sum without a single-partition
     # window (Pareto/ABC shape at customer-table volume).
     run(
