@@ -47,3 +47,21 @@ def materialize(df: DataFrame, eager: bool = True) -> DataFrame:
             f"got {mode!r}"
         )
     return df.localCheckpoint(eager=eager)
+
+
+def release_checkpoints(spark) -> int:
+    """Unpersist every RDD the session still holds pinned.
+
+    ``localCheckpoint`` blocks are freed by the ContextCleaner only
+    when the JVM garbage-collects the frame — in a long-lived session
+    running many checkpoint-using queries back-to-back (the bench, the
+    oracle sweep, a notebook) the blocks accumulate and the resulting
+    heap/GC pressure taxes LATER queries.  Harness code calls this
+    between queries; never call it while a frame derived from a live
+    checkpoint is still needed.  Returns the number released."""
+    jmap = spark.sparkContext._jsc.getPersistentRDDs()
+    n = 0
+    for rdd in jmap.values():
+        rdd.unpersist()
+        n += 1
+    return n

@@ -5687,8 +5687,8 @@ def basket_part_pairs_lift(spark: SparkSession, sf_dir: str) -> DataFrame:
     "dedup_edit_distance_blocked",
     """
     WITH b AS (
-        SELECT lang, CAST(floor(n_chars / 100) AS BIGINT) AS len_bucket,
-               doc_id, substring(text, 1, 120) AS pfx
+        SELECT lang, CAST(floor(n_chars / 20) AS BIGINT) AS len_bucket,
+               doc_id, substring(text, 1, 48) AS pfx
         FROM documents
     ),
     p AS (
@@ -5700,7 +5700,7 @@ def basket_part_pairs_lift(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     SELECT lang, count(*) AS n_dup_pairs, min(dist) AS min_dist,
            count(DISTINCT id_b) AS n_docs_removable
-    FROM p WHERE dist <= 25 GROUP BY lang
+    FROM p WHERE dist <= 12 GROUP BY lang
     """,
 )
 def dedup_edit_distance_blocked(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -5719,10 +5719,10 @@ def dedup_edit_distance_blocked(spark: SparkSession, sf_dir: str) -> DataFrame:
         docs,
         block_cols=[
             F.col("lang"),
-            F.floor(F.col("n_chars") / 100).alias("len_bucket"),
+            F.floor(F.col("n_chars") / 20).alias("len_bucket"),
         ],
-        prefix_len=120,
-        max_dist=25,
+        prefix_len=48,
+        max_dist=12,
     )
     return pairs.groupBy("lang").agg(
         F.count("*").alias("n_dup_pairs"),

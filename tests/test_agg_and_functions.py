@@ -354,3 +354,18 @@ def test_edit_distance_candidates_blocked(spark):
         df, block_cols=[F.col("lang")], prefix_len=50, max_dist=5
     ).collect()
     assert [(r["id_a"], r["id_b"], r["dist"]) for r in out] == [(1, 2, 1)]
+
+
+def test_release_checkpoints_frees_persisted_blocks(spark):
+    from pyspark.sql import functions as F
+
+    from enterprise_sales_data_pipeline_using_aws_lambda_spark.operators.materialize import (
+        materialize,
+        release_checkpoints,
+    )
+
+    df = materialize(spark.range(1000).select(F.col("id") * 2))
+    assert df.count() == 1000
+    assert spark.sparkContext._jsc.getPersistentRDDs().size() >= 1
+    release_checkpoints(spark)
+    assert spark.sparkContext._jsc.getPersistentRDDs().size() == 0

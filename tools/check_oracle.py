@@ -76,6 +76,11 @@ def main() -> int:
             continue
         t0 = time.time()
         try:
+            from enterprise_sales_data_pipeline_using_aws_lambda_spark.operators.materialize import (  # noqa: E501
+                release_checkpoints,
+            )
+
+            release_checkpoints(spark)
             sdf = fn(spark, SF_DIR)
             scols = sdf.columns
             srows = [tuple(r) for r in sdf.collect()]
