@@ -132,6 +132,7 @@ HEADLINE = [
     "daily_value_percentiles",
     "pattern_three_rising",
     "higher_order_array_ops",
+    "winsorized_stats",
 ]
 
 

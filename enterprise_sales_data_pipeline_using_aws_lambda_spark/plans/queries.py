@@ -6554,3 +6554,77 @@ def higher_order_array_ops(spark: SparkSession, sf_dir: str) -> DataFrame:
             ),
         ).alias("head_upper"),
     )
+
+
+@query(
+    "winsorized_stats",
+    """
+    WITH q AS (
+        SELECT l_returnflag AS flag,
+               percentile_cont(0.01) WITHIN GROUP (ORDER BY l_extendedprice)
+                   AS p01,
+               percentile_cont(0.99) WITHIN GROUP (ORDER BY l_extendedprice)
+                   AS p99
+        FROM lineitem GROUP BY l_returnflag
+    ),
+    w AS (
+        SELECT l.l_returnflag AS flag,
+               CASE WHEN l.l_extendedprice < q.p01 THEN q.p01
+                    WHEN l.l_extendedprice > q.p99 THEN q.p99
+                    ELSE l.l_extendedprice END AS v,
+               CASE WHEN l.l_extendedprice < q.p01
+                      OR l.l_extendedprice > q.p99
+                    THEN 1 ELSE 0 END AS clipped
+        FROM lineitem l JOIN q ON l.l_returnflag = q.flag
+    )
+    SELECT flag,
+           count(*) AS n_rows,
+           CAST(sum(clipped) AS BIGINT) AS n_clipped,
+           CAST(floor(avg(v)) AS BIGINT) AS wmean_floor,
+           CAST(floor(stddev_pop(v)) AS BIGINT) AS wstd_floor
+    FROM w GROUP BY flag
+    """,
+)
+def winsorized_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Winsorized robust moments per group: clip values at the exact
+    P1/P99 (distributed-selection percentiles — no group buffers),
+    then mean/std of the clipped column — the outlier-resistant
+    profile statistics a feature pipeline publishes instead of raw
+    moments.  Composition shape: the |groups|-row percentile frame
+    broadcasts back onto the fact scan, so the fact is read twice and
+    shuffled once; clip + moments stay in whole-stage codegen.  The
+    mean/std cross the gate floor-scaled to whole units (error budget
+    ~1e-9 of a grid step); clip counts are exact integers."""
+    from ..operators.agg import exact_percentiles
+
+    li = _t(spark, sf_dir, "lineitem")
+    q = exact_percentiles(
+        li.select(F.col("l_returnflag").alias("flag"), "l_extendedprice"),
+        ["flag"],
+        "l_extendedprice",
+        [0.01, 0.99],
+        aliases=["p01", "p99"],
+    )
+    w = (
+        li.select(F.col("l_returnflag").alias("flag"), "l_extendedprice")
+        .join(F.broadcast(q), "flag")
+        .select(
+            "flag",
+            F.when(F.col("l_extendedprice") < F.col("p01"), F.col("p01"))
+            .when(F.col("l_extendedprice") > F.col("p99"), F.col("p99"))
+            .otherwise(F.col("l_extendedprice"))
+            .alias("v"),
+            (
+                (F.col("l_extendedprice") < F.col("p01"))
+                | (F.col("l_extendedprice") > F.col("p99"))
+            )
+            .cast("long")
+            .alias("clipped"),
+        )
+    )
+    return w.groupBy("flag").agg(
+        F.count("*").alias("n_rows"),
+        F.sum("clipped").alias("n_clipped"),
+        F.floor(F.avg("v")).cast("long").alias("wmean_floor"),
+        F.floor(F.stddev_pop("v")).cast("long").alias("wstd_floor"),
+    )
