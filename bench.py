@@ -133,6 +133,7 @@ HEADLINE = [
     "pattern_three_rising",
     "higher_order_array_ops",
     "winsorized_stats",
+    "gap_fill_forward",
 ]
 
 

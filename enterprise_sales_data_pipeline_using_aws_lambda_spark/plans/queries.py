@@ -6628,3 +6628,92 @@ def winsorized_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.floor(F.avg("v")).cast("long").alias("wmean_floor"),
         F.floor(F.stddev_pop("v")).cast("long").alias("wstd_floor"),
     )
+
+
+@query(
+    "gap_fill_forward",
+    """
+    WITH d AS (
+        SELECT user_id, CAST(ts AS DATE) AS day, sum(value) AS v
+        FROM events GROUP BY user_id, day
+    ),
+    bounds AS (
+        SELECT min(CAST(ts AS DATE)) AS lo, max(CAST(ts AS DATE)) AS hi
+        FROM events
+    ),
+    grid AS (
+        SELECT u.user_id, g.day
+        FROM (SELECT DISTINCT user_id FROM events) u
+        CROSS JOIN (
+            SELECT CAST(unnest(generate_series(lo, hi,
+                                               INTERVAL 1 DAY)) AS DATE)
+                       AS day
+            FROM bounds
+        ) g
+    ),
+    f AS (
+        SELECT grid.user_id, grid.day, d.v,
+               last_value(d.v IGNORE NULLS) OVER (
+                   PARTITION BY grid.user_id ORDER BY grid.day
+                   ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW
+               ) AS filled
+        FROM grid LEFT JOIN d
+          ON grid.user_id = d.user_id AND grid.day = d.day
+    )
+    SELECT user_id,
+           count(*) AS n_days,
+           sum(CASE WHEN v IS NOT NULL THEN 1 ELSE 0 END) AS n_observed,
+           sum(CASE WHEN v IS NULL AND filled IS NOT NULL
+                    THEN 1 ELSE 0 END) AS n_filled,
+           CAST(floor(sum(coalesce(filled, 0))) AS BIGINT)
+               AS filled_total_floor
+    FROM f GROUP BY user_id
+    """,
+)
+def gap_fill_forward(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Time-series gap filling (last observation carried forward): the
+    per-(user, day) aggregate is densified onto the full calendar grid
+    and missing days inherit the user's most recent value — the
+    standard preparation for per-entity daily features.  The grid is a
+    bounded cross join (|users| × |days|, generated JVM-side via
+    ``sequence``); the fill is one ``last(ignorenulls)`` window per
+    user (bounded, |users|-way parallel).  The filled-value total
+    crosses the gate floored to whole units (sum-order budget ~1e-9 of
+    a grid step); day/fill counts are exact."""
+    ev = _t(spark, sf_dir, "events")
+    d = ev.groupBy(
+        "user_id", F.to_date("ts").alias("day")
+    ).agg(F.sum("value").alias("v"))
+    bounds = ev.agg(
+        F.min(F.to_date("ts")).alias("lo"),
+        F.max(F.to_date("ts")).alias("hi"),
+    )
+    days = bounds.select(
+        F.explode(
+            F.sequence(F.col("lo"), F.col("hi"), F.expr("INTERVAL 1 DAY"))
+        ).alias("day")
+    )
+    users = ev.select("user_id").distinct()
+    grid = users.crossJoin(F.broadcast(days))
+    w = (
+        Window.partitionBy("user_id")
+        .orderBy("day")
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    )
+    f = grid.join(d, ["user_id", "day"], "left").select(
+        "user_id",
+        "day",
+        "v",
+        F.last("v", ignorenulls=True).over(w).alias("filled"),
+    )
+    return f.groupBy("user_id").agg(
+        F.count("*").alias("n_days"),
+        F.sum(F.col("v").isNotNull().cast("long")).alias("n_observed"),
+        F.sum(
+            (F.col("v").isNull() & F.col("filled").isNotNull())
+            .cast("long")
+        ).alias("n_filled"),
+        F.floor(F.sum(F.coalesce("filled", F.lit(0.0))))
+        .cast("long")
+        .alias("filled_total_floor"),
+    )
