@@ -101,7 +101,7 @@ R4_QUEUE = [
     "triangle_count_parts", "dq_expectation_suite",
     "snapshot_diff", "daily_value_percentiles",
     "pattern_three_rising", "higher_order_array_ops",
-    "winsorized_stats", "gap_fill_forward",
+    "winsorized_stats", "gap_fill_forward", "udtf_keyvalue_explode",
 ]
 
 

@@ -134,6 +134,7 @@ HEADLINE = [
     "higher_order_array_ops",
     "winsorized_stats",
     "gap_fill_forward",
+    "udtf_keyvalue_explode",
 ]
 
 

@@ -6717,3 +6717,64 @@ def gap_fill_forward(spark: SparkSession, sf_dir: str) -> DataFrame:
         .cast("long")
         .alias("filled_total_floor"),
     )
+
+
+@query(
+    "udtf_keyvalue_explode",
+    """
+    WITH raw AS (
+        SELECT 'status=' || o_orderstatus
+               || ';prio=' || o_orderpriority
+               || CASE WHEN o_orderkey % 3 = 0
+                       THEN ';malformed-fragment' ELSE '' END
+               || ';key=' || CAST(o_orderkey AS VARCHAR) AS s
+        FROM orders
+    ),
+    parts AS (
+        SELECT unnest(string_split(s, ';')) AS p FROM raw
+    ),
+    kv AS (
+        SELECT trim(p[1:strpos(p, '=') - 1]) AS key,
+               trim(p[strpos(p, '=') + 1:]) AS value
+        FROM parts WHERE strpos(p, '=') > 0
+    )
+    SELECT key, count(*) AS n_rows,
+           count(DISTINCT value) AS n_distinct_values
+    FROM kv WHERE key <> '' GROUP BY key
+    """,
+)
+def udtf_keyvalue_explode(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Python UDTF surface (functions.udtfs.ParseKeyValue): free-form
+    ``k=v;k2=v2`` telemetry exploded to (key, value) rows through a
+    lateral table function, then aggregated per key.  This is the
+    row-to-variable-rows escape hatch used at the pipeline EDGE
+    (parse-once-land-typed) — the gate pins that the UDTF's Python
+    parse (including malformed-fragment skipping) matches the
+    relational replay exactly.  Everything after the UDTF is columnar
+    again; the aggregate is map-side combined."""
+    from ..functions.udtfs import register_udtfs
+
+    register_udtfs(spark)
+    o = _t(spark, sf_dir, "orders")
+    raw = o.select(
+        F.concat(
+            F.lit("status="), F.col("o_orderstatus"),
+            F.lit(";prio="), F.col("o_orderpriority"),
+            F.when(F.col("o_orderkey") % 3 == 0, ";malformed-fragment")
+            .otherwise(""),
+            F.lit(";key="), F.col("o_orderkey").cast("string"),
+        ).alias("s")
+    )
+    raw.createOrReplaceTempView("_udtf_kv_input")
+    kv = spark.sql(
+        "SELECT t.key, t.value FROM _udtf_kv_input, "
+        "LATERAL parse_kv(s) t"
+    )
+    return (
+        kv.filter(F.col("key") != "")
+        .groupBy("key")
+        .agg(
+            F.count("*").alias("n_rows"),
+            F.countDistinct("value").alias("n_distinct_values"),
+        )
+    )
