@@ -102,6 +102,7 @@ R4_QUEUE = [
     "snapshot_diff", "daily_value_percentiles",
     "pattern_three_rising", "higher_order_array_ops",
     "winsorized_stats", "gap_fill_forward", "udtf_keyvalue_explode",
+    "conversion_latency_percentiles",
 ]
 
 

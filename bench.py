@@ -135,6 +135,7 @@ HEADLINE = [
     "winsorized_stats",
     "gap_fill_forward",
     "udtf_keyvalue_explode",
+    "conversion_latency_percentiles",
 ]
 
 

@@ -6778,3 +6778,93 @@ def udtf_keyvalue_explode(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.countDistinct("value").alias("n_distinct_values"),
         )
     )
+
+
+@query(
+    "conversion_latency_percentiles",
+    """
+    WITH v AS (
+        SELECT user_id, CAST(ts AS TIMESTAMP) AS ts
+        FROM events WHERE event_type = 'view'
+    ),
+    p AS (
+        SELECT user_id, CAST(ts AS TIMESTAMP) AS ts
+        FROM events WHERE event_type = 'purchase'
+    ),
+    lat AS (
+        SELECT p.user_id,
+               CAST(epoch_us(p.ts) - epoch_us(prev.ts) AS BIGINT)
+                   AS latency_us
+        FROM p
+        JOIN LATERAL (
+            SELECT max(v.ts) AS ts FROM v
+            WHERE v.user_id = p.user_id AND v.ts <= p.ts
+        ) prev ON prev.ts IS NOT NULL
+    )
+    SELECT count(*) AS n_conversions,
+           CAST(floor(percentile_cont(0.5)
+                WITHIN GROUP (ORDER BY latency_us)) AS BIGINT)
+               AS latency_p50_us,
+           CAST(floor(percentile_cont(0.9)
+                WITHIN GROUP (ORDER BY latency_us)) AS BIGINT)
+               AS latency_p90_us,
+           CAST(max(latency_us) AS BIGINT) AS latency_max_us
+    FROM lat
+    """,
+)
+def conversion_latency_percentiles(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Conversion-latency distribution: each purchase pairs with the
+    most recent preceding view of the SAME user (the as-of join,
+    expressed shuffle-once as a union + one ordered window per user —
+    zero join nodes over the big sides), and P50/P90 of the
+    view→purchase delay come from the distributed-selection percentile
+    operator over the exact integer-microsecond latencies.  Every
+    value crossing the gate is an integer (epoch-µs differences and
+    their floor-interpolated percentiles), so the comparison is
+    order-of-operations-proof."""
+    from ..operators.agg import exact_percentiles
+
+    ev = _t(spark, sf_dir, "events")
+    v = ev.filter(F.col("event_type") == "view").select(
+        "user_id", F.col("ts").alias("ts"), F.lit(1).alias("_is_view")
+    )
+    p = ev.filter(F.col("event_type") == "purchase").select(
+        "user_id", F.col("ts").alias("ts"), F.lit(0).alias("_is_view")
+    )
+    # union + per-user ordered window: views sort before a same-ts
+    # purchase via the _is_view DESC tiebreak (<= semantics)
+    u = v.unionByName(p)
+    w = (
+        Window.partitionBy("user_id")
+        .orderBy("ts", F.desc("_is_view"))
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    )
+    last_view = F.last(
+        F.when(F.col("_is_view") == 1, F.col("ts")), ignorenulls=True
+    ).over(w)
+    lat = (
+        u.withColumn("_lv", last_view)
+        .filter((F.col("_is_view") == 0) & F.col("_lv").isNotNull())
+        .select(
+            (
+                F.unix_micros(F.col("ts")) - F.unix_micros(F.col("_lv"))
+            ).alias("latency_us")
+        )
+    )
+    pct = exact_percentiles(
+        lat.withColumn("_g", F.lit(1)),
+        ["_g"],
+        "latency_us",
+        [0.5, 0.9],
+        aliases=["latency_p50_us", "latency_p90_us"],
+    )
+    stats = lat.agg(
+        F.count("*").alias("n_conversions"),
+        F.max("latency_us").alias("latency_max_us"),
+    )
+    return stats.crossJoin(F.broadcast(pct)).select(
+        "n_conversions",
+        F.floor("latency_p50_us").cast("long").alias("latency_p50_us"),
+        F.floor("latency_p90_us").cast("long").alias("latency_p90_us"),
+        "latency_max_us",
+    )
