@@ -29,6 +29,14 @@ ALLOWED_GLOBAL_WINDOWS = {
     # SKYLINES only (phase 1 pruned each range partition in parallel);
     # that survivor frame is output-sized, not fact-sized
     "skyline_price_quantity": "survivor-union scan (skyline_2d phase 2)",
+    # exact_percentiles with a single global group: Catalyst constant-
+    # folds the literal group out of the offset window's partitionBy,
+    # exposing the same P-row (partition-count) offset frame the
+    # global_cumsum entries allowlist — bounded by shuffle partitions,
+    # never fact-sized
+    "conversion_latency_percentiles": (
+        "partition-count offset frame (exact_percentiles, global group)"
+    ),
 }
 
 SF_DIR = "/root/testdata/sf0.001"
