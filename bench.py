@@ -136,6 +136,7 @@ HEADLINE = [
     "gap_fill_forward",
     "udtf_keyvalue_explode",
     "conversion_latency_percentiles",
+    "vwap_monthly",
 ]
 
 

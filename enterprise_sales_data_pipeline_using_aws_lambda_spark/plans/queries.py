@@ -6868,3 +6868,47 @@ def conversion_latency_percentiles(spark: SparkSession, sf_dir: str) -> DataFram
         F.floor("latency_p90_us").cast("long").alias("latency_p90_us"),
         "latency_max_us",
     )
+
+
+@query(
+    "vwap_monthly",
+    """
+    SELECT CAST(date_trunc('month', l_shipdate) AS DATE) AS month,
+           CAST(sum(CAST(round(l_extendedprice * 100) AS BIGINT)
+                    * CAST(l_quantity AS BIGINT)) AS BIGINT)
+               AS pq_cents,
+           CAST(sum(CAST(l_quantity AS BIGINT)) AS BIGINT) AS total_qty,
+           CAST(sum(CAST(round(l_extendedprice * 100) AS BIGINT)
+                    * CAST(l_quantity AS BIGINT))
+                // sum(CAST(l_quantity AS BIGINT)) AS BIGINT)
+               AS vwap_cents
+    FROM lineitem GROUP BY month
+    """,
+)
+def vwap_monthly(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Monthly volume-weighted average price — the TWAP/VWAP family as
+    ONE map-side-combined aggregate: price rides as exact integer
+    cents (values are 2-decimal), quantity as integer units, so the
+    weighted numerator, the weight total, and their integer-division
+    ratio are all exact on both engines — no float mean crosses the
+    gate.  The pq/qty pair is also the MERGEABLE form: partials from
+    any partitioning (or micro-batch) combine by addition, the same
+    algebra incremental_agg_maintenance proves."""
+    li = _t(spark, sf_dir, "lineitem")
+    cents = F.round(F.col("l_extendedprice") * 100).cast("long")
+    qty = F.col("l_quantity").cast("long")
+    return (
+        li.groupBy(
+            F.to_date(F.date_trunc("month", "l_shipdate")).alias("month")
+        )
+        .agg(
+            F.sum(cents * qty).alias("pq_cents"),
+            F.sum(qty).alias("total_qty"),
+        )
+        .select(
+            "month",
+            "pq_cents",
+            "total_qty",
+            F.expr("pq_cents div total_qty").alias("vwap_cents"),
+        )
+    )
