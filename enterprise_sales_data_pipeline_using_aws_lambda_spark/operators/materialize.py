@@ -50,7 +50,7 @@ def materialize(df: DataFrame, eager: bool = True) -> DataFrame:
 
 
 def release_checkpoints(spark) -> int:
-    """Unpersist every RDD the session still holds pinned.
+    """Unpersist the session's *checkpointed* RDD blocks — harness-only.
 
     ``localCheckpoint`` blocks are freed by the ContextCleaner only
     when the JVM garbage-collects the frame — in a long-lived session
@@ -58,10 +58,20 @@ def release_checkpoints(spark) -> int:
     oracle sweep, a notebook) the blocks accumulate and the resulting
     heap/GC pressure taxes LATER queries.  Harness code calls this
     between queries; never call it while a frame derived from a live
-    checkpoint is still needed.  Returns the number released."""
+    checkpoint is still needed — a released localCheckpoint cannot be
+    recomputed (its lineage was truncated), so later reuse fails
+    outright.  Unrelated user ``.cache()``/``.persist()`` blocks are
+    left alone: only RDDs that report ``isCheckpointed`` /
+    ``isLocallyCheckpointed`` are released.  Returns the number
+    released."""
     jmap = spark.sparkContext._jsc.getPersistentRDDs()
     n = 0
-    for rdd in jmap.values():
-        rdd.unpersist()
-        n += 1
+    for jrdd in jmap.values():
+        scala_rdd = jrdd.rdd()
+        if (
+            scala_rdd.isCheckpointed()
+            or scala_rdd.isLocallyCheckpointed()
+        ):
+            jrdd.unpersist()
+            n += 1
     return n

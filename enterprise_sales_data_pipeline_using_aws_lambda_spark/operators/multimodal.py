@@ -227,6 +227,11 @@ def _png_decode(payload: bytes) -> tuple[int, int, int, bytes]:
     pos, ihdr, idat = 8, None, bytearray()
     while pos + 8 <= len(payload):
         (size,) = struct.unpack(">I", payload[pos : pos + 4])
+        # Bounds before unpack: a truncated/oversized-length chunk must
+        # raise the ValueError the parse_media quarantine contract
+        # documents, not a struct.error from slicing past the payload.
+        if pos + 12 + size > len(payload):
+            raise ValueError("truncated PNG chunk")
         ctype = payload[pos + 4 : pos + 8]
         body = payload[pos + 8 : pos + 8 + size]
         (crc,) = struct.unpack(
@@ -235,6 +240,8 @@ def _png_decode(payload: bytes) -> tuple[int, int, int, bytes]:
         if zlib.crc32(ctype + body) & 0xFFFFFFFF != crc:
             raise ValueError(f"PNG chunk {ctype!r} CRC mismatch")
         if ctype == b"IHDR":
+            if len(body) != 13:
+                raise ValueError("bad PNG IHDR length")
             ihdr = struct.unpack(">IIBBBBB", body)
         elif ctype == b"IDAT":
             idat += body

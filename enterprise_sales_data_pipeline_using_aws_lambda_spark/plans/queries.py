@@ -2146,7 +2146,8 @@ def sliding_window_event_rate(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     SELECT source, lang,
            count(*) AS n_docs,
-           sum(CASE WHEN dup_rank = 1 THEN 1 ELSE 0 END) AS n_unique,
+           CAST(sum(CASE WHEN dup_rank = 1 THEN 1 ELSE 0 END)
+                AS BIGINT) AS n_unique,
            CAST(floor(sum(n_tokens) * 100.0 / count(*)) AS BIGINT)
                AS avg_tokens_e2
     FROM kept
@@ -3898,8 +3899,8 @@ def price_quartile_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     SELECT e.event_type,
            count(*) AS n_events,
-           sum(CASE WHEN round(abs((e.value - s.mu) / s.sigma), 6) > 2.5
-                    THEN 1 ELSE 0 END) AS n_outliers,
+           CAST(sum(CASE WHEN round(abs((e.value - s.mu) / s.sigma), 6) > 2.5
+                         THEN 1 ELSE 0 END) AS BIGINT) AS n_outliers,
            CAST(floor(max(abs((e.value - s.mu) / s.sigma)) * 100.0) AS BIGINT)
                AS max_abs_z_e2
     FROM events e JOIN stats s ON e.event_type = s.event_type
@@ -3954,7 +3955,7 @@ def zscore_outlier_events(spark: SparkSession, sf_dir: str) -> DataFrame:
     FROM (
         SELECT o_orderpriority,
                count(*) AS n_orders,
-               count_if(o_totalprice > 200000) AS n_big,
+               CAST(count_if(o_totalprice > 200000) AS BIGINT) AS n_big,
                bool_and(o_totalprice > 1000) AS all_over_1k,
                bool_or(o_orderstatus = 'P') AS any_pending
         FROM orders
@@ -4543,7 +4544,7 @@ def benchmark_decontamination(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     SELECT t.doc_id,
            coalesce(per.n_grams, 0) AS n_grams,
-           coalesce(per.n_boiler, 0) AS n_boiler_grams,
+           CAST(coalesce(per.n_boiler, 0) AS BIGINT) AS n_boiler_grams,
            round(coalesce(per.n_boiler, 0) * 1.0
                  / greatest(coalesce(per.n_grams, 0), 1), 4) AS boiler_frac
     FROM t LEFT JOIN per ON t.doc_id = per.doc_id
@@ -4661,7 +4662,8 @@ def pii_scrub_contacts(spark: SparkSession, sf_dir: str) -> DataFrame:
     byp AS (SELECT p, count(DISTINCT doc_id) AS docs FROM p GROUP BY p)
     SELECT doc_id,
            count(*) AS n_passages,
-           sum(CASE WHEN docs >= 2 THEN 1 ELSE 0 END) AS n_dup_passages,
+           CAST(sum(CASE WHEN docs >= 2 THEN 1 ELSE 0 END)
+                AS BIGINT) AS n_dup_passages,
            round(sum(CASE WHEN docs >= 2 THEN 1 ELSE 0 END) * 1.0
                  / count(*), 4) AS dup_passage_frac
     FROM p JOIN byp USING (p)
@@ -4981,7 +4983,7 @@ def bm25_retrieval(spark: SparkSession, sf_dir: str) -> DataFrame:
                 ELSE 'test' END AS split,
            lang,
            count(*) AS n_docs,
-           sum(n_words) AS total_words,
+           CAST(sum(n_words) AS BIGINT) AS total_words,
            round(avg(n_words), 2) AS avg_words
     FROM b
     GROUP BY 1, 2
@@ -5153,7 +5155,7 @@ def mixture_resample_docs(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     SELECT CAST((cum - n_tok) // 2048 AS BIGINT) AS pack_id,
            count(*) AS n_docs,
-           sum(n_tok) AS pack_tokens
+           CAST(sum(n_tok) AS BIGINT) AS pack_tokens
     FROM c
     GROUP BY 1
     """,
@@ -5210,7 +5212,7 @@ def sequence_packing(spark: SparkSession, sf_dir: str) -> DataFrame:
            count(*) AS n_kept,
            min(n_tok) AS min_tokens,
            max(n_tok) AS max_tokens,
-           sum(n_tok) AS kept_tokens
+           CAST(sum(n_tok) AS BIGINT) AS kept_tokens
     FROM ranked
     WHERE rn * 4 <= n_lang
     GROUP BY lang
@@ -5263,7 +5265,8 @@ def quality_percentile_filter(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     SELECT t.source,
            count(*) AS n_tokens,
-           sum(CASE WHEN v.term IS NULL THEN 1 ELSE 0 END) AS n_oov,
+           CAST(sum(CASE WHEN v.term IS NULL THEN 1 ELSE 0 END)
+                AS BIGINT) AS n_oov,
            CAST(floor(sum(CASE WHEN v.term IS NULL THEN 1 ELSE 0 END)
                       * 10000.0 / count(*)) AS BIGINT) AS oov_rate_e4
     FROM toks t LEFT JOIN vocab v ON t.term = v.term
@@ -5404,9 +5407,9 @@ def dup_cluster_size_profile(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     SELECT event_type,
            count(*) AS n_events,
-           sum(CASE WHEN prev_ts IS NULL
-                      OR ts > prev_ts + INTERVAL 5 SECOND
-                    THEN 1 ELSE 0 END) AS n_kept
+           CAST(sum(CASE WHEN prev_ts IS NULL
+                           OR ts > prev_ts + INTERVAL 5 SECOND
+                         THEN 1 ELSE 0 END) AS BIGINT) AS n_kept
     FROM o
     GROUP BY event_type
     """,
@@ -5707,7 +5710,9 @@ def dedup_edit_distance_blocked(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Blocked Levenshtein near-dup detection
     (operators.text_dedup.edit_distance_candidates): candidate pairs
     come only from (lang, length-bucket) blocks, scored with the JVM
-    built-in edit distance on a 120-char prefix, thresholded at 25.
+    built-in edit distance on a 48-char prefix, thresholded at 12
+    (this gate's settings; edit_distance_candidates defaults to
+    120/25).
     Per language: surviving pair count, closest distance, and documents
     removable (distinct higher ids).  This is the high-precision scorer
     of the fuzzy-dedup family — MinHash/SimHash are the recall path at
@@ -6020,7 +6025,8 @@ def pagerank_part_graph(spark: SparkSession, sf_dir: str) -> DataFrame:
          AND a.doc_id < b2.doc_id
     )
     SELECT lang, count(*) AS n_cand_pairs,
-           sum(CASE WHEN score >= 170 THEN 1 ELSE 0 END) AS n_matches,
+           CAST(sum(CASE WHEN score >= 170 THEN 1 ELSE 0 END)
+                AS BIGINT) AS n_matches,
            max(score) AS max_score
     FROM p GROUP BY lang
     """,
@@ -6201,8 +6207,8 @@ def incremental_agg_maintenance(spark: SparkSession, sf_dir: str) -> DataFrame:
            (SELECT count(*) FROM deg) AS n_nodes,
            tri.n_triangles,
            CAST(w.n_wedges AS BIGINT) AS n_wedges,
-           CAST((tri.n_triangles * 3 * 1000000) // w.n_wedges AS BIGINT)
-               AS clustering_e6
+           CAST((tri.n_triangles * 3 * 1000000) // nullif(w.n_wedges, 0)
+                AS BIGINT) AS clustering_e6
     FROM tri CROSS JOIN w
     """,
 )
@@ -6259,9 +6265,12 @@ def triangle_count_parts(spark: SparkSession, sf_dir: str) -> DataFrame:
             "n_nodes",
             "n_triangles",
             "n_wedges",
+            # nullif: a degenerate support>=2 graph (all degree-1
+            # nodes) has n_wedges=0 — Spark `div` NULLs on zero but
+            # DuckDB `//` raises, so both sides must gate explicitly.
             F.expr(
                 "(n_triangles * 3 * CAST(1000000 AS BIGINT))"
-                " div n_wedges"
+                " div nullif(n_wedges, 0)"
             ).alias("clustering_e6"),
         )
     )
@@ -6662,9 +6671,10 @@ def winsorized_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     SELECT user_id,
            count(*) AS n_days,
-           sum(CASE WHEN v IS NOT NULL THEN 1 ELSE 0 END) AS n_observed,
-           sum(CASE WHEN v IS NULL AND filled IS NOT NULL
-                    THEN 1 ELSE 0 END) AS n_filled,
+           CAST(sum(CASE WHEN v IS NOT NULL THEN 1 ELSE 0 END)
+                AS BIGINT) AS n_observed,
+           CAST(sum(CASE WHEN v IS NULL AND filled IS NOT NULL
+                         THEN 1 ELSE 0 END) AS BIGINT) AS n_filled,
            CAST(floor(sum(coalesce(filled, 0))) AS BIGINT)
                AS filled_total_floor
     FROM f GROUP BY user_id
@@ -6862,7 +6872,13 @@ def conversion_latency_percentiles(spark: SparkSession, sf_dir: str) -> DataFram
         F.count("*").alias("n_conversions"),
         F.max("latency_us").alias("latency_max_us"),
     )
-    return stats.crossJoin(F.broadcast(pct)).select(
+    # LEFT join (not crossJoin): with zero conversions the percentile
+    # frame is empty but the ungrouped stats agg still emits one row —
+    # matching the oracle's always-one-row ungrouped aggregate
+    # (n_conversions=0, NULL percentiles).
+    return stats.withColumn("_g", F.lit(1)).join(
+        F.broadcast(pct), on="_g", how="left"
+    ).select(
         "n_conversions",
         F.floor("latency_p50_us").cast("long").alias("latency_p50_us"),
         F.floor("latency_p90_us").cast("long").alias("latency_p90_us"),

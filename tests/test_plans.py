@@ -125,8 +125,8 @@ def test_rotation_and_bench_integrity():
     qs = entry.queries()
     names = list(qs)
     explicit = (
-        entry.R02_RED + entry.NEVER_CHECKED + entry.R01_NO_ORACLE
-        + entry.CHANGED_THIS_ROUND + entry.NEW_THIS_ROUND
+        entry.NEVER_CHECKED + entry.R03_RED + entry.NEW_THIS_ROUND
+        + entry.OLDEST_R1
     )
     assert len(explicit) == len(set(explicit)), "duplicate rotation entry"
     missing = [n for n in explicit if n not in qs]
@@ -134,7 +134,12 @@ def test_rotation_and_bench_integrity():
     assert names[: len(explicit)] == explicit, (
         "explicit rotation block must lead queries() exactly"
     )
-    assert len(explicit) <= 50, "priority block exceeds the driver budget"
+    # Unverified/red/new must fit the 50-slot budget; OLDEST_R1 is the
+    # regression filler that may spill past 50 into next round.
+    must_check = (
+        entry.NEVER_CHECKED + entry.R03_RED + entry.NEW_THIS_ROUND
+    )
+    assert len(must_check) <= 50, "must-check block exceeds driver budget"
     bad = [n for n in bench.HEADLINE if n not in qs]
     assert not bad, f"bench HEADLINE entries not registered: {bad}"
     oracles = entry.oracle_sql()
