@@ -402,11 +402,12 @@ def boilerplate_ngram_stats(
         .agg(
             F.count(F.col("_g")).cast("long").alias("n_grams"),
             F.count(F.col("_df")).cast("long").alias("n_boiler_grams"),
-            F.round(
-                F.count(F.col("_df"))
-                / F.greatest(F.count(F.col("_g")), F.lit(1)),
-                4,
-            ).alias("boiler_frac"),
+            # Integer basis-point ratio (repo convention, the
+            # avg_tokens_e2 pattern): exact integer division on both
+            # engines, immune to the driver's float-exact hash.
+            F.expr(
+                "(count(_df) * 10000) div greatest(count(_g), 1)"
+            ).cast("long").alias("boiler_frac_e4"),
         )
     )
 
@@ -487,11 +488,11 @@ def passage_dedup_stats(
         .agg(
             F.count("*").cast("long").alias("n_passages"),
             F.sum((F.col("_docs") >= 2).cast("long")).alias("n_dup_passages"),
-            F.round(
-                F.sum((F.col("_docs") >= 2).cast("int"))
-                / F.count("*"),
-                4,
-            ).alias("dup_passage_frac"),
+            # Integer basis-point ratio (repo convention) — exact
+            # integer division, no cross-engine float drift.
+            F.expr(
+                "(sum(CAST(_docs >= 2 AS INT)) * 10000) div count(*)"
+            ).cast("long").alias("dup_passage_frac_e4"),
         )
     )
 

@@ -4545,8 +4545,9 @@ def benchmark_decontamination(spark: SparkSession, sf_dir: str) -> DataFrame:
     SELECT t.doc_id,
            coalesce(per.n_grams, 0) AS n_grams,
            CAST(coalesce(per.n_boiler, 0) AS BIGINT) AS n_boiler_grams,
-           round(coalesce(per.n_boiler, 0) * 1.0
-                 / greatest(coalesce(per.n_grams, 0), 1), 4) AS boiler_frac
+           CAST(coalesce(per.n_boiler, 0) * 10000
+                // greatest(coalesce(per.n_grams, 0), 1) AS BIGINT)
+               AS boiler_frac_e4
     FROM t LEFT JOIN per ON t.doc_id = per.doc_id
     """,
 )
@@ -4664,8 +4665,8 @@ def pii_scrub_contacts(spark: SparkSession, sf_dir: str) -> DataFrame:
            count(*) AS n_passages,
            CAST(sum(CASE WHEN docs >= 2 THEN 1 ELSE 0 END)
                 AS BIGINT) AS n_dup_passages,
-           round(sum(CASE WHEN docs >= 2 THEN 1 ELSE 0 END) * 1.0
-                 / count(*), 4) AS dup_passage_frac
+           CAST(sum(CASE WHEN docs >= 2 THEN 1 ELSE 0 END) * 10000
+                // count(*) AS BIGINT) AS dup_passage_frac_e4
     FROM p JOIN byp USING (p)
     GROUP BY doc_id
     """,
@@ -4984,7 +4985,7 @@ def bm25_retrieval(spark: SparkSession, sf_dir: str) -> DataFrame:
            lang,
            count(*) AS n_docs,
            CAST(sum(n_words) AS BIGINT) AS total_words,
-           round(avg(n_words), 2) AS avg_words
+           CAST(floor(avg(n_words) * 100.0) AS BIGINT) AS avg_words_e2
     FROM b
     GROUP BY 1, 2
     """,
@@ -5010,7 +5011,7 @@ def training_split_summary(spark: SparkSession, sf_dir: str) -> DataFrame:
         .agg(
             F.count("*").cast("long").alias("n_docs"),
             F.sum("_nw").cast("long").alias("total_words"),
-            F.round(F.avg("_nw"), 2).alias("avg_words"),
+            F.floor(F.avg("_nw") * 100.0).cast("long").alias("avg_words_e2"),
         )
     )
 

@@ -143,3 +143,48 @@ def test_read_serving_table_reraises_non_missing_errors(spark):
             "jdbc:derby:memory:nope",  # no ;create=true -> db doesn't exist
             DERBY_PROPS,
         )
+
+
+def test_mysql_dialect_type_mapping_for_serving_tables(spark):
+    """Dialect-level fidelity to the reference's MySQL serving tables
+    (reference ``lambda.py:172-190``: ``sales``, ``sales_tgt``,
+    ``sales_summary``) WITHOUT needing a MySQL server: Spark ships
+    ``MySQLDialect``, and ``df.write.jdbc`` builds its CREATE TABLE
+    DDL from ``dialect.getJDBCType(...)`` with the common-JDBC
+    fallback.  Pinning that mapping pins the exact column DDL a MySQL
+    target would receive for every serving-table column type:
+
+    - string cols (uuid, Country, ...)         -> LONGTEXT
+    - numeric cols (UnitsSold ... TotalProfit) -> DOUBLE PRECISION
+    - parsed date cols (OrderDate, ShipDate)   -> DATE
+    - the summary's avg/max outputs            -> DOUBLE PRECISION
+    """
+    jvm = spark.sparkContext._jvm
+    dialect = jvm.org.apache.spark.sql.jdbc.JdbcDialects.get(
+        "jdbc:mysql://db.example:3306/sales"
+    )
+    assert dialect.getClass().getName() == (
+        "org.apache.spark.sql.jdbc.MySQLDialect"
+    )
+    dt = jvm.org.apache.spark.sql.types.DataTypes
+
+    def ddl(catalyst_type):
+        opt = dialect.getJDBCType(catalyst_type)
+        if not opt.isDefined():
+            opt = (
+                jvm.org.apache.spark.sql.execution.datasources.jdbc
+                .JdbcUtils.getCommonJDBCType(catalyst_type)
+            )
+        assert opt.isDefined()
+        return opt.get().databaseTypeDefinition()
+
+    # The validated sales frame: strings + double numerics + real dates
+    # (validate.py casts date strings in place) — so the three MySQL
+    # tables get exactly these column DDL types.
+    assert ddl(dt.StringType) == "LONGTEXT"
+    assert ddl(dt.DoubleType) == "DOUBLE PRECISION"
+    assert ddl(dt.DateType) == "DATE"
+    # Sanity for adjacent types the pipeline may serve (counts, flags).
+    assert ddl(dt.LongType) == "BIGINT"
+    assert ddl(dt.IntegerType) == "INTEGER"
+    assert ddl(dt.TimestampType) == "TIMESTAMP"

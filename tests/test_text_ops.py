@@ -270,9 +270,9 @@ def test_boilerplate_ngram_stats(spark):
     # shared across all 5 docs: 'body all rights' and 'all rights reserved'
     assert r[0]["n_grams"] == 4
     assert r[0]["n_boiler_grams"] == 2
-    assert r[0]["boiler_frac"] == 0.5
+    assert r[0]["boiler_frac_e4"] == 5000
     assert r[5]["n_boiler_grams"] == 0
-    assert r[6]["n_grams"] == 0 and r[6]["boiler_frac"] == 0.0
+    assert r[6]["n_grams"] == 0 and r[6]["boiler_frac_e4"] == 0
 
 
 def test_pii_scrub_counts_and_order(spark):
@@ -307,7 +307,7 @@ def test_passage_dedup_stats(spark):
     r = {x["doc_id"]: x for x in passage_dedup_stats(df, width=4).collect()}
     # docs 0/1: passages [shared, tail(3 words)] -> shared duplicated
     assert r[0]["n_passages"] == 2 and r[0]["n_dup_passages"] == 1
-    assert r[0]["dup_passage_frac"] == 0.5
+    assert r[0]["dup_passage_frac_e4"] == 5000
     assert r[2]["n_dup_passages"] == 0
 
 
@@ -411,8 +411,8 @@ def test_pii_scrub_idempotent(spark):
 
 
 def test_boilerplate_fraction_bounds_on_real_corpus(spark, sf_dir):
-    """boiler_frac is a fraction of the doc's own distinct grams:
-    always within [0, 1], and n_boiler_grams never exceeds n_grams."""
+    """boiler_frac_e4 is an integer basis-point fraction of the doc's
+    own distinct grams: within [0, 10000], n_boiler_grams <= n_grams."""
     from enterprise_sales_data_pipeline_using_aws_lambda_spark.operators.text_analysis import (
         boilerplate_ngram_stats,
     )
@@ -424,8 +424,8 @@ def test_boilerplate_fraction_bounds_on_real_corpus(spark, sf_dir):
         read_table(spark, sf_dir, "documents"), n=3, min_docs=5
     )
     bad = out.filter(
-        (F.col("boiler_frac") < 0)
-        | (F.col("boiler_frac") > 1)
+        (F.col("boiler_frac_e4") < 0)
+        | (F.col("boiler_frac_e4") > 10000)
         | (F.col("n_boiler_grams") > F.col("n_grams"))
     )
     assert bad.count() == 0
