@@ -77,7 +77,11 @@ R03_RED = [
 
 # Queries ADDED this round (locally strict-oracle-green under the
 # driver-faithful pandas comparison).  Appended as they land.
-NEW_THIS_ROUND: list[str] = []
+NEW_THIS_ROUND: list[str] = [
+    "sessionized_funnel_rates",
+    "near_dup_cluster_canonical",
+    "rolling_7d_user_value",
+]
 
 # Remaining budget: regression guards, oldest-first — queries whose
 # only driver check was round 1 (44 such; the first 50-|above| fill

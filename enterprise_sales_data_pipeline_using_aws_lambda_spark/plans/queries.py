@@ -6929,3 +6929,285 @@ def vwap_monthly(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.expr("pq_cents div total_qty").alias("vwap_cents"),
         )
     )
+
+
+@query(
+    "sessionized_funnel_rates",
+    """
+    WITH ev AS (
+        SELECT user_id, epoch_us(CAST(ts AS TIMESTAMP)) AS us, event_type
+        FROM events WHERE event_type IN ('view', 'click', 'purchase')
+    ),
+    f AS (
+        SELECT *, CASE WHEN us - lag(us) OVER (
+                            PARTITION BY user_id ORDER BY us
+                        ) <= 1800000000
+                       THEN 0 ELSE 1 END AS new_s
+        FROM ev
+    ),
+    n AS (
+        SELECT *, sum(new_s) OVER (
+                      PARTITION BY user_id ORDER BY us
+                      ROWS UNBOUNDED PRECEDING) AS sess
+        FROM f
+    ),
+    v AS (SELECT *, min(CASE WHEN event_type = 'view' THEN us END)
+                        OVER (PARTITION BY user_id, sess) AS fv FROM n),
+    c AS (SELECT *, min(CASE WHEN event_type = 'click' AND us >= fv
+                             THEN us END)
+                        OVER (PARTITION BY user_id, sess) AS fc FROM v),
+    p AS (SELECT *, min(CASE WHEN event_type = 'purchase' AND us >= fc
+                             THEN us END)
+                        OVER (PARTITION BY user_id, sess) AS fp FROM c),
+    s AS (
+        SELECT user_id, sess,
+               max(CASE WHEN fv IS NOT NULL THEN 1 ELSE 0 END) AS has_v,
+               max(CASE WHEN fc IS NOT NULL THEN 1 ELSE 0 END) AS has_c,
+               max(CASE WHEN fp IS NOT NULL THEN 1 ELSE 0 END) AS has_p
+        FROM p GROUP BY user_id, sess
+    )
+    SELECT CAST(count(*) AS BIGINT) AS n_sessions,
+           CAST(sum(has_v) AS BIGINT) AS n_view,
+           CAST(sum(has_c) AS BIGINT) AS n_view_click,
+           CAST(sum(has_p) AS BIGINT) AS n_full_funnel,
+           CAST(sum(has_c) * 10000 // nullif(sum(has_v), 0) AS BIGINT)
+               AS click_rate_e4,
+           CAST(sum(has_p) * 10000 // nullif(sum(has_c), 0) AS BIGINT)
+               AS purchase_rate_e4
+    FROM s
+    """,
+)
+def sessionized_funnel_rates(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Ordered in-session funnel (view -> click after the first view ->
+    purchase after that click) over 30-minute-gap sessions.
+
+    Session split is gaps-and-islands on exact integer epoch-µs (one
+    user-keyed shuffle); the three funnel stages are conditional-min
+    windows over (user, session) — the second exchange — so the whole
+    funnel is two shuffles regardless of corpus size, no self-joins.
+    Stage rates cross the gate as integer basis points (exact div on
+    both engines).  At 100 TB both exchanges key on user_id(+session):
+    hash-partitioned, skew-safe under AQE (a power user's events still
+    fit one task — sessions are time-bounded)."""
+    gap_us = 30 * 60 * 1_000_000
+    ev = (
+        _t(spark, sf_dir, "events")
+        .filter(F.col("event_type").isin("view", "click", "purchase"))
+        .select("user_id", F.unix_micros("ts").alias("us"), "event_type")
+    )
+    wo = Window.partitionBy("user_id").orderBy("us")
+    run = wo.rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    sess = (
+        ev.withColumn(
+            "_new",
+            F.when(
+                F.col("us") - F.lag("us").over(wo) <= gap_us, F.lit(0)
+            ).otherwise(F.lit(1)),
+        )
+        .withColumn("sess", F.sum("_new").over(run))
+    )
+    ws = Window.partitionBy("user_id", "sess")
+    staged = (
+        sess.withColumn(
+            "_fv",
+            F.min(F.when(F.col("event_type") == "view", F.col("us"))).over(ws),
+        )
+        .withColumn(
+            "_fc",
+            F.min(
+                F.when(
+                    (F.col("event_type") == "click")
+                    & (F.col("us") >= F.col("_fv")),
+                    F.col("us"),
+                )
+            ).over(ws),
+        )
+        .withColumn(
+            "_fp",
+            F.min(
+                F.when(
+                    (F.col("event_type") == "purchase")
+                    & (F.col("us") >= F.col("_fc")),
+                    F.col("us"),
+                )
+            ).over(ws),
+        )
+    )
+    per_session = staged.groupBy("user_id", "sess").agg(
+        F.max(F.col("_fv").isNotNull().cast("int")).alias("has_v"),
+        F.max(F.col("_fc").isNotNull().cast("int")).alias("has_c"),
+        F.max(F.col("_fp").isNotNull().cast("int")).alias("has_p"),
+    )
+    return (
+        per_session.agg(
+            F.count("*").cast("long").alias("n_sessions"),
+            F.sum("has_v").cast("long").alias("n_view"),
+            F.sum("has_c").cast("long").alias("n_view_click"),
+            F.sum("has_p").cast("long").alias("n_full_funnel"),
+        )
+        .select(
+            "n_sessions",
+            "n_view",
+            "n_view_click",
+            "n_full_funnel",
+            F.expr("(n_view_click * 10000) div nullif(n_view, 0)")
+            .alias("click_rate_e4"),
+            F.expr("(n_full_funnel * 10000) div nullif(n_view_click, 0)")
+            .alias("purchase_rate_e4"),
+        )
+    )
+
+
+@query(
+    "near_dup_cluster_canonical",
+    """
+    WITH RECURSIVE sh AS (
+        SELECT doc_id,
+               CASE WHEN len(text) < 5 THEN [text]
+                    ELSE list_distinct([substr(text, i, 5)
+                                        FOR i IN range(1, len(text) - 3)])
+               END AS s
+        FROM documents
+    ),
+    sizes AS (SELECT doc_id, len(s) AS n FROM sh),
+    toks AS (SELECT doc_id, unnest(s) AS g FROM sh),
+    inter AS (
+        SELECT a.doc_id AS ia, b.doc_id AS ib, count(*) AS c
+        FROM toks a JOIN toks b ON a.g = b.g AND a.doc_id < b.doc_id
+        GROUP BY 1, 2
+    ),
+    e AS (
+        SELECT ia AS a, ib AS b
+        FROM inter JOIN sizes sa ON ia = sa.doc_id
+                   JOIN sizes sb ON ib = sb.doc_id
+        WHERE c::DOUBLE / (sa.n + sb.n - c) >= 0.5
+    ),
+    und AS (SELECT a, b FROM e UNION SELECT b AS a, a AS b FROM e),
+    nodes AS (SELECT DISTINCT a AS nd FROM und),
+    reach(nd, m) AS (
+        SELECT nd, nd FROM nodes
+        UNION
+        SELECT r.nd, u.b FROM reach r JOIN und u ON r.m = u.a
+    ),
+    comp AS (SELECT nd, min(m) AS component FROM reach GROUP BY nd),
+    sized AS (
+        SELECT cm.nd, cm.component, d.n_chars
+        FROM comp cm JOIN documents d ON cm.nd = d.doc_id
+    ),
+    canon AS (
+        SELECT component, nd AS canonical_doc_id, n_chars,
+               row_number() OVER (
+                   PARTITION BY component
+                   ORDER BY n_chars DESC, nd ASC) AS rn
+        FROM sized
+    )
+    SELECT g.component AS cluster_id,
+           g.n_docs,
+           cn.canonical_doc_id,
+           cn.n_chars AS canonical_n_chars
+    FROM (SELECT component, CAST(count(*) AS BIGINT) AS n_docs
+          FROM sized GROUP BY component) g
+    JOIN canon cn ON g.component = cn.component AND cn.rn = 1
+    """,
+)
+def near_dup_cluster_canonical(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The full near-dup RESOLUTION pipeline — what a curation run
+    actually executes after candidate generation: MinHash-LSH verified
+    pairs (jaccard >= 0.5) -> connected components (large/small-star,
+    O(log n) rounds) -> per-cluster canonical selection (keep the
+    longest doc, ties to the smallest id) with one struct-max agg —
+    no window sort over clusters needed on the Spark side.
+
+    The oracle replays exact all-pairs Jaccard for the edge set (the
+    dedup_minhash_lsh gate already proves LSH recall equals it on this
+    corpus) and resolves components with a recursive-CTE transitive
+    closure — exact, feasible at sf0.01.  At scale the Spark side is
+    the only tractable formulation: edges stay bucketed (LSH banding),
+    components converge in log rounds with lineage cuts, and the
+    canonical pick is a single groupBy."""
+    from ..operators.graph import connected_components
+    from ..operators.text_dedup import minhash_near_duplicates
+
+    docs = _t(spark, sf_dir, "documents")
+    pairs = minhash_near_duplicates(docs, threshold=0.5)
+    comp = connected_components(pairs, "id_a", "id_b")
+    sized = comp.join(
+        docs.select(F.col("doc_id").alias("node"), "n_chars"), "node"
+    )
+    return (
+        sized.groupBy("component")
+        .agg(
+            F.count("*").cast("long").alias("n_docs"),
+            F.max(
+                F.struct(
+                    F.col("n_chars").alias("nc"),
+                    (-F.col("node")).alias("neg"),
+                )
+            ).alias("_best"),
+        )
+        .select(
+            F.col("component").alias("cluster_id"),
+            "n_docs",
+            (-F.col("_best.neg")).alias("canonical_doc_id"),
+            F.col("_best.nc").alias("canonical_n_chars"),
+        )
+    )
+
+
+@query(
+    "rolling_7d_user_value",
+    """
+    WITH daily AS (
+        SELECT user_id,
+               CAST(CAST(ts AS TIMESTAMP) AS DATE) AS day,
+               CAST(sum(CAST(round(value * 100) AS BIGINT)) AS BIGINT)
+                   AS cents
+        FROM events GROUP BY 1, 2
+    ),
+    e AS (
+        SELECT *, date_diff('day', DATE '1970-01-01', day) AS ed
+        FROM daily
+    )
+    SELECT user_id, day, cents,
+           CAST(sum(cents) OVER (
+               PARTITION BY user_id ORDER BY ed
+               RANGE BETWEEN 6 PRECEDING AND CURRENT ROW) AS BIGINT)
+               AS cents_7d,
+           CAST(count(*) OVER (
+               PARTITION BY user_id ORDER BY ed
+               RANGE BETWEEN 6 PRECEDING AND CURRENT ROW) AS BIGINT)
+               AS days_active_7d
+    FROM e
+    """,
+)
+def rolling_7d_user_value(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-user trailing-7-day spend: daily pre-aggregation (map-side
+    combine collapses events to one row per user-day BEFORE any window)
+    then a RANGE frame over integer epoch-days — the frame skips
+    calendar gaps correctly, unlike a ROWS frame.  All money rides as
+    exact integer cents (values are 2-decimal), so window sums are
+    order-proof across engines.  One shuffle for the daily agg; the
+    user-keyed window reuses that partitioning profile at scale (the
+    window exchange keys on user_id alone — AQE coalesces the tiny
+    post-agg map side)."""
+    ev = _t(spark, sf_dir, "events")
+    daily = ev.groupBy(
+        "user_id", F.to_date("ts").alias("day")
+    ).agg(
+        F.sum(F.round(F.col("value") * 100).cast("long")).alias("cents")
+    )
+    with_ed = daily.withColumn(
+        "_ed", F.datediff(F.col("day"), F.lit("1970-01-01"))
+    )
+    w = (
+        Window.partitionBy("user_id")
+        .orderBy("_ed")
+        .rangeBetween(-6, Window.currentRow)
+    )
+    return with_ed.select(
+        "user_id",
+        "day",
+        "cents",
+        F.sum("cents").over(w).cast("long").alias("cents_7d"),
+        F.count("*").over(w).cast("long").alias("days_active_7d"),
+    )
