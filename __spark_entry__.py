@@ -81,6 +81,9 @@ NEW_THIS_ROUND: list[str] = [
     "sessionized_funnel_rates",
     "near_dup_cluster_canonical",
     "rolling_7d_user_value",
+    "cross_split_contamination",
+    "contingency_expected_cells",
+    "rolling_distinct_users_7d",
 ]
 
 # Remaining budget: regression guards, oldest-first — queries whose

@@ -7211,3 +7211,225 @@ def rolling_7d_user_value(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.sum("cents").over(w).cast("long").alias("cents_7d"),
         F.count("*").over(w).cast("long").alias("days_active_7d"),
     )
+
+
+@query(
+    "cross_split_contamination",
+    """
+    WITH sh AS (
+        SELECT doc_id,
+               CASE WHEN len(text) < 5 THEN [text]
+                    ELSE list_distinct([substr(text, i, 5)
+                                        FOR i IN range(1, len(text) - 3)])
+               END AS s
+        FROM documents
+    ),
+    sizes AS (SELECT doc_id, len(s) AS n FROM sh),
+    toks AS (SELECT doc_id, unnest(s) AS g FROM sh),
+    inter AS (
+        SELECT a.doc_id AS ia, b.doc_id AS ib, count(*) AS c
+        FROM toks a JOIN toks b ON a.g = b.g AND a.doc_id < b.doc_id
+        GROUP BY 1, 2
+    ),
+    e AS (
+        SELECT ia, ib
+        FROM inter JOIN sizes sa ON ia = sa.doc_id
+                   JOIN sizes sb ON ib = sb.doc_id
+        WHERE c::DOUBLE / (sa.n + sb.n - c) >= 0.5
+    ),
+    sp AS (
+        SELECT doc_id,
+               CASE WHEN b < 800 THEN 'train'
+                    WHEN b < 900 THEN 'val'
+                    ELSE 'test' END AS split
+        FROM (
+            SELECT doc_id,
+                   ((((((strpos('0123456789abcdef', substr(hx, 1, 1)) - 1) * 16
+                      + (strpos('0123456789abcdef', substr(hx, 2, 1)) - 1)) * 16
+                      + (strpos('0123456789abcdef', substr(hx, 3, 1)) - 1)) * 16
+                      + (strpos('0123456789abcdef', substr(hx, 4, 1)) - 1)) * 16
+                      + (strpos('0123456789abcdef', substr(hx, 5, 1)) - 1)) * 16
+                      + (strpos('0123456789abcdef', substr(hx, 6, 1)) - 1))
+                   % 1000 AS b
+            FROM (SELECT doc_id,
+                         md5('s0:' || CAST(doc_id AS VARCHAR)) AS hx
+                  FROM documents)
+        )
+    )
+    SELECT least(pa.split, pb.split) AS split_lo,
+           greatest(pa.split, pb.split) AS split_hi,
+           CAST(count(*) AS BIGINT) AS n_pairs,
+           CAST(sum(CASE WHEN pa.split <> pb.split THEN 1 ELSE 0 END)
+                AS BIGINT) AS n_leaking
+    FROM e JOIN sp pa ON e.ia = pa.doc_id
+           JOIN sp pb ON e.ib = pb.doc_id
+    GROUP BY 1, 2
+    """,
+)
+def cross_split_contamination(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Train/val/test NEAR-DUP leakage audit — the decontamination
+    check a training pipeline runs after splitting: MinHash-LSH
+    verified near-duplicate pairs (jaccard >= 0.5) whose two members
+    landed in different splits leak eval content into training.
+    Composition of minhash_near_duplicates (bucketed banding, never
+    all-pairs) + deterministic_split (pure hash projection, no
+    shuffle) + two id-keyed joins of the tiny pair set against the
+    split assignment.  Reported per unordered split pair; same-split
+    pairs stay visible (n_leaking = 0 rows) so the gate also counts
+    total near-dup pressure.  The oracle replays exact all-pairs
+    Jaccard for the edge set and the md5 split digits, so a hash match
+    proves bit-identical leak accounting."""
+    from ..operators.dedup import deterministic_split
+    from ..operators.text_dedup import minhash_near_duplicates
+
+    docs = _t(spark, sf_dir, "documents")
+    pairs = minhash_near_duplicates(docs, threshold=0.5).select(
+        "id_a", "id_b"
+    )
+    sp = deterministic_split(docs, "doc_id").select("doc_id", "split")
+    pa = sp.select(
+        F.col("doc_id").alias("id_a"), F.col("split").alias("_sa")
+    )
+    pb = sp.select(
+        F.col("doc_id").alias("id_b"), F.col("split").alias("_sb")
+    )
+    return (
+        pairs.join(pa, "id_a")
+        .join(pb, "id_b")
+        .groupBy(
+            F.least("_sa", "_sb").alias("split_lo"),
+            F.greatest("_sa", "_sb").alias("split_hi"),
+        )
+        .agg(
+            F.count("*").cast("long").alias("n_pairs"),
+            F.sum((F.col("_sa") != F.col("_sb")).cast("long"))
+            .cast("long")
+            .alias("n_leaking"),
+        )
+    )
+
+
+@query(
+    "contingency_expected_cells",
+    """
+    WITH obs AS (
+        SELECT o_orderstatus AS status, o_orderpriority AS priority,
+               count(*) AS observed
+        FROM orders GROUP BY 1, 2
+    ),
+    rt AS (SELECT status, sum(observed) AS row_total FROM obs GROUP BY 1),
+    ct AS (SELECT priority, sum(observed) AS col_total FROM obs GROUP BY 1),
+    n AS (SELECT sum(observed) AS total FROM obs)
+    SELECT o.status, o.priority,
+           CAST(o.observed AS BIGINT) AS observed,
+           CAST(rt.row_total * ct.col_total * 1000000 // n.total AS BIGINT)
+               AS expected_e6,
+           CAST(abs(o.observed * 1000000
+                    - rt.row_total * ct.col_total * 1000000 // n.total)
+                AS BIGINT) AS abs_dev_e6
+    FROM obs o
+    JOIN rt ON o.status = rt.status
+    JOIN ct ON o.priority = ct.priority
+    CROSS JOIN n
+    """,
+)
+def contingency_expected_cells(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Contingency-table independence analysis (the chi-square setup):
+    observed vs expected cell frequencies for status x priority, with
+    expected = row_total * col_total / grand_total carried as an EXACT
+    integer micro-count (single integer division) — no float crosses
+    the gate, so the comparison is engine-order-proof.  One hash agg
+    over the fact builds the cells; row/col/grand totals re-aggregate
+    the tiny cell frame and broadcast back — the fact is scanned
+    once."""
+    obs = (
+        _t(spark, sf_dir, "orders")
+        .groupBy(
+            F.col("o_orderstatus").alias("status"),
+            F.col("o_orderpriority").alias("priority"),
+        )
+        .agg(F.count("*").alias("observed"))
+    )
+    rt = obs.groupBy("status").agg(F.sum("observed").alias("row_total"))
+    ct = obs.groupBy("priority").agg(F.sum("observed").alias("col_total"))
+    n = obs.agg(F.sum("observed").alias("total"))
+    return (
+        obs.join(F.broadcast(rt), "status")
+        .join(F.broadcast(ct), "priority")
+        .crossJoin(F.broadcast(n))
+        .select(
+            "status",
+            "priority",
+            F.col("observed").cast("long").alias("observed"),
+            F.expr("(row_total * col_total * 1000000) div total")
+            .cast("long")
+            .alias("expected_e6"),
+            F.expr(
+                "abs(observed * 1000000"
+                " - (row_total * col_total * 1000000) div total)"
+            )
+            .cast("long")
+            .alias("abs_dev_e6"),
+        )
+    )
+
+
+@query(
+    "rolling_distinct_users_7d",
+    """
+    WITH pairs AS (
+        SELECT DISTINCT user_id,
+               CAST(CAST(ts AS TIMESTAMP) AS DATE) AS day
+        FROM events
+    ),
+    rng AS (SELECT min(day) AS lo, max(day) AS hi FROM pairs),
+    cover AS (
+        SELECT user_id, day,
+               CAST(unnest(generate_series(day, day + 6,
+                                           INTERVAL 1 DAY)) AS DATE)
+                   AS cover_day
+        FROM pairs
+    )
+    SELECT c.cover_day AS day,
+           CAST(count(DISTINCT c.user_id) AS BIGINT) AS users_7d,
+           CAST(count(DISTINCT CASE WHEN c.day = c.cover_day
+                                    THEN c.user_id END) AS BIGINT)
+               AS users_today
+    FROM cover c CROSS JOIN rng
+    WHERE c.cover_day BETWEEN rng.lo AND rng.hi
+    GROUP BY 1
+    """,
+)
+def rolling_distinct_users_7d(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Trailing-7-day DISTINCT active users per day — the windowed
+    distinct count a RANGE frame cannot express (window COUNT(DISTINCT)
+    is unsupported in both engines).  Scale-safe formulation: dedup to
+    (user, day) pairs first (map-side combine), then each pair votes
+    for the <=7 cover days it makes the user active in (bounded 7x
+    fan-out — a projection, not a join), and one hash agg per cover day
+    finishes it.  No per-day self-joins, no quadratic day-grid x events
+    stage; the fan-out factor is the window length, independent of
+    corpus size."""
+    ev = _t(spark, sf_dir, "events")
+    pairs = ev.select(
+        "user_id", F.to_date("ts").alias("day")
+    ).distinct()
+    rng = pairs.agg(F.min("day").alias("lo"), F.max("day").alias("hi"))
+    cover = pairs.select(
+        "user_id",
+        "day",
+        F.explode(
+            F.sequence(F.col("day"), F.date_add(F.col("day"), 6))
+        ).alias("cover_day"),
+    )
+    return (
+        cover.crossJoin(F.broadcast(rng))
+        .filter(F.col("cover_day").between(F.col("lo"), F.col("hi")))
+        .groupBy(F.col("cover_day").alias("day"))
+        .agg(
+            F.countDistinct("user_id").alias("users_7d"),
+            F.countDistinct(
+                F.when(F.col("day") == F.col("cover_day"), F.col("user_id"))
+            ).alias("users_today"),
+        )
+    )
