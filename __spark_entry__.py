@@ -84,6 +84,8 @@ NEW_THIS_ROUND: list[str] = [
     "cross_split_contamination",
     "contingency_expected_cells",
     "rolling_distinct_users_7d",
+    "user_retention_cohorts",
+    "top_event_paths",
 ]
 
 # Remaining budget: regression guards, oldest-first — queries whose

@@ -6981,14 +6981,16 @@ def sessionized_funnel_rates(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Ordered in-session funnel (view -> click after the first view ->
     purchase after that click) over 30-minute-gap sessions.
 
-    Session split is gaps-and-islands on exact integer epoch-µs (one
-    user-keyed shuffle); the three funnel stages are conditional-min
-    windows over (user, session) — the second exchange — so the whole
-    funnel is two shuffles regardless of corpus size, no self-joins.
-    Stage rates cross the gate as integer basis points (exact div on
-    both engines).  At 100 TB both exchanges key on user_id(+session):
-    hash-partitioned, skew-safe under AQE (a power user's events still
-    fit one task — sessions are time-bounded)."""
+    Session split is gaps-and-islands on exact integer epoch-µs; the
+    three funnel stages are conditional-min windows over (user,
+    session).  The whole funnel is ONE user-keyed shuffle (verified by
+    plan audit): hashpartitioning(user_id) already satisfies the
+    (user, session) clustered distribution, so the stage windows and
+    the per-session agg reuse the first exchange — no self-joins, no
+    second shuffle.  Stage rates cross the gate as integer basis
+    points (exact div on both engines).  At 100 TB the single exchange
+    keys on user_id: hash-partitioned, skew-safe (a power user's
+    events still fit one task — sessions are time-bounded)."""
     gap_us = 30 * 60 * 1_000_000
     ev = (
         _t(spark, sf_dir, "events")
@@ -7432,4 +7434,102 @@ def rolling_distinct_users_7d(spark: SparkSession, sf_dir: str) -> DataFrame:
                 F.when(F.col("day") == F.col("cover_day"), F.col("user_id"))
             ).alias("users_today"),
         )
+    )
+
+
+@query(
+    "user_retention_cohorts",
+    """
+    WITH uw AS (
+        SELECT DISTINCT user_id,
+               CAST(date_trunc('week', CAST(ts AS TIMESTAMP)) AS DATE)
+                   AS wk
+        FROM events
+    ),
+    cohort AS (
+        SELECT user_id, min(wk) AS cohort_week FROM uw GROUP BY user_id
+    )
+    SELECT c.cohort_week,
+           CAST(date_diff('day', c.cohort_week, uw.wk) // 7 AS BIGINT)
+               AS week_offset,
+           CAST(count(DISTINCT uw.user_id) AS BIGINT) AS n_users
+    FROM uw JOIN cohort c ON uw.user_id = c.user_id
+    GROUP BY 1, 2
+    """,
+)
+def user_retention_cohorts(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Weekly cohort retention — the standard product-analytics
+    triangle: users grouped by first-active ISO week, distinct actives
+    counted at each whole-week offset since the cohort week.  Built
+    from one (user, week) dedup (map-side combine), a per-user min
+    (the cohort label), and a user-keyed join back — all three
+    exchanges key on user_id, so at scale Catalyst reuses one
+    partitioning profile; the output is |weeks|² rows regardless of
+    event volume.  Offsets ride as exact integer day-diffs div 7."""
+    ev = _t(spark, sf_dir, "events")
+    uw = ev.select(
+        "user_id",
+        F.to_date(F.date_trunc("week", "ts")).alias("wk"),
+    ).distinct()
+    cohort = uw.groupBy("user_id").agg(F.min("wk").alias("cohort_week"))
+    return (
+        uw.join(cohort, "user_id")
+        .groupBy(
+            "cohort_week",
+            F.expr("datediff(wk, cohort_week) div 7")
+            .cast("long")
+            .alias("week_offset"),
+        )
+        .agg(F.countDistinct("user_id").alias("n_users"))
+    )
+
+
+@query(
+    "top_event_paths",
+    """
+    WITH ev AS (
+        SELECT user_id, CAST(ts AS TIMESTAMP) AS ts, event_id, event_type
+        FROM events
+    ),
+    r AS (
+        SELECT *, row_number() OVER (
+                      PARTITION BY user_id ORDER BY ts, event_id) AS rn
+        FROM ev
+    ),
+    p AS (
+        SELECT user_id,
+               string_agg(event_type, '>' ORDER BY rn) AS path
+        FROM r WHERE rn <= 3 GROUP BY user_id
+    )
+    SELECT path, CAST(count(*) AS BIGINT) AS n_users
+    FROM p GROUP BY path
+    """,
+)
+def top_event_paths(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Entry-path (Sankey) analysis: each user's first three events as
+    an ordered type sequence, counted across users — sequence-level
+    behavior where event_transition_matrix is pairwise.  One user-keyed
+    window ranks events (deterministic (ts, event_id) tiebreak), the
+    per-user path materializes via sort_array-of-struct (order
+    guaranteed inside the agg, independent of partition arrival
+    order), and a final path-keyed hash agg counts.  Path cardinality
+    is |event_types|³ bounded — the output never scales with users."""
+    ev = _t(spark, sf_dir, "events")
+    w = Window.partitionBy("user_id").orderBy("ts", "event_id")
+    r = ev.withColumn("rn", F.row_number().over(w)).filter(
+        F.col("rn") <= 3
+    )
+    paths = r.groupBy("user_id").agg(
+        F.array_join(
+            F.transform(
+                F.array_sort(
+                    F.collect_list(F.struct("rn", "event_type"))
+                ),
+                lambda s: s["event_type"],
+            ),
+            ">",
+        ).alias("path")
+    )
+    return paths.groupBy("path").agg(
+        F.count("*").cast("long").alias("n_users")
     )
