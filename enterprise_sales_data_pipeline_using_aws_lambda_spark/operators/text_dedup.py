@@ -186,8 +186,14 @@ def lsh_candidate_pairs(
     ).select(id_col, "bb.band", "bb.bucket")
 
     counts = banded.groupBy("band", "bucket").agg(F.count("*").alias("_n"))
+    # _n >= 2: a singleton bucket cannot form a pair, and singletons are
+    # the overwhelming majority of buckets — filtering them here shrinks
+    # the join-back and the self-join input from |docs × bands| rows to
+    # only the colliding rows (at web scale: orders of magnitude).
     pruned = banded.join(
-        counts.filter(F.col("_n") <= max_bucket).select("band", "bucket"),
+        counts.filter(
+            (F.col("_n") >= 2) & (F.col("_n") <= max_bucket)
+        ).select("band", "bucket"),
         ["band", "bucket"],
     )
     a = pruned.select(
