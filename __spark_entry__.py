@@ -86,6 +86,7 @@ NEW_THIS_ROUND: list[str] = [
     "rolling_distinct_users_7d",
     "user_retention_cohorts",
     "top_event_paths",
+    "exact_jaccard_prefix_join",
 ]
 
 # Remaining budget: regression guards, oldest-first — queries whose

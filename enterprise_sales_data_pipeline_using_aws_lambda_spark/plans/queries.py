@@ -7533,3 +7533,47 @@ def top_event_paths(spark: SparkSession, sf_dir: str) -> DataFrame:
     return paths.groupBy("path").agg(
         F.count("*").cast("long").alias("n_users")
     )
+
+
+@query(
+    "exact_jaccard_prefix_join",
+    """
+    WITH sh AS (
+        SELECT doc_id,
+               CASE WHEN len(text) < 5 THEN [text]
+                    ELSE list_distinct([substr(text, i, 5)
+                                        FOR i IN range(1, len(text) - 3)])
+               END AS s
+        FROM documents
+    ),
+    sizes AS (SELECT doc_id, len(s) AS n FROM sh WHERE len(s) > 0),
+    toks AS (SELECT doc_id, unnest(s) AS g FROM sh),
+    inter AS (
+        SELECT a.doc_id AS ia, b.doc_id AS ib, count(*) AS c
+        FROM toks a JOIN toks b ON a.g = b.g AND a.doc_id < b.doc_id
+        GROUP BY 1, 2
+    )
+    SELECT ia AS id_a, ib AS id_b,
+           round(c::DOUBLE / (sa.n + sb.n - c), 6) AS jaccard
+    FROM inter JOIN sizes sa ON ia = sa.doc_id
+               JOIN sizes sb ON ib = sb.doc_id
+    WHERE round(c::DOUBLE / (sa.n + sb.n - c), 6) >= 0.5
+    """,
+)
+def exact_jaccard_prefix_join(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """EXACT set-similarity self-join (5-gram shingle Jaccard >= 0.5)
+    via prefix filtering (operators.text_dedup.exact_jaccard_join;
+    Bayardo et al. WWW'07) — the zero-false-negative complement to the
+    MinHash-LSH path, over the SAME similarity definition as
+    dedup_minhash_lsh so the two algorithms are directly comparable:
+    candidates come only from shared shingles inside each document's
+    (|s| - ceil(t|s|) + 1)-prefix under a rarest-first global order
+    (join buckets are rare-shingle-bounded), plus the symmetric length
+    filter.  The oracle IS the definition (all-pairs exact Jaccard),
+    so a hash match proves total recall of the prefix scheme, not just
+    precision."""
+    from ..operators.text_dedup import exact_jaccard_join
+
+    return exact_jaccard_join(
+        _t(spark, sf_dir, "documents"), threshold=0.5, ngram=5
+    )

@@ -485,3 +485,65 @@ def test_pii_scrub_placeholders_cannot_synthesize_matches(spark):
     assert (rows[1]["n_url"], rows[1]["n_email"]) == (1, 0)
     assert (rows[2]["n_ip"], rows[2]["n_email"]) == (1, 0)
     assert "<IP>.2" in rows[2]["clean_text"]
+
+
+def test_exact_jaccard_join_matches_bruteforce(spark):
+    """Prefix filtering must find EVERY pair the all-pairs definition
+    finds (zero false negatives) and score them identically."""
+    from itertools import combinations
+
+    from enterprise_sales_data_pipeline_using_aws_lambda_spark.operators.text_dedup import (
+        exact_jaccard_join,
+    )
+
+    texts = [
+        "alpha beta gamma delta epsilon",
+        "alpha beta gamma delta zeta",      # near-dup of 0
+        "alpha beta gamma delta epsilon",   # exact dup of 0
+        "one two three four five six",
+        "totally different words here now",
+        "one two three four five seven",    # near-dup of 3
+        "",                                  # empty -> excluded
+    ]
+    out = {
+        (r["id_a"], r["id_b"]): r["jaccard"]
+        for r in exact_jaccard_join(
+            _docs(spark, texts), threshold=0.5
+        ).collect()
+    }
+
+    def jac(a, b):
+        sa, sb = set(a.split()), set(b.split())
+        if not sa or not sb:
+            return 0.0
+        return len(sa & sb) / len(sa | sb)
+
+    expected = {
+        (i, j): round(jac(texts[i], texts[j]), 6)
+        for i, j in combinations(range(len(texts)), 2)
+        if jac(texts[i], texts[j]) >= 0.5
+    }
+    assert out == expected
+    assert (2 - 1, 2) not in out or out[(0, 2)] == 1.0  # exact dup found
+    assert (0, 2) in out and out[(0, 2)] == 1.0
+
+
+def test_exact_jaccard_join_ngram_mode(spark):
+    """ngram=3 switches the set unit to character 3-grams; a doc pair
+    sharing most of its character stream qualifies even when word sets
+    differ."""
+    from enterprise_sales_data_pipeline_using_aws_lambda_spark.operators.text_dedup import (
+        exact_jaccard_join,
+    )
+
+    texts = ["abcdefghij", "abcdefghiX", "zzzzzzzzzz"]
+    out = {
+        (r["id_a"], r["id_b"]): r["jaccard"]
+        for r in exact_jaccard_join(
+            _docs(spark, texts), threshold=0.5, ngram=3
+        ).collect()
+    }
+    # docs 0/1 share 7 of their 8+8 3-grams -> J = 7/9 ~ 0.778
+    assert (0, 1) in out
+    assert abs(out[(0, 1)] - round(7 / 9, 6)) < 1e-9
+    assert all(k == (0, 1) for k in out)
