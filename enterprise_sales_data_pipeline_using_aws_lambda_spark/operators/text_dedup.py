@@ -500,6 +500,7 @@ def exact_jaccard_join(
     id_col: str = "doc_id",
     threshold: float = 0.5,
     ngram: int | None = None,
+    positional_filter: bool = False,
 ) -> DataFrame:
     """ALL pairs with exact token-set Jaccard >= ``threshold`` — zero
     false negatives, the guarantee LSH cannot give — via prefix
@@ -551,12 +552,24 @@ def exact_jaccard_join(
     pfx = ranked.filter(
         F.col("_rn")
         <= F.col("_sz") - F.ceil(F.col("_sz") * F.lit(threshold)) + 1
-    ).select("_tok", "_id", "_sz")
+    ).select("_tok", "_id", "_sz", "_rn")
     a = pfx.select(
-        "_tok", F.col("_id").alias("id_a"), F.col("_sz").alias("_sa")
+        "_tok",
+        F.col("_id").alias("id_a"),
+        F.col("_sz").alias("_sa"),
+        F.col("_rn").alias("_pa"),
     )
     b = pfx.select(
-        "_tok", F.col("_id").alias("id_b"), F.col("_sz").alias("_sb")
+        "_tok",
+        F.col("_id").alias("id_b"),
+        F.col("_sz").alias("_sb"),
+        F.col("_rn").alias("_pb"),
+    )
+    # J >= t forces overlap o >= ceil(t/(1+t) * (|a|+|b|)) — used by
+    # both the positional filter and (in its t*|a| <= |b| form) the
+    # length filter.
+    o_req = F.ceil(
+        (F.col("_sa") + F.col("_sb")) * F.lit(threshold / (1.0 + threshold))
     )
     cand = (
         a.join(b, "_tok")
@@ -566,9 +579,29 @@ def exact_jaccard_join(
             (F.col("_sb") >= F.ceil(F.col("_sa") * F.lit(threshold)))
             & (F.col("_sa") >= F.ceil(F.col("_sb") * F.lit(threshold)))
         )
-        .select("id_a", "id_b")
-        .distinct()
     )
+    if positional_filter:
+        # PPJoin positional filter: common tokens beyond this shared
+        # one all sit after positions (_pa, _pb), so overlap <=
+        # 1 + min(|a|-_pa, |b|-_pb).  Safe for recall: a qualifying
+        # pair's FIRST common token has no common tokens before it,
+        # hence its occurrence meets the bound and survives; later
+        # occurrences of the same pair may be dropped (the distinct
+        # keeps pairs surviving via any occurrence), and survivors are
+        # exactly verified anyway.  Off by default: on the synthetic
+        # small-vocabulary corpus the per-occurrence bound prunes
+        # little and measured 1.8x SLOWER end-to-end (13s -> 23s at
+        # sf0.01); on Zipfian real-text corpora (where prefix tokens
+        # of unrelated docs sit at late ranks) it is the standard
+        # candidate-count win and should be enabled.
+        cand = cand.filter(
+            F.lit(1)
+            + F.least(
+                F.col("_sa") - F.col("_pa"), F.col("_sb") - F.col("_pb")
+            )
+            >= o_req
+        )
+    cand = cand.select("id_a", "id_b").distinct()
     sa = base.select(F.col("_id").alias("id_a"), F.col("_s").alias("_ta"))
     sb = base.select(F.col("_id").alias("id_b"), F.col("_s").alias("_tb"))
     inter = F.size(F.array_intersect(F.col("_ta"), F.col("_tb")))
