@@ -7557,11 +7557,11 @@ def top_event_paths(spark: SparkSession, sf_dir: str) -> DataFrame:
            round(c::DOUBLE / (sa.n + sb.n - c), 6) AS jaccard
     FROM inter JOIN sizes sa ON ia = sa.doc_id
                JOIN sizes sb ON ib = sb.doc_id
-    WHERE round(c::DOUBLE / (sa.n + sb.n - c), 6) >= 0.5
+    WHERE round(c::DOUBLE / (sa.n + sb.n - c), 6) >= 0.8
     """,
 )
 def exact_jaccard_prefix_join(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """EXACT set-similarity self-join (5-gram shingle Jaccard >= 0.5)
+    """EXACT set-similarity self-join (5-gram shingle Jaccard >= 0.8)
     via prefix filtering (operators.text_dedup.exact_jaccard_join;
     Bayardo et al. WWW'07) — the zero-false-negative complement to the
     MinHash-LSH path, over the SAME similarity definition as
@@ -7575,5 +7575,5 @@ def exact_jaccard_prefix_join(spark: SparkSession, sf_dir: str) -> DataFrame:
     from ..operators.text_dedup import exact_jaccard_join
 
     return exact_jaccard_join(
-        _t(spark, sf_dir, "documents"), threshold=0.5, ngram=5
+        _t(spark, sf_dir, "documents"), threshold=0.8, ngram=5
     )
