@@ -87,6 +87,7 @@ NEW_THIS_ROUND: list[str] = [
     "user_retention_cohorts",
     "top_event_paths",
     "exact_jaccard_prefix_join",
+    "embedding_gram_matrix",
 ]
 
 # Remaining budget: regression guards, oldest-first — queries whose

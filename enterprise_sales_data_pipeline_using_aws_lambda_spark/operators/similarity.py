@@ -621,3 +621,60 @@ def semantic_dedup(
             F.col("_drop").isNull().alias("keep"),
         )
     )
+
+
+def gram_matrix_quantized(
+    df: DataFrame,
+    vec_col: str = "embedding",
+    scale: int = 1000,
+) -> DataFrame:
+    """Distributed Gram matrix ``Q^T Q`` over integer-quantized vectors
+    — the second-moment accumulation under PCA / covariance / whitening,
+    in the shape that scales: per-partition numpy ``int64`` outer-product
+    partials over Arrow batches (``mapInPandas``), then ONE dim²-row
+    hash-aggregated sum.  The corpus never shuffles — only dim×dim
+    partials do (one per partition), so a 1000-executor run moves
+    |partitions| × dim² longs regardless of row count.
+
+    Quantization (``floor(x * scale)`` per component) makes the result
+    EXACT and engine-portable: integer products sum associatively, so
+    any partitioning — and any oracle — reproduces it bit-for-bit,
+    where float partials would drift by summation order.  Overflow
+    bound: |entry| <= rows · (scale·max|x|)²; with unit-ish embeddings
+    and scale=1000 that holds to ~9×10¹² rows — raise ``scale`` down
+    or pre-normalize past that.
+
+    Returns (i, j, gram) with 0-based component indices — dim² rows.
+    """
+    import numpy as np
+    import pandas as pd
+
+    def partial(batches):
+        acc = None
+        for pdf in batches:
+            vecs = [v for v in pdf[vec_col] if v is not None]
+            if not vecs:
+                continue
+            m = np.asarray(
+                [np.asarray(v, dtype=np.float64) for v in vecs]
+            )
+            q = np.floor(m * scale).astype(np.int64)
+            g = q.T @ q
+            acc = g if acc is None else acc + g
+        if acc is not None:
+            d = acc.shape[0]
+            ii, jj = np.meshgrid(
+                np.arange(d), np.arange(d), indexing="ij"
+            )
+            yield pd.DataFrame(
+                {
+                    "i": ii.ravel().astype(np.int64),
+                    "j": jj.ravel().astype(np.int64),
+                    "g": acc.ravel(),
+                }
+            )
+
+    parts = df.select(vec_col).filter(
+        F.col(vec_col).isNotNull()
+    ).mapInPandas(partial, "i long, j long, g long")
+    return parts.groupBy("i", "j").agg(F.sum("g").alias("gram"))

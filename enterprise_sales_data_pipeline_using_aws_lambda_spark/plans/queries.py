@@ -7577,3 +7577,41 @@ def exact_jaccard_prefix_join(spark: SparkSession, sf_dir: str) -> DataFrame:
     return exact_jaccard_join(
         _t(spark, sf_dir, "documents"), threshold=0.8, ngram=5
     )
+
+
+@query(
+    "embedding_gram_matrix",
+    """
+    WITH q AS (
+        SELECT vec_id, u.i - 1 AS i, u.v
+        FROM (
+            SELECT vec_id,
+                   unnest(list_transform(embedding,
+                       (x, i) -> struct_pack(
+                           i := i,
+                           v := CAST(floor(x::DOUBLE * 1000) AS BIGINT))))
+                       AS u
+            FROM embeddings
+        )
+    )
+    SELECT a.i AS i, b.i AS j,
+           CAST(sum(a.v * b.v) AS BIGINT) AS gram
+    FROM q a JOIN q b ON a.vec_id = b.vec_id
+    GROUP BY 1, 2
+    """,
+)
+def embedding_gram_matrix(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Distributed Gram matrix (PCA/covariance second moments) over the
+    embedding corpus (operators.similarity.gram_matrix_quantized):
+    Arrow-batched numpy outer-product partials per partition, one
+    dim²-row aggregated sum — the corpus itself never shuffles.
+    Integer quantization (floor(x·1000)) makes every entry EXACT, so
+    the oracle (a relational component self-join) matches
+    bit-for-bit regardless of partitioning or summation order.  The
+    local eigensolve that turns this into PCA axes is a driver-side
+    dim×dim numpy step downstream — the distributed part IS this
+    matrix."""
+    from ..operators.similarity import gram_matrix_quantized
+
+    emb = _t(spark, sf_dir, "embeddings")
+    return gram_matrix_quantized(emb, "embedding", scale=1000)

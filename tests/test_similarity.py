@@ -251,3 +251,36 @@ def test_query_set_guard_branches(spark):
             sim.ivf_topk(vecs, vecs, k=2, n_lists=2, n_probe=2)
     finally:
         sim.MAX_QUERY_VECTORS = old
+
+
+def test_gram_matrix_quantized_hand_computed(spark):
+    """Exact integer gram entries, invariant to partitioning."""
+    from enterprise_sales_data_pipeline_using_aws_lambda_spark.operators.similarity import (
+        gram_matrix_quantized,
+    )
+
+    rows = [(1, [0.1, 0.2]), (2, [0.3, -0.4]), (3, [0.0, 0.5])]
+    df = spark.createDataFrame(rows, "vec_id long, embedding array<float>")
+    # q vectors with scale=1000: [100,200], [300,-400], [0,500]
+    # floor on float32-widened values: 0.1f*1000 = 100.00000149 -> 100;
+    # -0.4f*1000 = -400.00000596 -> -401
+    import math
+    import struct as _struct
+
+    def f32(x):
+        return _struct.unpack("f", _struct.pack("f", x))[0]
+
+    q = [[math.floor(f32(a) * 1000), math.floor(f32(b) * 1000)]
+         for a, b in [r[1] for r in rows]]
+    exp = {}
+    for i in range(2):
+        for j in range(2):
+            exp[(i, j)] = sum(v[i] * v[j] for v in q)
+    for parts in (1, 3):
+        out = {
+            (r["i"], r["j"]): r["gram"]
+            for r in gram_matrix_quantized(
+                df.repartition(parts), "embedding"
+            ).collect()
+        }
+        assert out == exp
