@@ -137,6 +137,16 @@ HEADLINE = [
     "udtf_keyvalue_explode",
     "conversion_latency_percentiles",
     "vwap_monthly",
+    # round-4 additions (cheap lanes only; the minhash-composed gates
+    # near_dup_cluster_canonical / cross_split_contamination and the
+    # quadratic-on-this-corpus exact_jaccard_prefix_join are gate-only)
+    "sessionized_funnel_rates",
+    "rolling_7d_user_value",
+    "contingency_expected_cells",
+    "rolling_distinct_users_7d",
+    "user_retention_cohorts",
+    "top_event_paths",
+    "embedding_gram_matrix",
 ]
 
 
