@@ -537,8 +537,16 @@ def exact_jaccard_join(
                 F.split(F.col(text_col), " "), lambda x: x != F.lit("")
             )
         )
-    base = df.select(F.col(id_col).alias("_id"), toks_arr.alias("_s"))
-    base = base.filter(F.size("_s") > 0)
+    # Materialized once (same policy as minhash_near_duplicates'
+    # shingled frame): base feeds THREE consumers — the exploded flat
+    # frame below (itself planned under two exchanges: dfreq's partial
+    # agg and the ranked join) and the sa/sb verify joins.  Without the
+    # lineage cut each consumer would re-tokenize the full corpus.
+    base = materialize(
+        df.select(F.col(id_col).alias("_id"), toks_arr.alias("_s")).filter(
+            F.size("_s") > 0
+        )
+    )
     flat = base.select(
         "_id", F.size("_s").alias("_sz"), F.explode("_s").alias("_tok")
     )

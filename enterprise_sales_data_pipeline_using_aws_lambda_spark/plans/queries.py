@@ -7082,7 +7082,7 @@ def sessionized_funnel_rates(spark: SparkSession, sf_dir: str) -> DataFrame:
         SELECT ia AS a, ib AS b
         FROM inter JOIN sizes sa ON ia = sa.doc_id
                    JOIN sizes sb ON ib = sb.doc_id
-        WHERE c::DOUBLE / (sa.n + sb.n - c) >= 0.5
+        WHERE round(c::DOUBLE / (sa.n + sb.n - c), 6) >= 0.5
     ),
     und AS (SELECT a, b FROM e UNION SELECT b AS a, a AS b FROM e),
     nodes AS (SELECT DISTINCT a AS nd FROM und),
@@ -7237,7 +7237,7 @@ def rolling_7d_user_value(spark: SparkSession, sf_dir: str) -> DataFrame:
         SELECT ia, ib
         FROM inter JOIN sizes sa ON ia = sa.doc_id
                    JOIN sizes sb ON ib = sb.doc_id
-        WHERE c::DOUBLE / (sa.n + sb.n - c) >= 0.5
+        WHERE round(c::DOUBLE / (sa.n + sb.n - c), 6) >= 0.5
     ),
     sp AS (
         SELECT doc_id,

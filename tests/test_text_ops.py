@@ -524,8 +524,9 @@ def test_exact_jaccard_join_matches_bruteforce(spark):
         if jac(texts[i], texts[j]) >= 0.5
     }
     assert out == expected
-    assert (2 - 1, 2) not in out or out[(0, 2)] == 1.0  # exact dup found
+    # exact dup (0, 2) and near-dup (1, 2) both present with exact scores
     assert (0, 2) in out and out[(0, 2)] == 1.0
+    assert (1, 2) in out and out[(1, 2)] == round(4 / 6, 6)
 
 
 def test_exact_jaccard_join_ngram_mode(spark):
