@@ -382,3 +382,103 @@ def test_pagerank_disconnected_components_mass(spark):
     got = {r["node"]: r["rank"] for r in pagerank(edges, n_iter=8).collect()}
     for v, r in got.items():
         assert abs(r - 1 / 6) < 1e-12, (v, r)
+
+
+@st.composite
+def word_docs(draw):
+    """Small corpora over a tiny vocabulary — maximizes borderline
+    Jaccard pairs, the adversarial case for prefix filtering."""
+    vocab = ["aa", "bb", "cc", "dd", "ee", "ff", "gg", "hh"]
+    n = draw(st.integers(min_value=0, max_value=8))
+    docs = []
+    for _ in range(n):
+        k = draw(st.integers(min_value=0, max_value=6))
+        words = [
+            vocab[draw(st.integers(min_value=0, max_value=len(vocab) - 1))]
+            for _ in range(k)
+        ]
+        docs.append(" ".join(words))
+    return docs
+
+
+@settings(max_examples=10, deadline=None)
+@given(docs=word_docs(), tq=st.sampled_from([0.34, 0.5, 0.75]))
+def test_exact_jaccard_join_total_recall_property(spark, docs, tq):
+    """For ANY corpus and threshold, prefix filtering must return
+    exactly the all-pairs brute-force result — total recall is the
+    operator's defining guarantee (LSH gives probabilistic recall;
+    this must give certainty)."""
+    from itertools import combinations
+
+    from enterprise_sales_data_pipeline_using_aws_lambda_spark.operators.text_dedup import (
+        exact_jaccard_join,
+    )
+
+    df = spark.createDataFrame(
+        [(i, t) for i, t in enumerate(docs)], "doc_id long, text string"
+    )
+    got = {
+        (r["id_a"], r["id_b"]): r["jaccard"]
+        for r in exact_jaccard_join(df, threshold=tq).collect()
+    }
+
+    def jac(a, b):
+        sa, sb = set(a.split()) - {""}, set(b.split()) - {""}
+        if not sa or not sb:
+            return None
+        return len(sa & sb) / len(sa | sb)
+
+    exp = {}
+    for i, j in combinations(range(len(docs)), 2):
+        v = jac(docs[i], docs[j])
+        if v is not None and round(v, 6) >= tq:
+            exp[(i, j)] = round(v, 6)
+    assert got == exp
+
+
+@settings(max_examples=10, deadline=None)
+@given(data=st.data())
+def test_gram_matrix_property_vs_numpy(spark, data):
+    """Gram entries equal a direct numpy computation for any vectors
+    and any partitioning (exact integer algebra — no tolerance)."""
+    import numpy as np
+
+    from enterprise_sales_data_pipeline_using_aws_lambda_spark.operators.similarity import (
+        gram_matrix_quantized,
+    )
+
+    n = data.draw(st.integers(min_value=1, max_value=6))
+    dim = data.draw(st.integers(min_value=1, max_value=4))
+    vecs = [
+        [
+            data.draw(
+                st.floats(
+                    min_value=-1.0,
+                    max_value=1.0,
+                    allow_nan=False,
+                    width=32,
+                )
+            )
+            for _ in range(dim)
+        ]
+        for _ in range(n)
+    ]
+    df = spark.createDataFrame(
+        [(i, v) for i, v in enumerate(vecs)],
+        "vec_id long, embedding array<float>",
+    )
+    parts = data.draw(st.sampled_from([1, 3]))
+    got = {
+        (r["i"], r["j"]): r["gram"]
+        for r in gram_matrix_quantized(
+            df.repartition(parts), "embedding"
+        ).collect()
+    }
+    q = np.floor(np.asarray(vecs, dtype=np.float32).astype(np.float64) * 1000).astype(
+        np.int64
+    )
+    g = q.T @ q
+    exp = {
+        (i, j): int(g[i, j]) for i in range(dim) for j in range(dim)
+    }
+    assert got == exp
