@@ -88,6 +88,7 @@ NEW_THIS_ROUND: list[str] = [
     "top_event_paths",
     "exact_jaccard_prefix_join",
     "embedding_gram_matrix",
+    "recursive_reachability_bfs",
 ]
 
 # Remaining budget: regression guards, oldest-first — queries whose

@@ -7615,3 +7615,52 @@ def embedding_gram_matrix(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     emb = _t(spark, sf_dir, "embeddings")
     return gram_matrix_quantized(emb, "embedding", scale=1000)
+
+
+_BFS_SQL = """
+    WITH RECURSIVE co AS (
+        SELECT DISTINCT l_orderkey, l_partkey FROM {lineitem}
+    ),
+    e AS (
+        SELECT a.l_partkey AS u, b.l_partkey AS v
+        FROM co a JOIN co b ON a.l_orderkey = b.l_orderkey
+                  AND a.l_partkey < b.l_partkey
+        GROUP BY 1, 2
+        HAVING count(*) >= 2
+    ),
+    und AS (SELECT u AS a, v AS b FROM e
+            UNION ALL SELECT v AS a, u AS b FROM e),
+    src AS (SELECT min(a) AS s FROM und),
+    walk(node, hop) AS (
+        SELECT s, 0 FROM src
+        UNION ALL
+        SELECT und.b, walk.hop + 1
+        FROM walk JOIN und ON walk.node = und.a
+        WHERE walk.hop < 3
+    ),
+    first_seen AS (SELECT node, min(hop) AS hop FROM walk GROUP BY node)
+    SELECT hop, CAST(count(*) AS BIGINT) AS n_nodes
+    FROM first_seen GROUP BY hop
+"""
+
+
+@query(
+    "recursive_reachability_bfs",
+    _BFS_SQL.format(lineitem="lineitem"),
+)
+def recursive_reachability_bfs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Bounded BFS reachability via a RECURSIVE CTE — Spark 4's
+    ``WITH RECURSIVE`` surface, exercised on the support-≥2 part
+    co-occurrence graph: nodes first reached at hops 0-3 from the
+    smallest part node.  The EXACT SAME SQL text runs on both engines
+    (the oracle is this query verbatim), so the gate pins Spark's
+    recursive-union fixpoint semantics against DuckDB's.  Spark plans
+    each recursive step as a join + union epoch — the same shape as the
+    hand-unrolled iteration in operators.graph, now expressed
+    declaratively; the depth guard bounds the fan-out (Σ deg^hop from
+    ONE source), and the first_seen dedup collapses path multiplicity
+    before output."""
+    _t(spark, sf_dir, "lineitem").createOrReplaceTempView(
+        "_bfs_lineitem"
+    )
+    return spark.sql(_BFS_SQL.format(lineitem="_bfs_lineitem"))
