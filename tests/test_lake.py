@@ -318,3 +318,71 @@ def test_zorder_lake_clusters_both_dimensions(spark, tmp_path):
     assert back.count() == n
     assert set(back.columns) == {"id", "x", "y"}
     assert back.agg(F.sum("id")).first()[0] == n * (n - 1) // 2
+
+
+def test_sales_feed_python_datasource(spark, tmp_path):
+    """Custom Python Data Source (Spark 4 connector API): per-file
+    partitions, suffix dispatch (csv / json-array / ndjson), explicit
+    ingest schema, and the unsupported-suffix policy — the reference's
+    ingestion surface as a first-class connector."""
+    import json as _json
+
+    import pytest as _pytest
+
+    from enterprise_sales_data_pipeline_using_aws_lambda_spark.sources.pysource import (
+        SalesFeedDataSource,
+    )
+    from enterprise_sales_data_pipeline_using_aws_lambda_spark.sources.readers import (
+        UnsupportedFormatError,
+    )
+
+    feed = tmp_path / "feed"
+    feed.mkdir()
+    cols = ("uuid,Country,ItemType,SalesChannel,OrderPriority,OrderDate,"
+            "Region,ShipDate,UnitsSold,UnitPrice,UnitCost,TotalRevenue,"
+            "TotalCost,TotalProfit")
+    (feed / "a.csv").write_text(
+        cols + "\n1,DE,Fruit,Online,H,1/2/2024,Europe,1/5/2024,"
+        "10,2.5,1.5,25.0,15.0,10.0\n"
+    )
+    rec = {
+        "uuid": 2, "Country": "FR", "ItemType": "Meat",
+        "SalesChannel": "Offline", "OrderPriority": "L",
+        "OrderDate": "2/3/2024", "Region": "Europe",
+        "ShipDate": "2/9/2024", "UnitsSold": 4, "UnitPrice": 10.0,
+        "UnitCost": 6.0, "TotalRevenue": 40.0, "TotalCost": 24.0,
+        "TotalProfit": 16.0,
+    }
+    (feed / "b.json").write_text(_json.dumps([rec]))           # array
+    rec3 = dict(rec, uuid=3, Country="ES")
+    (feed / "c.json").write_text(_json.dumps(rec3) + "\n")     # ndjson
+
+    spark.dataSource.register(SalesFeedDataSource)
+    df = (
+        spark.read.format("sales_feed")
+        .option("path", str(feed))
+        .load()
+    )
+    rows = {r["uuid"]: r for r in df.collect()}
+    assert set(rows) == {1, 2, 3}
+    assert rows[1]["UnitsSold"] == 10 and rows[1]["TotalProfit"] == 10.0
+    assert rows[2]["Country"] == "FR" and rows[2]["UnitPrice"] == 10.0
+    assert rows[3]["Country"] == "ES"
+    assert df.schema["uuid"].dataType.typeName() == "long"
+    # parallel ingestion: one partition per feed file
+    assert df.rdd.getNumPartitions() == 3
+
+    # unsupported suffix: strict -> UnsupportedFormatError at planning
+    (feed / "d.parquet").write_text("not really parquet")
+    with _pytest.raises(Exception) as exc:
+        spark.read.format("sales_feed").option("path", str(feed)).load().count()
+    assert "unsupported feed file" in str(exc.value)
+    # non-strict skips the file instead
+    n = (
+        spark.read.format("sales_feed")
+        .option("path", str(feed))
+        .option("strict", "false")
+        .load()
+        .count()
+    )
+    assert n == 3
