@@ -37,6 +37,7 @@ import os
 from pyspark.sql.datasource import (
     DataSource,
     DataSourceReader,
+    DataSourceStreamReader,
     InputPartition,
 )
 from pyspark.sql.types import StructType
@@ -59,6 +60,9 @@ class SalesFeedDataSource(DataSource):
 
     def reader(self, schema: StructType) -> "SalesFeedReader":
         return SalesFeedReader(self.options, schema)
+
+    def streamReader(self, schema: StructType) -> "SalesFeedStreamReader":
+        return SalesFeedStreamReader(self.options, schema)
 
 
 class SalesFeedReader(DataSourceReader):
@@ -130,3 +134,39 @@ class SalesFeedReader(DataSourceReader):
             for line in text.splitlines():
                 if line.strip():
                     yield row_of(json.loads(line))
+
+
+class SalesFeedStreamReader(DataSourceStreamReader):
+    """Micro-batch streaming face of the feed — the reference's
+    event-driven model (an object ARRIVES, a batch runs; reference
+    ``lambda.py:39-57``) as a Spark structured-streaming source.
+
+    Offsets are the sorted list of files already ingested; each
+    micro-batch plans one ``InputPartition`` per NEW file and reuses
+    the batch reader's per-file parser in executors.  Exactly-once
+    follows from offset bookkeeping: a file enters exactly one offset
+    range, and replaying a committed range re-reads the same frozen
+    file list."""
+
+    def __init__(self, options, schema: StructType) -> None:
+        self._batch = SalesFeedReader(options, schema)
+
+    def initialOffset(self):
+        return {"files": []}
+
+    def latestOffset(self):
+        return {
+            "files": sorted(
+                p.value for p in self._batch.partitions()
+            )
+        }
+
+    def partitions(self, start, end):
+        new = sorted(set(end["files"]) - set(start["files"]))
+        return [InputPartition(f) for f in new]
+
+    def read(self, partition):
+        return self._batch.read(partition)
+
+    def commit(self, end) -> None:  # offsets live in the checkpoint
+        pass

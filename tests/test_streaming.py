@@ -463,3 +463,77 @@ def test_rollup_batch_replay_is_idempotent(spark, tmp_path):
     final = spark.read.parquet(f"{tmp_path}/serving/{ROLLUP_TABLE}")
     total = final.agg(F.sum("n_events").alias("n")).first()["n"]
     assert total == ev.count()
+
+
+def test_sales_feed_streaming_source(spark, tmp_path):
+    """Streaming face of the custom Python Data Source: files arriving
+    between micro-batches are ingested exactly once (file-list
+    offsets), mirroring the reference's object-arrives->batch-runs
+    trigger model."""
+    import json as _json
+    import time as _time
+
+    from enterprise_sales_data_pipeline_using_aws_lambda_spark.sources.pysource import (
+        SalesFeedDataSource,
+    )
+
+    feed = tmp_path / "feed"
+    feed.mkdir()
+    out = tmp_path / "out"
+    ckpt = tmp_path / "ckpt"
+    cols = ("uuid,Country,ItemType,SalesChannel,OrderPriority,OrderDate,"
+            "Region,ShipDate,UnitsSold,UnitPrice,UnitCost,TotalRevenue,"
+            "TotalCost,TotalProfit")
+
+    def csv_file(name, uid, country):
+        (feed / name).write_text(
+            cols + f"\n{uid},{country},Fruit,Online,H,1/2/2024,Europe,"
+            "1/5/2024,10,2.5,1.5,25.0,15.0,10.0\n"
+        )
+
+    csv_file("a.csv", 1, "DE")
+    spark.dataSource.register(SalesFeedDataSource)
+    q = (
+        spark.readStream.format("sales_feed")
+        .option("path", str(feed))
+        .load()
+        .writeStream.format("parquet")
+        .option("path", str(out))
+        .option("checkpointLocation", str(ckpt))
+        .trigger(processingTime="1 second")
+        .start()
+    )
+    try:
+        q.processAllAvailable()
+        # second file arrives AFTER the first micro-batch
+        rec = {
+            "uuid": 2, "Country": "FR", "ItemType": "Meat",
+            "SalesChannel": "Offline", "OrderPriority": "L",
+            "OrderDate": "2/3/2024", "Region": "Europe",
+            "ShipDate": "2/9/2024", "UnitsSold": 4, "UnitPrice": 10.0,
+            "UnitCost": 6.0, "TotalRevenue": 40.0, "TotalCost": 24.0,
+            "TotalProfit": 16.0,
+        }
+        (feed / "b.json").write_text(_json.dumps([rec]))
+        q.processAllAvailable()
+    finally:
+        q.stop()
+    got = spark.read.parquet(str(out))
+    rows = {r["uuid"]: r["Country"] for r in got.collect()}
+    assert rows == {1: "DE", 2: "FR"}
+    # exactly-once: a restarted query from the same checkpoint adds nothing
+    q2 = (
+        spark.readStream.format("sales_feed")
+        .option("path", str(feed))
+        .load()
+        .writeStream.format("parquet")
+        .option("path", str(out))
+        .option("checkpointLocation", str(ckpt))
+        .trigger(processingTime="1 second")
+        .start()
+    )
+    try:
+        q2.processAllAvailable()
+    finally:
+        q2.stop()
+    assert spark.read.parquet(str(out)).count() == 2
