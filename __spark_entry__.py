@@ -89,6 +89,7 @@ NEW_THIS_ROUND: list[str] = [
     "exact_jaccard_prefix_join",
     "embedding_gram_matrix",
     "recursive_reachability_bfs",
+    "zorder_layout_profile",
 ]
 
 # Remaining budget: regression guards, oldest-first — queries whose

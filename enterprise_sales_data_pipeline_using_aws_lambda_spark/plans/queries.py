@@ -7664,3 +7664,64 @@ def recursive_reachability_bfs(spark: SparkSession, sf_dir: str) -> DataFrame:
         "_bfs_lineitem"
     )
     return spark.sql(_BFS_SQL.format(lineitem="_bfs_lineitem"))
+
+
+def _zorder_expr(xcol: str, ycol: str, bits: int = 10) -> str:
+    """SQL expression interleaving the low ``bits`` of two ints into a
+    Z-order (Morton) key — identical arithmetic on Spark and DuckDB:
+    bit i of x lands at position 2i, bit i of y at 2i+1."""
+    terms = []
+    for i in range(bits):
+        terms.append(f"((({xcol} >> {i}) & 1) * {1 << (2 * i)})")
+        terms.append(f"((({ycol} >> {i}) & 1) * {1 << (2 * i + 1)})")
+    return "(" + " + ".join(terms) + ")"
+
+
+@query(
+    "zorder_layout_profile",
+    f"""
+    WITH k AS (
+        SELECT CAST({_zorder_expr('(l_partkey % 1024)',
+                                  '(l_suppkey % 1024)')} AS BIGINT)
+                   AS zkey,
+               l_partkey % 1024 AS px, l_suppkey % 1024 AS sx
+        FROM lineitem
+    )
+    SELECT CAST(zkey // 4096 AS BIGINT) AS zbucket,
+           CAST(count(*) AS BIGINT) AS n_rows,
+           CAST(min(px) AS BIGINT) AS min_px,
+           CAST(max(px) AS BIGINT) AS max_px,
+           CAST(min(sx) AS BIGINT) AS min_sx,
+           CAST(max(sx) AS BIGINT) AS max_sx
+    FROM k GROUP BY 1
+    """,
+)
+def zorder_layout_profile(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Z-order (Morton) clustering keys — the lakehouse data-layout
+    technique behind multi-column file skipping: interleaving the bit
+    planes of (partkey, suppkey) gives a single sort key whose ranges
+    are ~square regions of the 2-D key space, so range-partitioned
+    files carry TIGHT min/max on BOTH columns and a predicate on
+    either prunes files.  The gate profiles the layout: per
+    coarse z-bucket (top bits = the file a writer would cut), row
+    count and per-dimension min/max — exactly the zone-map stats a
+    scan would prune on.  Pure integer bit arithmetic, identical on
+    both engines; at write time the same key feeds
+    ``df.repartitionByRange(F.expr(zexpr)).sortWithinPartitions``."""
+    li = _t(spark, sf_dir, "lineitem")
+    z = _zorder_expr("(l_partkey % 1024)", "(l_suppkey % 1024)")
+    return (
+        li.select(
+            F.expr(z).cast("long").alias("zkey"),
+            (F.col("l_partkey") % 1024).alias("px"),
+            (F.col("l_suppkey") % 1024).alias("sx"),
+        )
+        .groupBy(F.expr("zkey div 4096").cast("long").alias("zbucket"))
+        .agg(
+            F.count("*").cast("long").alias("n_rows"),
+            F.min("px").cast("long").alias("min_px"),
+            F.max("px").cast("long").alias("max_px"),
+            F.min("sx").cast("long").alias("min_sx"),
+            F.max("sx").cast("long").alias("max_sx"),
+        )
+    )
