@@ -90,6 +90,7 @@ NEW_THIS_ROUND: list[str] = [
     "embedding_gram_matrix",
     "recursive_reachability_bfs",
     "zorder_layout_profile",
+    "bag_semantics_set_ops",
 ]
 
 # Remaining budget: regression guards, oldest-first — queries whose

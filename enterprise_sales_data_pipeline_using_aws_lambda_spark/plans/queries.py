@@ -7725,3 +7725,63 @@ def zorder_layout_profile(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.max("sx").cast("long").alias("max_sx"),
         )
     )
+
+
+@query(
+    "bag_semantics_set_ops",
+    """
+    WITH a AS (
+        SELECT l_partkey AS pk FROM lineitem
+        WHERE l_shipdate < DATE '1995-01-01'
+    ),
+    b AS (
+        SELECT l_partkey AS pk FROM lineitem
+        WHERE l_shipdate >= DATE '1995-01-01'
+    ),
+    i AS (SELECT pk FROM a INTERSECT ALL SELECT pk FROM b),
+    x AS (SELECT pk FROM a EXCEPT ALL SELECT pk FROM b)
+    SELECT
+        (SELECT count(*) FROM i) AS n_intersect_all,
+        (SELECT count(DISTINCT pk) FROM i) AS n_intersect_keys,
+        (SELECT count(*) FROM x) AS n_except_all,
+        (SELECT count(DISTINCT pk) FROM x) AS n_except_keys,
+        (SELECT count(*) FROM a) AS n_a,
+        (SELECT count(*) FROM b) AS n_b
+    """,
+)
+def bag_semantics_set_ops(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Bag (multiset) set operations — ``INTERSECT ALL`` / ``EXCEPT
+    ALL`` — on part-key multisets either side of a ship-date cut:
+    multiplicity-aware membership (a part shipped 3× before and 2×
+    after contributes 2 to the intersection, 1 to the except), the
+    semantics the DISTINCT variants (already gated) silently discard.
+    Spark plans both as a single hash aggregation computing per-key
+    counts on each side then min/difference of multiplicities — one
+    shuffle per operator, no join explosion.  Counts summarize the
+    multisets so the gate output is stable and scalar."""
+    li = _t(spark, sf_dir, "lineitem")
+    cut = F.lit("1995-01-01").cast("date")
+    a = li.filter(F.col("l_shipdate") < cut).select(
+        F.col("l_partkey").alias("pk")
+    )
+    b = li.filter(F.col("l_shipdate") >= cut).select(
+        F.col("l_partkey").alias("pk")
+    )
+    i = a.intersectAll(b)
+    x = a.exceptAll(b)
+    counts = [
+        i.agg(
+            F.count("*").alias("n_intersect_all"),
+            F.countDistinct("pk").alias("n_intersect_keys"),
+        ),
+        x.agg(
+            F.count("*").alias("n_except_all"),
+            F.countDistinct("pk").alias("n_except_keys"),
+        ),
+        a.agg(F.count("*").alias("n_a")),
+        b.agg(F.count("*").alias("n_b")),
+    ]
+    out = counts[0]
+    for c in counts[1:]:
+        out = out.crossJoin(F.broadcast(c))
+    return out
