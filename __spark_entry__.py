@@ -91,6 +91,7 @@ NEW_THIS_ROUND: list[str] = [
     "recursive_reachability_bfs",
     "zorder_layout_profile",
     "bag_semantics_set_ops",
+    "countmin_heavy_hitters",
 ]
 
 # Remaining budget: regression guards, oldest-first — queries whose

@@ -7785,3 +7785,77 @@ def bag_semantics_set_ops(spark: SparkSession, sf_dir: str) -> DataFrame:
     for c in counts[1:]:
         out = out.crossJoin(F.broadcast(c))
     return out
+
+
+@query(
+    "countmin_heavy_hitters",
+    """
+    WITH t AS (
+        SELECT user_id, count(*) AS true_cnt
+        FROM events GROUP BY user_id
+        ORDER BY true_cnt DESC, user_id LIMIT 20
+    )
+    SELECT user_id, CAST(true_cnt AS BIGINT) AS true_cnt,
+           true AS overest_ok, true AS tight_ok
+    FROM t
+    """,
+)
+def countmin_heavy_hitters(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Count-Min sketch (Cormode & Muthukrishnan '05) as a relational
+    (depth × width) count table: one explode-by-depth pass + ONE hash
+    agg builds the sketch (depth·width rows of mergeable state —
+    kilobytes at any corpus size, the streaming/rollup-friendly
+    heavy-hitter pattern); a point query is min over depth of the
+    hashed cells.  The gate estimates the 20 true heaviest users and
+    pins the sketch's two deterministic properties as verdict booleans:
+    ``overest_ok`` (CMS never underestimates — a broken bucket join or
+    hash mismatch would surface as an underestimate or NULL) and
+    ``tight_ok`` (overestimate within 4·N/width + 8 on this corpus,
+    the min-over-depth expectation with generous slack).  The oracle
+    recomputes the exact top-20 (deterministic ties) and pins both
+    booleans true."""
+    depth, width = 4, 256
+    ev = _t(spark, sf_dir, "events").select("user_id")
+    n_total = ev.agg(F.count("*").alias("_n"))
+    exploded = ev.select(
+        F.explode(
+            F.array(*[F.lit(d) for d in range(depth)])
+        ).alias("d"),
+        "user_id",
+    )
+    sketch = exploded.groupBy(
+        "d",
+        F.pmod(F.xxhash64("d", "user_id"), F.lit(width)).alias("bucket"),
+    ).agg(F.count("*").alias("cnt"))
+    top = (
+        ev.groupBy("user_id")
+        .agg(F.count("*").alias("true_cnt"))
+        .orderBy(F.desc("true_cnt"), "user_id")
+        .limit(20)
+    )
+    probes = top.select(
+        "user_id",
+        "true_cnt",
+        F.explode(
+            F.array(*[F.lit(d) for d in range(depth)])
+        ).alias("d"),
+    ).select(
+        "user_id",
+        "true_cnt",
+        "d",
+        F.pmod(F.xxhash64("d", "user_id"), F.lit(width)).alias("bucket"),
+    )
+    est = (
+        probes.join(F.broadcast(sketch), ["d", "bucket"])
+        .groupBy("user_id", "true_cnt")
+        .agg(F.min("cnt").alias("est"))
+    )
+    return est.crossJoin(F.broadcast(n_total)).select(
+        "user_id",
+        F.col("true_cnt").cast("long").alias("true_cnt"),
+        (F.col("est") >= F.col("true_cnt")).alias("overest_ok"),
+        (
+            F.col("est") - F.col("true_cnt")
+            <= F.lit(4) * F.col("_n") / F.lit(width) + F.lit(8)
+        ).alias("tight_ok"),
+    )
