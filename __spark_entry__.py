@@ -92,6 +92,7 @@ NEW_THIS_ROUND: list[str] = [
     "zorder_layout_profile",
     "bag_semantics_set_ops",
     "countmin_heavy_hitters",
+    "recency_decayed_user_value",
 ]
 
 # Remaining budget: regression guards, oldest-first — queries whose

@@ -7859,3 +7859,57 @@ def countmin_heavy_hitters(spark: SparkSession, sf_dir: str) -> DataFrame:
             <= F.lit(4) * F.col("_n") / F.lit(width) + F.lit(8)
         ).alias("tight_ok"),
     )
+
+
+@query(
+    "recency_decayed_user_value",
+    """
+    WITH d AS (
+        SELECT user_id,
+               CAST(round(value * 100) AS BIGINT) AS cents,
+               CAST(CAST(ts AS TIMESTAMP) AS DATE) AS day
+        FROM events
+    ),
+    mx AS (SELECT max(day) AS hi, min(day) AS lo FROM d)
+    SELECT user_id,
+           CAST(count(*) AS BIGINT) AS n_events,
+           CAST(sum(cents << date_diff('day', mx.lo, day)) AS BIGINT)
+               AS decayed_value_scaled,
+           CAST(max(date_diff('day', day, mx.hi)) AS BIGINT)
+               AS oldest_age_days
+    FROM d CROSS JOIN mx
+    GROUP BY user_id
+    """,
+)
+def recency_decayed_user_value(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Exponentially time-decayed user value (1-day half-life) — the
+    recency-weighted engagement feature — computed EXACTLY: with decay
+    base 2, ``Σ cents·2^{-age}`` rescaled by ``2^{span}`` becomes
+    ``Σ cents << (day - min_day)``, pure integer shifts that any
+    partitioning, any summation order, and any engine reproduce
+    bit-for-bit (the usual ``exp(-λ·age)`` float formulation drifts
+    by summation order and libm).  One hash agg; the date bounds ride
+    as a broadcast 1-row frame.  Overflow bound: cents·2^span·rows
+    must stay under 2^63 — holds to a ~45-day span at these
+    magnitudes; longer horizons re-zero the scale per window (the
+    mergeable form: partial sums + the window's base date)."""
+    ev = _t(spark, sf_dir, "events")
+    d = ev.select(
+        "user_id",
+        F.round(F.col("value") * 100).cast("long").alias("cents"),
+        F.to_date("ts").alias("day"),
+    )
+    mx = d.agg(F.max("day").alias("hi"), F.min("day").alias("lo"))
+    return (
+        d.crossJoin(F.broadcast(mx))
+        .groupBy("user_id")
+        .agg(
+            F.count("*").cast("long").alias("n_events"),
+            F.sum(
+                F.expr("shiftleft(cents, datediff(day, lo))")
+            ).cast("long").alias("decayed_value_scaled"),
+            F.max(F.expr("datediff(hi, day)"))
+            .cast("long")
+            .alias("oldest_age_days"),
+        )
+    )
