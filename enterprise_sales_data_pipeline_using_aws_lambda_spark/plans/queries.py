@@ -7892,14 +7892,28 @@ def recency_decayed_user_value(spark: SparkSession, sf_dir: str) -> DataFrame:
     as a broadcast 1-row frame.  Overflow bound: cents·2^span·rows
     must stay under 2^63 — holds to a ~45-day span at these
     magnitudes; longer horizons re-zero the scale per window (the
-    mergeable form: partial sums + the window's base date)."""
+    mergeable form: partial sums + the window's base date).  The
+    bound is ENFORCED, not assumed: Spark's ``shiftleft`` masks the
+    shift amount to 6 bits (Java semantics), so an over-span corpus
+    would otherwise produce silently wrong small values — the guarded
+    plan raises instead."""
     ev = _t(spark, sf_dir, "events")
     d = ev.select(
         "user_id",
         F.round(F.col("value") * 100).cast("long").alias("cents"),
         F.to_date("ts").alias("day"),
     )
-    mx = d.agg(F.max("day").alias("hi"), F.min("day").alias("lo"))
+    mx = d.agg(F.max("day").alias("hi"), F.min("day").alias("lo")).select(
+        "hi",
+        "lo",
+        F.assert_true(
+            F.datediff("hi", "lo") <= F.lit(45),
+            F.lit(
+                "recency_decayed_user_value: date span exceeds the "
+                "exact-shift bound (45 days); re-zero per window"
+            ),
+        ).alias("_span_ok"),
+    )
     return (
         d.crossJoin(F.broadcast(mx))
         .groupBy("user_id")

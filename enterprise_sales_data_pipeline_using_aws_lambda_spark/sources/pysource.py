@@ -12,8 +12,15 @@ would be integrated:
 - one ``InputPartition`` per feed file → file-parallel ingestion across
   executors, no driver-side parsing;
 - suffix dispatch inside the partition reader (csv / json-array /
-  ndjson), with the same ``UnsupportedFormatError`` policy — an
-  unsupported file surfaces per-file, not as a whole-job crash;
+  ndjson).  An unsupported suffix under the default ``strict=true``
+  fails FAST at planning with ``UnsupportedFormatError`` (the
+  reference's per-object policy, ``lambda.py:73-75`` — its Lambda runs
+  one object per invocation, so object failure == run failure);
+  ``strict=false`` skips foreign files instead.  The STREAMING face
+  always skips them: a strict planning error inside ``latestOffset``
+  would wedge every subsequent micro-batch behind one stray file;
+- malformed numeric FIELDS null out per value (mirroring the built-in
+  readers' permissive mode) — a bad cell never fails a file;
 - the explicit ingest schema (``schema.sales_ingest_schema``): no
   inference scan, deterministic types — the 100 TB posture.
 
@@ -82,32 +89,44 @@ class SalesFeedReader(DataSourceReader):
             for f in os.listdir(self.path)
             if not f.startswith(("_", "."))
         )
-        bad = [
-            f for f in files if not f.lower().endswith(SUPPORTED_SUFFIXES)
+        good = [
+            f for f in files if f.lower().endswith(SUPPORTED_SUFFIXES)
         ]
-        if bad and self.strict:
+        if self.strict and len(good) != len(files):
             # same policy as sources.readers.read_any (reference
             # lambda.py:73-75): unsupported suffix is a caller error
             from .readers import UnsupportedFormatError
 
+            bad = [f for f in files if f not in set(good)]
             raise UnsupportedFormatError(
                 f"unsupported feed file(s): {bad}"
             )
-        good = [f for f in files if f not in set(bad)]
         return [InputPartition(f) for f in good]
 
     def read(self, partition):
         fname = partition.value
         names = [f.name for f in self.schema.fields]
+
+        def num_cast(conv):
+            # permissive-mode parity with the built-in readers: a
+            # malformed cell nulls out, it never fails the file
+            def cast(v):
+                if v in (None, ""):
+                    return None
+                try:
+                    return conv(v)
+                except (ValueError, TypeError):
+                    return None
+
+            return cast
+
         casts = []
         for f in self.schema.fields:
             t = f.dataType.typeName()
             if t in ("long", "integer"):
-                casts.append(lambda v: None if v in (None, "") else int(v))
+                casts.append(num_cast(int))
             elif t == "double":
-                casts.append(
-                    lambda v: None if v in (None, "") else float(v)
-                )
+                casts.append(num_cast(float))
             else:
                 casts.append(lambda v: None if v is None else str(v))
 
@@ -141,28 +160,55 @@ class SalesFeedStreamReader(DataSourceStreamReader):
     event-driven model (an object ARRIVES, a batch runs; reference
     ``lambda.py:39-57``) as a Spark structured-streaming source.
 
-    Offsets are the sorted list of files already ingested; each
-    micro-batch plans one ``InputPartition`` per NEW file and reuses
-    the batch reader's per-file parser in executors.  Exactly-once
-    follows from offset bookkeeping: a file enters exactly one offset
-    range, and replaying a committed range re-reads the same frozen
-    file list."""
+    Offsets: by default the sorted list of files already ingested —
+    correct for ARBITRARY file names (a late file sorting anywhere is
+    still picked up), at O(files-seen) offset size; each micro-batch
+    plans one ``InputPartition`` per NEW file and reuses the batch
+    reader's per-file parser in executors.  For long-lived feeds whose
+    file names are MONOTONIC (timestamped names — the common feed
+    convention), ``.option("monotonic", "true")`` switches to an O(1)
+    high-watermark offset (``{"hwm": <last name>}``): checkpoint
+    entries stay constant-size forever, at the cost that a file
+    sorting below the watermark is (correctly, per the contract)
+    ignored.  Exactly-once follows from offset bookkeeping either
+    way: a file enters exactly one offset range, and replaying a
+    committed range re-reads the same frozen slice.
+
+    Unsupported-suffix files are ALWAYS skipped here regardless of
+    ``strict``: a planning-time error inside ``latestOffset`` would
+    abort every micro-batch and restart behind one stray file —
+    the batch reader's fail-fast policy would become a permanent
+    wedge."""
 
     def __init__(self, options, schema: StructType) -> None:
-        self._batch = SalesFeedReader(options, schema)
+        opts = dict(options)
+        opts["strict"] = "false"
+        self._batch = SalesFeedReader(opts, schema)
+        self._monotonic = (
+            str(options.get("monotonic", "false")).lower() == "true"
+        )
 
     def initialOffset(self):
+        if self._monotonic:
+            return {"hwm": ""}
         return {"files": []}
 
     def latestOffset(self):
-        return {
-            "files": sorted(
-                p.value for p in self._batch.partitions()
-            )
-        }
+        names = sorted(p.value for p in self._batch.partitions())
+        if self._monotonic:
+            return {"hwm": names[-1] if names else ""}
+        return {"files": names}
 
     def partitions(self, start, end):
-        new = sorted(set(end["files"]) - set(start["files"]))
+        if self._monotonic:
+            lo, hi = start.get("hwm", ""), end.get("hwm", "")
+            new = sorted(
+                p.value
+                for p in self._batch.partitions()
+                if lo < p.value <= hi
+            )
+        else:
+            new = sorted(set(end["files"]) - set(start["files"]))
         return [InputPartition(f) for f in new]
 
     def read(self, partition):

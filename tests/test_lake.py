@@ -426,3 +426,35 @@ def test_observed_metrics_ride_the_write_job(spark, tmp_path):
     assert m2["n_null_keys"] == 5
     # approx distinct of 95 true keys: rsd default 5%
     assert abs(m2["n_keys_approx"] - 95) <= 10
+
+
+def test_sales_feed_malformed_cells_null_out(spark, tmp_path):
+    """Permissive-mode parity: a malformed numeric cell nulls the
+    value; it never fails the file or the job."""
+    from enterprise_sales_data_pipeline_using_aws_lambda_spark.sources.pysource import (
+        SalesFeedDataSource,
+    )
+
+    feed = tmp_path / "feed"
+    feed.mkdir()
+    cols = ("uuid,Country,ItemType,SalesChannel,OrderPriority,OrderDate,"
+            "Region,ShipDate,UnitsSold,UnitPrice,UnitCost,TotalRevenue,"
+            "TotalCost,TotalProfit")
+    (feed / "a.csv").write_text(
+        cols
+        + "\n1,DE,Fruit,Online,H,1/2/2024,Europe,1/5/2024,"
+        "N/A,2.5,bogus,25.0,15.0,10.0\n"
+        + "2,FR,Meat,Online,H,1/2/2024,Europe,1/5/2024,"
+        "4,1.0,0.5,4.0,2.0,2.0\n"
+    )
+    spark.dataSource.register(SalesFeedDataSource)
+    rows = {
+        r["uuid"]: r
+        for r in spark.read.format("sales_feed")
+        .option("path", str(feed))
+        .load()
+        .collect()
+    }
+    assert rows[1]["UnitsSold"] is None and rows[1]["UnitCost"] is None
+    assert rows[1]["UnitPrice"] == 2.5
+    assert rows[2]["UnitsSold"] == 4

@@ -537,3 +537,70 @@ def test_sales_feed_streaming_source(spark, tmp_path):
     finally:
         q2.stop()
     assert spark.read.parquet(str(out)).count() == 2
+
+
+def test_sales_feed_streaming_skips_foreign_files_and_hwm_offsets(
+    spark, tmp_path
+):
+    """The streaming face never wedges on a stray unsupported file
+    (strict is forced off in latestOffset), and monotonic mode keeps
+    offsets O(1) while still ingesting in-order arrivals."""
+    from enterprise_sales_data_pipeline_using_aws_lambda_spark.sources.pysource import (
+        SalesFeedDataSource,
+        SalesFeedStreamReader,
+    )
+    from enterprise_sales_data_pipeline_using_aws_lambda_spark.schema import (
+        sales_ingest_schema,
+    )
+
+    feed = tmp_path / "feed"
+    feed.mkdir()
+    cols = ("uuid,Country,ItemType,SalesChannel,OrderPriority,OrderDate,"
+            "Region,ShipDate,UnitsSold,UnitPrice,UnitCost,TotalRevenue,"
+            "TotalCost,TotalProfit")
+
+    def csv_file(name, uid):
+        (feed / name).write_text(
+            cols + f"\n{uid},DE,Fruit,Online,H,1/2/2024,Europe,"
+            "1/5/2024,10,2.5,1.5,25.0,15.0,10.0\n"
+        )
+
+    csv_file("f001.csv", 1)
+    (feed / "stray.parquet").write_text("junk")  # must not wedge
+
+    rdr = SalesFeedStreamReader(
+        {"path": str(feed), "monotonic": "true"}, sales_ingest_schema()
+    )
+    o0 = rdr.initialOffset()
+    o1 = rdr.latestOffset()
+    assert o1["hwm"].endswith("f001.csv")  # O(1) offset, stray skipped
+    parts = rdr.partitions(o0, o1)
+    assert [p.value for p in parts] == [str(feed / "f001.csv")]
+
+    csv_file("f002.csv", 2)
+    o2 = rdr.latestOffset()
+    assert o2["hwm"].endswith("f002.csv")
+    parts2 = rdr.partitions(o1, o2)
+    assert [p.value for p in parts2] == [str(feed / "f002.csv")]
+    # replay of a committed range is frozen (exactly-once)
+    assert [p.value for p in rdr.partitions(o0, o1)] == [
+        str(feed / "f001.csv")
+    ]
+    # end-to-end through the engine with the stray file present
+    spark.dataSource.register(SalesFeedDataSource)
+    q = (
+        spark.readStream.format("sales_feed")
+        .option("path", str(feed))
+        .option("monotonic", "true")
+        .load()
+        .writeStream.format("memory")
+        .queryName("feed_hwm")
+        .trigger(processingTime="1 second")
+        .start()
+    )
+    try:
+        q.processAllAvailable()
+    finally:
+        q.stop()
+    got = {r["uuid"] for r in spark.sql("SELECT * FROM feed_hwm").collect()}
+    assert got == {1, 2}
