@@ -204,8 +204,21 @@ def main() -> None:
             release_checkpoints(spark)
         return round(best, 3)
 
-    timings = {name: _time(QUERIES[name]) for name in HEADLINE}
-    aux = {name: _time(fn) for name, fn in AUX.items()}
+    # Per-query isolation: one broken lane must not cost the round its
+    # entire bench line — failures are reported by name and excluded
+    # from the total rather than crashing the run.
+    timings, failed = {}, {}
+    for name in HEADLINE:
+        try:
+            timings[name] = _time(QUERIES[name])
+        except Exception as e:  # noqa: BLE001 - report, don't die
+            failed[name] = str(e).splitlines()[0][:200]
+    aux = {}
+    for name, fn in AUX.items():
+        try:
+            aux[name] = _time(fn)
+        except Exception as e:  # noqa: BLE001
+            failed[name] = str(e).splitlines()[0][:200]
 
     sf = os.path.basename(sf_dir.rstrip("/")).replace("sf", "")
     result = {
@@ -218,6 +231,8 @@ def main() -> None:
         "timing": "min-of-2 (steady state)",
         "sf": float(sf) if sf else sf_dir,
     }
+    if failed:
+        result["failed"] = failed
     print(json.dumps(result))
     spark.stop()
 
