@@ -144,3 +144,20 @@ def test_rotation_and_bench_integrity():
     assert not bad, f"bench HEADLINE entries not registered: {bad}"
     oracles = entry.oracle_sql()
     assert set(oracles) == set(qs), "oracle/query key sets diverge"
+
+
+def test_join_strategy_hints_are_honored(spark):
+    """Planner-control surface: hints select the physical join, the
+    manual override for the rare case AQE/statistics get it wrong
+    (e.g. forcing shuffle-hash when one side is small-but-beyond the
+    broadcast threshold, or merge for a pre-sorted pipeline)."""
+    from pyspark.sql import functions as F
+
+    a = spark.range(10_000).select(F.col("id").alias("k"), "id")
+    b = spark.range(1_000).select(F.col("id").alias("k"))
+
+    assert "BroadcastHashJoin" in plan_of(a.join(b.hint("broadcast"), "k"))
+    assert "ShuffledHashJoin" in plan_of(
+        a.join(b.hint("shuffle_hash"), "k")
+    )
+    assert "SortMergeJoin" in plan_of(a.join(b.hint("merge"), "k"))
