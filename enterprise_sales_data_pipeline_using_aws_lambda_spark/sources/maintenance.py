@@ -1,0 +1,134 @@
+"""Lake maintenance: compaction, retention, schema evolution.
+
+The reference's lake is append-only timestamp folders
+(``lambda.py:141-158``) — nothing ever compacts, expires, or evolves.
+A lake that ingests every few minutes for months accumulates the three
+classic pathologies these operators fix:
+
+- **small files** — every micro-batch writes its own handful of files;
+  scans eventually spend more time opening files than reading bytes.
+  :func:`compact_partition` rewrites one partition to ``target_files``
+  with an atomic swap (write aside → rename), so concurrent readers
+  see the old files or the new ones, never a mix.
+- **unbounded history** — quarantine/batch partitions pile up forever.
+  :func:`expire_batches` drops ``ingest_batch`` partitions older than
+  a cutoff by FOLDER NAME (no data scan — the batch id embeds its
+  wall-clock, so retention is a metadata-only listing).
+- **schema drift** — new ingest columns appear over time; old
+  partitions lack them.  :func:`read_lake` reads with ``mergeSchema``
+  so late columns surface as NULL in old batches, the standard
+  additive-evolution contract (renames/retypes remain migrations).
+
+All paths go through Hadoop FS (works on file://, s3a://, hdfs://);
+the atomic-swap rename is per-partition-directory — the same unit the
+write side produces — so maintenance never blocks ingestion of OTHER
+partitions.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+
+
+def _fs(spark: SparkSession, path: str):
+    sc = spark.sparkContext
+    jvm = sc._jvm
+    hpath = jvm.org.apache.hadoop.fs.Path(path)
+    return jvm, hpath.getFileSystem(sc._jsc.hadoopConfiguration()), hpath
+
+
+def list_partitions(spark: SparkSession, table_dir: str) -> list[str]:
+    """Partition directory names (``ingest_batch=...``) under a lake
+    table — a pure listing, no data scan."""
+    jvm, fs, hpath = _fs(spark, table_dir)
+    if not fs.exists(hpath):
+        return []
+    return sorted(
+        st.getPath().getName()
+        for st in fs.listStatus(hpath)
+        if st.isDirectory() and "=" in st.getPath().getName()
+    )
+
+
+def compact_partition(
+    spark: SparkSession,
+    table_dir: str,
+    partition: str,
+    target_files: int = 1,
+) -> int:
+    """Rewrite one partition directory to ``target_files`` parquet
+    files with an atomic swap; returns the file count afterwards.
+
+    Write-aside then rename: the compacted copy lands in a sibling
+    ``_compact_tmp`` dir (underscore prefix → invisible to Spark's
+    file index while in flight), the old directory is removed, and the
+    tmp dir renamed into place.  A reader that PLANS after the swap
+    sees only the new row-identical files; a frame planned BEFORE it
+    holds the old file list and must re-plan
+    (``spark.catalog.refreshByPath`` — the standard non-ACID parquet
+    lake contract; table formats with a transaction log remove this
+    caveat and are the right tool once concurrent maintenance matters).
+    Partition-column values are NOT re-read from data (the folder name
+    carries them), so compaction preserves the layout contract
+    exactly.
+    """
+    jvm, fs, _ = _fs(spark, table_dir)
+    src = jvm.org.apache.hadoop.fs.Path(f"{table_dir}/{partition}")
+    tmp = jvm.org.apache.hadoop.fs.Path(
+        f"{table_dir}/_compact_tmp_{partition.replace('=', '_')}"
+    )
+    if not fs.exists(src):
+        raise FileNotFoundError(f"no partition {partition} in {table_dir}")
+    (
+        spark.read.parquet(str(src))
+        .coalesce(target_files)
+        .write.mode("overwrite")
+        .parquet(str(tmp))
+    )
+    fs.delete(src, True)
+    if not fs.rename(tmp, src):
+        raise IOError(f"atomic swap failed for {partition}")
+    return sum(
+        1
+        for st in fs.listStatus(src)
+        if st.getPath().getName().endswith(".parquet")
+    )
+
+
+def expire_batches(
+    spark: SparkSession,
+    table_dir: str,
+    keep_from_batch_id: str,
+    partition_col: str = "ingest_batch",
+) -> list[str]:
+    """Drop ``ingest_batch`` partitions strictly OLDER than
+    ``keep_from_batch_id`` — metadata-only retention.
+
+    Batch ids are wall-clock-ordered strings (``%Y%m%d_%H%M%S``,
+    ``writers.batch_id_now``), so lexicographic comparison on folder
+    names is time comparison; no file is opened.  Returns the dropped
+    partition names."""
+    jvm, fs, _ = _fs(spark, table_dir)
+    dropped = []
+    prefix = f"{partition_col}="
+    for name in list_partitions(spark, table_dir):
+        if not name.startswith(prefix):
+            continue
+        if name[len(prefix):] < keep_from_batch_id:
+            fs.delete(
+                jvm.org.apache.hadoop.fs.Path(f"{table_dir}/{name}"), True
+            )
+            dropped.append(name)
+    return dropped
+
+
+def read_lake(spark: SparkSession, table_dir: str) -> DataFrame:
+    """Read the lake table with additive schema evolution: columns
+    added by later batches surface as NULL in earlier partitions
+    (``mergeSchema`` unions the per-file footers — a metadata merge,
+    not a data rewrite)."""
+    return (
+        spark.read.option("mergeSchema", "true")
+        .option("basePath", table_dir)
+        .parquet(table_dir)
+    )

@@ -458,3 +458,105 @@ def test_sales_feed_malformed_cells_null_out(spark, tmp_path):
     assert rows[1]["UnitsSold"] is None and rows[1]["UnitCost"] is None
     assert rows[1]["UnitPrice"] == 2.5
     assert rows[2]["UnitsSold"] == 4
+
+
+def test_lake_compaction_atomic_swap(spark, tmp_path):
+    """Compaction rewrites a partition to N files, row-identical, and
+    leaves no tmp debris; other partitions untouched."""
+    from pyspark.sql import functions as F
+
+    from enterprise_sales_data_pipeline_using_aws_lambda_spark.sources.maintenance import (
+        compact_partition,
+        list_partitions,
+    )
+    from enterprise_sales_data_pipeline_using_aws_lambda_spark.sources.writers import (
+        write_partitioned_parquet,
+    )
+
+    lake = str(tmp_path / "lake")
+    df = spark.range(1000).select("id", (F.col("id") % 7).alias("v"))
+    # many small files inside one batch partition
+    write_partitioned_parquet(df.repartition(16), lake, batch_id="b1")
+    write_partitioned_parquet(df.repartition(4), lake, batch_id="b2")
+    assert list_partitions(spark, lake) == [
+        "ingest_batch=b1", "ingest_batch=b2",
+    ]
+    before_count = spark.read.parquet(lake).count()
+    b1_files_before = len(
+        list((tmp_path / "lake" / "ingest_batch=b1").glob("*.parquet"))
+    )
+    assert b1_files_before >= 16
+
+    n = compact_partition(spark, lake, "ingest_batch=b1", target_files=2)
+    assert n == 2
+    # a frame planned BEFORE the swap holds the old file list — readers
+    # must re-plan after maintenance (same contract as any non-ACID
+    # parquet lake); a fresh read sees the compacted layout
+    spark.catalog.refreshByPath(lake)
+    after = spark.read.parquet(lake)
+    assert after.count() == before_count == 2000
+    # row-identical within the compacted partition
+    a = sorted(
+        tuple(r)
+        for r in spark.read.parquet(f"{lake}/ingest_batch=b1").collect()
+    )
+    b = sorted(tuple(r) for r in df.collect())
+    assert a == b
+    # no tmp debris, b2 untouched
+    assert list_partitions(spark, lake) == [
+        "ingest_batch=b1", "ingest_batch=b2",
+    ]
+    assert not list((tmp_path / "lake").glob("_compact_tmp*"))
+    assert len(
+        list((tmp_path / "lake" / "ingest_batch=b2").glob("*.parquet"))
+    ) >= 4
+
+
+def test_lake_retention_by_batch_folder(spark, tmp_path):
+    """expire_batches drops partitions older than the cutoff by folder
+    name only — no data scan — and keeps the rest byte-identical."""
+    from enterprise_sales_data_pipeline_using_aws_lambda_spark.sources.maintenance import (
+        expire_batches,
+        list_partitions,
+    )
+    from enterprise_sales_data_pipeline_using_aws_lambda_spark.sources.writers import (
+        write_partitioned_parquet,
+    )
+
+    lake = str(tmp_path / "lake")
+    df = spark.range(10)
+    for bid in ("20240101_000000", "20240201_000000", "20240301_000000"):
+        write_partitioned_parquet(df, lake, batch_id=bid)
+    dropped = expire_batches(spark, lake, "20240201_000000")
+    assert dropped == ["ingest_batch=20240101_000000"]
+    assert list_partitions(spark, lake) == [
+        "ingest_batch=20240201_000000",
+        "ingest_batch=20240301_000000",
+    ]
+    assert spark.read.parquet(lake).count() == 20
+
+
+def test_lake_schema_evolution_mergeschema(spark, tmp_path):
+    """Additive evolution: a column added by a later batch reads as
+    NULL in earlier partitions via mergeSchema."""
+    from pyspark.sql import functions as F
+
+    from enterprise_sales_data_pipeline_using_aws_lambda_spark.sources.maintenance import (
+        read_lake,
+    )
+    from enterprise_sales_data_pipeline_using_aws_lambda_spark.sources.writers import (
+        write_partitioned_parquet,
+    )
+
+    lake = str(tmp_path / "lake")
+    v1 = spark.range(5).select("id")
+    v2 = spark.range(5, 10).select(
+        "id", (F.col("id") * 2).alias("new_col")
+    )
+    write_partitioned_parquet(v1, lake, batch_id="b1")
+    write_partitioned_parquet(v2, lake, batch_id="b2")
+    merged = read_lake(spark, lake)
+    assert set(merged.columns) == {"id", "new_col", "ingest_batch"}
+    rows = {r["id"]: r["new_col"] for r in merged.collect()}
+    assert rows[0] is None and rows[7] == 14
+    assert merged.count() == 10
