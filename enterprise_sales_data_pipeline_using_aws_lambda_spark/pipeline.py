@@ -90,11 +90,11 @@ def run_batch(
         # Observed metrics ride the lake write for free: `observe` attaches
         # accumulator-style aggregates to the existing job — no extra pass
         # over the data, unlike a separate .count()/.agg() action.
-        from pyspark.sql import Observation
+        from .operators.observe import observed
 
-        obs = Observation(f"ingest_{batch_id}")
-        valid = valid.observe(
-            obs,
+        valid, obs = observed(
+            valid,
+            f"ingest_{batch_id}",
             F.count(F.lit(1)).alias("rows"),
             F.sum("TotalRevenue").alias("revenue"),
             # DISTINCT aggregates are disallowed in observed metrics
