@@ -93,6 +93,7 @@ NEW_THIS_ROUND: list[str] = [
     "bag_semantics_set_ops",
     "countmin_heavy_hitters",
     "recency_decayed_user_value",
+    "cusum_changepoint_daily",
 ]
 
 # Remaining budget: regression guards, oldest-first — queries whose

@@ -7927,3 +7927,95 @@ def recency_decayed_user_value(spark: SparkSession, sf_dir: str) -> DataFrame:
             .alias("oldest_age_days"),
         )
     )
+
+
+@query(
+    "cusum_changepoint_daily",
+    """
+    WITH d AS (
+        SELECT event_type,
+               CAST(CAST(ts AS TIMESTAMP) AS DATE) AS day,
+               CAST(sum(CAST(round(value * 100) AS BIGINT)) AS BIGINT)
+                   AS cents
+        FROM events GROUP BY 1, 2
+    ),
+    t AS (
+        SELECT event_type,
+               CAST(count(*) AS BIGINT) AS n_days,
+               CAST(sum(cents) AS BIGINT) AS total
+        FROM d GROUP BY 1
+    ),
+    dev AS (
+        SELECT d.event_type, d.day,
+               d.cents * t.n_days - t.total AS dev_scaled,
+               t.n_days
+        FROM d JOIN t ON d.event_type = t.event_type
+    ),
+    cus AS (
+        SELECT event_type, day, n_days,
+               sum(dev_scaled) OVER (
+                   PARTITION BY event_type ORDER BY day
+                   ROWS UNBOUNDED PRECEDING) AS s
+        FROM dev
+    ),
+    ranked AS (
+        SELECT event_type, day, n_days, abs(s) AS a,
+               row_number() OVER (
+                   PARTITION BY event_type
+                   ORDER BY abs(s) DESC, day ASC) AS rn
+        FROM cus
+    )
+    SELECT event_type,
+           day AS change_day,
+           CAST(a AS BIGINT) AS max_cusum_scaled,
+           n_days
+    FROM ranked WHERE rn = 1
+    """,
+)
+def cusum_changepoint_daily(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """CUSUM changepoint detection per event type: the day where the
+    cumulative deviation from the series mean peaks — the classic
+    single-changepoint estimator (Page '54), fully relational: daily
+    agg → per-type totals broadcast back → one ordered window for the
+    running sum → one window for the argmax (deterministic earliest-day
+    ties).  EXACT integer algebra throughout: deviations are scaled by
+    n_days (cents·n − total), so no division or float ever enters —
+    the running sums and their argmax are bit-identical on any engine
+    and partitioning.  Two type-keyed exchanges; the per-type series
+    (days) is window-sized, never event-sized."""
+    ev = _t(spark, sf_dir, "events")
+    d = ev.groupBy(
+        "event_type", F.to_date("ts").alias("day")
+    ).agg(
+        F.sum(F.round(F.col("value") * 100).cast("long")).alias("cents")
+    )
+    t = d.groupBy("event_type").agg(
+        F.count("*").alias("n_days"), F.sum("cents").alias("total")
+    )
+    dev = d.join(F.broadcast(t), "event_type").select(
+        "event_type",
+        "day",
+        "n_days",
+        (F.col("cents") * F.col("n_days") - F.col("total")).alias(
+            "dev_scaled"
+        ),
+    )
+    w = (
+        Window.partitionBy("event_type")
+        .orderBy("day")
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    )
+    cus = dev.withColumn("s", F.sum("dev_scaled").over(w))
+    rk = Window.partitionBy("event_type").orderBy(
+        F.abs(F.col("s")).desc(), F.col("day").asc()
+    )
+    return (
+        cus.withColumn("rn", F.row_number().over(rk))
+        .filter(F.col("rn") == 1)
+        .select(
+            "event_type",
+            F.col("day").alias("change_day"),
+            F.abs(F.col("s")).cast("long").alias("max_cusum_scaled"),
+            F.col("n_days").cast("long").alias("n_days"),
+        )
+    )
