@@ -94,6 +94,7 @@ NEW_THIS_ROUND: list[str] = [
     "countmin_heavy_hitters",
     "recency_decayed_user_value",
     "cusum_changepoint_daily",
+    "peak_concurrent_sessions",
 ]
 
 # Remaining budget: regression guards, oldest-first — queries whose

@@ -8019,3 +8019,103 @@ def cusum_changepoint_daily(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.col("n_days").cast("long").alias("n_days"),
         )
     )
+
+
+@query(
+    "peak_concurrent_sessions",
+    """
+    WITH ev AS (
+        SELECT user_id, epoch_us(CAST(ts AS TIMESTAMP)) AS us FROM events
+    ),
+    f AS (
+        SELECT user_id, us,
+               CASE WHEN us - lag(us) OVER (
+                        PARTITION BY user_id ORDER BY us) <= 1800000000
+                    THEN 0 ELSE 1 END AS new_s
+        FROM ev
+    ),
+    n AS (
+        SELECT user_id, us,
+               sum(new_s) OVER (PARTITION BY user_id ORDER BY us
+                                ROWS UNBOUNDED PRECEDING) AS sess
+        FROM f
+    ),
+    s AS (
+        SELECT user_id, sess,
+               min(us) AS start_us,
+               max(us) + 1800000000 AS end_us
+        FROM n GROUP BY user_id, sess
+    ),
+    pts AS (
+        SELECT start_us AS t, 1 AS delta FROM s
+        UNION ALL
+        SELECT end_us AS t, -1 AS delta FROM s
+    ),
+    swept AS (
+        SELECT t, delta,
+               sum(delta) OVER (ORDER BY t, delta
+                                ROWS UNBOUNDED PRECEDING) AS live
+        FROM pts
+    )
+    SELECT CAST(max(live) AS BIGINT) AS peak_concurrent,
+           CAST(min(CASE WHEN live = (SELECT max(live) FROM swept)
+                         THEN t END) AS BIGINT) AS first_peak_us,
+           CAST((SELECT count(*) FROM s) AS BIGINT) AS n_sessions
+    FROM swept
+    """,
+)
+def peak_concurrent_sessions(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Peak concurrency via the sweep line — the interval-analytics
+    family (max simultaneous sessions, room scheduling, connection
+    pools): sessions (30-min inactivity gap, end = last event + gap)
+    emit +1/-1 boundary points; one global ordered running sum finds
+    the maximum overlap and its first instant.  The (t, delta) tie
+    rule sorts a -1 before a +1 at the same instant, so sessions
+    touching end-to-start never double-count.  Exact integer epoch-µs
+    throughout.  The sweep's global window runs over 2·|sessions| rows
+    (already aggregated — never event-sized); at larger scale the
+    same sweep range-partitions by time with per-partition offsets,
+    exactly the distributed-prefix-sum shape operators.agg.global_cumsum
+    implements."""
+    gap_us = 30 * 60 * 1_000_000
+    ev = _t(spark, sf_dir, "events").select(
+        "user_id", F.unix_micros("ts").alias("us")
+    )
+    wo = Window.partitionBy("user_id").orderBy("us")
+    run = wo.rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    sess = (
+        ev.withColumn(
+            "_new",
+            F.when(
+                F.col("us") - F.lag("us").over(wo) <= gap_us, F.lit(0)
+            ).otherwise(F.lit(1)),
+        )
+        .withColumn("sess", F.sum("_new").over(run))
+        .groupBy("user_id", "sess")
+        .agg(
+            F.min("us").alias("start_us"),
+            (F.max("us") + gap_us).alias("end_us"),
+        )
+    )
+    pts = sess.select(
+        F.col("start_us").alias("t"), F.lit(1).alias("delta")
+    ).unionAll(
+        sess.select(F.col("end_us").alias("t"), F.lit(-1).alias("delta"))
+    )
+    # global sweep over 2·|sessions| rows — session-sized, justified in
+    # the plan-guard allowlist like the other bounded global windows
+    ws = Window.orderBy("t", "delta").rowsBetween(
+        Window.unboundedPreceding, Window.currentRow
+    )
+    swept = pts.withColumn("live", F.sum("delta").over(ws))
+    peak = swept.agg(F.max("live").alias("peak"))
+    return (
+        swept.crossJoin(F.broadcast(peak))
+        .agg(
+            F.max("live").cast("long").alias("peak_concurrent"),
+            F.min(
+                F.when(F.col("live") == F.col("peak"), F.col("t"))
+            ).cast("long").alias("first_peak_us"),
+            (F.count("*") / 2).cast("long").alias("n_sessions"),
+        )
+    )

@@ -37,6 +37,11 @@ ALLOWED_GLOBAL_WINDOWS = {
     "conversion_latency_percentiles": (
         "partition-count offset frame (exact_percentiles, global group)"
     ),
+    # sweep-line over session boundary points: 2·|sessions| rows (the
+    # events are already aggregated into sessions before the sweep);
+    # at larger scale the same sweep range-partitions by time with
+    # per-partition offsets (the global_cumsum shape)
+    "peak_concurrent_sessions": "session-boundary sweep (2·|sessions|)",
 }
 
 SF_DIR = "/root/testdata/sf0.001"
