@@ -124,10 +124,10 @@ OLDEST_R1 = [
 
 
 # ROUND-5 ROTATION PLAN (for the next context): this round's 50 slots
-# are NEVER_CHECKED(15) + R03_RED(10) + NEW_THIS_ROUND(15) + the first
-# 10 OLDEST_R1 fillers.  If CORRECTNESS_r04 comes back green,
-# cumulative driver coverage is 166/166 registered.  Next round: move
-# the REMAINING 34 OLDEST_R1 entries (positions 11+ of the list below)
+# are NEVER_CHECKED(15) + R03_RED(10) + NEW_THIS_ROUND(17) + the first
+# 8 OLDEST_R1 fillers.  If CORRECTNESS_r04 comes back green,
+# cumulative driver coverage is 168/168 registered.  Next round: move
+# the REMAINING 36 OLDEST_R1 entries (positions 9+ of the list below)
 # to the front — they will then be the only queries whose last driver
 # check is round 1 — plus any round-4 red rows first and round-5
 # additions.  Keep must-check <= 50 (tests/test_plans.py asserts it).
