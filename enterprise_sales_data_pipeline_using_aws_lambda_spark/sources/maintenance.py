@@ -59,12 +59,13 @@ def compact_partition(
     """Rewrite one partition directory to ``target_files`` parquet
     files with an atomic swap; returns the file count afterwards.
 
-    Write-aside then rename: the compacted copy lands in a sibling
-    ``_compact_tmp`` dir (underscore prefix → invisible to Spark's
-    file index while in flight), the old directory is removed, and the
-    tmp dir renamed into place.  A reader that PLANS after the swap
-    sees only the new row-identical files; a frame planned BEFORE it
-    holds the old file list and must re-plan
+    Delegates to :func:`writers.compact_lake_partition` — the
+    rename-out/rename-in swap WITH rollback (swap-in failure restores
+    the original directory) — after resolving and validating the
+    partition path; this module adds the table-level addressing
+    (partition by name, post-compaction file count).  A reader that
+    PLANS after the swap sees only the new row-identical files; a
+    frame planned BEFORE it holds the old file list and must re-plan
     (``spark.catalog.refreshByPath`` — the standard non-ACID parquet
     lake contract; table formats with a transaction log remove this
     caveat and are the right tool once concurrent maintenance matters).
@@ -72,22 +73,13 @@ def compact_partition(
     carries them), so compaction preserves the layout contract
     exactly.
     """
+    from .writers import compact_lake_partition
+
     jvm, fs, _ = _fs(spark, table_dir)
     src = jvm.org.apache.hadoop.fs.Path(f"{table_dir}/{partition}")
-    tmp = jvm.org.apache.hadoop.fs.Path(
-        f"{table_dir}/_compact_tmp_{partition.replace('=', '_')}"
-    )
     if not fs.exists(src):
         raise FileNotFoundError(f"no partition {partition} in {table_dir}")
-    (
-        spark.read.parquet(str(src))
-        .coalesce(target_files)
-        .write.mode("overwrite")
-        .parquet(str(tmp))
-    )
-    fs.delete(src, True)
-    if not fs.rename(tmp, src):
-        raise IOError(f"atomic swap failed for {partition}")
+    compact_lake_partition(spark, str(src), target_files)
     return sum(
         1
         for st in fs.listStatus(src)
