@@ -482,3 +482,48 @@ def test_gram_matrix_property_vs_numpy(spark, data):
         (i, j): int(g[i, j]) for i in range(dim) for j in range(dim)
     }
     assert got == exp
+
+
+@settings(max_examples=8, deadline=None)
+@given(data=st.data())
+def test_minhash_pipeline_finds_planted_near_dups(spark, data):
+    """Planted high-similarity pairs (one-char edits of a long base)
+    must always survive the full LSH pipeline — at j >= ~0.95 a
+    16-band/4-row miss has p < 1e-9, so this is deterministic in
+    practice — and every reported pair must carry its exact Jaccard
+    >= threshold (precision is exact by construction).  Guards the
+    banding/bucket plumbing (incl. the singleton-bucket filter)
+    against silent recall loss."""
+    from enterprise_sales_data_pipeline_using_aws_lambda_spark.operators.text_dedup import (
+        minhash_near_duplicates,
+    )
+
+    import random as _random
+
+    seed = data.draw(st.integers(min_value=0, max_value=10_000))
+    rng = _random.Random(seed)
+    alphabet = "abcdefghijklmnopqrstuvwxyz "
+    base = "".join(rng.choice(alphabet) for _ in range(400))
+    texts = [base]
+    n_dups = data.draw(st.integers(min_value=1, max_value=3))
+    for _ in range(n_dups):
+        pos = rng.randrange(len(base))
+        texts.append(base[:pos] + rng.choice(alphabet) + base[pos + 1:])
+    # decoys: independent random docs (jaccard ~ tiny)
+    for _ in range(3):
+        texts.append(
+            "".join(rng.choice(alphabet) for _ in range(400))
+        )
+    df = spark.createDataFrame(
+        [(i, t) for i, t in enumerate(texts)], "doc_id long, text string"
+    )
+    got = {
+        (r["id_a"], r["id_b"]): r["jaccard"]
+        for r in minhash_near_duplicates(df, threshold=0.5).collect()
+    }
+    # every planted (0, k) pair found
+    for k in range(1, n_dups + 1):
+        assert (0, k) in got, f"planted pair (0, {k}) missed"
+        assert got[(0, k)] >= 0.5
+    # precision: nothing reported below threshold
+    assert all(j >= 0.5 for j in got.values())
