@@ -77,6 +77,25 @@ def run_batch(
     batch_id = batch_id_now()
     try:
         df = read_sales(spark, input_path)
+    except Exception as exc:  # read failure, lambda.py:259-266
+        _notify(cfg, "failed", {"file": input_path, "error": str(exc)})
+        return {"status": "failed", "file": input_path, "error": str(exc)}
+    return run_batch_frame(spark, df, input_path, cfg, batch_id)
+
+
+def run_batch_frame(
+    spark: SparkSession,
+    df: DataFrame,
+    input_path: str,
+    cfg: PipelineConfig,
+    batch_id: str | None = None,
+) -> dict:
+    """The frame-level core of :func:`run_batch`: validate → quarantine
+    or lake + serving tables.  Split out so re-drives
+    (:func:`reprocess_quarantine`) and tests can inject an
+    already-loaded frame; ``input_path`` is the provenance label."""
+    batch_id = batch_id or batch_id_now()
+    try:
         result = validate_batch(df)
         if not result.ok:
             reason = "; ".join(result.errors)
@@ -165,3 +184,49 @@ def run_batch(
     except Exception as exc:  # catch-all failure path, lambda.py:259-266
         _notify(cfg, "failed", {"file": input_path, "error": str(exc)})
         return {"status": "failed", "file": input_path, "error": str(exc)}
+
+
+#: Provenance columns the quarantine writer adds (writers.write_quarantine).
+QUARANTINE_META_COLUMNS = ("_error_reason", "_source_file", "_ingest_batch")
+
+
+def reprocess_quarantine(
+    spark: SparkSession,
+    cfg: PipelineConfig,
+    quarantine_batch_id: str | None = None,
+) -> dict:
+    """Re-drive quarantined rows through the normal gate — the recovery
+    path the reference lacks (its quarantine is a dead end,
+    ``lambda.py:123-139``): after an upstream fix (a schema hotfix, a
+    corrected dimension, a validator bug), the quarantined batch should
+    flow through the SAME validate → lake → serving pipeline as fresh
+    data, not a bespoke backfill script.
+
+    Reads the quarantine store (optionally one ``_ingest_batch``),
+    strips the provenance columns, and calls :func:`run_batch_frame`.
+    Rows that STILL fail are re-quarantined under a NEW batch id with
+    the new reason — the original quarantine rows are left in place
+    for audit.  Idempotence comes from the serving layer: the keyed
+    upsert makes a double re-drive a no-op for ``sales_tgt``.
+
+    Returns the :func:`run_batch_frame` status dict, plus
+    ``n_requeued`` (rows re-driven).
+    """
+    from dataclasses import replace
+
+    df = spark.read.parquet(cfg.quarantine_dir)
+    if quarantine_batch_id is not None:
+        df = df.filter(F.col("_ingest_batch") == quarantine_batch_id)
+    clean = df.drop(*QUARANTINE_META_COLUMNS)
+    n = clean.count()
+    # provenance label, NOT a real path: no colon (a colon would parse
+    # as a URI scheme downstream) and delete_raw forced off — there is
+    # no raw file to delete on a re-drive.
+    label = f"requeue-{quarantine_batch_id or 'all'}"
+    if n == 0:
+        return {"status": "noop", "file": label, "n_requeued": 0}
+    out = run_batch_frame(
+        spark, clean, label, replace(cfg, delete_raw=False)
+    )
+    out["n_requeued"] = n
+    return out

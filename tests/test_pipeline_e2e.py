@@ -190,3 +190,72 @@ def test_header_only_csv(spark, cfg, tmp_path):
     r2 = run_batch(spark, SAMPLE_CSV, cfg)
     assert r2["status"] == "success"
     assert spark.read.parquet(f"{cfg.warehouse_dir}/sales_tgt").count() == 500
+
+
+def test_reprocess_quarantine_redrive(spark, cfg, tmp_path):
+    """The recovery path: a quarantined batch, fixed upstream, re-drives
+    through the SAME gate into the serving tables; still-bad batches
+    re-quarantine under a new reason; empty re-drives are no-ops."""
+    from enterprise_sales_data_pipeline_using_aws_lambda_spark.pipeline import (
+        reprocess_quarantine,
+    )
+
+    # noop on an empty store
+    (tmp_path / "quarantine").mkdir(exist_ok=True)
+    # quarantine a batch via a duplicate-uuid failure
+    df = pd.read_csv(SAMPLE_CSV)
+    df.loc[1, "uuid"] = df.loc[0, "uuid"]
+    bad = str(tmp_path / "bad.csv")
+    df.to_csv(bad, index=False)
+    r = run_batch(spark, bad, cfg)
+    assert r["status"] == "failed"
+    q = spark.read.parquet(cfg.quarantine_dir)
+    assert q.count() == 500
+
+    # still-broken re-drive: fails again, rows re-quarantined with the
+    # same reason under a NEW batch id, original rows kept for audit
+    r2 = reprocess_quarantine(spark, cfg)
+    assert r2["status"] == "failed" and r2["n_requeued"] == 500
+    q2 = spark.read.parquet(cfg.quarantine_dir)
+    assert q2.count() == 1000
+    assert q2.select("_ingest_batch").distinct().count() == 2
+
+    # "upstream fix": clear the quarantine, write back a FIXED copy of
+    # the original rows (dedupe uuid), then re-drive that
+    import shutil
+
+    shutil.rmtree(cfg.quarantine_dir)
+    fixed = pd.read_csv(SAMPLE_CSV)  # original, no dup
+    good_csv = str(tmp_path / "fixed.csv")
+    fixed.to_csv(good_csv, index=False)
+    rq = run_batch(
+        spark, good_csv,
+        type(cfg)(
+            lake_dir=cfg.lake_dir,
+            warehouse_dir=cfg.warehouse_dir,
+            quarantine_dir=cfg.quarantine_dir + "_stage",
+        ),
+    )
+    assert rq["status"] == "success"
+    # simulate the fixed rows sitting in quarantine: re-write them with
+    # quarantine metadata, then reprocess into serving
+    from enterprise_sales_data_pipeline_using_aws_lambda_spark.sources.writers import (
+        write_quarantine,
+    )
+    from enterprise_sales_data_pipeline_using_aws_lambda_spark.sources.readers import (
+        read_sales,
+    )
+
+    write_quarantine(
+        read_sales(spark, good_csv), cfg.quarantine_dir,
+        "historic failure", good_csv, "b_fix",
+    )
+    r3 = reprocess_quarantine(spark, cfg, "b_fix")
+    assert r3["status"] == "success"
+    assert r3["n_requeued"] == 500
+    tgt = spark.read.parquet(f"{cfg.warehouse_dir}/sales_tgt")
+    assert tgt.count() == 500
+    # double re-drive is a no-op for the keyed target (upsert)
+    r4 = reprocess_quarantine(spark, cfg, "b_fix")
+    assert r4["status"] == "success"
+    assert spark.read.parquet(f"{cfg.warehouse_dir}/sales_tgt").count() == 500
