@@ -225,8 +225,15 @@ def reprocess_quarantine(
     label = f"requeue-{quarantine_batch_id or 'all'}"
     if n == 0:
         return {"status": "noop", "file": label, "n_requeued": 0}
+    # "_rq" suffix: batch ids have second resolution, so a re-drive in
+    # the same wall-clock second as the original failure would
+    # otherwise collide with it in the quarantine store
     out = run_batch_frame(
-        spark, clean, label, replace(cfg, delete_raw=False)
+        spark,
+        clean,
+        label,
+        replace(cfg, delete_raw=False),
+        batch_id=f"{batch_id_now()}_rq",
     )
     out["n_requeued"] = n
     return out
