@@ -95,6 +95,7 @@ NEW_THIS_ROUND: list[str] = [
     "recency_decayed_user_value",
     "cusum_changepoint_daily",
     "peak_concurrent_sessions",
+    "image_ahash_fingerprints",
 ]
 
 # Remaining budget: regression guards, oldest-first — queries whose
@@ -124,10 +125,10 @@ OLDEST_R1 = [
 
 
 # ROUND-5 ROTATION PLAN (for the next context): this round's 50 slots
-# are NEVER_CHECKED(15) + R03_RED(10) + NEW_THIS_ROUND(17) + the first
-# 8 OLDEST_R1 fillers.  If CORRECTNESS_r04 comes back green,
-# cumulative driver coverage is 168/168 registered.  Next round: move
-# the REMAINING 36 OLDEST_R1 entries (positions 9+ of the list below)
+# are NEVER_CHECKED(15) + R03_RED(10) + NEW_THIS_ROUND(18) + the first
+# 7 OLDEST_R1 fillers.  If CORRECTNESS_r04 comes back green,
+# cumulative driver coverage is 169/169 registered.  Next round: move
+# the REMAINING 37 OLDEST_R1 entries (positions 8+ of the list below)
 # to the front — they will then be the only queries whose last driver
 # check is round 1 — plus any round-4 red rows first and round-5
 # additions.  Keep must-check <= 50 (tests/test_plans.py asserts it).

@@ -813,3 +813,77 @@ def extract_frames(media: DataFrame, every_n: int = 1) -> DataFrame:
     return video.select("media_id", "payload").mapInPandas(
         frames_partition, FRAME_SCHEMA
     )
+
+
+AHASH_SCHEMA = (
+    "media_id long, width long, height long, "
+    "ahash_hi long, ahash_lo long, n_bits long"
+)
+
+
+def ahash_images(media: DataFrame) -> DataFrame:
+    """Perceptual average-hash (aHash) over REAL decoded rasters — the
+    classic near-duplicate-image fingerprint (resize-to-8×8,
+    mean-threshold, 64 bits; survives re-encoding and mild resizes
+    where byte hashes don't).
+
+    Per image (``mapInPandas`` batches): full container decode
+    (:func:`parse_media` — PNG inflate+unfilter or PPM raster), an 8×8
+    nearest-neighbour luma grid (``px = gx·w div 8`` — integer NN, no
+    float resampling), integer luma ``(r+g+b) div 3``, and the strict
+    mean threshold ``64·luma > Σ lumas`` (exact integer comparison, no
+    rounding ambiguity).  The 64 bits split into two BIGINTs
+    (``ahash_hi``/``ahash_lo``) so no signed-overflow games are
+    needed.  Downstream dedup is a hash-equality groupBy, or banded
+    hamming join for near-matches — the same shapes the text SimHash
+    operator uses.  Non-image rows are ignored."""
+    import pandas as pd
+
+    def batch(frames):
+        for pdf in frames:
+            rows = []
+            for _, r in pdf.iterrows():
+                if r["kind"] != "image":
+                    continue
+                feats = parse_media(bytes(r["payload"]), with_content=True)
+                w, h = feats["width"], feats["height"]
+                raster = feats["content"]
+                lumas = []
+                for gy in range(8):
+                    py = gy * h // 8
+                    for gx in range(8):
+                        px = gx * w // 8
+                        off = 3 * (py * w + px)
+                        lumas.append(
+                            (
+                                raster[off]
+                                + raster[off + 1]
+                                + raster[off + 2]
+                            )
+                            // 3
+                        )
+                total = sum(lumas)
+                hi = lo = nbits = 0
+                for b, v in enumerate(lumas):
+                    if 64 * v > total:
+                        nbits += 1
+                        if b < 32:
+                            lo |= 1 << b
+                        else:
+                            hi |= 1 << (b - 32)
+                rows.append(
+                    {
+                        "media_id": int(r["media_id"]),
+                        "width": w,
+                        "height": h,
+                        "ahash_hi": hi,
+                        "ahash_lo": lo,
+                        "n_bits": nbits,
+                    }
+                )
+            if rows:
+                yield pd.DataFrame(rows)
+
+    return media.select("media_id", "kind", "payload").mapInPandas(
+        batch, AHASH_SCHEMA
+    )

@@ -8119,3 +8119,58 @@ def peak_concurrent_sessions(spark: SparkSession, sf_dir: str) -> DataFrame:
             (F.count("*") / 2).cast("long").alias("n_sessions"),
         )
     )
+
+
+@query(
+    "image_ahash_fingerprints",
+    """
+    WITH img AS (
+        SELECT doc_id, doc_id % 4 AS k,
+               CASE WHEN doc_id % 4 = 0 THEN 8 + doc_id % 8
+                    ELSE 4 + doc_id % 6 END AS w,
+               CASE WHEN doc_id % 4 = 0 THEN 8 + doc_id % 4
+                    ELSE 4 + doc_id % 5 END AS h
+        FROM documents WHERE doc_id % 4 IN (0, 3)
+    ),
+    lum AS (
+        SELECT doc_id, w, h,
+               [ ((doc_id + 3 * (((b // 8) * h // 8) * w
+                                 + ((b % 8) * w // 8))) % 256
+                  + (doc_id + 3 * (((b // 8) * h // 8) * w
+                                   + ((b % 8) * w // 8)) + 1) % 256
+                  + (doc_id + 3 * (((b // 8) * h // 8) * w
+                                   + ((b % 8) * w // 8)) + 2) % 256) // 3
+                 FOR b IN range(0, 64) ] AS ls
+        FROM img
+    ),
+    tot AS (SELECT *, list_sum(ls) AS total FROM lum)
+    SELECT doc_id AS media_id,
+           CAST(w AS BIGINT) AS width,
+           CAST(h AS BIGINT) AS height,
+           CAST(list_sum([CASE WHEN 64 * ls[b + 33] > total
+                               THEN (1::BIGINT << b) ELSE 0 END
+                          FOR b IN range(0, 32)]) AS BIGINT) AS ahash_hi,
+           CAST(list_sum([CASE WHEN 64 * ls[b + 1] > total
+                               THEN (1::BIGINT << b) ELSE 0 END
+                          FOR b IN range(0, 32)]) AS BIGINT) AS ahash_lo,
+           CAST(list_sum([CASE WHEN 64 * x > total THEN 1 ELSE 0 END
+                          FOR x IN ls]) AS BIGINT) AS n_bits
+    FROM tot
+    """,
+)
+def image_ahash_fingerprints(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Perceptual average-hash fingerprints over REAL decoded images
+    (operators.multimodal.ahash_images): the corpus's synthesized
+    PPM/PNG payloads are container-decoded (PNG: CRC walk + inflate +
+    unfilter) and hashed via an 8×8 integer-NN luma grid with a strict
+    mean threshold — the classic near-dup-image key.  The oracle
+    recomputes every grid sample arithmetically from the known
+    synthetic content formula ((doc_id + i) mod 256), so a hash match
+    proves the ENTIRE decode → sample → threshold path byte-exact: a
+    single wrong raster byte, NN index, or threshold tie flips bits."""
+    from ..operators.multimodal import ahash_images, media_from_documents
+
+    media = media_from_documents(
+        _t(spark, sf_dir, "documents").select("doc_id")
+    )
+    return ahash_images(media)

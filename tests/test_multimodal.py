@@ -345,3 +345,43 @@ def test_extract_frames_real_plane_bytes(spark):
             i = r["frame_idx"]
             assert (r["width"], r["height"]) == (w, h)
             assert bytes(r["frame"]) == raw[i * flen : (i + 1) * flen]
+
+
+def test_ahash_codec_invariance_and_gradient(spark):
+    """The SAME raster encoded as PPM and as PNG (compressed, filtered)
+    must produce the SAME aHash — the perceptual key sees pixels, not
+    container bytes.  A left-dark/right-bright gradient pins the
+    expected bit pattern."""
+    from enterprise_sales_data_pipeline_using_aws_lambda_spark.operators.multimodal import (
+        ahash_images,
+        encode_png,
+        encode_ppm,
+    )
+
+    w = h = 16
+    raster = bytes(
+        (255 if x >= w // 2 else 0)
+        for _ in range(h)
+        for x in range(w)
+        for _ in range(3)
+    )
+    rows = [
+        (1, "image", encode_ppm(w, h, raster)),
+        (2, "image", encode_png(w, h, raster, color_type=2,
+                                filters=[4] * h)),
+        (3, "audio", b"RIFFxxxxWAVE"),  # ignored kind
+    ]
+    df = spark.createDataFrame(
+        rows, "media_id long, kind string, payload binary"
+    )
+    out = {r["media_id"]: r for r in ahash_images(df).collect()}
+    assert set(out) == {1, 2}
+    assert (out[1]["ahash_hi"], out[1]["ahash_lo"]) == (
+        out[2]["ahash_hi"], out[2]["ahash_lo"],
+    )
+    # right half bright => bits gx>=4 set in every row => 32 bits set
+    assert out[1]["n_bits"] == 32
+    expected_row = sum(1 << gx for gx in range(4, 8))  # per 8-bit row
+    lo = sum(expected_row << (8 * gy) for gy in range(4))
+    hi = sum(expected_row << (8 * gy) for gy in range(4))
+    assert out[1]["ahash_lo"] == lo and out[1]["ahash_hi"] == hi
