@@ -197,11 +197,19 @@ def main() -> None:
         best = float("inf")
         for _ in range(2):
             t0 = time.perf_counter()
-            fn(spark, sf_dir).write.format("noop").mode("overwrite").save()
-            best = min(best, time.perf_counter() - t0)
-            # localCheckpoint blocks otherwise accumulate across the
-            # suite and the heap/GC pressure taxes later queries
-            release_checkpoints(spark)
+            try:
+                fn(spark, sf_dir).write.format("noop").mode(
+                    "overwrite"
+                ).save()
+                # stop the clock BEFORE the release so the measured
+                # time stays comparable with earlier rounds
+                best = min(best, time.perf_counter() - t0)
+            finally:
+                # localCheckpoint blocks otherwise accumulate across
+                # the suite and the heap/GC pressure taxes later
+                # queries — including after a FAILED lane, hence the
+                # finally
+                release_checkpoints(spark)
         return round(best, 3)
 
     # Per-query isolation: one broken lane must not cost the round its
@@ -212,13 +220,13 @@ def main() -> None:
         try:
             timings[name] = _time(QUERIES[name])
         except Exception as e:  # noqa: BLE001 - report, don't die
-            failed[name] = str(e).splitlines()[0][:200]
+            failed[name] = (str(e).splitlines() or ['<no message>'])[0][:200]
     aux = {}
     for name, fn in AUX.items():
         try:
             aux[name] = _time(fn)
         except Exception as e:  # noqa: BLE001
-            failed[name] = str(e).splitlines()[0][:200]
+            failed[name] = (str(e).splitlines() or ['<no message>'])[0][:200]
 
     sf = os.path.basename(sf_dir.rstrip("/")).replace("sf", "")
     result = {

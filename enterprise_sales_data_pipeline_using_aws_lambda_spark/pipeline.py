@@ -203,21 +203,37 @@ def reprocess_quarantine(
     data, not a bespoke backfill script.
 
     Reads the quarantine store (optionally one ``_ingest_batch``),
-    strips the provenance columns, and calls :func:`run_batch_frame`.
-    Rows that STILL fail are re-quarantined under a NEW batch id with
-    the new reason — the original quarantine rows are left in place
-    for audit.  Idempotence comes from the serving layer: the keyed
-    upsert makes a double re-drive a no-op for ``sales_tgt``.
+    strips the provenance columns, collapses EXACT duplicate rows
+    across re-drive generations (a failed re-drive re-quarantines
+    byte-identical copies of the originals; without the collapse,
+    every failed attempt would double the store and re-drive-all could
+    never pass duplicate-key validation again), and calls
+    :func:`run_batch_frame`.  Rows that STILL fail are re-quarantined
+    under a NEW suffixed batch id — the original quarantine rows are
+    left in place for audit.  Idempotence comes from the serving
+    layer: the keyed upsert makes a double re-drive a no-op for
+    ``sales_tgt``.  An empty or not-yet-created quarantine store is a
+    clean noop, not an error — the recovery job must be safe to run
+    on a healthy pipeline.
 
     Returns the :func:`run_batch_frame` status dict, plus
     ``n_requeued`` (rows re-driven).
     """
     from dataclasses import replace
 
-    df = spark.read.parquet(cfg.quarantine_dir)
+    try:
+        df = spark.read.parquet(cfg.quarantine_dir)
+    except Exception:
+        # missing dir / empty dir with no parquet footers → nothing
+        # quarantined → noop
+        return {
+            "status": "noop",
+            "file": f"requeue-{quarantine_batch_id or 'all'}",
+            "n_requeued": 0,
+        }
     if quarantine_batch_id is not None:
         df = df.filter(F.col("_ingest_batch") == quarantine_batch_id)
-    clean = df.drop(*QUARANTINE_META_COLUMNS)
+    clean = df.drop(*QUARANTINE_META_COLUMNS).dropDuplicates()
     n = clean.count()
     # provenance label, NOT a real path: no colon (a colon would parse
     # as a URI scheme downstream) and delete_raw forced off — there is

@@ -7903,16 +7903,19 @@ def recency_decayed_user_value(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.round(F.col("value") * 100).cast("long").alias("cents"),
         F.to_date("ts").alias("day"),
     )
+    # The guard must be LOAD-BEARING: an assert_true in a side column
+    # gets column-pruned by Catalyst and never executes (verified —
+    # a 91-day corpus then silently returns masked-shift garbage).
+    # Folding the check into `lo` itself, the value every shift
+    # consumes, makes it unprunable: over-span corpora raise.
     mx = d.agg(F.max("day").alias("hi"), F.min("day").alias("lo")).select(
         "hi",
-        "lo",
-        F.assert_true(
-            F.datediff("hi", "lo") <= F.lit(45),
-            F.lit(
-                "recency_decayed_user_value: date span exceeds the "
-                "exact-shift bound (45 days); re-zero per window"
-            ),
-        ).alias("_span_ok"),
+        F.expr(
+            "CASE WHEN datediff(hi, lo) <= 45 THEN lo"
+            " ELSE raise_error('recency_decayed_user_value: date span"
+            " exceeds the exact-shift bound (45 days); re-zero per"
+            " window') END"
+        ).alias("lo"),
     )
     return (
         d.crossJoin(F.broadcast(mx))

@@ -100,16 +100,15 @@ def expire_batches(
     ``writers.batch_id_now``), so lexicographic comparison on folder
     names is time comparison; no file is opened.  Returns the dropped
     partition names."""
-    jvm, fs, _ = _fs(spark, table_dir)
+    from .writers import delete_path
+
     dropped = []
     prefix = f"{partition_col}="
     for name in list_partitions(spark, table_dir):
         if not name.startswith(prefix):
             continue
         if name[len(prefix):] < keep_from_batch_id:
-            fs.delete(
-                jvm.org.apache.hadoop.fs.Path(f"{table_dir}/{name}"), True
-            )
+            delete_path(spark, f"{table_dir}/{name}")
             dropped.append(name)
     return dropped
 

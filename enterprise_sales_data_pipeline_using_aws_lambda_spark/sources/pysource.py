@@ -170,9 +170,19 @@ class SalesFeedStreamReader(DataSourceStreamReader):
     high-watermark offset (``{"hwm": <last name>}``): checkpoint
     entries stay constant-size forever, at the cost that a file
     sorting below the watermark is (correctly, per the contract)
-    ignored.  Exactly-once follows from offset bookkeeping either
-    way: a file enters exactly one offset range, and replaying a
-    committed range re-reads the same frozen slice.
+    ignored.  The watermark is MONOTONE: the reader folds committed
+    start offsets and prior listings into an instance-level floor, so
+    a momentarily-empty directory (rotation, cleanup) can never
+    regress it and re-ingest restored older files.
+
+    Replay contracts differ by mode.  Full-list offsets freeze the
+    exact file set: replaying a committed range re-reads the same
+    files.  Monotonic mode derives a committed range's file set by
+    re-listing ``(lo, hi]`` — deterministic ONLY under its naming
+    contract (names are assigned monotonically and files persist until
+    processed; a late file named inside an already-committed range, or
+    a deletion before replay, changes the replayed batch — the same
+    caveat as any watermark-based file source).
 
     Unsupported-suffix files are ALWAYS skipped here regardless of
     ``strict``: a planning-time error inside ``latestOffset`` would
@@ -187,6 +197,9 @@ class SalesFeedStreamReader(DataSourceStreamReader):
         self._monotonic = (
             str(options.get("monotonic", "false")).lower() == "true"
         )
+        # monotone floor for the high watermark: never regresses, even
+        # when the directory is momentarily empty
+        self._hwm = ""
 
     def initialOffset(self):
         if self._monotonic:
@@ -196,12 +209,18 @@ class SalesFeedStreamReader(DataSourceStreamReader):
     def latestOffset(self):
         names = sorted(p.value for p in self._batch.partitions())
         if self._monotonic:
-            return {"hwm": names[-1] if names else ""}
+            if names:
+                self._hwm = max(self._hwm, names[-1])
+            return {"hwm": self._hwm}
         return {"files": names}
 
     def partitions(self, start, end):
         if self._monotonic:
             lo, hi = start.get("hwm", ""), end.get("hwm", "")
+            # fold the committed start into the floor: after a restart
+            # the instance floor is empty but `start` carries the
+            # checkpointed truth
+            self._hwm = max(self._hwm, lo)
             new = sorted(
                 p.value
                 for p in self._batch.partitions()

@@ -259,3 +259,42 @@ def test_reprocess_quarantine_redrive(spark, cfg, tmp_path):
     r4 = reprocess_quarantine(spark, cfg, "b_fix")
     assert r4["status"] == "success"
     assert spark.read.parquet(f"{cfg.warehouse_dir}/sales_tgt").count() == 500
+
+
+def test_reprocess_quarantine_empty_store_is_noop(spark, cfg, tmp_path):
+    """The recovery job must be safe on a healthy pipeline: missing or
+    empty quarantine store -> clean noop, not an exception."""
+    from enterprise_sales_data_pipeline_using_aws_lambda_spark.pipeline import (
+        reprocess_quarantine,
+    )
+
+    # missing dir
+    r = reprocess_quarantine(spark, cfg)
+    assert r == {"status": "noop", "file": "requeue-all", "n_requeued": 0}
+    # empty dir (exists, no parquet footers)
+    import os
+
+    os.makedirs(cfg.quarantine_dir, exist_ok=True)
+    r2 = reprocess_quarantine(spark, cfg, "b1")
+    assert r2["status"] == "noop" and r2["n_requeued"] == 0
+
+
+def test_reprocess_all_collapses_redrive_copies(spark, cfg, tmp_path):
+    """A failed re-drive re-quarantines byte-identical copies; the next
+    re-drive-all must collapse them so a later fix can still pass
+    duplicate-key validation (no permanent poisoning)."""
+    from enterprise_sales_data_pipeline_using_aws_lambda_spark.pipeline import (
+        reprocess_quarantine,
+    )
+
+    df = pd.read_csv(SAMPLE_CSV)
+    df.loc[1, "uuid"] = df.loc[0, "uuid"]
+    bad = str(tmp_path / "bad.csv")
+    df.to_csv(bad, index=False)
+    assert run_batch(spark, bad, cfg)["status"] == "failed"
+    # two failed re-drives: the re-driven frame stays 500 rows each
+    # time (copies collapse), not 1000/2000
+    r1 = reprocess_quarantine(spark, cfg)
+    assert r1["status"] == "failed" and r1["n_requeued"] == 500
+    r2 = reprocess_quarantine(spark, cfg)
+    assert r2["status"] == "failed" and r2["n_requeued"] == 500
