@@ -26,16 +26,16 @@ from enterprise_sales_data_pipeline_using_aws_lambda_spark.plans.queries import 
 SMOKE_SF_DIR = "/root/testdata/sf0.001"
 
 # The driver checks exactly 50 entries per round, in dict order
-# (CORRECTNESS_r01/r02/r03 evidence).  Round-4 rotation (VERDICT r03
-# items 1-3): (1) the 15 queries never driver-checked — queued at 51+
-# in round 3 — including the two whose oracles carried the latent
-# HUGEINT dtype bug, now fixed; (2) the 10 round-3 red rows, all one
-# root cause (oracle sum(CASE)/count_if → DuckDB HUGEINT → pandas
-# float64 vs Spark int64), fixed by CAST(... AS BIGINT) and re-proven
-# by the now-driver-faithful tools/check_oracle.py (pandas-dtype
-# comparison; the old fetchall() path erased exactly this failure
-# mode); (3) queries added this round; (4) the oldest-verified
-# (r1-only) queries as regression guards in the remaining slots.
+# (CORRECTNESS_r01-r04 evidence).  Round-5 rotation (VERDICT r04 items
+# 1 and 5): CORRECTNESS_r04 was 50/50 green with zero reds, so this
+# round's budget goes to (1) queries whose PLAN changed this round
+# (peak_concurrent_sessions — sweep migrated to the global_cumsum
+# distributed prefix sum), (2) round-5 additions (capped ≤5 per
+# VERDICT item 5), (3) ALL 37 queries whose only driver check is
+# round 1 — four rounds of refactors stale — then (4) the
+# oldest-of-the-rest (round-2-checked) queries as fillers in any
+# remaining slots.  1+2+3 ≤ 50, so after this round no registered
+# query's latest driver check is older than round 2.
 
 
 def entry(spark: SparkSession) -> DataFrame:
@@ -47,68 +47,33 @@ def entry(spark: SparkSession) -> DataFrame:
     return QUERIES["ref_sales_summary"](spark, SMOKE_SF_DIR)
 
 
-# Never driver-checked: round-3's 51+ queue.  Includes the two
-# latent HUGEINT-oracle carriers (record_linkage_scores,
-# gap_fill_forward — CAST AS BIGINT applied this round) and the two
-# ADVICE-hardened plans (triangle_count_parts nullif wedge guard,
-# conversion_latency_percentiles empty-case left join).
-NEVER_CHECKED = [
-    "pagerank_part_graph", "record_linkage_scores",
-    "score_quantile_normalize", "incremental_agg_maintenance",
-    "triangle_count_parts", "dq_expectation_suite",
-    "snapshot_diff", "daily_value_percentiles",
-    "pattern_three_rising", "higher_order_array_ops",
-    "winsorized_stats", "gap_fill_forward", "udtf_keyvalue_explode",
-    "conversion_latency_percentiles", "vwap_monthly",
-]
+# Round-4 red rows: NONE (CORRECTNESS_r04 was 50/50 green).
+R04_RED: list[str] = []
 
-# Round-3 red rows — all a single root cause (oracle HUGEINT →
-# pandas float64 vs Spark int64 under the driver's value hash; values
-# were verified numerically identical).  Oracles now CAST to BIGINT;
-# the pandas-dtype-faithful tools/check_oracle.py reproduces the old
-# failure and passes the fix.  A red row is a red row until the
-# driver re-verifies.
-R03_RED = [
-    "boolean_aggregates", "zscore_outlier_events", "document_pipeline",
-    "boilerplate_ngram_stats", "passage_dedup_stats",
-    "training_split_summary", "sequence_packing",
-    "quality_percentile_filter", "oov_rate_by_source", "debounce_events",
+# Queries whose Spark plan CHANGED this round — green in r04 but the
+# code they exercised no longer exists, so they must be re-proven.
+CHANGED_THIS_ROUND = [
+    # sweep migrated from a single-partition global window to the
+    # agg.global_cumsum range-partitioned prefix sum (VERDICT r04
+    # item 2); oracle SQL untouched
+    "peak_concurrent_sessions",
 ]
 
 # Queries ADDED this round (locally strict-oracle-green under the
-# driver-faithful pandas comparison).  Appended as they land.
-NEW_THIS_ROUND: list[str] = [
-    "sessionized_funnel_rates",
-    "near_dup_cluster_canonical",
-    "rolling_7d_user_value",
-    "cross_split_contamination",
-    "contingency_expected_cells",
-    "rolling_distinct_users_7d",
-    "user_retention_cohorts",
-    "top_event_paths",
-    "exact_jaccard_prefix_join",
-    "embedding_gram_matrix",
-    "recursive_reachability_bfs",
-    "zorder_layout_profile",
-    "bag_semantics_set_ops",
-    "countmin_heavy_hitters",
-    "recency_decayed_user_value",
-    "cusum_changepoint_daily",
-    "peak_concurrent_sessions",
-    "image_ahash_fingerprints",
-]
+# driver-faithful pandas comparison).  Capped at 5 (VERDICT r04
+# item 5: consolidate, don't grow the refresh cycle).
+NEW_THIS_ROUND: list[str] = []
 
-# Remaining budget: regression guards, oldest-first — queries whose
-# only driver check was round 1 (44 such; the first 50-|above| fill
-# this round's slots, the rest rotate forward next round).
+# The 37 queries whose ONLY driver check is round 1 (recomputed from
+# CORRECTNESS_r01-r04: latest-check round == 1).  All inside this
+# round's 50-slot budget — after r5 no query's coverage is older than
+# round 2.
 OLDEST_R1 = [
-    "ref_sales_summary", "ref_dedup_keep_last", "ref_upsert",
-    "ref_validate_counts", "ref_date_format", "ref_union",
-    "q1_pricing_summary", "q3_shipping_priority",
-    "q5_local_supplier_volume", "q6_revenue_forecast",
-    "join_region_rollup", "semi_join_active_customers",
-    "anti_join_inactive_customers", "window_top_orders_per_cust",
-    "window_running_total", "agg_rollup_returns", "event_daily_agg",
+    "q3_shipping_priority", "q5_local_supplier_volume",
+    "q6_revenue_forecast", "join_region_rollup",
+    "semi_join_active_customers", "anti_join_inactive_customers",
+    "window_top_orders_per_cust", "window_running_total",
+    "agg_rollup_returns", "event_daily_agg",
     "text_quality", "text_tokens", "text_lang_id", "text_fingerprint",
     "dedup_exact_docs", "ngram_jaccard_adjacent",
     "similarity_topk_bruteforce", "dedup_embedding_cosine",
@@ -123,29 +88,57 @@ OLDEST_R1 = [
     "window_moving_avg_range", "top_terms",
 ]
 
+# Remaining budget: fillers, oldest-first — queries whose latest
+# driver check is round 2 (42 such; the first 50-|above| fill this
+# round's slots, the rest rotate forward next round).
+OLDEST_R2 = [
+    "stateful_user_totals", "dedup_connected_components",
+    "similarity_topk_ivf", "argmin_supplier_per_nation",
+    "sliding_window_event_rate", "salted_join_parity",
+    "grouping_sets_region_channel", "variant_props_banded",
+    "scd2_customer_segments", "stream_stream_attribution",
+    "unpivot_status_totals", "profile_lineitem_stats",
+    "histogram_order_values", "pmi_bigrams", "nullsafe_join_segments",
+    "daily_revenue_dense", "try_functions_safety",
+    "shuffle_export_shards", "disjunctive_promo_revenue",
+    "funnel_stages", "regression_per_flag", "chunk_documents_fixed",
+    "llm_data_pipeline", "global_row_numbering",
+    "weighted_sample_docs", "shipping_delay_stats",
+    "ratio_to_report_lang_share", "order_history_features",
+    "key_skew_profile", "fuzzy_dedup_pipeline", "nth_order_values",
+    "monthly_revenue_growth", "order_interarrival_stats",
+    "price_quartile_stats", "cohort_retention", "rfm_segmentation",
+    "referential_integrity_audit", "order_reconciliation",
+    "bounded_rows_moving_avg", "higher_moments_profile",
+    "event_seasonality_profile", "pareto_abc_customers",
+]
 
-# ROUND-5 ROTATION PLAN (for the next context): this round's 50 slots
-# are NEVER_CHECKED(15) + R03_RED(10) + NEW_THIS_ROUND(18) + the first
-# 7 OLDEST_R1 fillers.  If CORRECTNESS_r04 comes back green,
-# cumulative driver coverage is 169/169 registered.  Next round: move
-# the REMAINING 37 OLDEST_R1 entries (positions 8+ of the list below)
-# to the front — they will then be the only queries whose last driver
-# check is round 1 — plus any round-4 red rows first and round-5
-# additions.  Keep must-check <= 50 (tests/test_plans.py asserts it).
+
+# ROUND-6 ROTATION PLAN (for the next context): this round's 50 slots
+# are R04_RED(0) + CHANGED(1) + NEW(|new|) + OLDEST_R1(37) + the first
+# 50-38-|new| OLDEST_R2 fillers.  If CORRECTNESS_r05 comes back green,
+# no query's latest check is older than round 2.  Next round: front
+# any r5 reds, then plan-changed queries, then r6 additions, then the
+# REMAINING OLDEST_R2 entries (the ones past this round's filler
+# cut), then the round-3-checked queries as they age.  Keep
+# must-check <= 50 (tests/test_plans.py asserts it).
 
 
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     """One entry per implemented operator from SURVEY.md §2.
 
     Ordered so the driver's budgeted (50-entry, dict-ordered)
-    verification spends its budget where it matters: (1) the 15
-    never-driver-checked queries, (2) the 10 round-3 dtype-red rows,
-    now fixed, (3) queries added this round, (4) oldest-verified
-    regression guards.  1+2+3 < 50, so every unverified, red, or new
-    gate is inside this round's budget (asserted by
-    tests/test_plans.py's rotation guard).
+    verification spends its budget where it matters: (1) round-4 red
+    rows (none), (2) queries whose plan changed this round, (3)
+    round-5 additions, (4) the 37 queries last driver-checked in
+    round 1, (5) round-2-checked fillers.  1+2+3+4 <= 50, so every
+    red, changed, new, or stale-since-r1 gate is inside this round's
+    budget (asserted by tests/test_plans.py's rotation guard).
     """
-    explicit = NEVER_CHECKED + R03_RED + NEW_THIS_ROUND + OLDEST_R1
+    explicit = (
+        R04_RED + CHANGED_THIS_ROUND + NEW_THIS_ROUND + OLDEST_R1
+        + OLDEST_R2
+    )
 
     def bucket(name: str) -> tuple:
         if name in explicit:

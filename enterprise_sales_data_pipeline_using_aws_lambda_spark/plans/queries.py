@@ -8075,11 +8075,13 @@ def peak_concurrent_sessions(spark: SparkSession, sf_dir: str) -> DataFrame:
     the maximum overlap and its first instant.  The (t, delta) tie
     rule sorts a -1 before a +1 at the same instant, so sessions
     touching end-to-start never double-count.  Exact integer epoch-µs
-    throughout.  The sweep's global window runs over 2·|sessions| rows
-    (already aggregated — never event-sized); at larger scale the
-    same sweep range-partitions by time with per-partition offsets,
-    exactly the distributed-prefix-sum shape operators.agg.global_cumsum
-    implements."""
+    throughout.  The sweep runs through operators.agg.global_cumsum —
+    range-partitioned local sorts on (t, delta) plus a P-row offset
+    frame — so the 2·|sessions| boundary frame (which grows linearly
+    with users×activity) never funnels through one task: no
+    single-partition window anywhere in the plan."""
+    from ..operators.agg import global_cumsum
+
     gap_us = 30 * 60 * 1_000_000
     ev = _t(spark, sf_dir, "events").select(
         "user_id", F.unix_micros("ts").alias("us")
@@ -8105,12 +8107,11 @@ def peak_concurrent_sessions(spark: SparkSession, sf_dir: str) -> DataFrame:
     ).unionAll(
         sess.select(F.col("end_us").alias("t"), F.lit(-1).alias("delta"))
     )
-    # global sweep over 2·|sessions| rows — session-sized, justified in
-    # the plan-guard allowlist like the other bounded global windows
-    ws = Window.orderBy("t", "delta").rowsBetween(
-        Window.unboundedPreceding, Window.currentRow
+    # distributed sweep: the (t, delta) range key preserves the
+    # -1-before-+1 tie rule inside each range partition's local sort
+    swept = global_cumsum(
+        pts, [F.asc("t"), F.asc("delta")], "delta", out_col="live"
     )
-    swept = pts.withColumn("live", F.sum("delta").over(ws))
     peak = swept.agg(F.max("live").alias("peak"))
     return (
         swept.crossJoin(F.broadcast(peak))

@@ -37,11 +37,9 @@ ALLOWED_GLOBAL_WINDOWS = {
     "conversion_latency_percentiles": (
         "partition-count offset frame (exact_percentiles, global group)"
     ),
-    # sweep-line over session boundary points: 2·|sessions| rows (the
-    # events are already aggregated into sessions before the sweep);
-    # at larger scale the same sweep range-partitions by time with
-    # per-partition offsets (the global_cumsum shape)
-    "peak_concurrent_sessions": "session-boundary sweep (2·|sessions|)",
+    # r5: the session-boundary sweep itself is now range-partitioned
+    # via global_cumsum; only the P-row offset frame remains global
+    "peak_concurrent_sessions": "partition-count offset frame (global_cumsum)",
 }
 
 SF_DIR = "/root/testdata/sf0.001"

@@ -125,8 +125,8 @@ def test_rotation_and_bench_integrity():
     qs = entry.queries()
     names = list(qs)
     explicit = (
-        entry.NEVER_CHECKED + entry.R03_RED + entry.NEW_THIS_ROUND
-        + entry.OLDEST_R1
+        entry.R04_RED + entry.CHANGED_THIS_ROUND + entry.NEW_THIS_ROUND
+        + entry.OLDEST_R1 + entry.OLDEST_R2
     )
     assert len(explicit) == len(set(explicit)), "duplicate rotation entry"
     missing = [n for n in explicit if n not in qs]
@@ -134,10 +134,11 @@ def test_rotation_and_bench_integrity():
     assert names[: len(explicit)] == explicit, (
         "explicit rotation block must lead queries() exactly"
     )
-    # Unverified/red/new must fit the 50-slot budget; OLDEST_R1 is the
-    # regression filler that may spill past 50 into next round.
+    # Red/changed/new/r1-stale must fit the 50-slot budget; OLDEST_R2
+    # is the regression filler that may spill past 50 into next round.
     must_check = (
-        entry.NEVER_CHECKED + entry.R03_RED + entry.NEW_THIS_ROUND
+        entry.R04_RED + entry.CHANGED_THIS_ROUND + entry.NEW_THIS_ROUND
+        + entry.OLDEST_R1
     )
     assert len(must_check) <= 50, "must-check block exceeds driver budget"
     bad = [n for n in bench.HEADLINE if n not in qs]
