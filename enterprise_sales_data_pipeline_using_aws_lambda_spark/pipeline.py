@@ -221,11 +221,19 @@ def reprocess_quarantine(
     """
     from dataclasses import replace
 
+    from pyspark.errors import AnalysisException
+
     try:
         df = spark.read.parquet(cfg.quarantine_dir)
-    except Exception:
-        # missing dir / empty dir with no parquet footers → nothing
-        # quarantined → noop
+    except AnalysisException as e:
+        # ONLY the nothing-quarantined cases are a noop: missing dir
+        # (PATH_NOT_FOUND) or a dir with no parquet footers
+        # (UNABLE_TO_INFER_SCHEMA).  Anything else — corrupt footers,
+        # permissions, transient store faults — must propagate: a
+        # broken quarantine store is a failure, not a clean no-op.
+        cond = getattr(e, "getCondition", lambda: None)() or ""
+        if cond not in ("PATH_NOT_FOUND", "UNABLE_TO_INFER_SCHEMA"):
+            raise
         return {
             "status": "noop",
             "file": f"requeue-{quarantine_batch_id or 'all'}",

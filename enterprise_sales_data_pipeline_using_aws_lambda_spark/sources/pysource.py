@@ -32,6 +32,14 @@ Registration is per-session::
 Scale note: ``partitions()`` lists the directory on the driver (names
 only — O(files) strings, the same metadata cost as any file source);
 row parsing happens in executors via the Arrow batch channel.
+
+Filesystem contract: this connector lists with ``os.listdir`` and reads
+with ``open``, so the feed directory must be a POSIX path visible to
+BOTH the driver (listing) and every executor (reads) — a local path in
+local mode, or a shared mount (NFS/FUSE) on a cluster.  Remote-scheme
+URIs (``s3a://``, ``hdfs://``, ...) are rejected at construction
+rather than failing obscurely inside executors; route object-store
+feeds through ``sources.readers`` (Spark's Hadoop-FS readers) instead.
 """
 
 from __future__ import annotations
@@ -77,7 +85,17 @@ class SalesFeedReader(DataSourceReader):
         path = options.get("path")
         if not path:
             raise ValueError("sales_feed requires .option('path', dir)")
-        self.path = path
+        # POSIX-only contract (module docstring): os.listdir/open need a
+        # driver+executor-shared local view; fail fast on remote URIs
+        # instead of surfacing FileNotFoundError inside executors.
+        scheme = path.split("://", 1)[0] if "://" in path else ""
+        if scheme and scheme != "file":
+            raise ValueError(
+                f"sales_feed reads via the local filesystem; got scheme "
+                f"{scheme!r}. Use sources.readers (Hadoop FS) for "
+                f"object-store/HDFS feeds, or mount the feed locally."
+            )
+        self.path = path[len("file://"):] if scheme == "file" else path
         self.schema = schema
         # strict=false skips unsupported suffixes instead of raising —
         # the pipeline's quarantine-not-crash posture, per file.
@@ -160,29 +178,51 @@ class SalesFeedStreamReader(DataSourceStreamReader):
     event-driven model (an object ARRIVES, a batch runs; reference
     ``lambda.py:39-57``) as a Spark structured-streaming source.
 
-    Offsets: by default the sorted list of files already ingested —
-    correct for ARBITRARY file names (a late file sorting anywhere is
+    Offsets: by default the CUMULATIVE sorted list of files ever seen —
+    the union of every committed offset and every listing, so a
+    processed file that is later deleted stays in the offset (its name
+    can never be recycled into a re-ingest) and offsets never shrink.
+    Correct for ARBITRARY file names (a late file sorting anywhere is
     still picked up), at O(files-seen) offset size; each micro-batch
-    plans one ``InputPartition`` per NEW file and reuses the batch
-    reader's per-file parser in executors.  For long-lived feeds whose
-    file names are MONOTONIC (timestamped names — the common feed
-    convention), ``.option("monotonic", "true")`` switches to an O(1)
-    high-watermark offset (``{"hwm": <last name>}``): checkpoint
-    entries stay constant-size forever, at the cost that a file
-    sorting below the watermark is (correctly, per the contract)
-    ignored.  The watermark is MONOTONE: the reader folds committed
-    start offsets and prior listings into an instance-level floor, so
-    a momentarily-empty directory (rotation, cleanup) can never
-    regress it and re-ingest restored older files.
+    plans one ``InputPartition`` per NEW file (set difference
+    ``end − start`` — frozen by the offsets themselves, so replaying a
+    committed range plans exactly the original file set) and reuses
+    the batch reader's per-file parser in executors.  For long-lived
+    feeds whose file names are MONOTONIC (timestamped names — the
+    common feed convention), ``.option("monotonic", "true")`` switches
+    to an O(1) high-watermark offset (``{"hwm": <last name>}``):
+    checkpoint entries stay constant-size forever, at the cost that a
+    file sorting below the watermark is (correctly, per the contract)
+    ignored.
+
+    Monotonic watermark regression safety.  Within one reader instance
+    the emitted watermark is a MONOTONE fold over committed start
+    offsets, planned ranges, and listings, and an empty listing
+    returns the current floor — a momentarily-empty directory
+    (rotation, cleanup) mid-run can never regress it.  Across a
+    RESTART there is one unavoidable API hole: Spark restores the
+    checkpointed offset but never hands it to the source before the
+    first ``latestOffset`` call, so a fresh instance facing an empty
+    listing emits ``{"hwm": ""}`` — below the checkpointed truth —
+    and Spark may commit that regressed offset.  The reader contains
+    the damage so no file is ever re-ingested: ``partitions`` clamps a
+    regressed range (``end < start``) to an empty batch while folding
+    the true start into the floor, and a later batch whose START
+    regresses below the floor (the committed regressed offset coming
+    back as ``start``) is clamped up to the floor — distinguished
+    from a legitimate task-retry replay, which re-plans its original
+    range faithfully, by the instance's planned-range memory.
 
     Replay contracts differ by mode.  Full-list offsets freeze the
-    exact file set: replaying a committed range re-reads the same
-    files.  Monotonic mode derives a committed range's file set by
-    re-listing ``(lo, hi]`` — deterministic ONLY under its naming
-    contract (names are assigned monotonically and files persist until
-    processed; a late file named inside an already-committed range, or
-    a deletion before replay, changes the replayed batch — the same
-    caveat as any watermark-based file source).
+    exact file set; a file deleted between processing and a replay
+    makes the replay fail on open (the data is gone — failure is the
+    honest outcome).  Monotonic mode derives a committed range's file
+    set by re-listing ``(lo, hi]`` — deterministic ONLY under its
+    naming contract (names are assigned monotonically and files
+    persist until processed; a late file named inside an
+    already-committed range, or a deletion before replay, changes the
+    replayed batch — the same caveat as any watermark-based file
+    source).
 
     Unsupported-suffix files are ALWAYS skipped here regardless of
     ``strict``: a planning-time error inside ``latestOffset`` would
@@ -197,9 +237,23 @@ class SalesFeedStreamReader(DataSourceStreamReader):
         self._monotonic = (
             str(options.get("monotonic", "false")).lower() == "true"
         )
-        # monotone floor for the high watermark: never regresses, even
-        # when the directory is momentarily empty
+        # monotone EMISSION floor for the high watermark (max of all
+        # listings and offsets seen): never regresses, even when the
+        # directory is momentarily empty
         self._hwm = ""
+        # floor learned from OFFSETS ONLY (start/end values Spark hands
+        # to partitions()) — the checkpointed truth.  Kept separate
+        # from _hwm: a listing may run ahead of the first planned
+        # batch, and clamping against it would wrongly empty a fresh
+        # stream's first batch.
+        self._offset_floor = ""
+        # ranges this instance has planned, lo → hi: lets partitions()
+        # tell a task-retry replay (faithful re-plan) apart from a
+        # start offset poisoned by the restart hole (clamped up)
+        self._planned: dict[str, str] = {}
+        # full-list mode: cumulative union of every file name seen in
+        # offsets or listings — offsets must never shrink
+        self._seen_files: set[str] = set()
 
     def initialOffset(self):
         if self._monotonic:
@@ -211,22 +265,41 @@ class SalesFeedStreamReader(DataSourceStreamReader):
         if self._monotonic:
             if names:
                 self._hwm = max(self._hwm, names[-1])
+            # empty listing → current floor, never a regression
             return {"hwm": self._hwm}
-        return {"files": names}
+        self._seen_files.update(names)
+        return {"files": sorted(self._seen_files)}
 
     def partitions(self, start, end):
         if self._monotonic:
             lo, hi = start.get("hwm", ""), end.get("hwm", "")
-            # fold the committed start into the floor: after a restart
-            # the instance floor is empty but `start` carries the
-            # checkpointed truth
-            self._hwm = max(self._hwm, lo)
+            if lo < self._offset_floor and lo not in self._planned:
+                # start below every offset this instance has seen, and
+                # not a replay of a range we planned: the checkpointed
+                # start was poisoned by a regressed emission (restart
+                # hole, class docstring).  Clamp to the offset floor so
+                # the already-ingested (≤ floor) files are not re-read.
+                lo = self._offset_floor
+            # fold the committed range into both floors: after a
+            # restart the instance floors are empty but `start` carries
+            # the checkpointed truth
+            self._offset_floor = max(self._offset_floor, lo, hi)
+            self._hwm = max(self._hwm, lo, hi)
+            self._planned[lo] = hi
+            # bounded memory: the engine only ever replays recent
+            # batches, so remembering the last 64 ranges suffices
+            while len(self._planned) > 64:
+                self._planned.pop(next(iter(self._planned)))
+            # a regressed end (restart hole) plans an empty batch
+            # rather than a nonsensical inverted range
+            hi = max(lo, hi)
             new = sorted(
                 p.value
                 for p in self._batch.partitions()
                 if lo < p.value <= hi
             )
         else:
+            self._seen_files.update(end["files"])
             new = sorted(set(end["files"]) - set(start["files"]))
         return [InputPartition(f) for f in new]
 

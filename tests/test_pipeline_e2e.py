@@ -298,3 +298,80 @@ def test_reprocess_all_collapses_redrive_copies(spark, cfg, tmp_path):
     assert r1["status"] == "failed" and r1["n_requeued"] == 500
     r2 = reprocess_quarantine(spark, cfg)
     assert r2["status"] == "failed" and r2["n_requeued"] == 500
+
+
+@needs_sample
+def test_reprocess_quarantine_crash_mid_redrive_converges(
+    spark, cfg, tmp_path, monkeypatch
+):
+    """Replay safety of the recovery job ITSELF: a re-drive that dies
+    between sink writes (here: after the lake write and the append log,
+    before the sales_tgt upsert lands) must converge when simply
+    re-run — the keyed upsert and the _rq batch ids absorb the partial
+    first attempt.  Only the append-only log shows the double write
+    (documented reference S6 semantics)."""
+    import enterprise_sales_data_pipeline_using_aws_lambda_spark.pipeline as pl
+    from enterprise_sales_data_pipeline_using_aws_lambda_spark.sources.readers import (
+        read_sales,
+    )
+    from enterprise_sales_data_pipeline_using_aws_lambda_spark.sources.writers import (
+        write_quarantine,
+    )
+
+    # fixed rows sitting in quarantine after an upstream fix
+    write_quarantine(
+        read_sales(spark, SAMPLE_CSV), cfg.quarantine_dir,
+        "historic failure", SAMPLE_CSV, "b_fix",
+    )
+
+    # crash injection: the 2nd serving write of the re-drive is the
+    # sales_tgt overwrite — kill there (lake + append log already on
+    # disk, serving upsert is not)
+    real_write = pl.write_serving_table
+    calls = {"n": 0}
+
+    def dying_write(df, *a, **kw):
+        calls["n"] += 1
+        if calls["n"] == 2:
+            raise RuntimeError("simulated crash mid-re-drive")
+        return real_write(df, *a, **kw)
+
+    monkeypatch.setattr(pl, "write_serving_table", dying_write)
+    r1 = pl.reprocess_quarantine(spark, cfg, "b_fix")
+    assert r1["status"] == "failed" and "simulated crash" in r1["error"]
+    # partial state: append log written, serving target absent
+    assert spark.read.parquet(f"{cfg.warehouse_dir}/sales").count() == 500
+    assert not os.path.exists(f"{cfg.warehouse_dir}/sales_tgt")
+    monkeypatch.setattr(pl, "write_serving_table", real_write)
+
+    # plain re-run converges: full serving state, no duplicate keys
+    r2 = pl.reprocess_quarantine(spark, cfg, "b_fix")
+    assert r2["status"] == "success" and r2["n_requeued"] == 500
+    tgt = spark.read.parquet(f"{cfg.warehouse_dir}/sales_tgt")
+    assert tgt.count() == 500
+    assert tgt.select("uuid").distinct().count() == 500
+    assert spark.read.parquet(f"{cfg.warehouse_dir}/sales_summary").count() > 0
+    # only the append-only log records both attempts
+    assert spark.read.parquet(f"{cfg.warehouse_dir}/sales").count() == 1000
+    # original quarantine rows remain for audit, and a third run is a
+    # serving no-op
+    assert spark.read.parquet(cfg.quarantine_dir).count() == 500
+    r3 = pl.reprocess_quarantine(spark, cfg, "b_fix")
+    assert r3["status"] == "success"
+    assert spark.read.parquet(f"{cfg.warehouse_dir}/sales_tgt").count() == 500
+
+
+def test_reprocess_quarantine_broken_store_raises(spark, cfg):
+    """A BROKEN quarantine store must fail the recovery job, not report
+    a clean noop: only path-missing / no-footers map to noop."""
+    import os
+
+    from enterprise_sales_data_pipeline_using_aws_lambda_spark.pipeline import (
+        reprocess_quarantine,
+    )
+
+    os.makedirs(cfg.quarantine_dir, exist_ok=True)
+    with open(os.path.join(cfg.quarantine_dir, "part-0.parquet"), "wb") as fh:
+        fh.write(b"not a parquet file at all")
+    with pytest.raises(Exception):
+        reprocess_quarantine(spark, cfg)

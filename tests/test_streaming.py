@@ -604,3 +604,132 @@ def test_sales_feed_streaming_skips_foreign_files_and_hwm_offsets(
         q.stop()
     got = {r["uuid"] for r in spark.sql("SELECT * FROM feed_hwm").collect()}
     assert got == {1, 2}
+
+
+def test_sales_feed_hwm_survives_restart_with_regressed_listing(
+    spark, tmp_path
+):
+    """The ADVICE restart hole, end to end: Spark restores a committed
+    watermark but never hands it to a fresh reader before the first
+    latestOffset call, so a restart onto a momentarily-empty directory
+    emits a regressed offset.  The reader must contain the damage —
+    after the file set is restored, nothing already ingested may be
+    re-ingested, and genuinely new files still flow."""
+    from enterprise_sales_data_pipeline_using_aws_lambda_spark.sources.pysource import (
+        SalesFeedStreamReader,
+    )
+    from enterprise_sales_data_pipeline_using_aws_lambda_spark.schema import (
+        sales_ingest_schema,
+    )
+
+    feed = tmp_path / "feed"
+    feed.mkdir()
+    cols = ("uuid,Country,ItemType,SalesChannel,OrderPriority,OrderDate,"
+            "Region,ShipDate,UnitsSold,UnitPrice,UnitCost,TotalRevenue,"
+            "TotalCost,TotalProfit")
+
+    def csv_file(name, uid):
+        (feed / name).write_text(
+            cols + f"\n{uid},DE,Fruit,Online,H,1/2/2024,Europe,"
+            "1/5/2024,10,2.5,1.5,25.0,15.0,10.0\n"
+        )
+
+    opts = {"path": str(feed), "monotonic": "true"}
+    schema = sales_ingest_schema()
+
+    # ---- life 1: ingest f001, f002; the committed offset is f002
+    csv_file("f001.csv", 1)
+    csv_file("f002.csv", 2)
+    r1 = SalesFeedStreamReader(opts, schema)
+    o0 = r1.initialOffset()
+    o1 = r1.latestOffset()
+    assert [p.value for p in r1.partitions(o0, o1)] == [
+        str(feed / "f001.csv"), str(feed / "f002.csv"),
+    ]
+
+    # ---- restart: fresh instance; directory momentarily empty
+    (feed / "f001.csv").unlink()
+    (feed / "f002.csv").unlink()
+    r2 = SalesFeedStreamReader(opts, schema)
+    regressed = r2.latestOffset()
+    assert regressed == {"hwm": ""}  # the unavoidable regressed emission
+    # Spark plans (committed, regressed) — must be an empty batch, and
+    # the reader learns the committed floor from the start offset
+    assert r2.partitions(o1, regressed) == []
+
+    # files restored; a brand-new file also lands
+    csv_file("f001.csv", 1)
+    csv_file("f002.csv", 2)
+    csv_file("f003.csv", 3)
+    o2 = r2.latestOffset()
+    assert o2["hwm"].endswith("f003.csv")
+    # next batch starts from the COMMITTED regressed offset ("") —
+    # without the poisoned-start clamp this would re-ingest f001/f002
+    new = [p.value for p in r2.partitions(regressed, o2)]
+    assert new == [str(feed / "f003.csv")]
+    # and once seen, latestOffset never goes below the floor again,
+    # even if the directory empties once more
+    (feed / "f001.csv").unlink()
+    (feed / "f002.csv").unlink()
+    (feed / "f003.csv").unlink()
+    assert r2.latestOffset()["hwm"].endswith("f003.csv")
+
+
+def test_sales_feed_fulllist_offsets_are_cumulative(spark, tmp_path):
+    """Full-list offsets accumulate every file ever seen: deleting a
+    processed file cannot shrink the offset, and a re-created file with
+    a recycled name is never re-ingested."""
+    from enterprise_sales_data_pipeline_using_aws_lambda_spark.sources.pysource import (
+        SalesFeedStreamReader,
+    )
+    from enterprise_sales_data_pipeline_using_aws_lambda_spark.schema import (
+        sales_ingest_schema,
+    )
+
+    feed = tmp_path / "feed"
+    feed.mkdir()
+    cols = ("uuid,Country,ItemType,SalesChannel,OrderPriority,OrderDate,"
+            "Region,ShipDate,UnitsSold,UnitPrice,UnitCost,TotalRevenue,"
+            "TotalCost,TotalProfit")
+
+    def csv_file(name, uid):
+        (feed / name).write_text(
+            cols + f"\n{uid},DE,Fruit,Online,H,1/2/2024,Europe,"
+            "1/5/2024,10,2.5,1.5,25.0,15.0,10.0\n"
+        )
+
+    rdr = SalesFeedStreamReader({"path": str(feed)}, sales_ingest_schema())
+    csv_file("a.csv", 1)
+    o0 = rdr.initialOffset()
+    o1 = rdr.latestOffset()
+    assert [p.value for p in rdr.partitions(o0, o1)] == [str(feed / "a.csv")]
+
+    # processed file deleted: the offset keeps it (no shrink)
+    (feed / "a.csv").unlink()
+    o2 = rdr.latestOffset()
+    assert o2 == o1
+    assert rdr.partitions(o1, o2) == []
+
+    # recycled name: still in the offset, not re-ingested; new names flow
+    csv_file("a.csv", 99)
+    csv_file("b.csv", 2)
+    o3 = rdr.latestOffset()
+    new = [p.value for p in rdr.partitions(o2, o3)]
+    assert new == [str(feed / "b.csv")]
+
+
+def test_sales_feed_rejects_remote_schemes(spark):
+    """The connector's POSIX contract fails fast at construction for
+    object-store/HDFS URIs instead of erroring inside executors."""
+    import pytest as _pytest
+
+    from enterprise_sales_data_pipeline_using_aws_lambda_spark.sources.pysource import (
+        SalesFeedReader,
+    )
+    from enterprise_sales_data_pipeline_using_aws_lambda_spark.schema import (
+        sales_ingest_schema,
+    )
+
+    for bad in ("s3a://bucket/feed", "hdfs://nn/feed", "s3://b/x"):
+        with _pytest.raises(ValueError, match="local filesystem"):
+            SalesFeedReader({"path": bad}, sales_ingest_schema())
