@@ -163,10 +163,10 @@ def main() -> None:
     region.count()
     region.mapInPandas(lambda it: it, region.schema).count()
 
-    # Two timed runs per query, min reported: the first run pays plan
+    # Min of repeated timed runs per query: the first run pays plan
     # compilation + codegen JIT; the min is the steady-state cost a
     # recurring production job sees.  (Total wall below is the sum of
-    # the per-query minima.)
+    # the per-query minima; see _time for the >2s min-of-3 rule.)
     def _minhash_engine_only(spark_, sf_dir_):
         # The dedup_minhash_lsh GATE folds an exact-Jaccard verify stage
         # (its oracle upgrade); benching the engine path separately
@@ -193,9 +193,17 @@ def main() -> None:
         release_checkpoints,
     )
 
-    def _time(fn) -> float:
-        best = float("inf")
-        for _ in range(2):
+    def _time(fn) -> tuple[float, float, int]:
+        """(min, spread, runs).  Two timed runs; if the best exceeds 2 s
+        a THIRD run is taken: same-code box drift measures ±15-20%, so
+        min-of-2 cannot resolve real sub-20% regressions on the
+        expensive tail (pagerank, decontamination, minhash, triangles)
+        — the >2s club gets one more sample.  Spread = max−min across
+        the runs, reported so round-over-round comparisons can be read
+        against the measured noise."""
+        runs = []
+
+        def one_run():
             t0 = time.perf_counter()
             try:
                 fn(spark, sf_dir).write.format("noop").mode(
@@ -203,28 +211,37 @@ def main() -> None:
                 ).save()
                 # stop the clock BEFORE the release so the measured
                 # time stays comparable with earlier rounds
-                best = min(best, time.perf_counter() - t0)
+                runs.append(time.perf_counter() - t0)
             finally:
                 # localCheckpoint blocks otherwise accumulate across
                 # the suite and the heap/GC pressure taxes later
                 # queries — including after a FAILED lane, hence the
                 # finally
                 release_checkpoints(spark)
-        return round(best, 3)
+
+        one_run()
+        one_run()
+        if min(runs) > 2.0:
+            one_run()
+        return (
+            round(min(runs), 3),
+            round(max(runs) - min(runs), 3),
+            len(runs),
+        )
 
     # Per-query isolation: one broken lane must not cost the round its
     # entire bench line — failures are reported by name and excluded
     # from the total rather than crashing the run.
-    timings, failed = {}, {}
+    timings, spreads, nruns, failed = {}, {}, {}, {}
     for name in HEADLINE:
         try:
-            timings[name] = _time(QUERIES[name])
+            timings[name], spreads[name], nruns[name] = _time(QUERIES[name])
         except Exception as e:  # noqa: BLE001 - report, don't die
             failed[name] = (str(e).splitlines() or ['<no message>'])[0][:200]
     aux = {}
     for name, fn in AUX.items():
         try:
-            aux[name] = _time(fn)
+            aux[name], spreads[name], nruns[name] = _time(fn)
         except Exception as e:  # noqa: BLE001
             failed[name] = (str(e).splitlines() or ['<no message>'])[0][:200]
 
@@ -235,8 +252,11 @@ def main() -> None:
         "unit": "sec",
         "queries": timings,
         "aux": aux,
-        "runs_per_query": 2,
-        "timing": "min-of-2 (steady state)",
+        # max−min across a query's runs: the measured same-code noise
+        # floor a regression claim must clear
+        "spread": spreads,
+        "runs_per_query": nruns,
+        "timing": "min-of-2; min-of-3 when min > 2s (steady state)",
         "sf": float(sf) if sf else sf_dir,
     }
     if failed:

