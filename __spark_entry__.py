@@ -62,7 +62,12 @@ CHANGED_THIS_ROUND = [
 # Queries ADDED this round (locally strict-oracle-green under the
 # driver-faithful pandas comparison).  Capped at 5 (VERDICT r04
 # item 5: consolidate, don't grow the refresh cycle).
-NEW_THIS_ROUND: list[str] = []
+NEW_THIS_ROUND: list[str] = [
+    # audio analog of image_ahash_fingerprints (VERDICT r04 item 5's
+    # named multimodal-parity gap): real WAV decode → 32 integer
+    # energy windows → strict-mean-threshold fingerprint
+    "audio_energy_fingerprints",
+]
 
 # The 37 queries whose ONLY driver check is round 1 (recomputed from
 # CORRECTNESS_r01-r04: latest-check round == 1).  All inside this

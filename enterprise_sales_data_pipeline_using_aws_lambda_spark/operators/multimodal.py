@@ -887,3 +887,71 @@ def ahash_images(media: DataFrame) -> DataFrame:
     return media.select("media_id", "kind", "payload").mapInPandas(
         batch, AHASH_SCHEMA
     )
+
+
+AUDIO_FP_SCHEMA = (
+    "media_id long, sample_rate long, n_samples long, "
+    "afp long, n_bits long"
+)
+
+
+def fingerprint_audio(media: DataFrame, n_frames: int = 32) -> DataFrame:
+    """Energy-profile fingerprint over REAL decoded PCM — the audio
+    analog of :func:`ahash_images` (round-5 multimodal parity): clips
+    whose coarse loudness CONTOUR matches fingerprint identically,
+    surviving container re-muxing and sample-level noise the way aHash
+    survives image re-encoding.
+
+    Per clip (``mapInPandas`` batches): full WAV container decode
+    (:func:`parse_media` — RIFF chunk walk, fmt validation), the PCM
+    byte stream cut into ``n_frames`` windows by integer
+    nearest-neighbour split (``start = f·n div n_frames`` — mirrors
+    aHash's grid sampling, no float frame boundaries), per-window
+    energy ``Σ (s−128)²`` (8-bit unsigned PCM centered — exact
+    integer), and the strict mean threshold ``n_frames·e > Σ e`` —
+    bit ``f`` of ``afp`` is set iff window ``f``'s energy strictly
+    exceeds the mean.  ``n_frames`` must stay ≤ 63 so the fingerprint
+    fits one signed BIGINT.  Downstream dedup is a hash-equality
+    groupBy or banded-hamming join, the same shapes SimHash/aHash
+    feed.  Non-audio rows are ignored."""
+    import pandas as pd
+
+    if not 1 <= n_frames <= 63:
+        raise ValueError("n_frames must be in [1, 63] to fit a BIGINT")
+
+    def batch(frames):
+        for pdf in frames:
+            rows = []
+            for _, r in pdf.iterrows():
+                if r["kind"] != "audio":
+                    continue
+                feats = parse_media(bytes(r["payload"]), with_content=True)
+                pcm = feats["content"]
+                n = len(pcm)
+                if n < n_frames:
+                    continue  # degenerate clip: no stable contour
+                energies = []
+                for f in range(n_frames):
+                    seg = pcm[f * n // n_frames : (f + 1) * n // n_frames]
+                    energies.append(sum((s - 128) * (s - 128) for s in seg))
+                total = sum(energies)
+                fp = nbits = 0
+                for f, e in enumerate(energies):
+                    if n_frames * e > total:
+                        nbits += 1
+                        fp |= 1 << f
+                rows.append(
+                    {
+                        "media_id": int(r["media_id"]),
+                        "sample_rate": feats["sample_rate"],
+                        "n_samples": feats["n_samples"],
+                        "afp": fp,
+                        "n_bits": nbits,
+                    }
+                )
+            if rows:
+                yield pd.DataFrame(rows)
+
+    return media.select("media_id", "kind", "payload").mapInPandas(
+        batch, AUDIO_FP_SCHEMA
+    )

@@ -8178,3 +8178,56 @@ def image_ahash_fingerprints(spark: SparkSession, sf_dir: str) -> DataFrame:
         _t(spark, sf_dir, "documents").select("doc_id")
     )
     return ahash_images(media)
+
+
+@query(
+    "audio_energy_fingerprints",
+    """
+    WITH aud AS (
+        SELECT doc_id,
+               8000 * (1 + doc_id % 2) AS rate,
+               200 + (doc_id * 17) % 300 AS n
+        FROM documents WHERE doc_id % 4 = 1
+    ),
+    en AS (
+        SELECT doc_id, rate, n,
+               [ list_sum([ ((doc_id + i) % 256 - 128)
+                            * ((doc_id + i) % 256 - 128)
+                            FOR i IN range(f * n // 32,
+                                           (f + 1) * n // 32) ])
+                 FOR f IN range(0, 32) ] AS es
+        FROM aud
+    ),
+    tot AS (SELECT *, list_sum(es) AS total FROM en)
+    SELECT doc_id AS media_id,
+           CAST(rate AS BIGINT) AS sample_rate,
+           CAST(n AS BIGINT) AS n_samples,
+           CAST(list_sum([CASE WHEN 32 * es[f + 1] > total
+                               THEN (1::BIGINT << f) ELSE 0 END
+                          FOR f IN range(0, 32)]) AS BIGINT) AS afp,
+           CAST(list_sum([CASE WHEN 32 * x > total THEN 1 ELSE 0 END
+                          FOR x IN es]) AS BIGINT) AS n_bits
+    FROM tot
+    """,
+)
+def audio_energy_fingerprints(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Audio energy-profile fingerprints over REAL decoded PCM
+    (operators.multimodal.fingerprint_audio) — the audio analog of
+    image_ahash_fingerprints, completing multimodal near-dup parity:
+    the corpus's synthesized WAV payloads are container-decoded (RIFF
+    chunk walk + fmt validation) and fingerprinted via 32
+    integer-split energy windows with a strict mean threshold.  The
+    oracle recomputes every window energy arithmetically from the
+    known synthetic content formula ((doc_id + i) mod 256 centered at
+    128, squared), so a fingerprint match proves the ENTIRE decode →
+    window → threshold path byte-exact: one wrong PCM byte, window
+    boundary, or threshold tie flips bits."""
+    from ..operators.multimodal import (
+        fingerprint_audio,
+        media_from_documents,
+    )
+
+    media = media_from_documents(
+        _t(spark, sf_dir, "documents").select("doc_id")
+    )
+    return fingerprint_audio(media)

@@ -385,3 +385,38 @@ def test_ahash_codec_invariance_and_gradient(spark):
     lo = sum(expected_row << (8 * gy) for gy in range(4))
     hi = sum(expected_row << (8 * gy) for gy in range(4))
     assert out[1]["ahash_lo"] == lo and out[1]["ahash_hi"] == hi
+
+
+def test_audio_fingerprint_contour_and_invariance(spark):
+    """The audio analog of the aHash test: a clip whose second half is
+    loud pins the expected bit pattern; the same PCM at a different
+    sample rate (re-muxed container) fingerprints identically (the
+    contour key sees samples, not header bytes); sub-n_frames clips
+    and non-audio kinds are skipped."""
+    from enterprise_sales_data_pipeline_using_aws_lambda_spark.operators.multimodal import (
+        encode_wav,
+        fingerprint_audio,
+    )
+
+    # 320 samples: first half silence (128 = center), second half
+    # full-scale alternation => energy only in windows 16..31
+    pcm = bytes([128] * 160 + [0, 255] * 80)
+    rows = [
+        (1, "audio", encode_wav(8000, pcm)),
+        (2, "audio", encode_wav(16000, pcm)),      # re-muxed rate
+        (3, "audio", encode_wav(8000, bytes([128] * 16))),  # too short
+        (4, "image", b"P6\n1 1\n255\nabc"),        # ignored kind
+    ]
+    df = spark.createDataFrame(
+        rows, "media_id long, kind string, payload binary"
+    )
+    out = {r["media_id"]: r for r in fingerprint_audio(df).collect()}
+    # the 16-sample clip (< 32 windows) and the image row are absent
+    assert set(out) == {1, 2}
+    # loud second half: bits 16..31 set, 16 bits total
+    expected = sum(1 << f for f in range(16, 32))
+    assert out[1]["afp"] == expected and out[1]["n_bits"] == 16
+    assert out[1]["sample_rate"] == 8000 and out[1]["n_samples"] == 320
+    # same samples, different container rate -> same fingerprint
+    assert out[2]["afp"] == out[1]["afp"]
+    assert out[2]["sample_rate"] == 16000
