@@ -67,6 +67,9 @@ NEW_THIS_ROUND: list[str] = [
     # named multimodal-parity gap): real WAV decode → 32 integer
     # energy windows → strict-mean-threshold fingerprint
     "audio_energy_fingerprints",
+    # video leg of the same family: real Y4M decode → per-frame LUMA
+    # aHash (shot-level near-dup key)
+    "video_frame_ahash",
 ]
 
 # The 37 queries whose ONLY driver check is round 1 (recomputed from

@@ -955,3 +955,76 @@ def fingerprint_audio(media: DataFrame, n_frames: int = 32) -> DataFrame:
     return media.select("media_id", "kind", "payload").mapInPandas(
         batch, AUDIO_FP_SCHEMA
     )
+
+
+VIDEO_AHASH_SCHEMA = (
+    "media_id long, frame_idx long, width long, height long, "
+    "fhash_hi long, fhash_lo long, n_bits long"
+)
+
+
+def ahash_video_frames(media: DataFrame) -> DataFrame:
+    """Per-frame perceptual hashes over REAL decoded video — the video
+    leg of the aHash family (image :func:`ahash_images`, audio
+    :func:`fingerprint_audio`): one 64-bit average-hash per frame, the
+    shot-level near-duplicate key (re-encoded or re-muxed footage
+    matches frame-for-frame where byte hashes can't).
+
+    Per clip (``mapInPandas`` batches): full YUV4MPEG2 decode
+    (:func:`parse_media` — header parse + exact frame walk), then per
+    frame the LUMA plane (Y — the first w·h bytes of a C444 frame) is
+    sampled on an 8×8 integer nearest-neighbour grid (``px = gx·w div
+    8``, same rule as aHash) and thresholded against the strict mean
+    (``64·y > Σ y`` — exact integers).  Output is one row per
+    (media_id, frame_idx): downstream video dedup joins per-frame
+    hashes (equality groupBy for exact shot matches, banded hamming
+    for near-matches) and aggregates matches per clip.  Non-video
+    rows are ignored."""
+    import pandas as pd
+
+    def batch(frames):
+        for pdf in frames:
+            rows = []
+            for _, r in pdf.iterrows():
+                if r["kind"] != "video":
+                    continue
+                feats = parse_media(bytes(r["payload"]), with_content=True)
+                w, h = feats["width"], feats["height"]
+                planes = feats["content"]
+                frame_len = feats["content_len"] // feats["n_frames"]
+                for f in range(feats["n_frames"]):
+                    y_plane = planes[
+                        f * frame_len : f * frame_len + w * h
+                    ]
+                    ys = []
+                    for gy in range(8):
+                        py = gy * h // 8
+                        for gx in range(8):
+                            px = gx * w // 8
+                            ys.append(y_plane[py * w + px])
+                    total = sum(ys)
+                    hi = lo = nbits = 0
+                    for b, v in enumerate(ys):
+                        if 64 * v > total:
+                            nbits += 1
+                            if b < 32:
+                                lo |= 1 << b
+                            else:
+                                hi |= 1 << (b - 32)
+                    rows.append(
+                        {
+                            "media_id": int(r["media_id"]),
+                            "frame_idx": f,
+                            "width": w,
+                            "height": h,
+                            "fhash_hi": hi,
+                            "fhash_lo": lo,
+                            "n_bits": nbits,
+                        }
+                    )
+            if rows:
+                yield pd.DataFrame(rows)
+
+    return media.select("media_id", "kind", "payload").mapInPandas(
+        batch, VIDEO_AHASH_SCHEMA
+    )

@@ -8231,3 +8231,59 @@ def audio_energy_fingerprints(spark: SparkSession, sf_dir: str) -> DataFrame:
         _t(spark, sf_dir, "documents").select("doc_id")
     )
     return fingerprint_audio(media)
+
+
+@query(
+    "video_frame_ahash",
+    """
+    WITH vid AS (
+        SELECT doc_id, 4 + doc_id % 4 AS w, 4 + doc_id % 3 AS h,
+               1 + doc_id % 3 AS nf
+        FROM documents WHERE doc_id % 4 = 2
+    ),
+    fr AS (
+        SELECT doc_id, w, h, unnest(range(0, nf)) AS f FROM vid
+    ),
+    lum AS (
+        SELECT doc_id, w, h, f,
+               [ (doc_id + f * 3 * w * h
+                  + ((b // 8) * h // 8) * w
+                  + ((b % 8) * w // 8)) % 256
+                 FOR b IN range(0, 64) ] AS ys
+        FROM fr
+    ),
+    tot AS (SELECT *, list_sum(ys) AS total FROM lum)
+    SELECT doc_id AS media_id,
+           CAST(f AS BIGINT) AS frame_idx,
+           CAST(w AS BIGINT) AS width,
+           CAST(h AS BIGINT) AS height,
+           CAST(list_sum([CASE WHEN 64 * ys[b + 33] > total
+                               THEN (1::BIGINT << b) ELSE 0 END
+                          FOR b IN range(0, 32)]) AS BIGINT) AS fhash_hi,
+           CAST(list_sum([CASE WHEN 64 * ys[b + 1] > total
+                               THEN (1::BIGINT << b) ELSE 0 END
+                          FOR b IN range(0, 32)]) AS BIGINT) AS fhash_lo,
+           CAST(list_sum([CASE WHEN 64 * y > total THEN 1 ELSE 0 END
+                          FOR y IN ys]) AS BIGINT) AS n_bits
+    FROM tot
+    """,
+)
+def video_frame_ahash(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-frame video aHash over REAL decoded YUV4MPEG2
+    (operators.multimodal.ahash_video_frames) — completes the aHash
+    family across image/audio/video: each frame's LUMA plane is
+    grid-sampled 8×8 (integer NN) and mean-thresholded into a 64-bit
+    shot-level near-dup key.  The oracle recomputes every grid sample
+    arithmetically from the synthetic content formula (frame f's Y
+    byte (y,x) = (doc_id + f·3wh + y·w + x) mod 256), so a hash match
+    proves the header parse, frame walk, plane split, NN sampling,
+    and threshold all byte-exact."""
+    from ..operators.multimodal import (
+        ahash_video_frames,
+        media_from_documents,
+    )
+
+    media = media_from_documents(
+        _t(spark, sf_dir, "documents").select("doc_id")
+    )
+    return ahash_video_frames(media)

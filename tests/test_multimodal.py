@@ -420,3 +420,47 @@ def test_audio_fingerprint_contour_and_invariance(spark):
     # same samples, different container rate -> same fingerprint
     assert out[2]["afp"] == out[1]["afp"]
     assert out[2]["sample_rate"] == 16000
+
+
+def test_video_frame_ahash_luma_only_and_pattern(spark):
+    """Per-frame video aHash: a left-dark/right-bright LUMA plane pins
+    the expected bit pattern; chroma (U/V) planes must not affect the
+    hash; every frame of a clip gets its own row; non-video kinds are
+    ignored."""
+    from enterprise_sales_data_pipeline_using_aws_lambda_spark.operators.multimodal import (
+        ahash_video_frames,
+        encode_y4m,
+    )
+
+    w = h = 8
+    y_grad = bytes(
+        (255 if x >= w // 2 else 0) for _ in range(h) for x in range(w)
+    )
+    uv_a = bytes([7] * (2 * w * h))
+    uv_b = bytes([200] * (2 * w * h))
+    dark = bytes([0] * (3 * w * h))
+    rows = [
+        # two frames: gradient then all-dark
+        (1, "video", encode_y4m(w, h, [y_grad + uv_a, dark])),
+        # same luma, different chroma -> same per-frame hashes
+        (2, "video", encode_y4m(w, h, [y_grad + uv_b, dark])),
+        (3, "audio", b"RIFFxxxxWAVE"),  # ignored kind
+    ]
+    df = spark.createDataFrame(
+        rows, "media_id long, kind string, payload binary"
+    )
+    out = {}
+    for r in ahash_video_frames(df).collect():
+        out[(r["media_id"], r["frame_idx"])] = r
+    assert set(out) == {(1, 0), (1, 1), (2, 0), (2, 1)}
+    # right half bright => bits gx>=4 in every grid row, 32 bits set
+    expected_row = sum(1 << gx for gx in range(4, 8))
+    lo = hi = sum(expected_row << (8 * gy) for gy in range(4))
+    r0 = out[(1, 0)]
+    assert (r0["fhash_lo"], r0["fhash_hi"], r0["n_bits"]) == (lo, hi, 32)
+    # all-dark frame: no bit exceeds the mean strictly
+    assert out[(1, 1)]["n_bits"] == 0
+    # chroma-invariant
+    assert (out[(2, 0)]["fhash_lo"], out[(2, 0)]["fhash_hi"]) == (
+        r0["fhash_lo"], r0["fhash_hi"],
+    )
