@@ -267,6 +267,36 @@ def main() -> int:
         + " row",
     )
 
+    # 9b) Sweep-line peak concurrency at fact scale: n/2 synthetic
+    # sessions emit n boundary points (+1/-1); the round-5 migration
+    # runs the ordered running sum through global_cumsum, so the sweep
+    # must clear fact-sized inputs with no single-partition window —
+    # exactly the 100× case the old global-window shape could not.
+    n_sess = n // 2
+    sess = spark.range(0, n_sess).select(
+        (F.col("id") % 86_400_000).alias("start_us"),
+        (F.col("id") % 86_400_000
+         + 1 + F.pmod(F.xxhash64("id"), 3_600_000)).alias("end_us"),
+    )
+    sweep_pts = sess.select(
+        F.col("start_us").alias("t"), F.lit(1).alias("delta")
+    ).unionAll(
+        sess.select(F.col("end_us").alias("t"), F.lit(-1).alias("delta"))
+    )
+    run(
+        "sweep_peak_concurrency",
+        n_sess * 2,
+        lambda: str(
+            global_cumsum(
+                sweep_pts, [F.asc("t"), F.asc("delta")], "delta",
+                out_col="live",
+            )
+            .agg(F.max("live"))
+            .first()[0]
+        )
+        + " peak",
+    )
+
     # 10) Blocked all-pairs cosine self-join at 20k vectors (4×10^8 pair
     # space, intrinsically quadratic — the point is that it distributes:
     # 136 independent block-pair matmuls, no driver state).  Planted
