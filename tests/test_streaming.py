@@ -733,3 +733,73 @@ def test_sales_feed_rejects_remote_schemes(spark):
     for bad in ("s3a://bucket/feed", "hdfs://nn/feed", "s3://b/x"):
         with _pytest.raises(ValueError, match="local filesystem"):
             SalesFeedReader({"path": bad}, sales_ingest_schema())
+
+
+def test_sales_feed_monotonic_engine_restart_exactly_once(spark, tmp_path):
+    """Engine-level counterpart of the regressed-listing unit test: a
+    monotonic-mode stream restarted from its checkpoint onto a
+    momentarily-EMPTY feed directory (files cleaned up after
+    processing) must not re-ingest restored old files once they come
+    back, while genuinely new files still flow — exactly-once across
+    the restart despite the regressed-offset API hole."""
+    from enterprise_sales_data_pipeline_using_aws_lambda_spark.sources.pysource import (
+        SalesFeedDataSource,
+    )
+
+    feed = tmp_path / "feed"
+    feed.mkdir()
+    out = tmp_path / "out"
+    ckpt = tmp_path / "ckpt"
+    cols = ("uuid,Country,ItemType,SalesChannel,OrderPriority,OrderDate,"
+            "Region,ShipDate,UnitsSold,UnitPrice,UnitCost,TotalRevenue,"
+            "TotalCost,TotalProfit")
+
+    def csv_file(name, uid):
+        (feed / name).write_text(
+            cols + f"\n{uid},DE,Fruit,Online,H,1/2/2024,Europe,"
+            "1/5/2024,10,2.5,1.5,25.0,15.0,10.0\n"
+        )
+
+    spark.dataSource.register(SalesFeedDataSource)
+
+    def start():
+        return (
+            spark.readStream.format("sales_feed")
+            .option("path", str(feed))
+            .option("monotonic", "true")
+            .load()
+            .writeStream.format("parquet")
+            .option("path", str(out))
+            .option("checkpointLocation", str(ckpt))
+            .trigger(processingTime="1 second")
+            .start()
+        )
+
+    # life 1: ingest f001/f002, then the feed is cleaned up
+    csv_file("f001.csv", 1)
+    csv_file("f002.csv", 2)
+    q = start()
+    try:
+        q.processAllAvailable()
+    finally:
+        q.stop()
+    assert {r["uuid"] for r in spark.read.parquet(str(out)).collect()} == {
+        1, 2,
+    }
+    (feed / "f001.csv").unlink()
+    (feed / "f002.csv").unlink()
+
+    # life 2: restart onto the empty directory (the regressed-emission
+    # window), then the old files reappear plus one new file
+    q2 = start()
+    try:
+        q2.processAllAvailable()
+        csv_file("f001.csv", 1)
+        csv_file("f002.csv", 2)
+        csv_file("f003.csv", 3)
+        q2.processAllAvailable()
+    finally:
+        q2.stop()
+    got = [r["uuid"] for r in spark.read.parquet(str(out)).collect()]
+    # f003 ingested once; restored f001/f002 NOT re-ingested
+    assert sorted(got) == [1, 2, 3]
