@@ -219,10 +219,15 @@ def main() -> None:
                 # finally
                 release_checkpoints(spark)
 
+        # A transient failure on a LATER run must not discard samples
+        # already collected — the first run failing is the real signal.
         one_run()
-        one_run()
-        if min(runs) > 2.0:
+        try:
             one_run()
+            if min(runs) > 2.0:
+                one_run()
+        except Exception:  # noqa: BLE001 - keep the good sample(s)
+            pass
         return (
             round(min(runs), 3),
             round(max(runs) - min(runs), 3),

@@ -913,7 +913,10 @@ def fingerprint_audio(media: DataFrame, n_frames: int = 32) -> DataFrame:
     exceeds the mean.  ``n_frames`` must stay ≤ 63 so the fingerprint
     fits one signed BIGINT.  Downstream dedup is a hash-equality
     groupBy or banded-hamming join, the same shapes SimHash/aHash
-    feed.  Non-audio rows are ignored."""
+    feed.  Non-audio rows, sub-``n_frames`` clips, and WAVs that are
+    not 8-bit mono PCM (detected via n_samples ≠ data bytes — other
+    layouts would fingerprint interleaved bytes as samples) are
+    skipped."""
     import pandas as pd
 
     if not 1 <= n_frames <= 63:
@@ -928,6 +931,14 @@ def fingerprint_audio(media: DataFrame, n_frames: int = 32) -> DataFrame:
                 feats = parse_media(bytes(r["payload"]), with_content=True)
                 pcm = feats["content"]
                 n = len(pcm)
+                if feats["n_samples"] != feats["content_len"]:
+                    # the energy loop reads one sample per byte, which
+                    # is only true for 8-bit mono PCM (n_samples ==
+                    # data bytes).  16-bit or multi-channel WAVs parse
+                    # fine but would fingerprint interleaved bytes as
+                    # samples — skip rather than emit a meaningless
+                    # (and falsely "container-invariant") key.
+                    continue
                 if n < n_frames:
                     continue  # degenerate clip: no stable contour
                 energies = []
@@ -991,6 +1002,8 @@ def ahash_video_frames(media: DataFrame) -> DataFrame:
                 feats = parse_media(bytes(r["payload"]), with_content=True)
                 w, h = feats["width"], feats["height"]
                 planes = feats["content"]
+                if feats["n_frames"] == 0:
+                    continue  # header-only clip: nothing to hash
                 frame_len = feats["content_len"] // feats["n_frames"]
                 for f in range(feats["n_frames"]):
                     y_plane = planes[

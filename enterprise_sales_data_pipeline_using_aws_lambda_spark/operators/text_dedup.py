@@ -146,28 +146,18 @@ def minhash_signatures(
     )
 
 
-def lsh_candidate_pairs(
+def lsh_banded(
     signatures: DataFrame,
     id_col: str = "doc_id",
     bands: int = 16,
-    max_bucket: int = 1000,
-    prune_singletons: bool = True,
 ) -> DataFrame:
-    """Candidate pairs (id_a < id_b) sharing ≥1 LSH band.
-
-    Each signature is cut into ``bands`` row-groups; a band's bucket key
-    is one xxhash64 over its slice.  Docs are exploded to one row per
-    band (bands × docs rows of ~24 bytes — the only shuffle), then
-    self-joined per bucket.  ``max_bucket`` drops degenerate buckets
-    (e.g. empty-text clusters) that would create O(b²) pairs.
-
-    ``prune_singletons=False`` disables the singleton-bucket prune
-    (identical output — a singleton can never pair — but the self-join
-    consumes all |docs × bands| rows instead of only colliding ones);
-    exists so ``tools/scale_smoke.py`` can measure the prune's
-    join-input reduction, not for production use."""
+    """(id, band, bucket): each signature cut into ``bands`` row-groups,
+    a band's bucket key one xxhash64 over its slice — the exploded
+    frame :func:`lsh_candidate_pairs` self-joins, exposed so scale
+    instrumentation (``tools/scale_smoke.py``) measures the SAME
+    banding the operator executes rather than a reimplementation."""
     num_hashes_per_band = F.size(F.col("signature")) / bands
-    banded = signatures.select(
+    return signatures.select(
         F.col(id_col),
         F.explode(
             F.transform(
@@ -191,6 +181,29 @@ def lsh_candidate_pairs(
             )
         ).alias("bb"),
     ).select(id_col, "bb.band", "bb.bucket")
+
+
+def lsh_candidate_pairs(
+    signatures: DataFrame,
+    id_col: str = "doc_id",
+    bands: int = 16,
+    max_bucket: int = 1000,
+    prune_singletons: bool = True,
+) -> DataFrame:
+    """Candidate pairs (id_a < id_b) sharing ≥1 LSH band.
+
+    Each signature is cut into ``bands`` row-groups; a band's bucket key
+    is one xxhash64 over its slice.  Docs are exploded to one row per
+    band (bands × docs rows of ~24 bytes — the only shuffle), then
+    self-joined per bucket.  ``max_bucket`` drops degenerate buckets
+    (e.g. empty-text clusters) that would create O(b²) pairs.
+
+    ``prune_singletons=False`` disables the singleton-bucket prune
+    (identical output — a singleton can never pair — but the self-join
+    consumes all |docs × bands| rows instead of only colliding ones);
+    exists so ``tools/scale_smoke.py`` can measure the prune's
+    join-input reduction, not for production use."""
+    banded = lsh_banded(signatures, id_col, bands)
 
     counts = banded.groupBy("band", "bucket").agg(F.count("*").alias("_n"))
     # _n >= 2: a singleton bucket cannot form a pair, and singletons are

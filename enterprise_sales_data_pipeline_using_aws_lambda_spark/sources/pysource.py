@@ -45,9 +45,11 @@ feeds through ``sources.readers`` (Spark's Hadoop-FS readers) instead.
 from __future__ import annotations
 
 import csv
+import hashlib
 import io
 import json
 import os
+from collections import OrderedDict
 
 from pyspark.sql.datasource import (
     DataSource,
@@ -195,23 +197,30 @@ class SalesFeedStreamReader(DataSourceStreamReader):
     file sorting below the watermark is (correctly, per the contract)
     ignored.
 
-    Monotonic watermark regression safety.  Within one reader instance
-    the emitted watermark is a MONOTONE fold over committed start
-    offsets, planned ranges, and listings, and an empty listing
-    returns the current floor — a momentarily-empty directory
-    (rotation, cleanup) mid-run can never regress it.  Across a
-    RESTART there is one unavoidable API hole: Spark restores the
+    Offset regression safety (both modes).  Within one reader instance
+    the emitted offset is a MONOTONE fold over committed start
+    offsets, planned ranges, and listings — a momentarily-empty
+    directory (rotation, cleanup) mid-run can never shrink it.  Across
+    a RESTART there is one unavoidable API hole: Spark restores the
     checkpointed offset but never hands it to the source before the
     first ``latestOffset`` call, so a fresh instance facing an empty
-    listing emits ``{"hwm": ""}`` — below the checkpointed truth —
-    and Spark may commit that regressed offset.  The reader contains
-    the damage so no file is ever re-ingested: ``partitions`` clamps a
-    regressed range (``end < start``) to an empty batch while folding
-    the true start into the floor, and a later batch whose START
-    regresses below the floor (the committed regressed offset coming
-    back as ``start``) is clamped up to the floor — distinguished
-    from a legitimate task-retry replay, which re-plans its original
-    range faithfully, by the instance's planned-range memory.
+    listing emits an empty offset — below the checkpointed truth —
+    and Spark may commit it.  The reader contains the damage within
+    the restarted instance's lifetime, so no file is re-ingested:
+    ``partitions`` plans a regressed range as an empty batch while
+    folding the true start into its floor/seen-set, and a later batch
+    whose START carries the committed regressed offset is corrected
+    against that memory (monotonic: start clamped up to the offset
+    floor; full-list: files already seen in committed starts are
+    subtracted) — distinguished from a legitimate task-retry replay,
+    which re-plans its original range faithfully, by the instance's
+    planned-range memory.  Residual, accepted: if the process dies
+    AGAIN after committing the regressed offset but before any later
+    batch folds the truth back in, the next fresh instance cannot
+    tell the poisoned checkpoint from a genuinely new stream and will
+    re-ingest files still present — closing that needs source-owned
+    durable state, which this connector deliberately does not keep
+    (offsets live in Spark's checkpoint alone).
 
     Replay contracts differ by mode.  Full-list offsets freeze the
     exact file set; a file deleted between processing and a replay
@@ -247,13 +256,19 @@ class SalesFeedStreamReader(DataSourceStreamReader):
         # batch, and clamping against it would wrongly empty a fresh
         # stream's first batch.
         self._offset_floor = ""
-        # ranges this instance has planned, lo → hi: lets partitions()
-        # tell a task-retry replay (faithful re-plan) apart from a
-        # start offset poisoned by the restart hole (clamped up)
-        self._planned: dict[str, str] = {}
+        # plan memory, (lo, hi) range → effective lo after poison
+        # correction: a retry of a planned range re-plans EXACTLY what
+        # was planned first (deterministic), while distinguishing
+        # replays from a start offset poisoned by the restart hole
+        self._planned: OrderedDict = OrderedDict()
         # full-list mode: cumulative union of every file name seen in
         # offsets or listings — offsets must never shrink
         self._seen_files: set[str] = set()
+        # full-list analogs: files named in committed START offsets
+        # (the checkpointed truth — anything here was ingested by a
+        # committed batch), and planned-range → planned-file-set
+        self._committed_files: set[str] = set()
+        self._planned_fl: OrderedDict = OrderedDict()
 
     def initialOffset(self):
         if self._monotonic:
@@ -273,23 +288,34 @@ class SalesFeedStreamReader(DataSourceStreamReader):
     def partitions(self, start, end):
         if self._monotonic:
             lo, hi = start.get("hwm", ""), end.get("hwm", "")
-            if lo < self._offset_floor and lo not in self._planned:
-                # start below every offset this instance has seen, and
-                # not a replay of a range we planned: the checkpointed
-                # start was poisoned by a regressed emission (restart
-                # hole, class docstring).  Clamp to the offset floor so
-                # the already-ingested (≤ floor) files are not re-read.
-                lo = self._offset_floor
+            key = (lo, hi)
+            if key in self._planned:
+                # replay of a range this instance already planned (task
+                # retry / batch re-run): reproduce the first decision
+                lo = self._planned[key]
+            else:
+                if lo < self._offset_floor and hi >= self._offset_floor:
+                    # start below every offset this instance has seen,
+                    # range reaching at-or-past the floor, and not a
+                    # replay: the checkpointed start was poisoned by a
+                    # regressed emission (restart hole, class
+                    # docstring).  Clamp to the offset floor so the
+                    # already-ingested (≤ floor) files are not re-read.
+                    # (A range lying ENTIRELY below the floor is
+                    # instead a replay of an old committed range —
+                    # e.g. one evicted from the plan memory — and
+                    # re-plans faithfully per the replay contract.)
+                    lo = self._offset_floor
+                self._planned[key] = lo
+                # bounded memory: the engine only ever replays recent
+                # batches, so the last 64 ranges suffice
+                while len(self._planned) > 64:
+                    self._planned.popitem(last=False)
             # fold the committed range into both floors: after a
             # restart the instance floors are empty but `start` carries
             # the checkpointed truth
             self._offset_floor = max(self._offset_floor, lo, hi)
             self._hwm = max(self._hwm, lo, hi)
-            self._planned[lo] = hi
-            # bounded memory: the engine only ever replays recent
-            # batches, so remembering the last 64 ranges suffices
-            while len(self._planned) > 64:
-                self._planned.pop(next(iter(self._planned)))
             # a regressed end (restart hole) plans an empty batch
             # rather than a nonsensical inverted range
             hi = max(lo, hi)
@@ -299,8 +325,29 @@ class SalesFeedStreamReader(DataSourceStreamReader):
                 if lo < p.value <= hi
             )
         else:
-            self._seen_files.update(end["files"])
-            new = sorted(set(end["files"]) - set(start["files"]))
+            s_files, e_files = set(start["files"]), set(end["files"])
+            key = hashlib.md5(
+                (",".join(sorted(s_files)) + "|"
+                 + ",".join(sorted(e_files))).encode()
+            ).hexdigest()
+            if key in self._planned_fl:
+                # replay of a planned range: identical file set
+                new = set(self._planned_fl[key])
+            else:
+                # files named in earlier committed starts but missing
+                # from THIS start were ingested by a committed batch
+                # and then dropped by a regressed (shrunk) emission
+                # after a restart — do not re-ingest them
+                new = (e_files - s_files) - self._committed_files
+                self._planned_fl[key] = frozenset(new)
+                while len(self._planned_fl) > 64:
+                    self._planned_fl.popitem(last=False)
+            # fold the committed start into the instance memories: its
+            # files were ingested by a committed batch, and the offset
+            # emission must never drop below them again
+            self._committed_files.update(s_files)
+            self._seen_files.update(s_files, e_files)
+            new = sorted(new)
         return [InputPartition(f) for f in new]
 
     def read(self, partition):

@@ -464,3 +464,39 @@ def test_video_frame_ahash_luma_only_and_pattern(spark):
     assert (out[(2, 0)]["fhash_lo"], out[(2, 0)]["fhash_hi"]) == (
         r0["fhash_lo"], r0["fhash_hi"],
     )
+
+
+def test_fingerprint_skips_nonstandard_pcm_and_headeronly_video(spark):
+    """Degenerate-input policy for the new fingerprint operators: a
+    16-bit WAV (interleaved bytes are not samples) and a header-only
+    Y4M (zero frames) are skipped, not crashed on or mis-keyed."""
+    import struct
+
+    from enterprise_sales_data_pipeline_using_aws_lambda_spark.operators.multimodal import (
+        ahash_video_frames,
+        encode_wav,
+        fingerprint_audio,
+    )
+
+    # valid 16-bit mono WAV: fmt says bits=16, data = 64 samples
+    wav16 = (
+        struct.pack(
+            "<4sI4s4sIHHIIHH4sI",
+            b"RIFF", 36 + 128, b"WAVE", b"fmt ", 16,
+            1, 1, 8000, 16000, 2, 16,
+            b"data", 128,
+        )
+        + bytes(range(128))
+    )
+    header_only_y4m = b"YUV4MPEG2 W4 H4 F25:1 Ip A1:1 C444\n"
+    rows = [
+        (1, "audio", wav16),
+        (2, "audio", encode_wav(8000, bytes([128] * 64))),  # valid 8-bit
+        (3, "video", header_only_y4m),
+    ]
+    df = spark.createDataFrame(
+        rows, "media_id long, kind string, payload binary"
+    )
+    audio = {r["media_id"] for r in fingerprint_audio(df).collect()}
+    assert audio == {2}  # 16-bit clip skipped, 8-bit fingerprinted
+    assert ahash_video_frames(df).collect() == []  # no crash, no rows

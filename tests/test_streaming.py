@@ -803,3 +803,68 @@ def test_sales_feed_monotonic_engine_restart_exactly_once(spark, tmp_path):
     got = [r["uuid"] for r in spark.read.parquet(str(out)).collect()]
     # f003 ingested once; restored f001/f002 NOT re-ingested
     assert sorted(got) == [1, 2, 3]
+
+
+def test_sales_feed_fulllist_restart_shrunk_offset_no_reingest(
+    spark, tmp_path
+):
+    """Full-list counterpart of the monotonic restart hole: a fresh
+    reader listing an empty directory emits a SHRUNK offset; once it
+    is committed, restored files already named in committed starts
+    must not be re-ingested, while new files flow — and a task-retry
+    of any planned range must reproduce its original plan exactly."""
+    from enterprise_sales_data_pipeline_using_aws_lambda_spark.sources.pysource import (
+        SalesFeedStreamReader,
+    )
+    from enterprise_sales_data_pipeline_using_aws_lambda_spark.schema import (
+        sales_ingest_schema,
+    )
+
+    feed = tmp_path / "feed"
+    feed.mkdir()
+    cols = ("uuid,Country,ItemType,SalesChannel,OrderPriority,OrderDate,"
+            "Region,ShipDate,UnitsSold,UnitPrice,UnitCost,TotalRevenue,"
+            "TotalCost,TotalProfit")
+
+    def csv_file(name, uid):
+        (feed / name).write_text(
+            cols + f"\n{uid},DE,Fruit,Online,H,1/2/2024,Europe,"
+            "1/5/2024,10,2.5,1.5,25.0,15.0,10.0\n"
+        )
+
+    schema = sales_ingest_schema()
+    opts = {"path": str(feed)}
+
+    # life 1 commits offset [a, b]; files are then cleaned up
+    csv_file("a.csv", 1)
+    csv_file("b.csv", 2)
+    r1 = SalesFeedStreamReader(opts, schema)
+    o1 = r1.latestOffset()
+    assert [p.value for p in r1.partitions(r1.initialOffset(), o1)] == [
+        str(feed / "a.csv"), str(feed / "b.csv"),
+    ]
+    (feed / "a.csv").unlink()
+    (feed / "b.csv").unlink()
+
+    # restart: fresh reader, empty dir -> shrunk emission
+    r2 = SalesFeedStreamReader(opts, schema)
+    shrunk = r2.latestOffset()
+    assert shrunk == {"files": []}
+    # Spark plans (committed, shrunk): empty batch, reader learns the
+    # committed files from the start offset
+    assert r2.partitions(o1, shrunk) == []
+
+    # files restored + one new file; the shrunk offset was committed,
+    # so the next batch starts from [] — a,b must NOT re-ingest
+    csv_file("a.csv", 1)
+    csv_file("b.csv", 2)
+    csv_file("c.csv", 3)
+    o2 = r2.latestOffset()
+    plan = [p.value for p in r2.partitions(shrunk, o2)]
+    assert plan == [str(feed / "c.csv")]
+    # a task-retry of the corrected batch reproduces the same plan
+    assert [p.value for p in r2.partitions(shrunk, o2)] == plan
+    # and the emitted offset now covers everything seen — no shrink
+    assert set(r2.latestOffset()["files"]) >= {
+        str(feed / "a.csv"), str(feed / "b.csv"), str(feed / "c.csv"),
+    }

@@ -455,6 +455,7 @@ def main() -> int:
     # key → identical signature), isolating the candidate-join stage
     # the prune targets from shingling/minhash cost.
     from enterprise_sales_data_pipeline_using_aws_lambda_spark.operators.text_dedup import (  # noqa: E501
+        lsh_banded,
         lsh_candidate_pairs,
     )
 
@@ -473,30 +474,11 @@ def main() -> int:
         ).alias("signature"),
     )
     # join-input sizes: all banded rows vs only colliding rows — the
-    # exact frame the self-join consumes with the prune on
+    # SAME banded frame the operator self-joins (lsh_banded is the
+    # exact helper lsh_candidate_pairs executes, so this measurement
+    # can never desynchronize from the real bucketing)
     banded_all = nd_lsh * lsh_bands
-    num_hashes_per_band = F.lit(64) / lsh_bands
-    banded = lsh_sigs.select(
-        "doc_id",
-        F.explode(F.sequence(F.lit(0), F.lit(lsh_bands - 1))).alias("band"),
-        "signature",
-    ).select(
-        "doc_id",
-        "band",
-        F.xxhash64(
-            F.concat_ws(
-                ",",
-                F.transform(
-                    F.slice(
-                        F.col("signature"),
-                        (F.col("band") * num_hashes_per_band + 1).cast("int"),
-                        num_hashes_per_band.cast("int"),
-                    ),
-                    lambda v: v.cast("string"),
-                ),
-            )
-        ).alias("bucket"),
-    )
+    banded = lsh_banded(lsh_sigs, bands=lsh_bands)
     colliding = (
         banded.groupBy("band", "bucket")
         .agg(F.count("*").alias("_n"))
