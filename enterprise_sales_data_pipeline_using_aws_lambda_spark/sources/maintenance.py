@@ -98,16 +98,27 @@ def expire_batches(
 
     Batch ids are wall-clock-ordered strings (``%Y%m%d_%H%M%S``,
     ``writers.batch_id_now``), so lexicographic comparison on folder
-    names is time comparison; no file is opened.  Returns the dropped
-    partition names."""
+    names is time comparison; no file is opened.  Partitions whose id
+    does NOT match that shape are SKIPPED, never deleted: lakes fed by
+    ``streaming.stream_sales_ingest`` carry integer micro-batch ids in
+    the same partition column, and comparing those lexicographically
+    against a timestamp would delete fresh data (``'0' < '2026…'``) —
+    retention for integer-id lakes needs its own policy, not this
+    wall-clock one.  Returns the dropped partition names."""
+    import re
+
     from .writers import delete_path
 
+    wallclock = re.compile(r"\d{8}_\d{6}(_\w+)?$")  # incl. _rq suffixes
     dropped = []
     prefix = f"{partition_col}="
     for name in list_partitions(spark, table_dir):
         if not name.startswith(prefix):
             continue
-        if name[len(prefix):] < keep_from_batch_id:
+        bid = name[len(prefix):]
+        if not wallclock.match(bid):
+            continue  # foreign id scheme: refuse to reason about age
+        if bid < keep_from_batch_id:
             delete_path(spark, f"{table_dir}/{name}")
             dropped.append(name)
     return dropped

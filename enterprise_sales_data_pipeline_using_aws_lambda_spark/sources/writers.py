@@ -193,9 +193,16 @@ def compact_lake_partition(
     Per-batch streaming ingest accretes many small parquet files; at
     scale the file-listing and task-scheduling overhead eventually
     dominates scans (the classic small-file problem).  This rewrites the
-    directory into ``target_files`` files via a staging directory and an
-    atomic-rename swap: readers see either the old file set or the new,
-    never a mix.  Returns the number of files before compaction.
+    directory into ``target_files`` files via a staging directory and a
+    two-rename swap.  Each rename is atomic, but the PAIR is not: for
+    the instant between swap-out and swap-in the path does not exist,
+    so a concurrent scan planned in that window fails with
+    path-not-found (and retries fine) — run compaction from a
+    maintenance window, not under live readers.  A crash inside the
+    window strands the data in ``<path>__old``; this function detects
+    and ROLLS BACK that state on the next invocation before
+    compacting, so recovery is re-running it.  Returns the number of
+    files before compaction.
 
     Run per partition directory (e.g. per ingest_batch) from a
     maintenance job; on object stores swap rename-atomicity caveats with
@@ -207,17 +214,29 @@ def compact_lake_partition(
     conf = sc._jsc.hadoopConfiguration()
     src = jvm.org.apache.hadoop.fs.Path(path)
     fs = src.getFileSystem(conf)
+    old = jvm.org.apache.hadoop.fs.Path(path + "__old")
+    staging = jvm.org.apache.hadoop.fs.Path(path + staging_suffix)
+    # crash recovery from a previous run (class of states is closed:
+    # __old only exists between swap-out and the post-swap delete)
+    if fs.exists(old):
+        if fs.exists(src):
+            # crashed after swap-in, before deleting the backup
+            fs.delete(old, True)
+        else:
+            # crashed between swap-out and swap-in: restore the backup
+            if not fs.rename(old, src):
+                raise IOError(f"compaction recovery failed for {path}")
+    if fs.exists(staging):  # stale staging from any crashed attempt
+        fs.delete(staging, True)
     before = len([
         f for f in fs.listStatus(src)
         if f.isFile() and not f.getPath().getName().startswith("_")
     ])
 
     df = spark.read.parquet(path)
-    staging = jvm.org.apache.hadoop.fs.Path(path + staging_suffix)
     df.repartition(target_files).write.mode("overwrite").parquet(
         path + staging_suffix
     )
-    old = jvm.org.apache.hadoop.fs.Path(path + "__old")
     if not fs.rename(src, old):
         raise IOError(f"compaction swap failed for {path}")
     if not fs.rename(staging, src):
@@ -263,6 +282,15 @@ def zorder_key(cols: list[str], bits: int = 16) -> Column:
     higher-order ``aggregate`` over the bit positions: no UDF, fuses
     into the projection before the range shuffle."""
     n = len(cols)
+    if n * bits > 63:
+        # JVM shiftleft masks the distance mod 64: positions ≥ 64 wrap
+        # onto low bits and position 63 flips the sign — the interleave
+        # silently degrades to near-random.  Fail loudly instead.
+        raise ValueError(
+            f"zorder_key needs n_cols*bits <= 63 to fit one signed "
+            f"BIGINT (got {n}*{bits}={n * bits}); lower bits= or "
+            f"cluster fewer columns"
+        )
     parts = []
     for j, c in enumerate(cols):
         v = F.col(c).cast("long")
@@ -330,21 +358,35 @@ def append_log_idempotent(
 ) -> bool:
     """Batch-id-keyed idempotent append (SURVEY §7.5.3): the reference's
     append log double-writes on Lambda retries (at-least-once, no
-    dedup key).  Writing each batch into its own ``ingest_batch=``
-    partition and SKIPPING ids that already exist makes the append
-    at-most-once per batch id — combined with upstream retry, exactly
-    once.  Streaming gets this from checkpoints; this is the batch-mode
-    equivalent.  Returns True if the batch was written, False if it was
-    already present (replay)."""
+    dedup key).  Each batch is written to an underscore-prefixed
+    staging directory (invisible to parquet reads) and then RENAMED
+    into its ``ingest_batch=`` partition — one atomic directory move —
+    so the partition either exists complete or not at all.  A replay
+    that finds the partition present skips; a crash mid-write leaves
+    only staging debris that the next attempt clears and rewrites.
+    Without the staging step, an existence check alone would mistake a
+    partially-committed partition (crash during job commit) for a
+    complete one and permanently drop the missing rows.  Combined with
+    upstream retry: exactly once.  Streaming gets this from
+    checkpoints; this is the batch-mode equivalent.  Returns True if
+    the batch was written, False if it was already present (replay)."""
     sc = spark.sparkContext
-    part = sc._jvm.org.apache.hadoop.fs.Path(f"{path}/ingest_batch={batch_id}")
-    fs = part.getFileSystem(sc._jsc.hadoopConfiguration())
+    jvm = sc._jvm
+    conf = sc._jsc.hadoopConfiguration()
+    root = jvm.org.apache.hadoop.fs.Path(path)
+    part = jvm.org.apache.hadoop.fs.Path(f"{path}/ingest_batch={batch_id}")
+    fs = part.getFileSystem(conf)
     if fs.exists(part):
         return False
-    (
-        df.withColumn("ingest_batch", F.lit(batch_id))
-        .write.mode("append")
-        .partitionBy("ingest_batch")
-        .parquet(path)
+    staging = jvm.org.apache.hadoop.fs.Path(
+        f"{path}/_staging_ingest_batch_{batch_id}"
     )
+    if fs.exists(staging):  # crashed earlier attempt: clear and redo
+        fs.delete(staging, True)
+    df.write.mode("overwrite").parquet(staging.toString())
+    fs.mkdirs(root)
+    if not fs.rename(staging, part):
+        # a concurrent writer committed the same batch id first
+        fs.delete(staging, True)
+        return False
     return True

@@ -4,9 +4,19 @@ The reference's "streaming" is one S3 ``ObjectCreated`` event per file
 under ``raw/`` triggering one Lambda invocation (reference
 ``lambda.py:207-209``, ``README.md:79-89``).  Spark equivalent: a file
 source watching ``raw/`` + ``foreachBatch`` running the same
-validate → lake → upsert → summary dataflow per micro-batch, with
-checkpointing making replays exactly-once at the sink level — fixing the
-reference's at-least-once double-append risk (SURVEY §2.8).
+validate → lake → upsert → summary dataflow per micro-batch — fixing
+the reference's at-least-once double-append risk (SURVEY §2.8).
+
+Sink-level replay safety: foreachBatch is AT-LEAST-ONCE (a batch can
+re-run after its writes land but before the checkpoint commits), so
+checkpointing alone does not make appends exactly-once.  Every append
+sink here is therefore batch-id-keyed through
+``writers.append_log_idempotent`` (staging + atomic rename into an
+``ingest_batch=<epoch>`` partition; replays skip committed partitions),
+and the keyed-overwrite sinks (``sales_tgt`` upsert, summary) are
+idempotent by construction.  The JDBC path keeps plain appends —
+cross-system atomicity needs transactional staging tables out of scope
+here — and is documented at-least-once.
 
 Divergence (documented, SURVEY §7.5.4): a micro-batch may contain many
 files; the reference silently drops all but the first event record.
@@ -28,6 +38,7 @@ from ..operators.validate import (
 from ..pipeline import PipelineConfig
 from ..schema import SALES_DATE_COLUMNS, SALES_DATE_FORMAT, SALES_KEY_COLUMN
 from ..sources.writers import (
+    append_log_idempotent,
     read_serving_table,
     write_serving_table,
 )
@@ -66,47 +77,68 @@ def stream_sales_ingest(
     )
 
     def process_batch(batch_df: DataFrame, batch_id: int) -> None:
-        df = batch_df.drop("_source_file")
-        valid, quarantined = validate_rows(
-            batch_df, row_rules_sales()
-        )
-        quarantined.write.mode("append").parquet(cfg.quarantine_dir)
-
-        casted = valid.drop("_source_file")
-        for c in SALES_DATE_COLUMNS:
-            casted = casted.withColumn(
-                c, F.to_date(F.col(c).cast("string"), SALES_DATE_FORMAT)
+        # One scan of the micro-batch's files feeds five sinks: persist
+        # the batch so validation + casts are not recomputed per action
+        # (the same rework rollup.py's materialize avoids).
+        batch_df.persist()
+        try:
+            valid, quarantined = validate_rows(
+                batch_df, row_rules_sales()
             )
-        casted.withColumn("ingest_batch", F.lit(str(batch_id))).write.mode(
-            "append"
-        ).partitionBy("ingest_batch").parquet(cfg.lake_dir)
+            # batch-id-keyed idempotent appends (module docstring):
+            # replays of a committed micro-batch skip the sink entirely.
+            # Clean batches skip the quarantine write altogether — an
+            # empty partition per batch would pollute the store with
+            # footerless directories.
+            if not quarantined.isEmpty():
+                append_log_idempotent(
+                    spark, quarantined, cfg.quarantine_dir, str(batch_id)
+                )
 
-        serving = casted
-        if cfg.dates_as_strings:
+            casted = valid.drop("_source_file")
             for c in SALES_DATE_COLUMNS:
-                serving = serving.withColumn(c, format_date(c))
-        write_serving_table(
-            serving, cfg.warehouse_dir, "sales", "append",
-            cfg.jdbc_url, cfg.jdbc_properties,
-        )
-        existing = read_serving_table(
-            spark, cfg.warehouse_dir, "sales_tgt",
-            cfg.jdbc_url, cfg.jdbc_properties,
-        )
-        merged = upsert_keep_last(
-            existing, serving, [SALES_KEY_COLUMN], broadcast_keys=True
-        )
-        merged = materialize(merged)
-        write_serving_table(
-            merged, cfg.warehouse_dir, "sales_tgt", "overwrite",
-            cfg.jdbc_url, cfg.jdbc_properties,
-        )
-        summary_src = serving if cfg.summary_scope == "batch" else merged
-        write_serving_table(
-            sales_summary(summary_src), cfg.warehouse_dir,
-            "sales_summary", "overwrite",
-            cfg.jdbc_url, cfg.jdbc_properties,
-        )
+                casted = casted.withColumn(
+                    c, F.to_date(F.col(c).cast("string"), SALES_DATE_FORMAT)
+                )
+            append_log_idempotent(
+                spark, casted, cfg.lake_dir, str(batch_id)
+            )
+
+            serving = casted
+            if cfg.dates_as_strings:
+                for c in SALES_DATE_COLUMNS:
+                    serving = serving.withColumn(c, format_date(c))
+            if cfg.jdbc_url:
+                # JDBC append: at-least-once (module docstring)
+                write_serving_table(
+                    serving, cfg.warehouse_dir, "sales", "append",
+                    cfg.jdbc_url, cfg.jdbc_properties,
+                )
+            else:
+                append_log_idempotent(
+                    spark, serving,
+                    f"{cfg.warehouse_dir}/sales", str(batch_id),
+                )
+            existing = read_serving_table(
+                spark, cfg.warehouse_dir, "sales_tgt",
+                cfg.jdbc_url, cfg.jdbc_properties,
+            )
+            merged = upsert_keep_last(
+                existing, serving, [SALES_KEY_COLUMN], broadcast_keys=True
+            )
+            merged = materialize(merged)
+            write_serving_table(
+                merged, cfg.warehouse_dir, "sales_tgt", "overwrite",
+                cfg.jdbc_url, cfg.jdbc_properties,
+            )
+            summary_src = serving if cfg.summary_scope == "batch" else merged
+            write_serving_table(
+                sales_summary(summary_src), cfg.warehouse_dir,
+                "sales_summary", "overwrite",
+                cfg.jdbc_url, cfg.jdbc_properties,
+            )
+        finally:
+            batch_df.unpersist()
 
     writer = (
         stream.writeStream.foreachBatch(process_batch)

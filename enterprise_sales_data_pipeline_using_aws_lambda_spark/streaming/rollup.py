@@ -65,7 +65,21 @@ def merge_rollup_batch(
     and data living in the same files makes each PARTITION exactly-once.
     A mid-write crash of the (non-atomic) multi-partition dynamic
     overwrite leaves some days updated and some not; the per-day marker
-    makes the replay finish exactly the unfinished days."""
+    makes the replay finish exactly the unfinished days.
+
+    Marker scope: the guard assumes batch ids from ONE stable
+    checkpoint (Spark's epoch ids are monotone within it).  Pointing a
+    FRESH checkpoint at an existing serving table restarts ids at 0
+    below the stored markers — replayed history would re-merge and new
+    low-id batches would be skipped as "replays".  When resetting a
+    checkpoint, reset the serving table (or back it up and rebuild);
+    the ids are not comparable across checkpoints by construction.
+
+    All day-keyed joins below are NULL-SAFE: events with a null
+    timestamp aggregate under day=NULL (hive default partition), and a
+    plain inner join would drop the existing null-day row — the
+    dynamic overwrite would then replace that partition with
+    batch-only partials, silently erasing prior totals."""
     inc = _batch_partials(batch_df)
     bid = -1 if batch_id is None else int(batch_id)
     path = os.path.join(serving_dir, ROLLUP_TABLE)
@@ -77,17 +91,28 @@ def merge_rollup_batch(
     if has_existing:
         if "last_batch_id" not in existing.columns:
             existing = existing.withColumn("last_batch_id", F.lit(-1))
-        affected = inc.select("day").distinct()
-        relevant = existing.join(F.broadcast(affected), "day")
+        affected = inc.select(F.col("day").alias("_aday")).distinct()
+        relevant = existing.join(
+            F.broadcast(affected),
+            existing["day"].eqNullSafe(F.col("_aday")),
+        ).drop("_aday")
         if batch_id is not None:
             done = (
                 relevant.groupBy("day")
                 .agg(F.max("last_batch_id").alias("_b"))
                 .filter(F.col("_b") >= bid)
-                .select("day")
+                .select(F.col("day").alias("_dday"))
             )
-            inc = inc.join(F.broadcast(done), "day", "left_anti")
-            relevant = relevant.join(F.broadcast(done), "day", "left_anti")
+            inc = inc.join(
+                F.broadcast(done),
+                inc["day"].eqNullSafe(F.col("_dday")),
+                "left_anti",
+            )
+            relevant = relevant.join(
+                F.broadcast(done),
+                relevant["day"].eqNullSafe(F.col("_dday")),
+                "left_anti",
+            )
         inc = (
             relevant.select("day", "event_type", "n_events", "total_value")
             .unionByName(inc)

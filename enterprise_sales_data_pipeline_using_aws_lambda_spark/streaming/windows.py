@@ -76,10 +76,18 @@ def session_windows(
 
 
 def stream_dedup(events: DataFrame, delay: str = "1 hour") -> DataFrame:
-    """In-stream exactly-once-per-key dedup: ``dropDuplicates`` on the
-    key with a watermark bounding the dedup state (reference A2's
-    streaming face — SURVEY §2.5)."""
-    return with_watermark(events, delay).dropDuplicates(["event_id"])
+    """In-stream exactly-once-per-key dedup: ``dropDuplicates`` on
+    (key, event time) with a watermark bounding the dedup state
+    (reference A2's streaming face — SURVEY §2.5).
+
+    The event-time column MUST be part of the dedup key: Spark evicts
+    ``dropDuplicates`` state on watermark expiry only when the subset
+    contains the watermark column — keying on ``event_id`` alone would
+    keep one state row per key forever (unbounded state on a
+    high-cardinality stream).  Consequence: retransmissions with a
+    jittered timestamp are distinct here; use
+    :func:`stream_dedup_within_watermark` for those."""
+    return with_watermark(events, delay).dropDuplicates(["event_id", "ts"])
 
 
 def stream_dedup_within_watermark(

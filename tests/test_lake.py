@@ -560,3 +560,89 @@ def test_lake_schema_evolution_mergeschema(spark, tmp_path):
     rows = {r["id"]: r["new_col"] for r in merged.collect()}
     assert rows[0] is None and rows[7] == 14
     assert merged.count() == 10
+
+
+def test_append_log_idempotent_recovers_partial_commit(spark, tmp_path):
+    """A crash mid-write leaves only staging debris (never a partial
+    partition): the retry clears it and commits the full batch."""
+    import os
+
+    from enterprise_sales_data_pipeline_using_aws_lambda_spark.sources.writers import (
+        append_log_idempotent,
+    )
+
+    path = str(tmp_path / "log")
+    df = spark.range(10).selectExpr("id", "id * 2 AS v")
+    # simulate a crashed attempt: staging dir exists, partition absent
+    staging = f"{path}/_staging_ingest_batch_b1"
+    os.makedirs(staging)
+    with open(f"{staging}/part-junk.parquet", "wb") as fh:
+        fh.write(b"partial garbage from the crashed attempt")
+    assert append_log_idempotent(spark, df, path, "b1") is True
+    got = spark.read.parquet(path)
+    assert got.filter("ingest_batch = 'b1'").count() == 10
+    # and the staging debris is gone
+    assert not os.path.exists(staging)
+
+
+def test_expire_batches_skips_foreign_id_schemes(spark, tmp_path):
+    """Retention only reasons about wall-clock batch ids: integer
+    micro-batch partitions (streaming lakes) must never be deleted by
+    a lexicographic comparison against a timestamp."""
+    from enterprise_sales_data_pipeline_using_aws_lambda_spark.sources.maintenance import (
+        expire_batches,
+    )
+
+    path = str(tmp_path / "lake")
+    df = spark.range(5).selectExpr("id", "id * 2 AS v")
+    for bid in ("0", "3", "20250101_000000", "20270101_000000"):
+        df.withColumn("ingest_batch", F.lit(bid)).write.mode(
+            "append"
+        ).partitionBy("ingest_batch").parquet(path)
+    dropped = expire_batches(spark, path, "20260101_000000")
+    assert dropped == ["ingest_batch=20250101_000000"]
+    kept = {
+        r["ingest_batch"]
+        for r in spark.read.parquet(path).select("ingest_batch").distinct().collect()
+    }
+    assert kept == {"0", "3", "20270101_000000"}
+
+
+def test_zorder_key_rejects_overflowing_interleave(spark):
+    """n_cols*bits > 63 would wrap JVM shift distances mod 64 and
+    silently corrupt the clustering key — must raise instead."""
+    import pytest
+
+    from enterprise_sales_data_pipeline_using_aws_lambda_spark.sources.writers import (
+        zorder_key,
+    )
+
+    with pytest.raises(ValueError, match="<= 63"):
+        zorder_key(["a", "b", "c", "d", "e"], bits=16)
+    zorder_key(["a", "b", "c"], bits=21)  # 63: fine
+
+
+def test_compact_recovers_from_crash_between_renames(spark, tmp_path):
+    """A crash between swap-out and swap-in leaves the data stranded in
+    <path>__old with the live path absent; the next compaction run must
+    restore and complete instead of failing at listStatus."""
+    import os
+    import shutil
+
+    from enterprise_sales_data_pipeline_using_aws_lambda_spark.sources.writers import (
+        compact_lake_partition,
+    )
+
+    path = str(tmp_path / "part")
+    df = spark.range(100).selectExpr("id", "id * 2 AS v")
+    df.repartition(8).write.parquet(path)
+    # simulate the mid-swap crash: live dir renamed away, nothing swapped in
+    shutil.move(path, path + "__old")
+    os.makedirs(path + "__compacting")  # stale staging debris too
+    assert not os.path.exists(path)
+    before = compact_lake_partition(spark, path, target_files=2)
+    assert before == 8  # recovered file set was compacted
+    got = spark.read.parquet(path)
+    assert got.count() == 100
+    assert not os.path.exists(path + "__old")
+    assert not os.path.exists(path + "__compacting")

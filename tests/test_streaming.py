@@ -868,3 +868,67 @@ def test_sales_feed_fulllist_restart_shrunk_offset_no_reingest(
     assert set(r2.latestOffset()["files"]) >= {
         str(feed / "a.csv"), str(feed / "b.csv"), str(feed / "c.csv"),
     }
+
+
+def test_stream_ingest_checkpoint_reset_no_double_append(spark, tmp_path):
+    """foreachBatch is at-least-once: with the checkpoint DELETED, the
+    whole stream re-runs from scratch with the same restarting batch
+    ids — the batch-id-keyed sinks must skip the already-committed
+    partitions instead of double-appending to the lake and the sales
+    log."""
+    import shutil as _sh
+
+    raw = tmp_path / "raw"
+    raw.mkdir()
+    _sh.copy(SAMPLE_CSV, raw / "batch1.csv")
+    cfg = PipelineConfig(
+        lake_dir=str(tmp_path / "lake"),
+        warehouse_dir=str(tmp_path / "wh"),
+        quarantine_dir=str(tmp_path / "quarantine"),
+    )
+    q = stream_sales_ingest(
+        spark, str(raw), cfg, str(tmp_path / "ckpt"), available_now=True
+    )
+    q.awaitTermination(120)
+    assert spark.read.parquet(cfg.lake_dir).count() == 500
+    # checkpoint lost: the full replay must be absorbed by the sinks
+    _sh.rmtree(str(tmp_path / "ckpt"))
+    q2 = stream_sales_ingest(
+        spark, str(raw), cfg, str(tmp_path / "ckpt"), available_now=True
+    )
+    q2.awaitTermination(120)
+    assert spark.read.parquet(cfg.lake_dir).count() == 500
+    assert spark.read.parquet(f"{cfg.warehouse_dir}/sales").count() == 500
+    assert spark.read.parquet(f"{cfg.warehouse_dir}/sales_tgt").count() == 500
+
+
+def test_rollup_preserves_null_day_totals(spark, tmp_path):
+    """Events with a NULL timestamp aggregate under day=NULL; a second
+    batch touching that partition must COMBINE with the existing
+    null-day totals, not replace them (null-safe merge joins)."""
+    from pyspark.sql import Row
+
+    from enterprise_sales_data_pipeline_using_aws_lambda_spark.streaming.rollup import (
+        ROLLUP_TABLE,
+        merge_rollup_batch,
+    )
+
+    serving = str(tmp_path / "serving")
+    b1 = spark.createDataFrame(
+        [Row(ts=None, event_type="click", value=1.0)] * 5,
+        "ts timestamp, event_type string, value double",
+    )
+    merge_rollup_batch(spark, b1, serving, batch_id=0)
+    b2 = spark.createDataFrame(
+        [Row(ts=None, event_type="click", value=2.0)] * 3,
+        "ts timestamp, event_type string, value double",
+    )
+    merge_rollup_batch(spark, b2, serving, batch_id=1)
+    out = spark.read.parquet(f"{serving}/{ROLLUP_TABLE}").collect()
+    assert len(out) == 1
+    assert out[0]["n_events"] == 8  # 5 + 3, not batch-2-only
+    assert out[0]["total_value"] == 11.0
+    # replay of batch 1 is still skipped on the null-day partition
+    merge_rollup_batch(spark, b2, serving, batch_id=1)
+    out2 = spark.read.parquet(f"{serving}/{ROLLUP_TABLE}").collect()
+    assert out2[0]["n_events"] == 8
