@@ -82,7 +82,13 @@ def exact_percentiles(
 
     Exactly matches ``percentile_cont``: v_lo*(1-frac) + v_hi*frac with
     h = (n-1)p.  Ties are safe — equal ranks carry equal values."""
-    aliases = aliases or [f"p{int(p * 100)}" for p in ps]
+    if aliases is None:
+        # g-format, dot→underscore: 0.29→p29 (int() would truncate the
+        # float error to p28), 0.995→p99_5 (int() would collide with
+        # 0.99's p99 and emit a duplicate column name)
+        aliases = [f"p{p * 100:g}".replace(".", "_") for p in ps]
+    if len(set(aliases)) != len(aliases):
+        raise ValueError(f"duplicate percentile aliases: {aliases}")
     part = _ranked_partitions(df, group_cols, value_col, num_partitions)
     return _selection_percentiles(part, group_cols, value_col, ps, aliases)
 

@@ -41,6 +41,24 @@ def dedup_keep_last(
     )
 
 
+def content_fingerprint(content_cols: list[str]):
+    """Canonical content encoding for exact dedup: md5 over the
+    \\x01-joined columns with a per-column NULL sentinel.
+
+    ``concat_ws`` alone SKIPS nulls, so (NULL,'x'), ('x',NULL) and
+    ('x','') would all encode identically and genuinely different rows
+    would be "deduplicated"; coalescing each column to the sentinel
+    ``\\x00N`` (distinct from the empty string) first removes that
+    class.  The \\x01 separator keeps column boundaries unambiguous.
+    For a single non-null column this reduces to plain ``md5(col)`` —
+    the engine-portable form oracles recompute."""
+    enc = [
+        F.coalesce(F.col(c).cast("string"), F.lit("\x00N"))
+        for c in content_cols
+    ]
+    return F.md5(F.concat_ws("\x01", *enc))
+
+
 def dedup_exact(
     df: DataFrame,
     content_cols: list[str],
@@ -49,15 +67,14 @@ def dedup_exact(
 ) -> DataFrame:
     """Exact-content dedup: one surviving row per distinct content.
 
-    Content identity is an md5 over the canonical concatenation of
-    ``content_cols`` (hash group-by — map-side partial aggregation means
+    Content identity is :func:`content_fingerprint` (hash group-by — map-side partial aggregation means
     the shuffle carries one row per distinct hash per partition, not the
     full table).  The survivor is the min (or max) ``id_col`` — a
     deterministic choice, unlike ``dropDuplicates`` which keeps an
     arbitrary row.  Returns the surviving rows with original columns.
     """
     agg = F.min(id_col) if keep == "min" else F.max(id_col)
-    fingerprint = F.md5(F.concat_ws("", *content_cols))
+    fingerprint = content_fingerprint(content_cols)
     survivors = (
         df.withColumn("_fp", fingerprint)
         .groupBy("_fp")
@@ -73,8 +90,8 @@ def duplicate_groups(
 ) -> DataFrame:
     """Report exact-duplicate clusters: ``fingerprint, dup_count, keep_id``
     for every content value, ordered-insensitive.  The oracle-facing view
-    of :func:`dedup_exact`."""
-    fingerprint = F.md5(F.concat_ws("", *content_cols))
+    of :func:`dedup_exact` (same :func:`content_fingerprint`)."""
+    fingerprint = content_fingerprint(content_cols)
     return (
         df.withColumn("_fp", fingerprint)
         .groupBy(F.col("_fp").alias("fingerprint"))
@@ -105,9 +122,15 @@ def shuffle_export(
     + ``partitionBy("shard_id")`` and each shard file IS the shuffled
     stream — one shuffle total, no global sort (the permutation only
     needs to be consistent per shard, and shard assignment is already
-    random)."""
+    random).
+
+    ``key_col`` itself tie-breaks the within-shard order, so two
+    DISTINCT keys that collide in xxhash64 still order deterministically
+    across re-exports.  Rows sharing the same ``key_col`` value have no
+    stable identity to order by — pass a unique key (doc id), not a
+    content column with duplicates."""
     h = F.xxhash64(F.col(key_col), F.lit(seed))
-    w = Window.partitionBy("shard_id").orderBy("_shuffle_key")
+    w = Window.partitionBy("shard_id").orderBy("_shuffle_key", key_col)
     return (
         df.withColumn("_shuffle_key", h)
         .withColumn(
@@ -208,8 +231,20 @@ def md5_bucket(key, seed: int = 0, buckets: int = 1000):
     digits of ``md5(seed:key)`` as an integer, mod ``buckets``.  md5 is
     bit-identical everywhere (unlike murmur/xxhash availability), so any
     stack reproduces the bucket from the spec alone — the primitive
-    behind :func:`deterministic_split` and :func:`mixture_resample`."""
-    hexd = F.md5(F.concat(F.lit(f"s{seed}:"), key.cast("string")))
+    behind :func:`deterministic_split` and :func:`mixture_resample`.
+
+    NULL keys hash the sentinel ``\\x00NULL`` instead of propagating
+    NULL through concat→md5→bucket — a NULL bucket would silently drop
+    null-key rows from :func:`mixture_resample` (NULL arithmetic) and
+    dump them all into :func:`deterministic_split`'s last split (every
+    ``when`` false).  Non-null keys are hashed exactly as before (the
+    engine-portable spec oracles recompute)."""
+    hexd = F.md5(
+        F.concat(
+            F.lit(f"s{seed}:"),
+            F.coalesce(key.cast("string"), F.lit("\x00NULL")),
+        )
+    )
     val = F.lit(0).cast("long")
     for i in range(1, 7):
         digit = F.instr(F.lit("0123456789abcdef"), F.substring(hexd, i, 1)) - 1

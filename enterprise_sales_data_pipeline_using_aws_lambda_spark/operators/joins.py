@@ -59,7 +59,11 @@ def salted_join(
     big to broadcast but the fact key distribution is pathological).
     The salt is generated with a fixed per-row hash (not rand()) so
     retried tasks produce identical output — determinism under retry is
-    non-negotiable for exactly-once sinks."""
+    non-negotiable for exactly-once sinks.  Consequence of that choice:
+    fact rows that are IDENTICAL in every column share one salt, so a
+    hot key whose rows are exact duplicates still lands on one reducer
+    — add a stable per-row discriminator column (an id) upstream if
+    your duplicates are genuine, or dedup first."""
     # Deterministic "salt": hash the whole fact row's key + a uniformifier
     # column if present; monotonically_increasing_id is NOT retry-stable,
     # so derive from data: xxhash64 over all columns.
@@ -130,14 +134,34 @@ def asof_join(
         w = Window.partitionBy(*on).orderBy(F.desc("_evt_ts"), F.asc("_is_left"))
     w = w.rowsBetween(Window.unboundedPreceding, Window.currentRow)
 
+    # Carry the matched right row as ONE struct, not per-column lasts:
+    # independent last(col, ignorenulls) would skip a NULL field in the
+    # true as-of row and stitch values from DIFFERENT right rows (with
+    # matched_ts from yet another) — and a stale value could then pass
+    # the tolerance gate checked against the fresher matched_ts.  The
+    # struct is non-null exactly for right rows, so every output field
+    # comes from the same (latest) right row, NULL fields included.
     carried = both.select(
         *lcols,
         "_evt_ts",
         "_is_left",
-        *[F.last(m, ignorenulls=True).over(w).alias(m) for m in marked],
         F.last(
-            F.when(F.col("_is_left") == 0, F.col("_evt_ts")), ignorenulls=True
-        ).over(w).alias("_matched_ts"),
+            F.when(
+                F.col("_is_left") == 0,
+                F.struct(
+                    F.col("_evt_ts").alias("_rts"),
+                    *[F.col(m) for m in marked],
+                ),
+            ),
+            ignorenulls=True,
+        ).over(w).alias("_rrow"),
+    )
+    carried = carried.select(
+        *lcols,
+        "_evt_ts",
+        "_is_left",
+        *[F.col(f"_rrow.{m}").alias(m) for m in marked],
+        F.col("_rrow._rts").alias("_matched_ts"),
     )
     out = carried.filter(F.col("_is_left") == 1)
     if tolerance is not None:

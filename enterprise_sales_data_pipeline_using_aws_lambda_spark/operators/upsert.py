@@ -86,16 +86,38 @@ def partitioned_upsert(
 
     Returns the list of partition values rewritten.
     """
+    from pyspark.errors import AnalysisException
+
     if order_by is not None:
         incoming = dedup_keep_last(incoming, keys, order_by)
 
     parts = [r[0] for r in incoming.select(partition_col).distinct().collect()]
     try:
-        existing_slice = spark.read.parquet(table_path).filter(
-            F.col(partition_col).isin(parts)
-        )
+        existing = spark.read.parquet(table_path)
+        has_table = True
+    except AnalysisException as e:
+        # ONLY the genuinely-first-write cases may fall through to
+        # "merged = incoming": any other failure (corrupt footers,
+        # permissions, a schema error later in the merge plan) must
+        # propagate — swallowing it would dynamic-overwrite the
+        # affected partitions with the batch alone, silently deleting
+        # every existing row in them.
+        cond = getattr(e, "getCondition", lambda: None)() or ""
+        if cond not in ("PATH_NOT_FOUND", "UNABLE_TO_INFER_SCHEMA"):
+            raise
+        has_table = False
+    if has_table:
+        # isin() is null-blind (NULL partition value evaluates NULL →
+        # filtered out), so match the null partition explicitly: a
+        # batch carrying NULL partition values must merge with — not
+        # replace — the existing __HIVE_DEFAULT_PARTITION__ rows.
+        non_null = [p for p in parts if p is not None]
+        cond_col = F.col(partition_col).isin(non_null)
+        if None in parts:
+            cond_col = cond_col | F.col(partition_col).isNull()
+        existing_slice = existing.filter(cond_col)
         merged = upsert_keep_last(existing_slice, incoming, keys)
-    except Exception:  # first write: table doesn't exist yet
+    else:
         merged = incoming
 
     # Materialize before the overwrite: the merged plan reads the very

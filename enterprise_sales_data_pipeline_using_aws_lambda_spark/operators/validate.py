@@ -105,13 +105,24 @@ def validate_batch(
     if check_key:
         aggs.append(F.count(F.col(key)).alias("_key_count"))
         aggs.append(F.count_distinct(F.col(key)).alias("_key_distinct"))
+        # count()/count_distinct() both SKIP nulls, so two NULL keys
+        # would slip through the equality check — while the reference's
+        # pandas Series.is_unique flags repeated NaN as duplicates
+        # (and NULL keys would accumulate forever in the keyed upsert,
+        # whose equi anti-join never matches NULL).
+        aggs.append(
+            F.sum(F.col(key).isNull().cast("long")).alias("_key_nulls")
+        )
 
     if aggs:
         row = df.agg(*aggs).collect()[0]
         for c in date_checks:
             if (row[f"_bad_{c}"] or 0) > 0:
                 errors.append(f"Invalid date format in column {c}")
-        if check_key and row["_key_count"] != row["_key_distinct"]:
+        if check_key and (
+            row["_key_count"] != row["_key_distinct"]
+            or (row["_key_nulls"] or 0) > 1
+        ):
             errors.append(f"Duplicate {key} values found")
 
     out = df
@@ -134,7 +145,12 @@ def row_rules_sales(date_format: str = SALES_DATE_FORMAT) -> dict[str, Column]:
             c
         ).isNotNull()
     for c in SALES_DATE_COLUMNS:
-        rules[f"bad_date_{c}"] = F.try_to_date(
+        # isNotNull guard: a NULL date is accepted (pandas to_datetime
+        # maps NaN → NaT without error, and validate_batch's file-level
+        # V3 passes it) — only a non-null unparseable value violates.
+        # Without the guard the streaming path would quarantine rows
+        # the batch path accepts.
+        rules[f"bad_date_{c}"] = F.col(c).isNotNull() & F.try_to_date(
             F.col(c).cast("string"), date_format
         ).isNull()
     rules[f"null_{SALES_KEY_COLUMN}"] = F.col(SALES_KEY_COLUMN).isNull()

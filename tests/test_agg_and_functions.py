@@ -369,3 +369,19 @@ def test_release_checkpoints_frees_persisted_blocks(spark):
     assert spark.sparkContext._jsc.getPersistentRDDs().size() >= 1
     release_checkpoints(spark)
     assert spark.sparkContext._jsc.getPersistentRDDs().size() == 0
+
+
+def test_percentile_aliases_fractional_and_collisions(spark):
+    """Default aliases must not truncate (0.29 -> p29, not p28) nor
+    collide (0.99 vs 0.995 raises instead of duplicate columns)."""
+    import pytest
+
+    from enterprise_sales_data_pipeline_using_aws_lambda_spark.operators.agg import (
+        exact_percentiles,
+    )
+
+    df = spark.range(101).selectExpr("'g' AS g", "CAST(id AS DOUBLE) AS v")
+    out = exact_percentiles(df, ["g"], "v", [0.29, 0.995])
+    assert set(out.columns) == {"g", "p29", "p99_5"}
+    with pytest.raises(ValueError, match="duplicate"):
+        exact_percentiles(df, ["g"], "v", [0.99, 0.99])

@@ -355,3 +355,89 @@ def test_bloom_incremental_merge_across_batches(spark):
     probe = spark.range(0, 3000).select(F.col("id").alias("k"))
     out = probe_bloom(probe, merged, "k", m, 7)
     assert out.filter(~F.col("possibly_seen")).count() == 0  # FN = 0
+
+
+def test_content_fingerprint_distinguishes_null_empty_and_order(spark):
+    """The fingerprint must NOT collapse (NULL,'x') / ('x',NULL) /
+    ('x','') / ('','x') — concat_ws's null-skipping would have deduped
+    genuinely different rows."""
+    from enterprise_sales_data_pipeline_using_aws_lambda_spark.operators.dedup import (
+        dedup_exact,
+        duplicate_groups,
+    )
+
+    rows = [
+        (1, None, "x"), (2, "x", None), (3, "x", ""), (4, "", "x"),
+        (5, None, "x"),  # true duplicate of row 1
+    ]
+    df = spark.createDataFrame(rows, "id long, a string, b string")
+    out = dedup_exact(df, ["a", "b"], "id")
+    assert sorted(r["id"] for r in out.collect()) == [1, 2, 3, 4]
+    groups = duplicate_groups(df, ["a", "b"], "id").collect()
+    assert len(groups) == 4
+    assert {g["dup_count"] for g in groups} == {1, 1, 1, 2}
+
+
+def test_null_key_rows_bucket_deterministically(spark):
+    """NULL split keys land in a real split (hash of the sentinel), not
+    silently in the last split / dropped from resampling."""
+    from enterprise_sales_data_pipeline_using_aws_lambda_spark.operators.dedup import (
+        deterministic_split,
+        mixture_resample,
+    )
+
+    df = spark.createDataFrame(
+        [(None, "s")] * 10 + [(i, "s") for i in range(90)],
+        "doc_id long, source string",
+    )
+    split = deterministic_split(df, "doc_id")
+    null_splits = {
+        r["split"] for r in split.filter(F.col("doc_id").isNull()).collect()
+    }
+    assert len(null_splits) == 1  # all NULLs in ONE deterministic split
+    # resample keeps/multiplies null-key rows per the rate (n_copies
+    # non-null), instead of NULL-arithmetic dropping them all
+    res = mixture_resample(df, F.lit(1.0), "doc_id")
+    nulls = res.filter(F.col("doc_id").isNull()).collect()
+    assert len(nulls) == 10
+    assert all(r["n_copies"] == 1 for r in nulls)
+
+
+def test_partitioned_upsert_raises_on_broken_table(spark, tmp_path):
+    """A corrupt existing table must FAIL the upsert, not be mistaken
+    for a first write and dynamic-overwritten with the batch alone."""
+    import os
+
+    import pytest
+
+    from enterprise_sales_data_pipeline_using_aws_lambda_spark.operators.upsert import (
+        partitioned_upsert,
+    )
+
+    path = str(tmp_path / "t")
+    os.makedirs(path)
+    with open(f"{path}/part-0.parquet", "wb") as fh:
+        fh.write(b"corrupt footer")
+    inc = spark.createDataFrame([(1, "a", 10)], "k long, p string, v long")
+    with pytest.raises(Exception):
+        partitioned_upsert(spark, path, inc, ["k"], "p")
+
+
+def test_partitioned_upsert_merges_null_partition(spark, tmp_path):
+    """A batch carrying NULL partition values must MERGE with the
+    existing null partition, not replace it."""
+    from enterprise_sales_data_pipeline_using_aws_lambda_spark.operators.upsert import (
+        partitioned_upsert,
+    )
+
+    path = str(tmp_path / "t")
+    base = spark.createDataFrame(
+        [(1, None, 10), (2, None, 20), (3, "a", 30)],
+        "k long, p string, v long",
+    )
+    base.write.partitionBy("p").parquet(path)
+    inc = spark.createDataFrame([(2, None, 99)], "k long, p string, v long")
+    partitioned_upsert(spark, path, inc, ["k"], "p")
+    got = {r["k"]: r["v"] for r in spark.read.parquet(path).collect()}
+    # k=1 survived the null-partition rewrite; k=2 updated; k=3 untouched
+    assert got == {1: 10, 2: 99, 3: 30}

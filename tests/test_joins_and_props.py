@@ -527,3 +527,32 @@ def test_minhash_pipeline_finds_planted_near_dups(spark, data):
         assert got[(0, k)] >= 0.5
     # precision: nothing reported below threshold
     assert all(j >= 0.5 for j in got.values())
+
+
+def test_asof_join_carries_null_fields_from_matched_row(spark):
+    """The matched right row's NULL field must surface as NULL — not be
+    papered over with a STALER row's value that then passes the
+    tolerance gate it should have failed."""
+    from datetime import datetime
+
+    from enterprise_sales_data_pipeline_using_aws_lambda_spark.operators.joins import (
+        asof_join,
+    )
+
+    t = datetime
+    right = spark.createDataFrame(
+        [("u", t(2024, 1, 1, 0, 0), 5.0), ("u", t(2024, 1, 1, 12, 0), None)],
+        "k string, rts timestamp, v double",
+    )
+    left = spark.createDataFrame(
+        [("u", t(2024, 1, 1, 12, 30))], "k string, lts timestamp"
+    )
+    out = asof_join(left, right, ["k"], "lts", "rts", ["v"]).collect()[0]
+    assert out["matched_ts"] == t(2024, 1, 1, 12, 0)
+    assert out["v"] is None  # from the matched row, not the stale one
+    # and with a tolerance tighter than the stale row's age, the stale
+    # value must not leak through as a "fresh" match
+    out2 = asof_join(
+        left, right, ["k"], "lts", "rts", ["v"], tolerance="60 minutes"
+    ).collect()[0]
+    assert out2["matched_ts"] == t(2024, 1, 1, 12, 0) and out2["v"] is None

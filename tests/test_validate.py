@@ -87,3 +87,62 @@ def test_rule_violation_counts_single_scan(spark):
     )
     got = {r["rule"]: r["violations"] for r in out.collect()}
     assert got == {"negative": 1, "too_big": 1}
+
+
+def test_duplicate_null_keys_fail_validation(spark):
+    """count/count_distinct skip NULLs; two NULL uuids must still fail
+    V4 (pandas Series.is_unique counts repeated NaN as duplicates)."""
+    from enterprise_sales_data_pipeline_using_aws_lambda_spark.operators.validate import (
+        validate_batch,
+    )
+
+    base = {c: "1" for c in
+            ("Country", "ItemType", "SalesChannel", "OrderPriority",
+             "Region")}
+    rows = [
+        {"uuid": None, "OrderDate": "1/2/2024", "ShipDate": "1/5/2024",
+         "UnitsSold": 1, "UnitPrice": 1.0, "UnitCost": 1.0,
+         "TotalRevenue": 1.0, "TotalCost": 1.0, "TotalProfit": 0.0,
+         **base},
+    ] * 2 + [
+        {"uuid": "u3", "OrderDate": "1/2/2024", "ShipDate": "1/5/2024",
+         "UnitsSold": 1, "UnitPrice": 1.0, "UnitCost": 1.0,
+         "TotalRevenue": 1.0, "TotalCost": 1.0, "TotalProfit": 0.0,
+         **base},
+    ]
+    import pandas as pd
+
+    df = spark.createDataFrame(pd.DataFrame(rows))
+    res = validate_batch(df)
+    assert not res.ok
+    assert any("Duplicate uuid" in e for e in res.errors)
+
+
+def test_row_rules_accept_null_dates(spark):
+    """Streaming row rules must match batch V3: a NULL date passes (only
+    a non-null unparseable value violates)."""
+    from enterprise_sales_data_pipeline_using_aws_lambda_spark.operators.validate import (
+        row_rules_sales,
+        validate_rows,
+    )
+
+    import pandas as pd
+
+    base = {c: "1" for c in
+            ("Country", "ItemType", "SalesChannel", "OrderPriority",
+             "Region")}
+    rows = [
+        {"uuid": "a", "OrderDate": None, "ShipDate": "1/5/2024",
+         "UnitsSold": 1, "UnitPrice": 1.0, "UnitCost": 1.0,
+         "TotalRevenue": 1.0, "TotalCost": 1.0, "TotalProfit": 0.0,
+         **base},
+        {"uuid": "b", "OrderDate": "13/45/99", "ShipDate": "1/5/2024",
+         "UnitsSold": 1, "UnitPrice": 1.0, "UnitCost": 1.0,
+         "TotalRevenue": 1.0, "TotalCost": 1.0, "TotalProfit": 0.0,
+         **base},
+    ]
+    df = spark.createDataFrame(pd.DataFrame(rows))
+    valid, quarantined = validate_rows(df, row_rules_sales())
+    assert {r["uuid"] for r in valid.collect()} == {"a"}
+    bad = quarantined.collect()
+    assert len(bad) == 1 and bad[0]["uuid"] == "b"
