@@ -21,6 +21,17 @@ def simple_word_count(col: Column | str) -> Column:
     )
 
 
+def word_tokens(col: Column | str) -> Column:
+    """Whitespace tokens with empties dropped — THE shared tokenizer of
+    every corpus-level operator (same rule as the DuckDB oracles).
+    Keep all tokenization on this one definition: four operators used
+    to inline identical copies, and a future rule change (e.g. tab
+    splitting) must land everywhere at once or operators silently
+    diverge from the oracle rule."""
+    c = F.col(col) if isinstance(col, str) else col
+    return F.filter(F.split(c, " "), lambda x: x != F.lit(""))
+
+
 def char_ngrams(col: Column | str, n: int = 5) -> Column:
     """Array of character n-gram shingles of ``col`` (distinct not
     applied; callers dedup as needed).  Implemented with ``sequence`` +

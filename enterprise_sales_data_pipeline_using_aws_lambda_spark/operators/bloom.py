@@ -73,7 +73,13 @@ def probe_bloom(
     relation on word_idx, and re-aggregates per key counting satisfied
     probes — two narrow hash joins/aggs, no driver state.  Rows carry
     only (key, position), never payload, until the final semi-join back
-    onto the input."""
+    onto the input.
+
+    NULL keys: the final join back onto the input is NULL-SAFE — a
+    plain equi-join would leave ``out_col`` NULL for NULL-key rows,
+    breaking the True/False dichotomy (and contradicting the build
+    side, which does hash NULL keys into the bitmap: ``xxhash64``
+    treats NULL as a defined value)."""
     key = F.col(key_col)
     probes = df.select(key.alias("_k")).distinct().select(
         "_k",
@@ -98,8 +104,8 @@ def probe_bloom(
         .agg((F.sum("_hit") == F.lit(k_hashes)).alias(out_col))
     )
     return df.join(
-        hit.withColumnRenamed("_k", key_col), key_col, "left"
-    )
+        hit, F.col(key_col).eqNullSafe(F.col("_k")), "left"
+    ).drop("_k")
 
 
 def merge_bloom_words(existing: DataFrame, new_words: DataFrame) -> DataFrame:

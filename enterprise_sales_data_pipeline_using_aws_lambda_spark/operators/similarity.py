@@ -103,9 +103,20 @@ def cosine_topk(
     qrows = _collect_query_vectors(
         queries, id_col, vec_col, MAX_QUERY_VECTORS
     )
+    if not qrows:
+        # an upstream filter may legitimately yield zero queries —
+        # return an empty typed frame instead of a numpy axis error
+        return queries.sparkSession.createDataFrame(
+            [], "qid long, vec_id long, cosine double, rank int"
+        )
     qids = np.array([r[0] for r in qrows], dtype=np.int64)
     qmat = np.array([list(r[1]) for r in qrows], dtype=np.float64)
     qnorm = np.linalg.norm(qmat, axis=1)
+    # zero-norm QUERY vectors would make every cosine 0/0 = NaN, and
+    # Spark ranks NaN above all doubles — k arbitrary "neighbors" at
+    # rank 1.  Same patch as the corpus side: treat the norm as 1
+    # (cosines become 0 — defined, and ranked last).
+    qnorm[qnorm == 0.0] = 1.0
     nq = len(qids)
     local_k = k + 1  # +1 so a dropped self-match cannot starve a query
 
@@ -282,6 +293,61 @@ def _srp_bucket(vec: Column, table: int, planes: int) -> Column:
     )
 
 
+def _srp_signs(
+    spark, tables: int, planes: int, dim: int
+) -> list[list[list[float]]]:
+    """Materialize the SRP hyperplane sign matrix ONCE: one 1-row job
+    evaluating exactly :func:`_srp_bucket`'s hash expressions, returned
+    as ``signs[table][plane][dim] ∈ {+1.0, -1.0}``.
+
+    The signs depend only on (table, plane, dim) — constants — but
+    expressed inside per-row higher-order functions Catalyst cannot
+    constant-fold them, so every scanned row would re-pay
+    tables×planes×dim string-concat+xxhash64 evaluations.  Evaluating
+    the tiny matrix up front (a few KB) and embedding it as literal
+    arrays removes all per-row hashing while producing bit-identical
+    buckets."""
+    row = spark.range(1).select(
+        *[
+            F.array(
+                *[
+                    F.when(
+                        F.xxhash64(F.lit(f"p{t}:{j}:{d}")).bitwiseAND(
+                            F.lit(1)
+                        )
+                        == 1,
+                        F.lit(1.0),
+                    ).otherwise(F.lit(-1.0))
+                    for d in range(dim)
+                ]
+            ).alias(f"s_{t}_{j}")
+            for t in range(tables)
+            for j in range(planes)
+        ]
+    ).first()
+    return [
+        [list(row[f"s_{t}_{j}"]) for j in range(planes)]
+        for t in range(tables)
+    ]
+
+
+def _srp_bucket_from_signs(vec: Column, plane_signs) -> Column:
+    """Bucket id from a precomputed ±1 sign matrix for one table —
+    bit-identical to :func:`_srp_bucket`, with the hyperplanes as
+    literal arrays instead of per-row hash evaluations."""
+    total = None
+    for j, signs in enumerate(plane_signs):
+        arr = F.array(*[F.lit(s) for s in signs])
+        dot = F.aggregate(
+            F.zip_with(vec, arr, lambda v, s: v.cast("double") * s),
+            F.lit(0.0),
+            lambda acc, x: acc + x,
+        )
+        bit = F.when(dot > 0, F.lit(1 << j)).otherwise(F.lit(0))
+        total = bit if total is None else total + bit
+    return total
+
+
 def lsh_topk(
     corpus: DataFrame,
     queries: DataFrame,
@@ -297,12 +363,28 @@ def lsh_topk(
     single scan; a query probes the union of its buckets.  Recall rises
     with ``tables``; re-ranking makes reported cosines exact, so the only
     approximation is a possibly-missed neighbor (measured against
-    :func:`cosine_topk` in tests)."""
+    :func:`cosine_topk` in tests).
+
+    The hyperplane signs are precomputed once (:func:`_srp_signs` — a
+    1-row job plus one ``first()`` to learn the dimension, both
+    bounded) and embedded as literals, so the corpus scan pays a pure
+    multiply-add per dimension instead of a string-concat + xxhash64
+    per (row, table, plane, dimension)."""
+    first = corpus.select(vec_col).first()
+    signs = None
+    if first is not None and first[0] is not None:
+        signs = _srp_signs(
+            corpus.sparkSession, tables, planes, len(first[0])
+        )
+
     def bucketize(df: DataFrame, prefix: str) -> DataFrame:
         out = df
         for t in range(tables):
             out = out.withColumn(
-                f"_b{t}", _srp_bucket(F.col(vec_col), t, planes)
+                f"_b{t}",
+                _srp_bucket_from_signs(F.col(vec_col), signs[t])
+                if signs is not None
+                else _srp_bucket(F.col(vec_col), t, planes),
             )
         return out
 
@@ -479,6 +561,11 @@ def ivf_topk(
     qrows = _collect_query_vectors(
         queries, id_col, vec_col, MAX_QUERY_VECTORS
     )
+    if not qrows:
+        # zero queries is a legitimate upstream outcome, not an error
+        return queries.sparkSession.createDataFrame(
+            [], f"qid long, {id_col} long, cosine double, rank int"
+        )
     qids = [r[0] for r in qrows]
     qmat = np.array([list(r[1]) for r in qrows], dtype=np.float64)
     qmat_n = qmat / np.maximum(np.linalg.norm(qmat, axis=1, keepdims=True), 1e-12)

@@ -13,7 +13,7 @@ from __future__ import annotations
 from pyspark.sql import Column, DataFrame, Window
 from pyspark.sql import functions as F
 
-from ..functions.text import simple_word_count
+from ..functions.text import simple_word_count, word_tokens
 
 #: BPE-ish tokenizer: letter runs, single digits, or single
 #: non-alphanumeric-non-space marks (ASCII-safe across regex engines).
@@ -96,8 +96,18 @@ def token_counts(
 
 def _marker_score(text: Column, markers: list[str]) -> Column:
     """Stopword hit score: total occurrences of ``' marker '`` in the
-    space-padded text (padding catches boundary words)."""
-    padded = F.concat(F.lit(" "), text, F.lit(" "))
+    space-padded text (padding catches boundary words).
+
+    Internal spaces are DOUBLED before counting: adjacent occurrences
+    ('the the the') share their delimiting space, and the
+    non-overlapping replace-count would see only every other one —
+    systematically halving repeated-stopword runs and skewing the
+    per-language argmax on short texts.  With doubled spaces every
+    occurrence owns both its delimiters.  (Mirrored in the DuckDB
+    oracle, plans/queries._lang_id_oracle.)"""
+    padded = F.concat(
+        F.lit(" "), F.replace(text, F.lit(" "), F.lit("  ")), F.lit(" ")
+    )
     score = F.lit(0.0)
     for m in markers:
         score = score + occurrence_count(padded, f" {m} ")
@@ -289,9 +299,7 @@ def repetition_stats(
     costs 10⁶ explode rows, not 10¹² comparisons.  The top-ngram tie
     rule is max(struct(count, ngram)): highest count, then
     lexicographically greatest ngram — deterministic on both engines."""
-    toks = F.filter(
-        F.split(F.col(text_col), " "), lambda x: x != F.lit("")
-    )
+    toks = word_tokens(text_col)
     base = df.select(F.col(id_col), toks.alias("_t"))
     word_stats = base.select(
         F.col(id_col),
@@ -345,11 +353,8 @@ def repetition_stats(
 
 
 def _word_tokens(text_col: str) -> Column:
-    """Whitespace tokens with empties dropped — the shared tokenizer of
-    the corpus-level operators (same rule as the DuckDB oracles)."""
-    return F.filter(
-        F.split(F.col(text_col), " "), lambda x: x != F.lit("")
-    )
+    """Alias of functions.text.word_tokens (the one shared tokenizer)."""
+    return word_tokens(text_col)
 
 
 def boilerplate_ngram_stats(
@@ -561,9 +566,7 @@ def benchmark_overlap(
         # the string formulation unless two distinct grams collide in
         # 64 bits: p ≈ G²/2⁶⁵, ~10⁻¹⁰ at a million grams — far below
         # the gate's float-rounding tolerances elsewhere.
-        toks = F.filter(
-            F.split(F.col(text_col), " "), lambda x: x != F.lit("")
-        )
+        toks = word_tokens(text_col)
         gs = F.array_distinct(
             F.when(
                 F.size("_t") >= n,
@@ -642,10 +645,19 @@ def bigram_lm_scores(
 ) -> DataFrame:
     """Corpus-trained bigram language-model scoring (the CCNet/KenLM
     idea, count-based): train add-one-smoothed bigram probabilities on
-    the corpus itself, then score every document by its mean negative
-    log-probability — low = fluent-for-this-corpus, high = outlier or
-    degenerate text.  The standard statistical quality filter between
-    heuristics (repetition_stats) and a learned classifier.
+    the corpus itself, then score each SCORABLE document by its mean
+    negative log-probability — low = fluent-for-this-corpus, high =
+    outlier or degenerate text.  The standard statistical quality
+    filter between heuristics (repetition_stats) and a learned
+    classifier.
+
+    Output contract: documents with fewer than two whitespace tokens
+    have no bigrams, hence no defined perplexity — they are ABSENT
+    from the output (not scored 0, which would fake fluency).  Callers
+    folding scores into a corpus-wide table should left-join on doc_id
+    and treat the resulting NULL as "unscorable — route to the
+    degenerate-document heuristics", which is what repetition_stats
+    exists to flag.
 
     P(w2 | w1) = (c(w1 w2) + 1) / (c(w1) + V),  V = |vocabulary|;
     score(doc) = avg over the doc's bigrams of −ln P.

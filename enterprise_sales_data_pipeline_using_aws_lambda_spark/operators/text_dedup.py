@@ -23,7 +23,7 @@ from pyspark.sql import functions as F
 
 from .materialize import materialize
 
-from ..functions.text import char_ngrams
+from ..functions.text import char_ngrams, word_tokens
 
 
 def shingle_sets(
@@ -155,8 +155,16 @@ def lsh_banded(
     a band's bucket key one xxhash64 over its slice — the exploded
     frame :func:`lsh_candidate_pairs` self-joins, exposed so scale
     instrumentation (``tools/scale_smoke.py``) measures the SAME
-    banding the operator executes rather than a reimplementation."""
-    num_hashes_per_band = F.size(F.col("signature")) / bands
+    banding the operator executes rather than a reimplementation.
+
+    Band boundaries are the gapless integer split ``[floor(b·k/bands),
+    floor((b+1)·k/bands))``: when ``bands`` divides the signature size
+    this is exactly the fixed-width slicing (bucket hashes unchanged),
+    and when it does NOT, every slot still lands in exactly one band —
+    a truncated fixed width would silently leave ``k mod bands`` slots
+    out of all bands and gaps between bands, quietly lowering recall
+    below what the banding math promises."""
+    sz = F.size(F.col("signature"))
     return signatures.select(
         F.col(id_col),
         F.explode(
@@ -170,8 +178,13 @@ def lsh_banded(
                             F.transform(
                                 F.slice(
                                     F.col("signature"),
-                                    (b * num_hashes_per_band + 1).cast("int"),
-                                    num_hashes_per_band.cast("int"),
+                                    (F.floor(b * sz / bands) + 1).cast(
+                                        "int"
+                                    ),
+                                    (
+                                        F.floor((b + 1) * sz / bands)
+                                        - F.floor(b * sz / bands)
+                                    ).cast("int"),
                                 ),
                                 lambda v: v.cast("string"),
                             ),
@@ -368,9 +381,7 @@ def simhash(
     validation notebook) can recompute the EXACT same sketches.  The
     md5 path takes bit j from nibble j//4 of the hex digest (MSB-first
     within the nibble)."""
-    toks = F.filter(
-        F.split(F.col(text_col), " "), lambda t: t != F.lit("")
-    )
+    toks = word_tokens(text_col)
     if token_hash == "md5":
         hashes = F.transform(toks, lambda t: F.md5(t.cast("binary")))
 
@@ -556,9 +567,7 @@ def exact_jaccard_join(
         )
     else:
         toks_arr = F.array_distinct(
-            F.filter(
-                F.split(F.col(text_col), " "), lambda x: x != F.lit("")
-            )
+            word_tokens(text_col)
         )
     # Materialized once (same policy as minhash_near_duplicates'
     # shingled frame): base feeds THREE consumers — the exploded flat
@@ -579,10 +588,18 @@ def exact_jaccard_join(
         flat.join(dfreq, "_tok")
         .withColumn("_rn", F.row_number().over(w))
     )
-    # prefix length: |s| - ceil(t*|s|) + 1
+    # prefix length: |s| - ceil(t*|s|) + 1.  Every ceil below is
+    # epsilon-guarded: IEEE rounding can push t*|s| a hair ABOVE the
+    # exact rational (0.55*100 = 55.000000000000007), and a raw ceil
+    # would then round past the true integer bound — shortening the
+    # prefix / tightening the filters and dropping qualifying pairs,
+    # which breaks the zero-false-negative contract.  Sizes are
+    # integers, so an epsilon far below 1/|s|^2 cannot loosen a bound.
+    _eps = 1e-9
     pfx = ranked.filter(
         F.col("_rn")
-        <= F.col("_sz") - F.ceil(F.col("_sz") * F.lit(threshold)) + 1
+        <= F.col("_sz")
+        - F.ceil(F.col("_sz") * F.lit(threshold) - _eps) + 1
     ).select("_tok", "_id", "_sz", "_rn")
     a = pfx.select(
         "_tok",
@@ -600,15 +617,16 @@ def exact_jaccard_join(
     # both the positional filter and (in its t*|a| <= |b| form) the
     # length filter.
     o_req = F.ceil(
-        (F.col("_sa") + F.col("_sb")) * F.lit(threshold / (1.0 + threshold))
+        (F.col("_sa") + F.col("_sb"))
+        * F.lit(threshold / (1.0 + threshold)) - _eps
     )
     cand = (
         a.join(b, "_tok")
         .filter(F.col("id_a") < F.col("id_b"))
         # length filter: J >= t forces t*|a| <= |b| and t*|b| <= |a|
         .filter(
-            (F.col("_sb") >= F.ceil(F.col("_sa") * F.lit(threshold)))
-            & (F.col("_sa") >= F.ceil(F.col("_sb") * F.lit(threshold)))
+            (F.col("_sb") >= F.ceil(F.col("_sa") * F.lit(threshold) - _eps))
+            & (F.col("_sa") >= F.ceil(F.col("_sb") * F.lit(threshold) - _eps))
         )
     )
     if positional_filter:

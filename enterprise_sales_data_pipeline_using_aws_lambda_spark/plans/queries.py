@@ -694,7 +694,9 @@ def _lang_id_oracle() -> str:
     rounded = ", ".join(f"round(score_{l}, 1) AS score_{l}" for l in langs)
     return f"""
     WITH padded AS (
-        SELECT doc_id, ' ' || lower(text) || ' ' AS pad FROM documents
+        SELECT doc_id,
+               ' ' || replace(lower(text), ' ', '  ') || ' ' AS pad
+        FROM documents
     ),
     scored AS (SELECT doc_id, {', '.join(score_exprs)} FROM padded),
     with_best AS (SELECT *, {best} AS best FROM scored)

@@ -284,3 +284,49 @@ def test_gram_matrix_quantized_hand_computed(spark):
             ).collect()
         }
         assert out == exp
+
+
+def test_cosine_topk_zero_norm_query_and_empty_queries(spark):
+    """A zero-vector query must not return NaN-ranked arbitrary
+    neighbors, and an empty query frame returns an empty typed result
+    instead of a numpy axis error."""
+    from enterprise_sales_data_pipeline_using_aws_lambda_spark.operators.similarity import (
+        cosine_topk,
+    )
+
+    corpus = spark.createDataFrame(
+        [(i, [float(i), 1.0]) for i in range(1, 6)],
+        "vec_id long, embedding array<float>",
+    )
+    zq = spark.createDataFrame(
+        [(100, [0.0, 0.0])], "vec_id long, embedding array<float>"
+    )
+    rows = cosine_topk(corpus, zq, k=3).collect()
+    assert all(r["cosine"] == 0.0 for r in rows)  # defined, not NaN
+    empty = corpus.filter("vec_id < 0")
+    out = cosine_topk(corpus, empty, k=3)
+    assert out.count() == 0
+    assert out.columns == ["qid", "vec_id", "cosine", "rank"]
+
+
+def test_probe_bloom_null_keys_get_boolean_verdict(spark):
+    """NULL keys must receive a True/False verdict consistent with the
+    build side (which hashes NULL into the bitmap), never NULL."""
+    from enterprise_sales_data_pipeline_using_aws_lambda_spark.operators.bloom import (
+        build_bloom,
+        probe_bloom,
+    )
+
+    seen = spark.createDataFrame(
+        [(None,), ("a",)], "k string"
+    )
+    words = build_bloom(seen, "k", m_bits=1024, k_hashes=3)
+    probe = spark.createDataFrame(
+        [(None,), ("a",), ("zzz",)], "k string"
+    )
+    out = {r["k"]: r["possibly_seen"] for r in
+           probe_bloom(probe, words, "k", 1024, 3).collect()}
+    assert out[None] is True   # built with a NULL key -> possibly seen
+    assert out["a"] is True
+    assert out["zzz"] in (False, True)  # FP allowed, NULL never
+    assert all(v is not None for v in out.values())

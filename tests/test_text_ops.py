@@ -548,3 +548,46 @@ def test_exact_jaccard_join_ngram_mode(spark):
     assert (0, 1) in out
     assert abs(out[(0, 1)] - round(7 / 9, 6)) < 1e-9
     assert all(k == (0, 1) for k in out)
+
+
+def test_exact_jaccard_boundary_threshold_no_false_negative(spark):
+    """IEEE rounding (0.55*100 = 55.000...007) must not tighten the
+    PPJoin bounds past the true integer requirement: a pair sitting
+    EXACTLY at the threshold must survive."""
+    from enterprise_sales_data_pipeline_using_aws_lambda_spark.operators.text_dedup import (
+        exact_jaccard_join,
+    )
+
+    # |a|=100 tokens, b = 55-token subset: J = 55/100 = 0.55 exactly
+    a_tokens = [f"w{i}" for i in range(100)]
+    b_tokens = a_tokens[:55]
+    df = spark.createDataFrame(
+        [(1, " ".join(a_tokens)), (2, " ".join(b_tokens))],
+        "doc_id long, text string",
+    )
+    out = exact_jaccard_join(df, threshold=0.55).collect()
+    assert len(out) == 1
+    assert out[0]["jaccard"] == 0.55
+
+
+def test_lsh_banding_covers_every_slot_when_not_divisible(spark):
+    """bands that do not divide the signature size must still place
+    every slot in exactly one band: two signatures differing ONLY in
+    the last slot (which truncated fixed-width banding would orphan)
+    must land in different buckets for the final band."""
+    from enterprise_sales_data_pipeline_using_aws_lambda_spark.operators.text_dedup import (
+        lsh_banded,
+    )
+
+    sig_a = list(range(64))
+    sig_b = list(range(63)) + [999]  # differs only in slot 64
+    df = spark.createDataFrame(
+        [(1, sig_a), (2, sig_b)], "doc_id long, signature array<long>"
+    )
+    banded = lsh_banded(df, bands=10).collect()
+    by_doc_band = {(r["doc_id"], r["band"]): r["bucket"] for r in banded}
+    assert len(by_doc_band) == 20  # 10 bands per doc
+    # earlier bands identical, last band must differ
+    for b in range(9):
+        assert by_doc_band[(1, b)] == by_doc_band[(2, b)]
+    assert by_doc_band[(1, 9)] != by_doc_band[(2, 9)]
