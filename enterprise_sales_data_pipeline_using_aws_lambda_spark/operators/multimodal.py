@@ -251,6 +251,8 @@ def _png_decode(payload: bytes) -> tuple[int, int, int, bytes]:
     if ihdr is None or not idat:
         raise ValueError("PNG missing IHDR/IDAT")
     w, h, depth, color_type, comp, filt, interlace = ihdr
+    if w <= 0 or h <= 0:
+        raise ValueError("PNG IHDR has zero dimensions")
     if depth != 8 or color_type not in _PNG_CHANNELS:
         raise ValueError(
             f"unsupported PNG depth/color: {depth}/{color_type}"
@@ -318,6 +320,8 @@ def parse_media(payload: bytes, with_content: bool = False) -> dict:
         if not m:
             raise ValueError("malformed PPM header")
         w, h = int(m.group(1)), int(m.group(2))
+        if w <= 0 or h <= 0:
+            raise ValueError("PPM header has zero dimensions")
         data = payload[m.end() : m.end() + 3 * w * h]
         if len(data) != 3 * w * h:
             raise ValueError("truncated PPM raster")
@@ -345,7 +349,15 @@ def parse_media(payload: bytes, with_content: bool = False) -> dict:
             cid = payload[pos : pos + 4]
             (size,) = struct.unpack("<I", payload[pos + 4 : pos + 8])
             body = payload[pos + 8 : pos + 8 + size]
+            if len(body) < size:
+                # same contract as the PPM/PNG/y4m truncation guards:
+                # a declared-but-missing tail is a ValueError for the
+                # quarantine route, and a silently short data chunk
+                # must not yield bogus n_samples/duration stats
+                raise ValueError("truncated WAV chunk")
             if cid == b"fmt ":
+                if size < 16:
+                    raise ValueError("WAV fmt chunk too short")
                 fmt = struct.unpack("<HHIIHH", body[:16])
             elif cid == b"data":
                 data = body
@@ -371,6 +383,8 @@ def parse_media(payload: bytes, with_content: bool = False) -> dict:
         for tok in payload[10:nl].split(b" "):
             if tok:
                 params[tok[:1].decode()] = tok[1:].decode()
+        if "W" not in params or "H" not in params:
+            raise ValueError("y4m header missing W/H parameters")
         w, h = int(params["W"]), int(params["H"])
         num, den = (int(x) for x in params.get("F", "25:1").split(":"))
         if w <= 0 or h <= 0 or num <= 0:
@@ -843,25 +857,35 @@ def ahash_images(media: DataFrame) -> DataFrame:
         for pdf in frames:
             rows = []
             for _, r in pdf.iterrows():
-                if r["kind"] != "image":
+                if r["kind"] != "image" or r["payload"] is None:
                     continue
                 feats = parse_media(bytes(r["payload"]), with_content=True)
+                if feats["format"] not in ("ppm", "png"):
+                    continue  # kind lied; same guard as extract_frames
                 w, h = feats["width"], feats["height"]
                 raster = feats["content"]
+                # channel-aware luma: PNG decodes gray (1 B/px) and
+                # RGBA (4 B/px) rasters too — a hard-coded 3 B/px read
+                # would run off the end of a gray raster and hash
+                # misaligned bytes of an RGBA one
+                bpp = feats["content_len"] // (w * h)
                 lumas = []
                 for gy in range(8):
                     py = gy * h // 8
                     for gx in range(8):
                         px = gx * w // 8
-                        off = 3 * (py * w + px)
-                        lumas.append(
-                            (
-                                raster[off]
-                                + raster[off + 1]
-                                + raster[off + 2]
+                        off = bpp * (py * w + px)
+                        if bpp == 1:
+                            lumas.append(raster[off])
+                        else:  # RGB / RGBA: average RGB, ignore alpha
+                            lumas.append(
+                                (
+                                    raster[off]
+                                    + raster[off + 1]
+                                    + raster[off + 2]
+                                )
+                                // 3
                             )
-                            // 3
-                        )
                 total = sum(lumas)
                 hi = lo = nbits = 0
                 for b, v in enumerate(lumas):
@@ -926,9 +950,11 @@ def fingerprint_audio(media: DataFrame, n_frames: int = 32) -> DataFrame:
         for pdf in frames:
             rows = []
             for _, r in pdf.iterrows():
-                if r["kind"] != "audio":
+                if r["kind"] != "audio" or r["payload"] is None:
                     continue
                 feats = parse_media(bytes(r["payload"]), with_content=True)
+                if feats["format"] != "wav":
+                    continue  # kind lied; same guard as extract_frames
                 pcm = feats["content"]
                 n = len(pcm)
                 if feats["n_samples"] != feats["content_len"]:
@@ -997,9 +1023,11 @@ def ahash_video_frames(media: DataFrame) -> DataFrame:
         for pdf in frames:
             rows = []
             for _, r in pdf.iterrows():
-                if r["kind"] != "video":
+                if r["kind"] != "video" or r["payload"] is None:
                     continue
                 feats = parse_media(bytes(r["payload"]), with_content=True)
+                if feats["format"] != "y4m":
+                    continue  # kind lied; same guard as extract_frames
                 w, h = feats["width"], feats["height"]
                 planes = feats["content"]
                 if feats["n_frames"] == 0:

@@ -65,11 +65,18 @@ def scd2_merge(
     hist = current.filter(~F.col(is_current))
     open_rows = current.filter(F.col(is_current))
 
-    j = open_rows.join(b, keys, "full_outer")
+    # Explicit presence markers: using valid_from/_eff IS NOT NULL as
+    # the sentinel would silently DROP an open row whose valid_from is
+    # NULL (bootstrap from a batch with a NULL effective timestamp) —
+    # the full-outer join can't distinguish "no row" from "row with
+    # NULL sentinel column".
+    j = open_rows.withColumn("_has_old", F.lit(True)).join(
+        b.withColumn("_has_new", F.lit(True)), keys, "full_outer"
+    )
     old_struct = F.struct(*[F.col(a) for a in attrs])
     new_struct = F.struct(*[F.col(f"_new_{a}").alias(a) for a in attrs])
-    has_old = F.col(valid_from).isNotNull()
-    has_new = F.col("_eff").isNotNull()
+    has_old = F.coalesce(F.col("_has_old"), F.lit(False))
+    has_new = F.coalesce(F.col("_has_new"), F.lit(False))
     changed = has_old & has_new & ~old_struct.eqNullSafe(new_struct)
 
     # Surviving old rows: unmatched keys keep their open row; matched-but-

@@ -55,29 +55,51 @@ def _looks_like_json_array(spark: SparkSession, path: str) -> bool:
     sc = spark.sparkContext
     hconf = sc._jsc.hadoopConfiguration()
     jvm = sc._jvm
-    hpath = jvm.org.apache.hadoop.fs.Path(path)
-    fs = hpath.getFileSystem(hconf)
-    target = hpath
-    if fs.isDirectory(hpath):
-        for st in fs.listStatus(hpath):
-            if st.isFile() and st.getLen() > 0:
-                target = st.getPath()
-                break
-        else:
-            return False
-    stream = fs.open(target)
     try:
-        for _ in range(4096):
-            b = stream.read()
-            if b < 0:
+        hpath = jvm.org.apache.hadoop.fs.Path(path)
+        fs = hpath.getFileSystem(hconf)
+        target = hpath
+        if not fs.exists(hpath):
+            # glob pattern (dir/*.json — a path spark.read.json itself
+            # accepts): resolve to the first matching non-empty file
+            matches = fs.globStatus(hpath)
+            files = [
+                st
+                for st in (matches or [])
+                if st.isFile() and st.getLen() > 0
+            ]
+            if not files:
                 return False
-            ch = chr(b)
-            if ch.isspace():
-                continue
-            return ch == "["
-    finally:
-        stream.close()
-    return False
+            target = files[0].getPath()
+        elif fs.isDirectory(hpath):
+            for st in fs.listStatus(hpath):
+                if st.isFile() and st.getLen() > 0:
+                    target = st.getPath()
+                    break
+            else:
+                return False
+        stream = fs.open(target)
+        try:
+            # 256 probes bounds the py4j round-trips (read() is one JVM
+            # call per byte); a JSON array behind more than 256 bytes
+            # of leading whitespace falls back to the NDJSON path,
+            # whose reader will surface the malformed-record error
+            for _ in range(256):
+                b = stream.read()
+                if b < 0:
+                    return False
+                ch = chr(b)
+                if ch.isspace():
+                    continue
+                return ch == "["
+        finally:
+            stream.close()
+        return False
+    except Exception:
+        # the probe is an OPTIMIZATION — any filesystem hiccup falls
+        # back to the NDJSON reader rather than failing a read Spark
+        # could have served
+        return False
 
 
 def read_csv(
@@ -180,10 +202,15 @@ def read_events(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 def star_tables(spark: SparkSession, sf_dir: str) -> dict[str, DataFrame]:
-    """Load every star-schema table present under ``sf_dir``."""
+    """Load every star-schema table present under ``sf_dir`` —
+    through :func:`read_table`, NOT raw ``spark.read.parquet``: the
+    events table needs the TIMESTAMP(NANOS) handling and every table
+    the NTZ normalization, and a raw read would give the same table a
+    session-order-dependent schema (fails before read_events ever ran,
+    raw bigint nanos after)."""
     out: dict[str, DataFrame] = {}
     for name in STAR_TABLE_NAMES:
         p = os.path.join(sf_dir, f"{name}.parquet")
         if os.path.exists(p):
-            out[name] = spark.read.parquet(p)
+            out[name] = read_table(spark, sf_dir, name)
     return out

@@ -48,17 +48,24 @@ def _update_user_totals(
     for pdf in pdfs:
         if pdf.empty:
             continue
-        vals = pdf["value"].astype("float64")
+        # SQL semantics, matching the batch-parity oracle exactly:
+        # count(*) counts every row, sum/max skip NULL values (pandas
+        # skipna would otherwise silently fold NaN into max and let
+        # count and sum disagree about what an event is)
         n += len(pdf)
-        total += float(vals.sum())
-        mx = max(mx, float(vals.max()))
+        vals = pdf["value"].dropna().astype("float64")
+        if len(vals):
+            total += float(vals.sum())
+            mx = max(mx, float(vals.max()))
     state.update((n, total, mx))
     yield pd.DataFrame(
         {
             "user_id": [user_id],
             "n_events": [n],
             "total_value": [round(total, 2)],
-            "max_value": [mx],
+            # -inf sentinel = no non-null value seen yet -> SQL max()
+            # over zero values is NULL, not -Infinity
+            "max_value": [None if mx == float("-inf") else mx],
         }
     )
 

@@ -441,3 +441,26 @@ def test_partitioned_upsert_merges_null_partition(spark, tmp_path):
     got = {r["k"]: r["v"] for r in spark.read.parquet(path).collect()}
     # k=1 survived the null-partition rewrite; k=2 updated; k=3 untouched
     assert got == {1: 10, 2: 99, 3: 30}
+
+
+def test_scd2_preserves_open_row_with_null_valid_from(spark):
+    """An open dimension row whose valid_from is NULL (bootstrap from a
+    NULL effective timestamp) must survive the next merge — the
+    IS NOT NULL presence sentinel would silently drop it."""
+    from enterprise_sales_data_pipeline_using_aws_lambda_spark.operators.scd2 import (
+        scd2_merge,
+    )
+
+    b1 = spark.createDataFrame(
+        [("k1", "v1", None)], "k string, attr string, eff string"
+    ).withColumn("eff", F.col("eff").cast("timestamp"))
+    dim = scd2_merge(None, b1, ["k"], ["attr"], "eff")
+    assert dim.count() == 1 and dim.first()["valid_from"] is None
+    b2 = spark.createDataFrame(
+        [("k2", "v2", "2024-01-01 00:00:00")],
+        "k string, attr string, eff string",
+    ).withColumn("eff", F.col("eff").cast("timestamp"))
+    merged = scd2_merge(dim, b2, ["k"], ["attr"], "eff")
+    got = {r["k"]: r for r in merged.collect()}
+    assert set(got) == {"k1", "k2"}       # k1 NOT dropped
+    assert got["k1"]["is_current"] is True

@@ -500,3 +500,105 @@ def test_fingerprint_skips_nonstandard_pcm_and_headeronly_video(spark):
     audio = {r["media_id"] for r in fingerprint_audio(df).collect()}
     assert audio == {2}  # 16-bit clip skipped, 8-bit fingerprinted
     assert ahash_video_frames(df).collect() == []  # no crash, no rows
+
+
+def test_parse_media_error_contract_on_malformed_containers():
+    """Every malformed container raises ValueError (the quarantine
+    contract) — never struct.error / KeyError / silent wrong stats."""
+    import struct as _struct
+
+    import pytest
+
+    from enterprise_sales_data_pipeline_using_aws_lambda_spark.operators.multimodal import (
+        encode_png,
+        parse_media,
+    )
+
+    # WAV: short fmt body
+    short_fmt = (
+        _struct.pack("<4sI4s4sI", b"RIFF", 20, b"WAVE", b"fmt ", 8)
+        + b"\x01\x00\x01\x00\x40\x1f\x00\x00"
+    )
+    with pytest.raises(ValueError):
+        parse_media(short_fmt)
+    # WAV: data chunk declares more bytes than present
+    trunc = (
+        _struct.pack(
+            "<4sI4s4sIHHIIHH4sI",
+            b"RIFF", 36 + 1000, b"WAVE", b"fmt ", 16,
+            1, 1, 8000, 8000, 1, 8, b"data", 1000,
+        )
+        + b"0123456789"
+    )
+    with pytest.raises(ValueError):
+        parse_media(trunc)
+    # y4m: missing mandatory W
+    with pytest.raises(ValueError):
+        parse_media(b"YUV4MPEG2 H4 F25:1\nFRAME\n")
+    # PPM: zero dimensions
+    with pytest.raises(ValueError):
+        parse_media(b"P6\n0 4\n255\n")
+    # PNG: zero dimensions (valid CRCs, w=0)
+    import zlib as _zlib
+
+    def _chunk(ctype, body):
+        crc = _zlib.crc32(ctype + body) & 0xFFFFFFFF
+        return (
+            _struct.pack(">I", len(body)) + ctype + body
+            + _struct.pack(">I", crc)
+        )
+
+    ihdr = _struct.pack(">IIBBBBB", 0, 4, 8, 2, 0, 0, 0)
+    png0 = (
+        b"\x89PNG\r\n\x1a\n"
+        + _chunk(b"IHDR", ihdr)
+        + _chunk(b"IDAT", _zlib.compress(b""))
+        + _chunk(b"IEND", b"")
+    )
+    with pytest.raises(ValueError):
+        parse_media(png0)
+    # sanity: a well-formed PNG still parses
+    ok = encode_png(2, 2, bytes(12))
+    assert parse_media(ok)["format"] == "png"
+
+
+def test_ahash_handles_gray_rgba_and_mismatched_payloads(spark):
+    """aHash must decode 1- and 4-channel PNGs correctly (gray crashes
+    a 3-byte-per-pixel read; RGBA silently misaligns it), skip rows
+    whose payload is not an image container, and skip NULL payloads —
+    across all three fingerprint operators."""
+    from enterprise_sales_data_pipeline_using_aws_lambda_spark.operators.multimodal import (
+        ahash_images,
+        ahash_video_frames,
+        encode_png,
+        encode_wav,
+        fingerprint_audio,
+    )
+
+    w = h = 8
+    gray = bytes((255 if x >= 4 else 0) for _ in range(h) for x in range(w))
+    rgb = bytes(v for g in gray for v in (g, g, g))
+    rgba = bytes(v for g in gray for v in (g, g, g, 255))
+    rows = [
+        (1, "image", encode_png(w, h, gray, color_type=0)),
+        (2, "image", encode_png(w, h, rgb, color_type=2)),
+        (3, "image", encode_png(w, h, rgba, color_type=6)),
+        (4, "image", encode_wav(8000, bytes([128] * 64))),  # kind lies
+        (5, "image", None),                                  # null payload
+        (6, "audio", encode_png(w, h, rgb, color_type=2)),   # kind lies
+        (7, "video", encode_wav(8000, bytes([128] * 64))),   # kind lies
+    ]
+    df = spark.createDataFrame(
+        rows, "media_id long, kind string, payload binary"
+    )
+    out = {r["media_id"]: r for r in ahash_images(df).collect()}
+    assert set(out) == {1, 2, 3}
+    # same underlying luma -> identical hash across gray/RGB/RGBA
+    assert (
+        out[1]["ahash_lo"], out[1]["ahash_hi"]
+    ) == (out[2]["ahash_lo"], out[2]["ahash_hi"]) == (
+        out[3]["ahash_lo"], out[3]["ahash_hi"],
+    )
+    assert out[1]["n_bits"] == 32  # bright right half
+    assert fingerprint_audio(df).collect() == []   # row 6 skipped
+    assert ahash_video_frames(df).collect() == []  # row 7 skipped
