@@ -142,14 +142,34 @@ def read_any(
     schema: T.StructType | None = None,
     infer: bool = False,
 ) -> DataFrame:
-    """Suffix-dispatch reader (reference S1+S4, ``lambda.py:58-79``)."""
+    """Suffix-dispatch reader (reference S1+S4, ``lambda.py:58-79``).
+
+    The reference dispatches only ``.csv``/``.json`` and raises for
+    anything else (``lambda.py:73-74``); the guard is preserved, but
+    the supported set is widened to every Spark-native columnar/text
+    format a lake migration actually encounters: parquet, ORC,
+    tab-separated CSV, and raw line-per-row text.
+    """
     lower = path.lower()
     if lower.endswith(".csv"):
         return read_csv(spark, path, schema, infer)
+    if lower.endswith((".tsv", ".tab")):
+        reader = spark.read.option("header", True).option("sep", "\t")
+        if schema is not None and not infer:
+            reader = reader.schema(schema)
+        else:
+            reader = reader.option("inferSchema", True)
+        return reader.csv(path)
     if lower.endswith(".json"):
         return read_json(spark, path, schema, infer)
     if lower.endswith(".parquet"):
         return spark.read.parquet(path)
+    if lower.endswith(".orc"):
+        return spark.read.orc(path)
+    if lower.endswith(".txt"):
+        # one row per line, single `value` string column (Spark-native
+        # text source); schema/infer do not apply
+        return spark.read.text(path)
     raise UnsupportedFormatError(f"Unsupported file format: {path}")
 
 

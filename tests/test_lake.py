@@ -170,6 +170,48 @@ def test_export_round_trip_formats(spark, tmp_path):
         export_table(df, str(tmp_path / "x"), "xlsx")
 
 
+def test_read_any_extended_formats(spark, tmp_path):
+    """read_any dispatches every Spark-native suffix — ORC, TSV, and
+    raw text beyond the reference's csv/json — and keeps the strict
+    unsupported-suffix guard (reference ``lambda.py:73-74``)."""
+    import pytest as _pytest
+
+    from enterprise_sales_data_pipeline_using_aws_lambda_spark.sources.readers import (
+        UnsupportedFormatError,
+        read_any,
+    )
+
+    df = spark.createDataFrame(
+        [(1, "a", 1.5), (2, "b", -3.25), (3, "c", 0.0)],
+        "id long, name string, score double",
+    )
+    want = sorted(map(tuple, df.collect()))
+
+    orc_dir = str(tmp_path / "t.orc")
+    df.write.orc(orc_dir)
+    assert sorted(map(tuple, read_any(spark, orc_dir).collect())) == want
+
+    tsv = tmp_path / "t.tsv"
+    tsv.write_text(
+        "id\tname\tscore\n1\ta\t1.5\n2\tb\t-3.25\n3\tc\t0.0\n"
+    )
+    back = read_any(spark, str(tsv), schema=df.schema)
+    assert sorted(map(tuple, back.collect())) == want
+    # inference path: header parsed, numerics inferred
+    inf = read_any(spark, str(tsv), infer=True)
+    assert set(inf.columns) == {"id", "name", "score"}
+    assert dict(inf.dtypes)["score"] == "double"
+
+    txt = tmp_path / "t.txt"
+    txt.write_text("alpha\nbeta\n")
+    lines = read_any(spark, str(txt))
+    assert lines.columns == ["value"]
+    assert sorted(r["value"] for r in lines.collect()) == ["alpha", "beta"]
+
+    with _pytest.raises(UnsupportedFormatError):
+        read_any(spark, str(tmp_path / "t.xlsx"))
+
+
 def test_compact_lake_partition(spark, tmp_path):
     from enterprise_sales_data_pipeline_using_aws_lambda_spark.sources.writers import (
         compact_lake_partition,
