@@ -306,46 +306,51 @@ def _srp_signs(
     tables×planes×dim string-concat+xxhash64 evaluations.  Evaluating
     the tiny matrix up front (a few KB) and embedding it as literal
     arrays removes all per-row hashing while producing bit-identical
-    buckets."""
-    row = spark.range(1).select(
-        *[
-            F.array(
-                *[
-                    F.when(
-                        F.xxhash64(F.lit(f"p{t}:{j}:{d}")).bitwiseAND(
-                            F.lit(1)
-                        )
-                        == 1,
-                        F.lit(1.0),
-                    ).otherwise(F.lit(-1.0))
-                    for d in range(dim)
-                ]
-            ).alias(f"s_{t}_{j}")
-            for t in range(tables)
-            for j in range(planes)
-        ]
-    ).first()
+    buckets.
+
+    Built as ONE generated-SQL statement, not tables×planes×dim
+    Column-API calls: each F.lit/F.when is a py4j round-trip, and the
+    3 072 of them at (12, 4, 64) cost ~20 s of driver time before the
+    sub-second 1-row job even starts.  ``concat('p{t}:{j}:', d)``
+    string-casts ``d`` exactly like the f-string, so the hashed bytes
+    — and therefore every sign — are unchanged."""
+    cols = ", ".join(
+        f"transform(sequence(0, {dim - 1}), d -> "
+        f"IF((xxhash64(concat('p{t}:{j}:', d)) & 1) = 1, "
+        f"CAST(1.0 AS DOUBLE), CAST(-1.0 AS DOUBLE))) AS s_{t}_{j}"
+        for t in range(tables)
+        for j in range(planes)
+    )
+    row = spark.sql("SELECT " + cols).first()
     return [
         [list(row[f"s_{t}_{j}"]) for j in range(planes)]
         for t in range(tables)
     ]
 
 
-def _srp_bucket_from_signs(vec: Column, plane_signs) -> Column:
+def _srp_bucket_from_signs(vec_sql: str, plane_signs) -> Column:
     """Bucket id from a precomputed ±1 sign matrix for one table —
     bit-identical to :func:`_srp_bucket`, with the hyperplanes as
-    literal arrays instead of per-row hash evaluations."""
-    total = None
+    literal arrays instead of per-row hash evaluations.
+
+    ``vec_sql`` is the vector column's SQL identifier: the whole
+    bucket expression is generated as ONE ``F.expr`` string (the JVM
+    parses it in microseconds) instead of per-plane Column-API calls —
+    every F.lit / lambda-HOF crossing is a py4j round-trip, and they
+    dominated driver-side plan construction (~5 s per bucketize at
+    tables=12, planes=4)."""
+    bits = []
     for j, signs in enumerate(plane_signs):
-        arr = F.array(*[F.lit(s) for s in signs])
-        dot = F.aggregate(
-            F.zip_with(vec, arr, lambda v, s: v.cast("double") * s),
-            F.lit(0.0),
-            lambda acc, x: acc + x,
+        arr = "array(" + ",".join(
+            f"{s:.1f}D" for s in signs
+        ) + ")"
+        dot = (
+            f"aggregate(zip_with({vec_sql}, {arr}, "
+            f"(v, s) -> CAST(v AS DOUBLE) * s), "
+            f"CAST(0.0 AS DOUBLE), (acc, x) -> acc + x)"
         )
-        bit = F.when(dot > 0, F.lit(1 << j)).otherwise(F.lit(0))
-        total = bit if total is None else total + bit
-    return total
+        bits.append(f"IF({dot} > 0, {1 << j}, 0)")
+    return F.expr(" + ".join(bits))
 
 
 def lsh_topk(
@@ -378,15 +383,21 @@ def lsh_topk(
         )
 
     def bucketize(df: DataFrame, prefix: str) -> DataFrame:
-        out = df
-        for t in range(tables):
-            out = out.withColumn(
-                f"_b{t}",
-                _srp_bucket_from_signs(F.col(vec_col), signs[t])
+        # one select, not `tables` chained withColumns: each bucket
+        # expression embeds planes×dim literal sign nodes, and chained
+        # projections make the analyzer re-walk the growing plan per
+        # table — O(tables²·planes·dim) analysis (measured ~28 s to
+        # PLAN the 12-table verdict gate; single-projection form plans
+        # in ~3 s with a bit-identical result)
+        bucket_cols = [
+            (
+                _srp_bucket_from_signs(f"`{vec_col}`", signs[t])
                 if signs is not None
-                else _srp_bucket(F.col(vec_col), t, planes),
-            )
-        return out
+                else _srp_bucket(F.col(vec_col), t, planes)
+            ).alias(f"_b{t}")
+            for t in range(tables)
+        ]
+        return df.select("*", *bucket_cols)
 
     c = bucketize(
         corpus.select(
