@@ -52,6 +52,41 @@ def test_lsh_recall_vs_bruteforce(spark):
     assert recall >= 0.7, f"LSH recall too low: {recall}"
 
 
+def test_srp_generated_sql_buckets_bit_identical(spark):
+    """The generated-SQL fast path (_srp_signs one-statement
+    materialization + _srp_bucket_from_signs expression strings) must
+    produce exactly the buckets of the per-row hash formulation
+    (_srp_bucket) — the LSH recall math assumes they are the same
+    hash family, and a silent drift would skew every bucket join."""
+    from enterprise_sales_data_pipeline_using_aws_lambda_spark.operators.similarity import (
+        _srp_bucket,
+        _srp_bucket_from_signs,
+        _srp_signs,
+    )
+
+    emb = spark.read.parquet(f"{SF_DIR}/embeddings.parquet").limit(100)
+    for tables, planes in ((3, 4), (2, 7)):
+        dim = len(emb.select("embedding").first()[0])
+        signs = _srp_signs(spark, tables, planes, dim)
+        assert len(signs) == tables and len(signs[0]) == planes
+        assert all(s in (1.0, -1.0) for s in signs[0][0])
+        fast = emb.select(
+            "vec_id",
+            *[
+                _srp_bucket_from_signs("`embedding`", signs[t]).alias(f"b{t}")
+                for t in range(tables)
+            ],
+        ).collect()
+        slow = emb.select(
+            "vec_id",
+            *[
+                _srp_bucket(F.col("embedding"), t, planes).alias(f"b{t}")
+                for t in range(tables)
+            ],
+        ).collect()
+        assert sorted(map(tuple, fast)) == sorted(map(tuple, slow))
+
+
 def test_lsh_reported_cosines_are_exact(spark):
     """The approximate path may miss neighbors but must never report a
     wrong cosine (exact re-rank property)."""
