@@ -338,12 +338,19 @@ def _srp_bucket_from_signs(vec_sql: str, plane_signs) -> Column:
     parses it in microseconds) instead of per-plane Column-API calls —
     every F.lit / lambda-HOF crossing is a py4j round-trip, and they
     dominated driver-side plan construction (~5 s per bucketize at
-    tables=12, planes=4)."""
+    tables=12, planes=4).
+
+    Each plane's dot stays a zip_with/aggregate fold ON PURPOSE: an
+    expanded straight-line sum (``v[0]*s0 + v[1]*s1 + …``) codegens
+    ~2× faster when it compiles, but at tables×planes×dim gate shapes
+    it overflows Janino's 64 KB method limit inside larger pipelines
+    and the whole stage falls back to interpreted Volcano mode —
+    measured 5× SLOWER than the compact fold.  The fold's code size is
+    O(1) per plane regardless of dim, so it never destabilizes the
+    surrounding stage's codegen."""
     bits = []
     for j, signs in enumerate(plane_signs):
-        arr = "array(" + ",".join(
-            f"{s:.1f}D" for s in signs
-        ) + ")"
+        arr = "array(" + ",".join(f"{s:.1f}D" for s in signs) + ")"
         dot = (
             f"aggregate(zip_with({vec_sql}, {arr}, "
             f"(v, s) -> CAST(v AS DOUBLE) * s), "
@@ -427,20 +434,32 @@ def lsh_topk(
             F.col(id_out), F.col(vec_out), F.explode(pairs).alias("tb")
         ).select(id_out, vec_out, "tb.tbl", "tb.bucket")
 
+    # Query side is bounded by contract (top-k probes, not a fact
+    # frame) → force-broadcast it so the corpus melt never shuffles:
+    # the candidate join runs map-side inside the corpus scan stage.
     cands = (
         melt(c, "vec_id", "cvec")
-        .join(melt(q, "qid", "qvec"), ["tbl", "bucket"])
+        .join(F.broadcast(melt(q, "qid", "qvec")), ["tbl", "bucket"])
         .filter(F.col("vec_id") != F.col("qid"))
-        .select("qid", "qvec", "vec_id", "cvec")
-        .distinct()
     )
-    scored = cands.select(
-        "qid",
-        "vec_id",
-        (
-            _dot(F.col("qvec"), F.col("cvec"))
-            / (_norm(F.col("qvec")) * _norm(F.col("cvec")))
-        ).alias("_cos"),
+    # Score BEFORE deduplicating multi-table collisions: a pair hit in
+    # m tables is re-scored m times (cheap JVM multiply-adds, still in
+    # the scan stage), so the dedup exchange carries only the
+    # (qid, vec_id, cos) scalar triple — never the vectors.  The
+    # previous shape deduped first via distinct() over rows holding
+    # BOTH embeddings, shuffling |candidates|×2·dim floats; at 1M
+    # vectors that exchange was 4× the cost of the exact brute force.
+    scored = (
+        cands.select(
+            "qid",
+            "vec_id",
+            (
+                _dot(F.col("qvec"), F.col("cvec"))
+                / (_norm(F.col("qvec")) * _norm(F.col("cvec")))
+            ).alias("_cos"),
+        )
+        .groupBy("qid", "vec_id")
+        .agg(F.max("_cos").alias("_cos"))
     )
     w = Window.partitionBy("qid").orderBy(F.col("_cos").desc(), F.col("vec_id"))
     return (
@@ -587,31 +606,61 @@ def ivf_topk(
         for qi, q in enumerate(qids)
         for l in np.argsort(-probe_sims[qi])[:n_probe]
     ]
-    probe_df = corpus.sparkSession.createDataFrame(
-        probes, "qid long, list_id int"
-    )
 
-    qvec_by_id = {int(q): qmat[i] for i, q in enumerate(qids)}
+    # Score per LIST with one blocked matmul against that list's
+    # probing queries (the semantic_dedup/cosine_pairs_blocked idiom),
+    # NOT by joining corpus rows to probe rows: the join shape
+    # duplicates every corpus row once per probing query — at 1M
+    # vectors × 1000 queries × 8 probes that is ~10⁸ materialized
+    # (vector, query) rows, plus a Python dict lookup per row in the
+    # scorer — measured 62 s where the grouped matmul takes ~4 s.
+    # Each group emits only its local top-(k+1) per query, so the
+    # shuffle into the global rank carries O(lists × probes × k) rows.
+    qid_arr = np.array(qids, dtype=np.int64)
+    qid_to_idx = {int(q): i for i, q in enumerate(qids)}
+    qnorms = np.maximum(np.linalg.norm(qmat, axis=1), 1e-12)
+    probe_qidx: dict[int, list[int]] = {}
+    for q, l in probes:
+        probe_qidx.setdefault(l, []).append(qid_to_idx[q])
+    list_qidx = {
+        l: np.array(ix, dtype=np.int64) for l, ix in probe_qidx.items()
+    }
+    local_k = k + 1  # +1 so a dropped self-match cannot starve a query
 
-    cands = indexed.join(F.broadcast(probe_df), "list_id")
-
-    def score(batches):
+    def score_list(key, pdf):
         import pandas as pd
 
-        for pdf in batches:
-            if pdf.empty:
-                continue
-            mat = _mat(pdf[vec_col])
+        empty = pd.DataFrame(
+            {"qid": np.array([], dtype=np.int64),
+             id_col: np.array([], dtype=np.int64),
+             "_cos": np.array([], dtype=np.float64)}
+        )
+        qidx = list_qidx.get(int(key[0]))
+        if qidx is None or pdf.empty:
+            return empty
+        ids = pdf[id_col].to_numpy(dtype=np.int64)
+        qm = qmat[qidx]
+        qn = qnorms[qidx]
+        m = len(qidx)
+        out = []
+        # row-chunk the list so per-block memory is (chunk × m), never
+        # |list| × m — the degenerate n_probe == n_lists verdict probes
+        # every list with every query
+        for lo in range(0, len(ids), 16384):
+            mat = _mat(pdf[vec_col].iloc[lo:lo + 16384])
             norms = np.maximum(np.linalg.norm(mat, axis=1), 1e-12)
-            qm = np.array([qvec_by_id[int(q)] for q in pdf["qid"]])
-            qn = np.maximum(np.linalg.norm(qm, axis=1), 1e-12)
-            cos = np.einsum("ij,ij->i", mat, qm) / (norms * qn)
-            yield pd.DataFrame(
-                {"qid": pdf["qid"], id_col: pdf[id_col], "_cos": cos}
-            )
+            sims = (mat @ qm.T) / np.outer(norms, qn)
+            take = min(local_k, len(norms))
+            idx = np.argpartition(-sims, take - 1, axis=0)[:take]
+            out.append(pd.DataFrame({
+                "qid": np.repeat(qid_arr[qidx], take),
+                id_col: ids[lo:lo + 16384][idx.T.ravel()],
+                "_cos": sims[idx.T.ravel(), np.repeat(np.arange(m), take)],
+            }))
+        return pd.concat(out, ignore_index=True) if out else empty
 
-    scored = cands.mapInPandas(
-        score, f"qid long, {id_col} long, _cos double"
+    scored = indexed.groupBy("list_id").applyInPandas(
+        score_list, f"qid long, {id_col} long, _cos double"
     ).filter(F.col(id_col) != F.col("qid"))
     w = Window.partitionBy("qid").orderBy(F.col("_cos").desc(), F.col(id_col))
     return (
