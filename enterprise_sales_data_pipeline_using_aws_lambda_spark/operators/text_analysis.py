@@ -14,6 +14,7 @@ from pyspark.sql import Column, DataFrame, Window
 from pyspark.sql import functions as F
 
 from ..functions.text import simple_word_count, word_tokens
+from .materialize import ensure_min_parallelism
 
 #: BPE-ish tokenizer: letter runs, single digits, or single
 #: non-alphanumeric-non-space marks (ASCII-safe across regex engines).
@@ -159,6 +160,9 @@ def fingerprint(
     Engine-portable (same value in any SQL engine with a list fold) —
     unlike md5/xxhash this is reproducible from the algorithm spec, which
     makes it the cross-system dedup key for mirrored corpora."""
+    # The character fold is the most CPU-expensive per-row transform in
+    # the text stack; don't let it fuse into a single-split scan task.
+    df = ensure_min_parallelism(df)
     t = F.col(text_col)
     # Chunked Horner: fold 8 characters per lambda step instead of one
     # (higher-order-function steps are interpreted, so step count is

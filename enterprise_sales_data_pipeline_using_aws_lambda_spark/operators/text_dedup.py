@@ -21,7 +21,7 @@ from __future__ import annotations
 from pyspark.sql import Column, DataFrame, Window
 from pyspark.sql import functions as F
 
-from .materialize import materialize
+from .materialize import ensure_min_parallelism, materialize
 
 from ..functions.text import char_ngrams, word_tokens
 
@@ -32,7 +32,13 @@ def shingle_sets(
     id_col: str = "doc_id",
     n: int = 5,
 ) -> DataFrame:
-    """(id, shingles) — distinct character n-grams per document."""
+    """(id, shingles) — distinct character n-grams per document.
+
+    Shingling is the CPU-dominant map stage of every dedup pipeline
+    built on it; an under-split input (single row group) would run it
+    one-core, so rebalance first (no-op when the scan already splits
+    ≥ cores — see ensure_min_parallelism)."""
+    df = ensure_min_parallelism(df)
     return df.select(
         F.col(id_col),
         F.array_distinct(char_ngrams(F.col(text_col), n)).alias("shingles"),
