@@ -303,6 +303,9 @@ def repetition_stats(
     costs 10⁶ explode rows, not 10¹² comparisons.  The top-ngram tie
     rule is max(struct(count, ngram)): highest count, then
     lexicographically greatest ngram — deterministic on both engines."""
+    # Gram/tokenization fan-out is the CPU-heavy map stage; do not let
+    # it fuse into an under-split (single row group) scan task.
+    df = ensure_min_parallelism(df)
     toks = word_tokens(text_col)
     base = df.select(F.col(id_col), toks.alias("_t"))
     word_stats = base.select(
@@ -386,6 +389,9 @@ def boilerplate_ngram_stats(
     The boilerplate set itself is corpus-frequency-bounded (a gram needs
     ``min_docs`` distinct docs), so no driver materialization anywhere.
     """
+    # Gram/tokenization fan-out is the CPU-heavy map stage; do not let
+    # it fuse into an under-split (single row group) scan task.
+    df = ensure_min_parallelism(df)
     grams_arr = F.when(
         F.size("_t") >= n,
         F.array_distinct(
@@ -592,7 +598,9 @@ def benchmark_overlap(
             )
         )
 
-    corpus = grams(df, id_col)
+    # Only the corpus side rebalances: bench is broadcast-small by
+    # contract, and its gram stage is a rounding error.
+    corpus = grams(ensure_min_parallelism(df), id_col)
     bench_g = grams(bench, bench_id_col).select(bench_id_col, "_g")
     joined = corpus.join(F.broadcast(bench_g), "_g").filter(
         F.col(id_col) != F.col(bench_id_col)

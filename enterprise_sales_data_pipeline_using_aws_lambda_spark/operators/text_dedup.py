@@ -387,6 +387,9 @@ def simhash(
     validation notebook) can recompute the EXACT same sketches.  The
     md5 path takes bit j from nibble j//4 of the hex digest (MSB-first
     within the nibble)."""
+    # 63 per-bit votes over every token hash is the CPU-heavy map
+    # stage; do not let it fuse into an under-split scan task.
+    df = ensure_min_parallelism(df)
     toks = word_tokens(text_col)
     if token_hash == "md5":
         hashes = F.transform(toks, lambda t: F.md5(t.cast("binary")))
