@@ -6778,6 +6778,14 @@ def udtf_keyvalue_explode(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.lit(";key="), F.col("o_orderkey").cast("string"),
         ).alias("s")
     )
+    # A UDTF runs in the Python worker of whatever task feeds it — an
+    # under-split scan would serialize the whole parse through ONE
+    # worker (measured 2.2 s -> 1.25 s at sf0.1/local[32]).  Arrow
+    # UDTFs (useArrow=True) measured WORSE here (16.8 s single-task,
+    # 1.56 s rebalanced): per-row yield dominates, not transfer.
+    from ..operators.materialize import ensure_min_parallelism
+
+    raw = ensure_min_parallelism(raw)
     raw.createOrReplaceTempView("_udtf_kv_input")
     kv = spark.sql(
         "SELECT t.key, t.value FROM _udtf_kv_input, "

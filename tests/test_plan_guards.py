@@ -157,3 +157,31 @@ def test_no_forced_vocabulary_broadcasts(spark):
             f"(allowed {allowed}) — a vocabulary-sized side got a "
             f"forced broadcast back:\n{plan[:2000]}"
         )
+
+
+def test_ensure_min_parallelism_noop_at_scale(spark):
+    """The under-split rebalance must be a NO-OP once the input already
+    splits >= cores — at 100 TB every scan does, so the exchange it
+    inserts locally must never appear in a real cluster plan.  Also pins
+    the positive case: an under-split input comes back round-robin
+    repartitioned to defaultParallelism."""
+    from pyspark.sql import functions as F
+
+    from enterprise_sales_data_pipeline_using_aws_lambda_spark.operators.materialize import (  # noqa: E501
+        ensure_min_parallelism,
+    )
+
+    target = spark.sparkContext.defaultParallelism
+    wide = spark.range(0, 1000, 1, target + 4).select(
+        F.col("id"), F.lit("x").alias("text")
+    )
+    # identity — not merely equal partitioning: no new plan node at all
+    assert ensure_min_parallelism(wide) is wide
+
+    narrow = spark.range(0, 1000, 1, 1).select(
+        F.col("id"), F.lit("x").alias("text")
+    )
+    out = ensure_min_parallelism(narrow)
+    assert out is not narrow
+    assert out.rdd.getNumPartitions() == target
+    assert out.count() == 1000
