@@ -42,6 +42,8 @@ from pyspark.sql import DataFrame
 from pyspark.sql import functions as F
 from pyspark.sql import types as T
 
+from .materialize import ensure_min_parallelism
+
 MEDIA_KINDS = ("image", "audio", "video")
 
 #: Canonical media-table schema: opaque payload + typed metadata.
@@ -673,7 +675,14 @@ def media_from_documents(docs: DataFrame) -> DataFrame:
     YUV4MPEG2 video, or zlib-compressed PNG (round-robin) via
     :func:`synth_payload`.  Payload
     generation runs per-partition in Arrow batches — same distribution
-    properties as reading real media."""
+    properties as reading real media.
+
+    The input rebalances if under-split (no-op otherwise): synthesis
+    AND every downstream decode/feature/fingerprint ``mapInPandas``
+    inherit this partitioning, so a one-row-group documents fixture
+    would otherwise serialize the whole media stack through a single
+    Python worker."""
+    docs = ensure_min_parallelism(docs)
 
     def synth_partition(batches: Iterator) -> Iterator:
         import pandas as pd
