@@ -70,6 +70,10 @@ NEW_THIS_ROUND: list[str] = [
     # video leg of the same family: real Y4M decode → per-frame LUMA
     # aHash (shot-level near-dup key)
     "video_frame_ahash",
+    # maximal cross-doc repeated spans (Lee et al. '22 exact
+    # substring dedup at word granularity) — the sub-document signal
+    # passage grids and doc hashing both miss
+    "dedup_repeated_spans",
 ]
 
 # The 37 queries whose ONLY driver check is round 1 (recomputed from

@@ -676,3 +676,106 @@ def exact_jaccard_join(
         )
         .filter(F.col("jaccard") >= threshold)
     )
+
+
+# ---------------------------------------------------------------------------
+# Maximal repeated spans (exact substring-level dedup)
+# ---------------------------------------------------------------------------
+
+def duplicated_spans(
+    df: DataFrame,
+    width: int = 8,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+) -> DataFrame:
+    """Maximal cross-document repeated-span profile — the exact
+    substring-level dedup signal of Lee et al. '22 ("Deduplicating
+    Training Data Makes Language Models Better", which drops repeated
+    50-token spans), at word granularity: a position is COVERED when
+    the ``width``-word gram starting there also occurs in at least one
+    OTHER document; runs of covered positions merge into maximal
+    spans.  This catches long verbatim borrowings that document-level
+    hashing (different surroundings) and fixed passage grids
+    (misaligned cuts) both miss.
+
+    Per doc: ``n_tokens``, ``n_dup_spans``, ``covered_tokens`` (tokens
+    inside merged spans), ``longest_span``, ``covered_frac``.  Docs
+    with no repeated span report zeros — the downstream filter decides
+    thresholds, the profile never drops rows.
+
+    Scale shape: gram fan-out is JVM ``sequence``+``transform``; the
+    duplicated-gram set comes from a gram-keyed hash aggregate
+    (map-side combined, carries one row per distinct gram per
+    partition) requiring min(doc) < max(doc) — never a self-join.
+    Covered positions re-join that set on the same gram key (exchange
+    reuse), and span merging is a per-document window (``lag`` over
+    positions): interval ends are monotone for fixed-width grams, so a
+    span breaks exactly where ``pos - lag(pos) > width - 1``.  Both
+    windows partition on the document key — partitions are doc-sized,
+    never corpus-sized.  The gram identity is the text itself so the
+    oracle is exact; production corpora should swap in
+    ``xxhash64(gram)`` to shrink the shuffle (collision odds ~n²/2⁶⁴),
+    which changes no downstream logic."""
+    df = ensure_min_parallelism(df)
+    toks = word_tokens(text_col)
+    base = materialize(
+        df.select(F.col(id_col), toks.alias("_t")).select(
+            id_col, "_t", F.size("_t").cast("long").alias("n_tokens")
+        )
+    )
+    grams = base.filter(F.size("_t") >= width).select(
+        F.col(id_col),
+        F.posexplode(
+            F.transform(
+                F.sequence(F.lit(0), F.size("_t") - width),
+                lambda i: F.concat_ws(
+                    " ", F.slice(F.col("_t"), i + 1, width)
+                ),
+            )
+        ).alias("_pos", "_g"),
+    )
+    dup = (
+        grams.groupBy("_g")
+        .agg(F.min(id_col).alias("_lo"), F.max(id_col).alias("_hi"))
+        .filter(F.col("_lo") < F.col("_hi"))
+        .select("_g")
+    )
+    cov = grams.join(dup, "_g").select(id_col, "_pos").distinct()
+    w = Window.partitionBy(id_col).orderBy("_pos")
+    brk = (
+        F.when(F.lag("_pos").over(w).isNull(), 1)
+        .when(F.col("_pos") - F.lag("_pos").over(w) > width - 1, 1)
+        .otherwise(0)
+    )
+    islands = cov.select(
+        F.col(id_col), F.col("_pos"), F.sum(brk).over(w).alias("_isl")
+    )
+    spans = islands.groupBy(id_col, "_isl").agg(
+        F.min("_pos").alias("_s"),
+        (F.max("_pos") + width - 1).alias("_e"),
+    )
+    per_doc = spans.groupBy(id_col).agg(
+        F.count("*").cast("long").alias("n_dup_spans"),
+        F.sum(F.col("_e") - F.col("_s") + 1).cast("long").alias(
+            "covered_tokens"
+        ),
+        F.max(F.col("_e") - F.col("_s") + 1).cast("long").alias(
+            "longest_span"
+        ),
+    )
+    return (
+        base.select(id_col, "n_tokens")
+        .join(per_doc, id_col, "left")
+        .select(
+            id_col,
+            "n_tokens",
+            F.coalesce("n_dup_spans", F.lit(0)).alias("n_dup_spans"),
+            F.coalesce("covered_tokens", F.lit(0)).alias("covered_tokens"),
+            F.coalesce("longest_span", F.lit(0)).alias("longest_span"),
+            F.round(
+                F.coalesce("covered_tokens", F.lit(0))
+                / F.greatest(F.col("n_tokens"), F.lit(1)),
+                4,
+            ).alias("covered_frac"),
+        )
+    )

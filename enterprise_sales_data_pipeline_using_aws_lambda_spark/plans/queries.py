@@ -8297,3 +8297,72 @@ def video_frame_ahash(spark: SparkSession, sf_dir: str) -> DataFrame:
         _t(spark, sf_dir, "documents").select("doc_id")
     )
     return ahash_video_frames(media)
+
+
+@query(
+    "dedup_repeated_spans",
+    """
+    WITH t AS (
+        SELECT doc_id,
+               list_filter(string_split(text, ' '), x -> x <> '') AS tk
+        FROM documents
+    ),
+    g0 AS (
+        SELECT doc_id,
+               [ {'pos': i, 'gram': array_to_string(tk[i:i + 7], ' ')}
+                 FOR i IN range(1, len(tk) - 6) ] AS gs
+        FROM t WHERE len(tk) >= 8
+    ),
+    g AS (
+        SELECT doc_id, u.pos AS pos, u.gram AS gram
+        FROM (SELECT doc_id, unnest(gs) AS u FROM g0)
+    ),
+    dup AS (
+        SELECT gram FROM g GROUP BY gram
+        HAVING min(doc_id) < max(doc_id)
+    ),
+    cov AS (SELECT DISTINCT g.doc_id, g.pos FROM g JOIN dup USING (gram)),
+    mk AS (
+        SELECT doc_id, pos,
+               CASE WHEN lag(pos) OVER w IS NULL
+                      OR pos - lag(pos) OVER w > 7 THEN 1 ELSE 0 END AS brk
+        FROM cov WINDOW w AS (PARTITION BY doc_id ORDER BY pos)
+    ),
+    runs AS (
+        SELECT doc_id, pos,
+               sum(brk) OVER (PARTITION BY doc_id ORDER BY pos) AS run_id
+        FROM mk
+    ),
+    sp AS (
+        SELECT doc_id, run_id, min(pos) AS s, max(pos) + 7 AS e
+        FROM runs GROUP BY doc_id, run_id
+    ),
+    per AS (
+        SELECT doc_id, count(*) AS n_dup_spans,
+               sum(e - s + 1) AS covered_tokens,
+               max(e - s + 1) AS longest_span
+        FROM sp GROUP BY doc_id
+    )
+    SELECT t.doc_id,
+           CAST(len(tk) AS BIGINT) AS n_tokens,
+           CAST(coalesce(per.n_dup_spans, 0) AS BIGINT) AS n_dup_spans,
+           CAST(coalesce(per.covered_tokens, 0) AS BIGINT)
+               AS covered_tokens,
+           CAST(coalesce(per.longest_span, 0) AS BIGINT) AS longest_span,
+           round(coalesce(per.covered_tokens, 0) * 1.0
+                 / greatest(len(tk), 1), 4) AS covered_frac
+    FROM t LEFT JOIN per USING (doc_id)
+    """,
+)
+def dedup_repeated_spans(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Maximal cross-document repeated spans
+    (operators.text_dedup.duplicated_spans): the exact substring-level
+    dedup profile of Lee et al. '22 at word granularity — positions
+    whose 8-gram recurs in another document, merged into maximal spans
+    per doc.  Catches verbatim borrowings that document hashing
+    (different surroundings) and fixed passage grids (misaligned cuts)
+    both miss; the covered_frac column is the drop/trim signal a
+    curation pipeline thresholds on."""
+    from ..operators.text_dedup import duplicated_spans
+
+    return duplicated_spans(_t(spark, sf_dir, "documents"), width=8)

@@ -591,3 +591,44 @@ def test_lsh_banding_covers_every_slot_when_not_divisible(spark):
     for b in range(9):
         assert by_doc_band[(1, b)] == by_doc_band[(2, b)]
     assert by_doc_band[(1, 9)] != by_doc_band[(2, 9)]
+
+
+def test_duplicated_spans_hand_computed(spark):
+    """Maximal repeated spans on a corpus where every span boundary is
+    known by construction: shared runs merge into maximal spans, gaps
+    wider than width-1 keep spans separate, clean docs report zeros."""
+    from enterprise_sales_data_pipeline_using_aws_lambda_spark.operators.text_dedup import (  # noqa: E501
+        duplicated_spans,
+    )
+
+    run = "a b c d e f g h i j"            # 10 shared tokens
+    docs = spark.createDataFrame(
+        [
+            (1, run + " u1 u2 u3"),         # span 0..9 of 13 tokens
+            (2, "x1 x2 " + run),            # span 2..11 of 12 tokens
+            (3, "z1 z2 z3 z4 z5 z6 z7 z8 z9"),   # unique -> zeros
+            # two shared 8-runs separated by 10 unique tokens (> width-1)
+            (4, "a b c d e f g h "
+                + "p1 p2 p3 p4 p5 p6 p7 p8 p9 p10 "
+                + "c d e f g h i j"),
+        ],
+        "doc_id long, text string",
+    )
+    out = {
+        r["doc_id"]: r.asDict()
+        for r in duplicated_spans(docs, width=8).collect()
+    }
+    assert out[1] == {
+        "doc_id": 1, "n_tokens": 13, "n_dup_spans": 1,
+        "covered_tokens": 10, "longest_span": 10,
+        "covered_frac": round(10 / 13, 4),
+    }
+    assert out[2]["covered_tokens"] == 10
+    assert out[2]["n_dup_spans"] == 1
+    assert out[3] == {
+        "doc_id": 3, "n_tokens": 9, "n_dup_spans": 0,
+        "covered_tokens": 0, "longest_span": 0, "covered_frac": 0.0,
+    }
+    assert out[4]["n_dup_spans"] == 2
+    assert out[4]["covered_tokens"] == 16
+    assert out[4]["longest_span"] == 8
