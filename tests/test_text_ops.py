@@ -632,3 +632,39 @@ def test_duplicated_spans_hand_computed(spark):
     assert out[4]["n_dup_spans"] == 2
     assert out[4]["covered_tokens"] == 16
     assert out[4]["longest_span"] == 8
+
+
+def test_duplicated_spans_edge_cases(spark):
+    """Empty text, sub-width docs, and fully-identical docs: the
+    profile never drops rows, never divides by zero, and a verbatim
+    pair is covered end-to-end."""
+    from enterprise_sales_data_pipeline_using_aws_lambda_spark.operators.text_dedup import (  # noqa: E501
+        duplicated_spans,
+    )
+
+    same = "s1 s2 s3 s4 s5 s6 s7 s8 s9 s10"   # 10 tokens, 2 copies
+    docs = spark.createDataFrame(
+        [
+            (1, ""),                    # no tokens at all
+            (2, "one two three"),       # shorter than width -> no grams
+            (3, same),
+            (4, same),
+        ],
+        "doc_id long, text string",
+    )
+    out = {
+        r["doc_id"]: r.asDict()
+        for r in duplicated_spans(docs, width=8).collect()
+    }
+    assert len(out) == 4
+    assert out[1]["n_tokens"] == 0 and out[1]["covered_frac"] == 0.0
+    assert out[2] == {
+        "doc_id": 2, "n_tokens": 3, "n_dup_spans": 0,
+        "covered_tokens": 0, "longest_span": 0, "covered_frac": 0.0,
+    }
+    for d in (3, 4):
+        assert out[d] == {
+            "doc_id": d, "n_tokens": 10, "n_dup_spans": 1,
+            "covered_tokens": 10, "longest_span": 10,
+            "covered_frac": 1.0,
+        }
