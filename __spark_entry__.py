@@ -74,6 +74,10 @@ NEW_THIS_ROUND: list[str] = [
     # substring dedup at word granularity) — the sub-document signal
     # passage grids and doc hashing both miss
     "dedup_repeated_spans",
+    # Broder containment C(A,B)=|A∩B|/|A| — asymmetric subsumption
+    # dedup (short doc quoted inside a long one) that Jaccard
+    # structurally misses; zero-FN contained-side prefix filter
+    "containment_prefix_join",
 ]
 
 # The 37 queries whose ONLY driver check is round 1 (recomputed from

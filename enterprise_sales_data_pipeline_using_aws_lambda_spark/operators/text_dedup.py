@@ -779,3 +779,105 @@ def duplicated_spans(
             ).alias("covered_frac"),
         )
     )
+
+
+def containment_join(
+    df: DataFrame,
+    threshold: float = 0.8,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    ngram: int | None = None,
+) -> DataFrame:
+    """EXACT containment self-join: ordered pairs with
+    ``C(A,B) = |A∩B| / |A| >= threshold`` — Broder '97's second
+    resemblance measure.  Containment is ASYMMETRIC: it flags a short
+    document quoted verbatim inside a much longer one, which Jaccard
+    never can (the union is container-sized, so J stays near
+    |A|/|B| no matter how completely A is swallowed).  The curation
+    use is subsumption dedup: drop docs whose content a kept doc
+    already carries.
+
+    Zero false negatives by prefix filtering on the CONTAINED side
+    only: order each set's elements rarest-first (global document
+    frequency, ties lexicographic); if B misses all of A's first
+    ``|A| - ceil(t*|A|) + 1`` elements, then |A∩B| <= ceil(t*|A|)-1 <
+    t*|A| — so candidates generated from A-prefix tokens are
+    exhaustive.  No symmetric prefix or length filter exists for
+    containment (|B| is unbounded), so the container side posts its
+    elements as an inverted index, semi-join-reduced to the distinct
+    prefix vocabulary (postings for never-prefix tokens cannot create
+    candidates) — join fan-out per prefix token is that token's
+    document frequency; rarest-first ordering keeps exactly those
+    frequencies minimal, and AQE's skew-join handles residual hot
+    tokens.  Survivors verify with one exact array_intersect over the
+    two element arrays.
+
+    Returns (contained_id, container_id, containment) — both
+    directions may appear when each side clears its own denominator.
+
+    ``ngram=N`` switches the set unit to distinct character N-grams
+    (same rationale as exact_jaccard_join: on small-vocabulary corpora
+    word sets collapse and prefix filtering degenerates)."""
+    if ngram is not None:
+        toks_arr = F.array_distinct(char_ngrams(F.col(text_col), ngram))
+    else:
+        toks_arr = F.array_distinct(word_tokens(text_col))
+    # One lineage cut, three consumers (flat frame + both verify
+    # joins) — identical policy to exact_jaccard_join.
+    base = materialize(
+        df.select(F.col(id_col).alias("_id"), toks_arr.alias("_s")).filter(
+            F.size("_s") > 0
+        )
+    )
+    flat = base.select(
+        "_id", F.size("_s").alias("_sz"), F.explode("_s").alias("_tok")
+    )
+    dfreq = flat.groupBy("_tok").agg(F.count("*").alias("_df"))
+    w = Window.partitionBy("_id").orderBy("_df", "_tok")
+    ranked = flat.join(dfreq, "_tok").withColumn(
+        "_rn", F.row_number().over(w)
+    )
+    # epsilon-guarded ceil: same IEEE-rounding rationale as
+    # exact_jaccard_join — a raw ceil(t*|s|) can round past the exact
+    # rational and shorten the prefix, breaking exhaustiveness.
+    _eps = 1e-9
+    pfx = materialize(
+        ranked.filter(
+            F.col("_rn")
+            <= F.col("_sz")
+            - F.ceil(F.col("_sz") * F.lit(threshold) - _eps) + 1
+        ).select("_tok", F.col("_id").alias("contained_id"))
+    )
+    # Semi-join reduction: container postings for tokens that occur in
+    # NO prefix cannot create a candidate, so drop them before the
+    # join.  Prefix tokens are the rarest ones, so on a Zipfian corpus
+    # this discards the bulk of the posting list (the hot tokens) —
+    # the at-scale shuffle win; the reducing set itself is just the
+    # distinct prefix vocabulary.
+    ptoks = pfx.select("_tok").distinct()
+    b = flat.join(ptoks, "_tok").select(
+        "_tok", F.col("_id").alias("container_id")
+    )
+    cand = (
+        pfx.join(b, "_tok")
+        .filter(F.col("contained_id") != F.col("container_id"))
+        .select("contained_id", "container_id")
+        .distinct()
+    )
+    sa = base.select(
+        F.col("_id").alias("contained_id"), F.col("_s").alias("_ta")
+    )
+    sb = base.select(
+        F.col("_id").alias("container_id"), F.col("_s").alias("_tb")
+    )
+    cont = F.size(F.array_intersect("_ta", "_tb")) / F.size("_ta")
+    return (
+        cand.join(sa, "contained_id")
+        .join(sb, "container_id")
+        .select(
+            "contained_id",
+            "container_id",
+            F.round(cont, 6).alias("containment"),
+        )
+        .filter(F.col("containment") >= threshold)
+    )

@@ -8366,3 +8366,43 @@ def dedup_repeated_spans(spark: SparkSession, sf_dir: str) -> DataFrame:
     from ..operators.text_dedup import duplicated_spans
 
     return duplicated_spans(_t(spark, sf_dir, "documents"), width=8)
+
+
+@query(
+    "containment_prefix_join",
+    """
+    WITH sh AS (
+        SELECT doc_id,
+               CASE WHEN len(text) < 5 THEN [text]
+                    ELSE list_distinct([substr(text, i, 5)
+                                        FOR i IN range(1, len(text) - 3)])
+               END AS s
+        FROM documents
+    ),
+    sizes AS (SELECT doc_id, len(s) AS n FROM sh WHERE len(s) > 0),
+    toks AS (SELECT doc_id, unnest(s) AS g FROM sh),
+    inter AS (
+        SELECT a.doc_id AS ia, b.doc_id AS ib, count(*) AS c
+        FROM toks a JOIN toks b ON a.g = b.g AND a.doc_id <> b.doc_id
+        GROUP BY 1, 2
+    )
+    SELECT ia AS contained_id, ib AS container_id,
+           round(c::DOUBLE / sa.n, 6) AS containment
+    FROM inter JOIN sizes sa ON ia = sa.doc_id
+    WHERE round(c::DOUBLE / sa.n, 6) >= 0.8
+    """,
+)
+def containment_prefix_join(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """EXACT containment self-join (5-gram shingles, C(A,B) =
+    |A∩B|/|A| >= 0.8) via contained-side prefix filtering
+    (operators.text_dedup.containment_join) — Broder '97's asymmetric
+    resemblance measure, the subsumption-dedup signal Jaccard
+    structurally misses (a short doc fully quoted inside a long one
+    has J ~= |A|/|B| but containment 1.0).  The oracle is the all-pairs
+    definition, so a hash match proves the prefix filter's
+    zero-false-negative contract on this corpus."""
+    from ..operators.text_dedup import containment_join
+
+    return containment_join(
+        _t(spark, sf_dir, "documents"), threshold=0.8, ngram=5
+    )

@@ -668,3 +668,22 @@ def test_duplicated_spans_edge_cases(spark):
             "covered_tokens": 10, "longest_span": 10,
             "covered_frac": 1.0,
         }
+
+
+def test_containment_join_asymmetric(spark):
+    """Containment flags a short doc swallowed by a long one — in ONE
+    direction only — where Jaccard stays far below any dedup
+    threshold; unrelated docs produce nothing."""
+    from enterprise_sales_data_pipeline_using_aws_lambda_spark.operators.text_dedup import (  # noqa: E501
+        containment_join,
+    )
+
+    short = "alpha beta gamma delta"
+    long = short + " " + " ".join(f"filler{i}" for i in range(40))
+    docs = spark.createDataFrame(
+        [(1, short), (2, long), (3, "totally different words here")],
+        "doc_id long, text string",
+    )
+    rows = containment_join(docs, threshold=0.9).collect()
+    assert [(r["contained_id"], r["container_id"], r["containment"])
+            for r in rows] == [(1, 2, 1.0)]
