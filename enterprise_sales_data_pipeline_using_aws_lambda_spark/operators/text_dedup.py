@@ -858,26 +858,51 @@ def containment_join(
     b = flat.join(ptoks, "_tok").select(
         "_tok", F.col("_id").alias("container_id")
     )
+    # Canonicalize candidates to UNORDERED pairs before the verify:
+    # the intersection is symmetric, so one array_intersect serves
+    # both directions (each with its own denominator) — halving the
+    # verify join's array shuffle.  Exactness holds: any direction
+    # with C >= t was independently generated from ITS contained
+    # side's prefix, so it is present in the unordered union.
     cand = (
         pfx.join(b, "_tok")
         .filter(F.col("contained_id") != F.col("container_id"))
-        .select("contained_id", "container_id")
+        .select(
+            F.least("contained_id", "container_id").alias("_lo"),
+            F.greatest("contained_id", "container_id").alias("_hi"),
+        )
         .distinct()
     )
-    sa = base.select(
-        F.col("_id").alias("contained_id"), F.col("_s").alias("_ta")
+    sl = base.select(F.col("_id").alias("_lo"), F.col("_s").alias("_tl"))
+    sh2 = base.select(F.col("_id").alias("_hi"), F.col("_s").alias("_th"))
+    inter = F.size(F.array_intersect("_tl", "_th"))
+    both = cand.join(sl, "_lo").join(sh2, "_hi").select(
+        "_lo",
+        "_hi",
+        inter.alias("_i"),
+        F.size("_tl").alias("_nl"),
+        F.size("_th").alias("_nh"),
     )
-    sb = base.select(
-        F.col("_id").alias("container_id"), F.col("_s").alias("_tb")
+    directed = both.select(
+        F.explode(
+            F.array(
+                F.struct(
+                    F.col("_lo").alias("contained_id"),
+                    F.col("_hi").alias("container_id"),
+                    F.round(F.col("_i") / F.col("_nl"), 6).alias(
+                        "containment"
+                    ),
+                ),
+                F.struct(
+                    F.col("_hi").alias("contained_id"),
+                    F.col("_lo").alias("container_id"),
+                    F.round(F.col("_i") / F.col("_nh"), 6).alias(
+                        "containment"
+                    ),
+                ),
+            )
+        ).alias("_d")
     )
-    cont = F.size(F.array_intersect("_ta", "_tb")) / F.size("_ta")
-    return (
-        cand.join(sa, "contained_id")
-        .join(sb, "container_id")
-        .select(
-            "contained_id",
-            "container_id",
-            F.round(cont, 6).alias("containment"),
-        )
-        .filter(F.col("containment") >= threshold)
+    return directed.select("_d.*").filter(
+        F.col("containment") >= threshold
     )
