@@ -609,6 +609,86 @@ def main() -> int:
         + " rows (scan cost |Q|-independent)",
     )
 
+    # 23) Maximal repeated spans at 200k docs: 2% of docs carry one
+    # planted 20-token verbatim run shared with a partner doc (the
+    # rest of every doc is unique), so the expected flag count is
+    # known exactly.  Stresses the gram explode (200k × 53 8-grams),
+    # the gram-keyed min<max aggregate, and the doc-partitioned
+    # island windows.
+    from enterprise_sales_data_pipeline_using_aws_lambda_spark.operators.text_dedup import (  # noqa: E501
+        containment_join,
+        duplicated_spans,
+    )
+
+    nd_sp = max(n // 100, 200_000)
+
+    def _tok(seed, pos):
+        return F.concat(
+            F.lit("t"), F.pmod(F.xxhash64(seed, pos), F.lit(10**15))
+        )
+
+    paired = F.col("id") % 100 < 2
+    pair_seed = F.col("id") - F.col("id") % 2 + F.lit(10**12)
+    docs_sp = spark.range(0, nd_sp).select(
+        F.col("id").alias("doc_id"),
+        F.concat_ws(
+            " ",
+            F.transform(
+                F.sequence(F.lit(0), F.lit(59)),
+                lambda p: F.when(
+                    paired & (p >= 20) & (p <= 39), _tok(pair_seed, p)
+                ).otherwise(_tok(F.col("id"), p)),
+            ),
+        ).alias("text"),
+    )
+
+    def _spans():
+        flagged = (
+            duplicated_spans(docs_sp, width=8)
+            .filter(F.col("n_dup_spans") > 0)
+            .count()
+        )
+        return f"{flagged:,} docs flagged (expect {nd_sp // 50:,})"
+
+    run("repeated_spans_200k", nd_sp, _spans)
+
+    # 24) Containment join at 200k docs over a Zipf(1) vocabulary —
+    # the adversarial shape for posting joins (hot tokens dominate the
+    # posting list; they miss the prefix build side and are discarded
+    # at probe time with zero fan-out).  1% of docs are verbatim
+    # 12-token subsets of their neighbor, so the planted pair count is
+    # known exactly and total recall is checked, not assumed.
+    import math as _math
+
+    nd_ct = max(n // 100, 200_000)
+    zipf_v = 200_000
+
+    def _ztok(seed, pos):
+        u = F.pmod(F.xxhash64(seed, pos), F.lit(10**9)) / F.lit(10**9)
+        return F.concat(
+            F.lit("w"),
+            F.floor(F.exp(u * F.lit(_math.log(zipf_v)))).cast("long"),
+        )
+
+    is_sub = F.col("id") % 100 == 0
+    src = F.when(is_sub, F.col("id") + 1).otherwise(F.col("id"))
+    n_tok = F.when(is_sub, F.lit(11)).otherwise(F.lit(29))
+    docs_ct = spark.range(0, nd_ct).select(
+        F.col("id").alias("doc_id"),
+        F.concat_ws(
+            " ",
+            F.transform(
+                F.sequence(F.lit(0), n_tok), lambda p: _ztok(src, p)
+            ),
+        ).alias("text"),
+    )
+
+    def _containment():
+        got = containment_join(docs_ct, threshold=0.9).count()
+        return f"{got:,} pairs (expect {nd_ct // 100:,} planted)"
+
+    run("containment_zipf_200k", nd_ct, _containment)
+
     total = round(sum(r[2] for r in results), 2)
     print(f"TOTAL {total}s for {len(results)} workloads at base n={n:,}")
     spark.stop()
