@@ -820,9 +820,7 @@ def containment_join(
 
     ``ngram=N`` switches the set unit to distinct character N-grams
     (same rationale as exact_jaccard_join: on small-vocabulary corpora
-    word sets collapse and prefix filtering degenerates).
-
-    """
+    word sets collapse and prefix filtering degenerates)."""
     if ngram is not None:
         toks_arr = F.array_distinct(char_ngrams(F.col(text_col), ngram))
     else:
@@ -853,12 +851,6 @@ def containment_join(
             - F.ceil(F.col("_sz") * F.lit(threshold) - _eps) + 1
         ).select("_tok", F.col("_id").alias("contained_id"))
     )
-    # Semi-join reduction: container postings for tokens that occur in
-    # NO prefix cannot create a candidate, so drop them before the
-    # join.  Prefix tokens are the rarest ones, so on a Zipfian corpus
-    # this discards the bulk of the posting list (the hot tokens) —
-    # the at-scale shuffle win; the reducing set itself is just the
-    # distinct prefix vocabulary.
     b = flat.select("_tok", F.col("_id").alias("container_id"))
     # Canonicalize candidates to UNORDERED pairs before the verify:
     # the intersection is symmetric, so one array_intersect serves
