@@ -147,6 +147,16 @@ HEADLINE = [
     "user_retention_cohorts",
     "top_event_paths",
     "embedding_gram_matrix",
+    # round-5 additions (cheap lanes; containment_prefix_join is
+    # gate-only — like exact_jaccard_prefix_join it is quadratic on
+    # this synthetic self-similar corpus [52 s at sf0.1], while the
+    # 200k-doc Zipf scale smoke shows the realistic-corpus cost).
+    # peak_concurrent_sessions starts the cost trend for the round-5
+    # migrated global_cumsum sweep shape.
+    "audio_energy_fingerprints",
+    "video_frame_ahash",
+    "dedup_repeated_spans",
+    "peak_concurrent_sessions",
 ]
 
 

@@ -437,6 +437,41 @@ def test_exact_jaccard_join_total_recall_property(spark, docs, tq):
 
 
 @settings(max_examples=10, deadline=None)
+@given(docs=word_docs(), tq=st.sampled_from([0.34, 0.5, 0.75]))
+def test_containment_join_total_recall_property(spark, docs, tq):
+    """For ANY corpus and threshold, the contained-side prefix filter
+    must return exactly the all-ORDERED-pairs brute-force containment
+    result.  The tiny-vocabulary corpus is the adversarial case for
+    both the prefix filter (everything collides) and the unordered-pair
+    canonicalization (both directions of one pair clear their own
+    denominators)."""
+    from itertools import permutations
+
+    from enterprise_sales_data_pipeline_using_aws_lambda_spark.operators.text_dedup import (
+        containment_join,
+    )
+
+    df = spark.createDataFrame(
+        [(i, t) for i, t in enumerate(docs)], "doc_id long, text string"
+    )
+    got = {
+        (r["contained_id"], r["container_id"]): r["containment"]
+        for r in containment_join(df, threshold=tq).collect()
+    }
+
+    exp = {}
+    for i, j in permutations(range(len(docs)), 2):
+        sa = set(docs[i].split()) - {""}
+        sb = set(docs[j].split()) - {""}
+        if not sa or not sb:
+            continue
+        c = round(len(sa & sb) / len(sa), 6)
+        if c >= tq:
+            exp[(i, j)] = c
+    assert got == exp
+
+
+@settings(max_examples=10, deadline=None)
 @given(data=st.data())
 def test_gram_matrix_property_vs_numpy(spark, data):
     """Gram entries equal a direct numpy computation for any vectors
