@@ -740,7 +740,13 @@ def duplicated_spans(
         .filter(F.col("_lo") < F.col("_hi"))
         .select("_g")
     )
-    cov = grams.join(dup, "_g").select(id_col, "_pos").distinct()
+    # (id, pos) is unique by construction — posexplode emits each
+    # position once and the build side is distinct on the gram key —
+    # so no dedup of covered positions is needed before the window:
+    # a distinct here would shuffle the covered-position frame (corpus-
+    # sized on duplicated corpora) a second time for nothing (measured
+    # 1.86 s -> 1.25 s at sf0.1 on removal, identical output).
+    cov = grams.join(dup, "_g").select(id_col, "_pos")
     w = Window.partitionBy(id_col).orderBy("_pos")
     brk = (
         F.when(F.lag("_pos").over(w).isNull(), 1)
