@@ -78,6 +78,10 @@ NEW_THIS_ROUND: list[str] = [
     # dedup (short doc quoted inside a long one) that Jaccard
     # structurally misses; zero-FN contained-side prefix filter
     "containment_prefix_join",
+    # incremental LSH near-dup: NEW batch vs accumulated corpus —
+    # buckets with no batch member drop before the candidate join, so
+    # per-batch cost scales with batch collisions, never corpus²
+    "dedup_lsh_incremental",
 ]
 
 # The 37 queries whose ONLY driver check is round 1 (recomputed from

@@ -156,6 +156,7 @@ def lsh_banded(
     signatures: DataFrame,
     id_col: str = "doc_id",
     bands: int = 16,
+    carry: tuple[str, ...] = (),
 ) -> DataFrame:
     """(id, band, bucket): each signature cut into ``bands`` row-groups,
     a band's bucket key one xxhash64 over its slice — the exploded
@@ -169,10 +170,16 @@ def lsh_banded(
     and when it does NOT, every slot still lands in exactly one band —
     a truncated fixed width would silently leave ``k mod bands`` slots
     out of all bands and gaps between bands, quietly lowering recall
-    below what the banding math promises."""
+    below what the banding math promises.
+
+    ``carry`` names extra columns to thread through the explode (e.g.
+    the batch tag of :func:`minhash_near_duplicates_against`) — free,
+    versus joining them back onto the banded frame, which would
+    shuffle |docs × bands| rows a second time."""
     sz = F.size(F.col("signature"))
     return signatures.select(
         F.col(id_col),
+        *[F.col(c) for c in carry],
         F.explode(
             F.transform(
                 F.sequence(F.lit(0), F.lit(bands - 1)),
@@ -199,7 +206,7 @@ def lsh_banded(
                 ),
             )
         ).alias("bb"),
-    ).select(id_col, "bb.band", "bb.bucket")
+    ).select(id_col, *carry, "bb.band", "bb.bucket")
 
 
 def lsh_candidate_pairs(
@@ -355,6 +362,92 @@ def minhash_near_duplicates(
     )
     if not verify:
         return plausible
+    scored = jaccard_on_pairs(
+        plausible.select("id_a", "id_b"), shingled, id_col
+    )
+    return scored.filter(F.col("jaccard") >= threshold)
+
+
+def minhash_near_duplicates_against(
+    corpus: DataFrame,
+    batch: DataFrame,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    n: int = 5,
+    num_hashes: int = 64,
+    bands: int = 16,
+    threshold: float = 0.7,
+    estimate_margin: float = 0.15,
+    max_bucket: int = 1000,
+) -> DataFrame:
+    """Incremental LSH near-dup: a NEW batch against an accumulated
+    corpus — the daily-ingest shape of production curation, where
+    re-running the all-pairs self-join over corpus ∪ batch per batch
+    would cost corpus² forever.  Returns (id_a, id_b, jaccard) where
+    ``id_a`` is always a BATCH doc and ``id_b`` its near-duplicate in
+    either frame (``id_a < id_b`` when both are batch docs, so each
+    pair appears once).  Ids must be unique across both frames (the
+    same keyed contract as the self-join).  Cross-batch EXACT dedup is
+    ``bloom.incremental_dedup``; this is its fuzzy complement.
+
+    Shingles, signatures, banding, the sketch-estimate screen, and the
+    exact verify are byte-identical to
+    :func:`minhash_near_duplicates` over the union, so recall on
+    batch-involving pairs equals the self-join's.  The incremental win
+    is in the prune and the candidate join: bucket counts additionally
+    aggregate ``max(_new)``, so buckets with NO batch member — the
+    overwhelming majority when |batch| << |corpus| — drop before the
+    join-back, and the candidate join's a-side carries only batch
+    rows.  Candidate cost therefore scales with the batch's
+    collisions, never corpus²; corpus-only near-dup pairs are never
+    generated, estimated, or verified.  The batch tag rides the
+    banding explode via ``lsh_banded(carry=...)`` — threading it
+    post-banding would re-shuffle |docs × bands| rows."""
+    both = corpus.select(
+        F.col(id_col), F.col(text_col), F.lit(False).alias("_new")
+    ).unionByName(
+        batch.select(F.col(id_col), F.col(text_col), F.lit(True).alias("_new"))
+    )
+    tags = both.select(F.col(id_col), "_new")
+    shingled = materialize(shingle_sets(both, text_col, id_col, n))
+    sigs = materialize(minhash_signatures(shingled, id_col, num_hashes))
+    # docs-sized join (sigs is already hash-partitioned on id post-agg)
+    banded = lsh_banded(
+        sigs.join(tags, id_col), id_col, bands, carry=("_new",)
+    )
+    counts = banded.groupBy("band", "bucket").agg(
+        F.count("*").alias("_n"), F.max("_new").alias("_any_new")
+    )
+    pruned = banded.join(
+        counts.filter(
+            (F.col("_n") >= 2)
+            & (F.col("_n") <= max_bucket)
+            & F.col("_any_new")
+        ).select("band", "bucket"),
+        ["band", "bucket"],
+    )
+    a = pruned.filter("_new").select(
+        "band", "bucket", F.col(id_col).alias("id_a")
+    )
+    b = pruned.select(
+        "band",
+        "bucket",
+        F.col(id_col).alias("id_b"),
+        F.col("_new").alias("_new_b"),
+    )
+    cand = (
+        a.join(b, ["band", "bucket"])
+        .filter(
+            (F.col("id_a") != F.col("id_b"))
+            & (~F.col("_new_b") | (F.col("id_a") < F.col("id_b")))
+        )
+        .select("id_a", "id_b")
+        .distinct()
+    )
+    est = estimate_jaccard_on_pairs(cand, sigs, id_col)
+    plausible = est.filter(
+        F.col("est_jaccard") >= threshold - estimate_margin
+    )
     scored = jaccard_on_pairs(
         plausible.select("id_a", "id_b"), shingled, id_col
     )

@@ -846,6 +846,56 @@ def dedup_minhash_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @query(
+    "dedup_lsh_incremental",
+    """
+    WITH sh AS (
+        SELECT doc_id,
+               CASE WHEN len(text) < 5 THEN [text]
+                    ELSE list_distinct([substr(text, i, 5)
+                                        FOR i IN range(1, len(text) - 3)])
+               END AS s
+        FROM documents
+    ),
+    sizes AS (SELECT doc_id, len(s) AS n FROM sh),
+    toks AS (SELECT doc_id, unnest(s) AS g FROM sh),
+    inter AS (
+        SELECT a.doc_id AS ia, b.doc_id AS ib, count(*) AS c
+        FROM toks a JOIN toks b ON a.g = b.g AND a.doc_id < b.doc_id
+        GROUP BY 1, 2
+    )
+    SELECT CASE WHEN ia % 20 = 0 THEN ia ELSE ib END AS id_a,
+           CASE WHEN ia % 20 = 0 THEN ib ELSE ia END AS id_b,
+           round(c::DOUBLE / (sa.n + sb.n - c), 6) AS jaccard
+    FROM inter JOIN sizes sa ON ia = sa.doc_id
+               JOIN sizes sb ON ib = sb.doc_id
+    WHERE c::DOUBLE / (sa.n + sb.n - c) >= 0.5
+      AND (ia % 20 = 0 OR ib % 20 = 0)
+    """,
+)
+def dedup_lsh_incremental(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Incremental LSH near-dup — a NEW 5% batch (doc_id % 20 = 0)
+    against the accumulated 95% corpus
+    (operators.text_dedup.minhash_near_duplicates_against): identical
+    shingle/signature/band/estimate/verify machinery to
+    dedup_minhash_lsh over the union, but buckets with no batch member
+    drop before the candidate join and only batch rows probe it, so
+    per-batch cost scales with the batch's collisions, never corpus².
+    id_a is always the batch doc (id_a < id_b for batch-batch pairs).
+    The oracle is the same all-pairs exact-Jaccard definition
+    restricted to batch-involving pairs with that orientation rule, so
+    a hash match proves both precision and the restriction's recall
+    equals the self-join gate's."""
+    from ..operators.text_dedup import minhash_near_duplicates_against
+
+    docs = _t(spark, sf_dir, "documents")
+    return minhash_near_duplicates_against(
+        docs.filter(F.col("doc_id") % 20 != 0),
+        docs.filter(F.col("doc_id") % 20 == 0),
+        threshold=0.5,
+    )
+
+
+@query(
     "dedup_simhash",
     """
     WITH t AS (

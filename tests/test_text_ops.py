@@ -687,3 +687,31 @@ def test_containment_join_asymmetric(spark):
     rows = containment_join(docs, threshold=0.9).collect()
     assert [(r["contained_id"], r["container_id"], r["containment"])
             for r in rows] == [(1, 2, 1.0)]
+
+
+def test_minhash_against_reports_only_batch_involving_pairs(spark):
+    """Incremental LSH: cross corpus-batch dups and batch-internal dups
+    are reported (id_a always the batch doc; id_a < id_b for
+    batch-batch), while corpus-internal dups — already handled by past
+    runs — are never generated, and unique batch docs stay silent."""
+    from enterprise_sales_data_pipeline_using_aws_lambda_spark.operators.text_dedup import (  # noqa: E501
+        minhash_near_duplicates_against,
+    )
+
+    x = "the quick brown fox jumps over the lazy dog again and again"
+    y = "pack my box with five dozen liquor jugs every single day"
+    z = "sphinx of black quartz judge my vow under the midnight sky"
+    u = "completely unrelated content about distributed query engines"
+    corpus = spark.createDataFrame(
+        [(101, x), (102, y), (103, y)], "doc_id long, text string"
+    )
+    batch = spark.createDataFrame(
+        [(1, x), (2, z), (3, z), (4, u)], "doc_id long, text string"
+    )
+    got = {
+        (r["id_a"], r["id_b"]): r["jaccard"]
+        for r in minhash_near_duplicates_against(
+            corpus, batch, threshold=0.7
+        ).collect()
+    }
+    assert got == {(1, 101): 1.0, (2, 3): 1.0}
