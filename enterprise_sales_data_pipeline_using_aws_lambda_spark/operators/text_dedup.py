@@ -215,6 +215,7 @@ def lsh_candidate_pairs(
     bands: int = 16,
     max_bucket: int = 1000,
     prune_singletons: bool = True,
+    new_col: str | None = None,
 ) -> DataFrame:
     """Candidate pairs (id_a < id_b) sharing ≥1 LSH band.
 
@@ -228,10 +229,23 @@ def lsh_candidate_pairs(
     (identical output — a singleton can never pair — but the self-join
     consumes all |docs × bands| rows instead of only colliding ones);
     exists so ``tools/scale_smoke.py`` can measure the prune's
-    join-input reduction, not for production use."""
-    banded = lsh_banded(signatures, id_col, bands)
+    join-input reduction, not for production use.
 
-    counts = banded.groupBy("band", "bucket").agg(F.count("*").alias("_n"))
+    ``new_col`` names a boolean column on ``signatures`` marking NEW
+    (batch) docs — the incremental mode of
+    :func:`minhash_near_duplicates_against`.  Output is then restricted
+    to batch-involving pairs with ``id_a`` always a batch doc
+    (``id_a < id_b`` when both are), and two extra prunes apply BEFORE
+    the join: buckets with no batch member drop with the singletons,
+    and only batch rows probe the a-side — candidate cost scales with
+    the batch's collisions, never corpus²."""
+    carry = (new_col,) if new_col else ()
+    banded = lsh_banded(signatures, id_col, bands, carry=carry)
+
+    aggs = [F.count("*").alias("_n")]
+    if new_col:
+        aggs.append(F.max(new_col).alias("_any_new"))
+    counts = banded.groupBy("band", "bucket").agg(*aggs)
     # _n >= 2: a singleton bucket cannot form a pair, and singletons are
     # the overwhelming majority of buckets — filtering them here shrinks
     # the join-back and the self-join input from |docs × bands| rows to
@@ -241,19 +255,34 @@ def lsh_candidate_pairs(
     keep = (F.col("_n") <= max_bucket)
     if prune_singletons:
         keep = keep & (F.col("_n") >= 2)
+    if new_col:
+        keep = keep & F.col("_any_new")
     pruned = banded.join(
         counts.filter(keep).select("band", "bucket"),
         ["band", "bucket"],
     )
-    a = pruned.select(
+    a_side = pruned.filter(F.col(new_col)) if new_col else pruned
+    a = a_side.select(
         F.col("band"), F.col("bucket"), F.col(id_col).alias("id_a")
     )
-    b = pruned.select(
-        F.col("band"), F.col("bucket"), F.col(id_col).alias("id_b")
-    )
+    if new_col:
+        b = pruned.select(
+            F.col("band"),
+            F.col("bucket"),
+            F.col(id_col).alias("id_b"),
+            F.col(new_col).alias("_new_b"),
+        )
+        pair_keep = (F.col("id_a") != F.col("id_b")) & (
+            ~F.col("_new_b") | (F.col("id_a") < F.col("id_b"))
+        )
+    else:
+        b = pruned.select(
+            F.col("band"), F.col("bucket"), F.col(id_col).alias("id_b")
+        )
+        pair_keep = F.col("id_a") < F.col("id_b")
     return (
         a.join(b, ["band", "bucket"])
-        .filter(F.col("id_a") < F.col("id_b"))
+        .filter(pair_keep)
         .select("id_a", "id_b")
         .distinct()
     )
@@ -394,15 +423,24 @@ def minhash_near_duplicates_against(
     exact verify are byte-identical to
     :func:`minhash_near_duplicates` over the union, so recall on
     batch-involving pairs equals the self-join's.  The incremental win
-    is in the prune and the candidate join: bucket counts additionally
-    aggregate ``max(_new)``, so buckets with NO batch member — the
-    overwhelming majority when |batch| << |corpus| — drop before the
-    join-back, and the candidate join's a-side carries only batch
-    rows.  Candidate cost therefore scales with the batch's
-    collisions, never corpus²; corpus-only near-dup pairs are never
-    generated, estimated, or verified.  The batch tag rides the
-    banding explode via ``lsh_banded(carry=...)`` — threading it
-    post-banding would re-shuffle |docs × bands| rows."""
+    is the ``new_col`` mode of :func:`lsh_candidate_pairs`: buckets
+    with NO batch member — the overwhelming majority when
+    |batch| << |corpus| — drop before the join-back, and the candidate
+    join's a-side carries only batch rows.  Candidate cost therefore
+    scales with the batch's collisions, never corpus²; corpus-only
+    near-dup pairs are never generated, estimated, or verified.  The
+    batch tag rides the banding explode via ``lsh_banded(carry=...)``
+    — threading it post-banding would re-shuffle |docs × bands| rows.
+
+    Honest scope (measured, tools/scale_smoke.py): the shingle/sign/
+    band scan over the union stays LINEAR in the corpus per batch —
+    on a clean 1M-doc corpus that scan dominates and wall is flat vs
+    the naive self-join; the win is the pair stages (16× fewer pairs
+    reach estimate/verify there, and arbitrarily more on dirty
+    corpora, where corpus-internal re-finds are the quadratic risk).
+    Caching corpus signatures across batches would cut the linear
+    term too; that needs a persisted signature store, out of scope
+    here."""
     both = corpus.select(
         F.col(id_col), F.col(text_col), F.lit(False).alias("_new")
     ).unionByName(
@@ -412,37 +450,12 @@ def minhash_near_duplicates_against(
     shingled = materialize(shingle_sets(both, text_col, id_col, n))
     sigs = materialize(minhash_signatures(shingled, id_col, num_hashes))
     # docs-sized join (sigs is already hash-partitioned on id post-agg)
-    banded = lsh_banded(
-        sigs.join(tags, id_col), id_col, bands, carry=("_new",)
-    )
-    counts = banded.groupBy("band", "bucket").agg(
-        F.count("*").alias("_n"), F.max("_new").alias("_any_new")
-    )
-    pruned = banded.join(
-        counts.filter(
-            (F.col("_n") >= 2)
-            & (F.col("_n") <= max_bucket)
-            & F.col("_any_new")
-        ).select("band", "bucket"),
-        ["band", "bucket"],
-    )
-    a = pruned.filter("_new").select(
-        "band", "bucket", F.col(id_col).alias("id_a")
-    )
-    b = pruned.select(
-        "band",
-        "bucket",
-        F.col(id_col).alias("id_b"),
-        F.col("_new").alias("_new_b"),
-    )
-    cand = (
-        a.join(b, ["band", "bucket"])
-        .filter(
-            (F.col("id_a") != F.col("id_b"))
-            & (~F.col("_new_b") | (F.col("id_a") < F.col("id_b")))
-        )
-        .select("id_a", "id_b")
-        .distinct()
+    cand = lsh_candidate_pairs(
+        sigs.join(tags, id_col),
+        id_col,
+        bands,
+        max_bucket=max_bucket,
+        new_col="_new",
     )
     est = estimate_jaccard_on_pairs(cand, sigs, id_col)
     plausible = est.filter(

@@ -512,6 +512,50 @@ def main() -> int:
         + " pairs (same output, full-width join)",
     )
 
+    # 19b) Incremental LSH: a 10k batch against the 1M corpus — the
+    # new_col mode of lsh_candidate_pairs (the candidate stage of
+    # minhash_near_duplicates_against).  10% of batch docs are planted
+    # near-dups of DISTINCT corpus docs (keys k*400+2007 — outside the
+    # corpus's own group structure), so exactly 1,000 cross pairs
+    # exist; the corpus's 14,970 internal pairs must never be
+    # generated.  The counterfactual lane runs the plain self-join
+    # over the same union — the per-batch cost a naive re-run pays.
+    n_batch = 10_000
+    batch_key = F.when(
+        (F.col("id") - nd_lsh) % 10 == 0,
+        (((F.col("id") - nd_lsh) / 10).cast("long") * 400 + 2007),
+    ).otherwise(F.col("id"))
+    batch_sigs = spark.range(nd_lsh, nd_lsh + n_batch).select(
+        F.col("id").alias("doc_id"),
+        F.transform(
+            F.sequence(F.lit(0), F.lit(63)),
+            lambda i: F.xxhash64(batch_key, i),
+        ).alias("signature"),
+    )
+    tagged = lsh_sigs.withColumn("_new", F.lit(False)).unionByName(
+        batch_sigs.withColumn("_new", F.lit(True))
+    )
+    run(
+        "lsh_incremental_batch10k",
+        nd_lsh + n_batch,
+        lambda: str(
+            lsh_candidate_pairs(
+                tagged, bands=lsh_bands, new_col="_new"
+            ).count()
+        )
+        + " batch-involving pairs (expect 1,000; corpus-internal "
+        "pairs never generated)",
+    )
+    run(
+        "lsh_incremental_fulljoin",
+        nd_lsh + n_batch,
+        lambda: str(
+            lsh_candidate_pairs(tagged.drop("_new"), bands=lsh_bands).count()
+        )
+        + " pairs (the naive per-batch re-run the incremental mode "
+        "replaces)",
+    )
+
     # 20) SRP-LSH ANN top-k at 1M vectors, recall measured against the
     # exact brute force on the same frame: 10k clusters of 100 (cluster
     # mates are genuine near neighbors; cross-cluster vectors are
