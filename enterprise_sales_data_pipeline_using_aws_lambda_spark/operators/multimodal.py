@@ -38,6 +38,8 @@ import re
 import struct
 from collections.abc import Iterator
 
+import numpy as np
+
 from pyspark.sql import DataFrame
 from pyspark.sql import functions as F
 from pyspark.sql import types as T
@@ -45,6 +47,24 @@ from pyspark.sql import types as T
 from .materialize import ensure_min_parallelism
 
 MEDIA_KINDS = ("image", "audio", "video")
+
+
+def _byte_sum(data: bytes) -> int:
+    """Exact Σ of a byte string's values — ``sum(data)`` walks the
+    bytes as Python ints (the per-byte interpreter loop that dominated
+    the decode stage at clip sizes); one vectorized reduction is the
+    same integer ~50× cheaper."""
+    return int(np.frombuffer(data, dtype=np.uint8).sum(dtype=np.int64))
+
+
+def _grid8_offsets(w: int, h: int) -> np.ndarray:
+    """Flat raster offsets of the 8×8 integer nearest-neighbour grid
+    (``px = gx·w div 8``, ``py = gy·h div 8``) in gy-major order — the
+    exact sample positions the scalar aHash loops used, precomputed so
+    the per-image work is one fancy-index gather."""
+    py = (np.arange(8, dtype=np.int64) * h) // 8
+    px = (np.arange(8, dtype=np.int64) * w) // 8
+    return (py[:, None] * w + px[None, :]).ravel()
 
 #: Canonical media-table schema: opaque payload + typed metadata.
 MEDIA_SCHEMA = T.StructType(
@@ -266,34 +286,45 @@ def _png_decode(payload: bytes) -> tuple[int, int, int, bytes]:
     data = zlib.decompress(bytes(idat))
     if len(data) != h * (stride + 1):
         raise ValueError("PNG raster size mismatch")
-    out = bytearray(h * stride)
-    prev = bytes(stride)
+    out = np.empty(h * stride, dtype=np.uint8)
+    prev_arr = np.zeros(stride, dtype=np.uint8)
     for y in range(h):
         ft = data[y * (stride + 1)]
-        row = bytearray(data[y * (stride + 1) + 1 : (y + 1) * (stride + 1)])
-        if ft:
+        raw = np.frombuffer(
+            data, dtype=np.uint8, count=stride, offset=y * (stride + 1) + 1
+        )
+        if ft == 0:
+            row_arr = raw
+        elif ft == 2:
+            # Up: pred is the full previous row — one wrapped vector
+            # add (uint8 + wraps mod 256 == the spec's & 0xFF)
+            row_arr = raw + prev_arr
+        elif ft in (1, 3, 4):
+            # Sub/Average/Paeth predict from the CURRENT row's already-
+            # unfiltered left neighbour — inherently sequential in x
+            row = bytearray(raw.tobytes())
+            prev = prev_arr.tobytes()
             for x in range(stride):
                 a = row[x - bpp] if x >= bpp else 0
                 b = prev[x]
                 c = prev[x - bpp] if x >= bpp else 0
                 if ft == 1:
                     pred = a
-                elif ft == 2:
-                    pred = b
                 elif ft == 3:
                     pred = (a + b) // 2
-                elif ft == 4:
+                else:
                     p = a + b - c
                     pa, pb, pc = abs(p - a), abs(p - b), abs(p - c)
                     pred = a if pa <= pb and pa <= pc else (
                         b if pb <= pc else c
                     )
-                else:
-                    raise ValueError(f"bad PNG filter type {ft}")
                 row[x] = (row[x] + pred) & 0xFF
-        out[y * stride : (y + 1) * stride] = row
-        prev = bytes(row)
-    return w, h, bpp, bytes(out)
+            row_arr = np.frombuffer(row, dtype=np.uint8)
+        else:
+            raise ValueError(f"bad PNG filter type {ft}")
+        out[y * stride : (y + 1) * stride] = row_arr
+        prev_arr = row_arr
+    return w, h, bpp, out.tobytes()
 
 
 def parse_media(payload: bytes, with_content: bool = False) -> dict:
@@ -332,7 +363,7 @@ def parse_media(payload: bytes, with_content: bool = False) -> dict:
             width=w,
             height=h,
             content_len=len(data),
-            content_byte_sum=sum(data),
+            content_byte_sum=_byte_sum(data),
         )
         content = data
     elif payload[:8] == _PNG_SIG:
@@ -342,7 +373,7 @@ def parse_media(payload: bytes, with_content: bool = False) -> dict:
             width=w,
             height=h,
             content_len=len(raster),
-            content_byte_sum=sum(raster),
+            content_byte_sum=_byte_sum(raster),
         )
         content = raster
     elif payload[:4] == b"RIFF" and payload[8:12] == b"WAVE":
@@ -376,7 +407,7 @@ def parse_media(payload: bytes, with_content: bool = False) -> dict:
             n_samples=n_samples,
             duration_ms=n_samples * 1000 // rate,
             content_len=len(data),
-            content_byte_sum=sum(data),
+            content_byte_sum=_byte_sum(data),
         )
         content = data
     elif payload[:9] == b"YUV4MPEG2":
@@ -412,7 +443,7 @@ def parse_media(payload: bytes, with_content: bool = False) -> dict:
             data = payload[fnl + 1 : fnl + 1 + frame_len]
             if len(data) != frame_len:
                 raise ValueError("truncated y4m frame")
-            byte_sum += sum(data)
+            byte_sum += _byte_sum(data)
             total += len(data)
             n_frames += 1
             pos = fnl + 1 + frame_len
@@ -862,56 +893,47 @@ def ahash_images(media: DataFrame) -> DataFrame:
     operator uses.  Non-image rows are ignored."""
     import pandas as pd
 
+    w32 = 1 << np.arange(32, dtype=np.int64)
+
     def batch(frames):
         for pdf in frames:
             rows = []
-            for _, r in pdf.iterrows():
-                if r["kind"] != "image" or r["payload"] is None:
+            for mid, kind, payload in zip(
+                pdf["media_id"], pdf["kind"], pdf["payload"]
+            ):
+                if kind != "image" or payload is None:
                     continue
-                feats = parse_media(bytes(r["payload"]), with_content=True)
+                feats = parse_media(bytes(payload), with_content=True)
                 if feats["format"] not in ("ppm", "png"):
                     continue  # kind lied; same guard as extract_frames
                 w, h = feats["width"], feats["height"]
-                raster = feats["content"]
+                raster = np.frombuffer(feats["content"], dtype=np.uint8)
                 # channel-aware luma: PNG decodes gray (1 B/px) and
                 # RGBA (4 B/px) rasters too — a hard-coded 3 B/px read
                 # would run off the end of a gray raster and hash
                 # misaligned bytes of an RGBA one
                 bpp = feats["content_len"] // (w * h)
-                lumas = []
-                for gy in range(8):
-                    py = gy * h // 8
-                    for gx in range(8):
-                        px = gx * w // 8
-                        off = bpp * (py * w + px)
-                        if bpp == 1:
-                            lumas.append(raster[off])
-                        else:  # RGB / RGBA: average RGB, ignore alpha
-                            lumas.append(
-                                (
-                                    raster[off]
-                                    + raster[off + 1]
-                                    + raster[off + 2]
-                                )
-                                // 3
-                            )
-                total = sum(lumas)
-                hi = lo = nbits = 0
-                for b, v in enumerate(lumas):
-                    if 64 * v > total:
-                        nbits += 1
-                        if b < 32:
-                            lo |= 1 << b
-                        else:
-                            hi |= 1 << (b - 32)
+                # one gather per image: the 64 grid offsets (gy-major,
+                # same order as the bit indices) fancy-index the raster
+                off = bpp * _grid8_offsets(w, h)
+                if bpp == 1:
+                    lumas = raster[off].astype(np.int64)
+                else:  # RGB / RGBA: average RGB, ignore alpha
+                    lumas = (
+                        raster[off].astype(np.int64)
+                        + raster[off + 1]
+                        + raster[off + 2]
+                    ) // 3
+                total = int(lumas.sum())
+                bits = 64 * lumas > total
                 rows.append(
                     {
-                        "media_id": int(r["media_id"]),
+                        "media_id": int(mid),
                         "width": w,
                         "height": h,
-                        "ahash_hi": hi,
-                        "ahash_lo": lo,
-                        "n_bits": nbits,
+                        "ahash_hi": int(w32[bits[32:]].sum()),
+                        "ahash_lo": int(w32[bits[:32]].sum()),
+                        "n_bits": int(bits.sum()),
                     }
                 )
             if rows:
@@ -955,19 +977,23 @@ def fingerprint_audio(media: DataFrame, n_frames: int = 32) -> DataFrame:
     if not 1 <= n_frames <= 63:
         raise ValueError("n_frames must be in [1, 63] to fit a BIGINT")
 
+    weights = 1 << np.arange(n_frames, dtype=np.int64)
+
     def batch(frames):
         for pdf in frames:
             rows = []
-            for _, r in pdf.iterrows():
-                if r["kind"] != "audio" or r["payload"] is None:
+            for mid, kind, payload in zip(
+                pdf["media_id"], pdf["kind"], pdf["payload"]
+            ):
+                if kind != "audio" or payload is None:
                     continue
-                feats = parse_media(bytes(r["payload"]), with_content=True)
+                feats = parse_media(bytes(payload), with_content=True)
                 if feats["format"] != "wav":
                     continue  # kind lied; same guard as extract_frames
                 pcm = feats["content"]
                 n = len(pcm)
                 if feats["n_samples"] != feats["content_len"]:
-                    # the energy loop reads one sample per byte, which
+                    # the energy windows read one sample per byte, which
                     # is only true for 8-bit mono PCM (n_samples ==
                     # data bytes).  16-bit or multi-channel WAVs parse
                     # fine but would fingerprint interleaved bytes as
@@ -976,23 +1002,28 @@ def fingerprint_audio(media: DataFrame, n_frames: int = 32) -> DataFrame:
                     continue
                 if n < n_frames:
                     continue  # degenerate clip: no stable contour
-                energies = []
-                for f in range(n_frames):
-                    seg = pcm[f * n // n_frames : (f + 1) * n // n_frames]
-                    energies.append(sum((s - 128) * (s - 128) for s in seg))
-                total = sum(energies)
-                fp = nbits = 0
-                for f, e in enumerate(energies):
-                    if n_frames * e > total:
-                        nbits += 1
-                        fp |= 1 << f
+                # Σ (s−128)² per window, vectorized: same exact
+                # integers as the scalar loop (int64 squares, integer
+                # nearest-neighbour window starts f·n div n_frames);
+                # reduceat's segment f sums [starts[f], starts[f+1])
+                # with the last running to the end — precisely the
+                # former slices.  n ≥ n_frames keeps starts strictly
+                # increasing, so no reduceat degenerate segments.
+                s = np.frombuffer(pcm, dtype=np.uint8).astype(np.int64)
+                s -= 128
+                starts = (
+                    np.arange(n_frames, dtype=np.int64) * n
+                ) // n_frames
+                energies = np.add.reduceat(s * s, starts)
+                total = int(energies.sum())
+                bits = n_frames * energies > total
                 rows.append(
                     {
-                        "media_id": int(r["media_id"]),
+                        "media_id": int(mid),
                         "sample_rate": feats["sample_rate"],
                         "n_samples": feats["n_samples"],
-                        "afp": fp,
-                        "n_bits": nbits,
+                        "afp": int(weights[bits].sum()),
+                        "n_bits": int(bits.sum()),
                     }
                 )
             if rows:
@@ -1028,50 +1059,51 @@ def ahash_video_frames(media: DataFrame) -> DataFrame:
     rows are ignored."""
     import pandas as pd
 
+    w32 = 1 << np.arange(32, dtype=np.int64)
+
     def batch(frames):
         for pdf in frames:
             rows = []
-            for _, r in pdf.iterrows():
-                if r["kind"] != "video" or r["payload"] is None:
+            for mid, kind, payload in zip(
+                pdf["media_id"], pdf["kind"], pdf["payload"]
+            ):
+                if kind != "video" or payload is None:
                     continue
-                feats = parse_media(bytes(r["payload"]), with_content=True)
+                feats = parse_media(bytes(payload), with_content=True)
                 if feats["format"] != "y4m":
                     continue  # kind lied; same guard as extract_frames
                 w, h = feats["width"], feats["height"]
-                planes = feats["content"]
-                if feats["n_frames"] == 0:
+                nf = feats["n_frames"]
+                if nf == 0:
                     continue  # header-only clip: nothing to hash
-                frame_len = feats["content_len"] // feats["n_frames"]
-                for f in range(feats["n_frames"]):
-                    y_plane = planes[
-                        f * frame_len : f * frame_len + w * h
-                    ]
-                    ys = []
-                    for gy in range(8):
-                        py = gy * h // 8
-                        for gx in range(8):
-                            px = gx * w // 8
-                            ys.append(y_plane[py * w + px])
-                    total = sum(ys)
-                    hi = lo = nbits = 0
-                    for b, v in enumerate(ys):
-                        if 64 * v > total:
-                            nbits += 1
-                            if b < 32:
-                                lo |= 1 << b
-                            else:
-                                hi |= 1 << (b - 32)
-                    rows.append(
-                        {
-                            "media_id": int(r["media_id"]),
-                            "frame_idx": f,
-                            "width": w,
-                            "height": h,
-                            "fhash_hi": hi,
-                            "fhash_lo": lo,
-                            "n_bits": nbits,
-                        }
-                    )
+                frame_len = feats["content_len"] // nf
+                planes = np.frombuffer(feats["content"], dtype=np.uint8)
+                # one (n_frames × 64) gather for the whole clip: frame
+                # f's LUMA plane starts at f·frame_len, grid offsets
+                # are frame-invariant (gy-major, matching bit order)
+                idx = (
+                    np.arange(nf, dtype=np.int64)[:, None] * frame_len
+                    + _grid8_offsets(w, h)[None, :]
+                )
+                ys = planes[idx].astype(np.int64)
+                totals = ys.sum(axis=1)
+                bits = 64 * ys > totals[:, None]
+                his = (bits[:, 32:] * w32).sum(axis=1)
+                los = (bits[:, :32] * w32).sum(axis=1)
+                nbits = bits.sum(axis=1)
+                mid = int(mid)
+                rows.extend(
+                    {
+                        "media_id": mid,
+                        "frame_idx": f,
+                        "width": w,
+                        "height": h,
+                        "fhash_hi": int(his[f]),
+                        "fhash_lo": int(los[f]),
+                        "n_bits": int(nbits[f]),
+                    }
+                    for f in range(nf)
+                )
             if rows:
                 yield pd.DataFrame(rows)
 
