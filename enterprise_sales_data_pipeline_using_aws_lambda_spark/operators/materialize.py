@@ -18,6 +18,8 @@ Every operator lineage-cut in this package routes through
 
 from __future__ import annotations
 
+import weakref
+
 from pyspark.sql import DataFrame
 
 #: Session conf key selecting the materialization strategy.
@@ -49,6 +51,13 @@ def materialize(df: DataFrame, eager: bool = True) -> DataFrame:
     return df.localCheckpoint(eager=eager)
 
 
+#: DataFrame objects already known to satisfy the parallelism floor —
+#: either checked once or produced by the repartition below.  Weak
+#: identity set: entries vanish with the frame, and DataFrame does not
+#: overload __eq__/__hash__, so membership is object identity.
+_KNOWN_PARALLEL: "weakref.WeakSet" = weakref.WeakSet()
+
+
 def ensure_min_parallelism(df: DataFrame) -> DataFrame:
     """Round-robin repartition ``df`` up to the cluster's core count if
     its current plan yields fewer partitions — a no-op otherwise.
@@ -63,10 +72,23 @@ def ensure_min_parallelism(df: DataFrame) -> DataFrame:
     so the exchange never appears there.  Callers are the row-expensive
     operators only — rebalancing every scan would tax cheap queries with
     a pointless shuffle (measured +0.5-1.5 s on embedding/doc lanes
-    whose first shuffle arrives before any heavy compute)."""
+    whose first shuffle arrives before any heavy compute).
+
+    The partition-count probe (``df.rdd.getNumPartitions()``) forces a
+    full analysis + physical-plan-to-RDD conversion — pure driver
+    overhead on deep plans.  Frames already checked (or produced by the
+    repartition itself) are memoized in a weak identity set, so
+    composed pipelines that thread ONE frame through several
+    row-expensive operators pay the conversion once, not per operator;
+    a fresh frame per call still pays exactly one probe, as before."""
+    if df in _KNOWN_PARALLEL:
+        return df
     target = df.sparkSession.sparkContext.defaultParallelism
     if df.rdd.getNumPartitions() < target:
-        return df.repartition(target)
+        out = df.repartition(target)
+        _KNOWN_PARALLEL.add(out)
+        return out
+    _KNOWN_PARALLEL.add(df)
     return df
 
 

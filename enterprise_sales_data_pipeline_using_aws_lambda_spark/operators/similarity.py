@@ -382,6 +382,21 @@ def lsh_topk(
     bounded) and embedded as literals, so the corpus scan pays a pure
     multiply-add per dimension instead of a string-concat + xxhash64
     per (row, table, plane, dimension)."""
+    # Same bound the collecting siblings (cosine_topk/ivf_topk) enforce
+    # via _collect_query_vectors: the melted query side (queries ×
+    # tables rows carrying full vectors) is force-broadcast below, so a
+    # fact-sized queries frame must fail fast with a remediation hint,
+    # not OOM an executor.  limit(max+1) bounds the check itself.
+    if (
+        queries.select(id_col).limit(MAX_QUERY_VECTORS + 1).count()
+        > MAX_QUERY_VECTORS
+    ):
+        raise QuerySetTooLarge(
+            f"query set exceeds {MAX_QUERY_VECTORS} vectors; lsh_topk "
+            "broadcasts the melted query side to executors. For "
+            "corpus-scale query sets use cosine_pairs_blocked (all-pairs "
+            "threshold join) instead."
+        )
     first = corpus.select(vec_col).first()
     signs = None
     if first is not None and first[0] is not None:

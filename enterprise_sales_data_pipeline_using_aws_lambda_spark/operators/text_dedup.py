@@ -326,9 +326,15 @@ def jaccard_on_pairs(
     pairs: DataFrame,
     shingled: DataFrame,
     id_col: str = "doc_id",
+    threshold: float | None = None,
 ) -> DataFrame:
     """Exact shingle-set Jaccard for given (id_a, id_b) pairs — the
-    verify stage after LSH candidate generation."""
+    verify stage after LSH candidate generation.
+
+    ``threshold`` filters on the UNROUNDED ratio (the round(…, 6) in
+    the output column is presentation only): filtering post-round would
+    admit pairs in [t−5e-7, t) that round up past the cut, silently
+    widening the contract by a rounding ulp."""
     sa = shingled.select(
         F.col(id_col).alias("id_a"), F.col("shingles").alias("sh_a")
     )
@@ -338,10 +344,15 @@ def jaccard_on_pairs(
     joined = pairs.join(sa, "id_a").join(sb, "id_b")
     inter = F.size(F.array_intersect(F.col("sh_a"), F.col("sh_b")))
     union = F.size(F.array_union(F.col("sh_a"), F.col("sh_b")))
-    return joined.select(
+    res = joined.select(
         "id_a",
         "id_b",
-        F.round(inter / F.greatest(union, F.lit(1)), 6).alias("jaccard"),
+        (inter / F.greatest(union, F.lit(1))).alias("_raw"),
+    )
+    if threshold is not None:
+        res = res.filter(F.col("_raw") >= threshold)
+    return res.select(
+        "id_a", "id_b", F.round("_raw", 6).alias("jaccard")
     )
 
 
@@ -391,10 +402,10 @@ def minhash_near_duplicates(
     )
     if not verify:
         return plausible
-    scored = jaccard_on_pairs(
-        plausible.select("id_a", "id_b"), shingled, id_col
+    return jaccard_on_pairs(
+        plausible.select("id_a", "id_b"), shingled, id_col,
+        threshold=threshold,
     )
-    return scored.filter(F.col("jaccard") >= threshold)
 
 
 def minhash_near_duplicates_against(
@@ -461,10 +472,10 @@ def minhash_near_duplicates_against(
     plausible = est.filter(
         F.col("est_jaccard") >= threshold - estimate_margin
     )
-    scored = jaccard_on_pairs(
-        plausible.select("id_a", "id_b"), shingled, id_col
+    return jaccard_on_pairs(
+        plausible.select("id_a", "id_b"), shingled, id_col,
+        threshold=threshold,
     )
-    return scored.filter(F.col("jaccard") >= threshold)
 
 
 # ---------------------------------------------------------------------------
@@ -770,17 +781,21 @@ def exact_jaccard_join(
     sb = base.select(F.col("_id").alias("id_b"), F.col("_s").alias("_tb"))
     inter = F.size(F.array_intersect(F.col("_ta"), F.col("_tb")))
     union = F.size(F.array_union(F.col("_ta"), F.col("_tb")))
+    # Verify on the UNROUNDED ratio: the prefix filter's zero-FN
+    # guarantee covers exact J >= t only — a post-round filter would
+    # additionally admit J in [t-5e-7, t) pairs that round up, for
+    # which candidate generation promises nothing.  round(…, 6) in the
+    # output column stays presentation-only.
     return (
         cand.join(sa, "id_a")
         .join(sb, "id_b")
         .select(
             "id_a",
             "id_b",
-            F.round(inter / F.greatest(union, F.lit(1)), 6).alias(
-                "jaccard"
-            ),
+            (inter / F.greatest(union, F.lit(1))).alias("_raw"),
         )
-        .filter(F.col("jaccard") >= threshold)
+        .filter(F.col("_raw") >= threshold)
+        .select("id_a", "id_b", F.round("_raw", 6).alias("jaccard"))
     )
 
 
@@ -989,26 +1004,33 @@ def containment_join(
         F.size("_tl").alias("_nl"),
         F.size("_th").alias("_nh"),
     )
+    # Filter each direction on its UNROUNDED ratio: the contained-side
+    # prefix filter guarantees candidates for exact C >= t only, so a
+    # post-round filter would admit C in [t-5e-7, t) pairs that round
+    # up — outside the zero-FN contract.  round(…, 6) stays in the
+    # output column as presentation.
     directed = both.select(
         F.explode(
             F.array(
                 F.struct(
                     F.col("_lo").alias("contained_id"),
                     F.col("_hi").alias("container_id"),
-                    F.round(F.col("_i") / F.col("_nl"), 6).alias(
-                        "containment"
-                    ),
+                    (F.col("_i") / F.col("_nl")).alias("containment"),
                 ),
                 F.struct(
                     F.col("_hi").alias("contained_id"),
                     F.col("_lo").alias("container_id"),
-                    F.round(F.col("_i") / F.col("_nh"), 6).alias(
-                        "containment"
-                    ),
+                    (F.col("_i") / F.col("_nh")).alias("containment"),
                 ),
             )
         ).alias("_d")
     )
-    return directed.select("_d.*").filter(
-        F.col("containment") >= threshold
+    return (
+        directed.select("_d.*")
+        .filter(F.col("containment") >= threshold)
+        .select(
+            "contained_id",
+            "container_id",
+            F.round("containment", 6).alias("containment"),
+        )
     )

@@ -7617,7 +7617,7 @@ def top_event_paths(spark: SparkSession, sf_dir: str) -> DataFrame:
            round(c::DOUBLE / (sa.n + sb.n - c), 6) AS jaccard
     FROM inter JOIN sizes sa ON ia = sa.doc_id
                JOIN sizes sb ON ib = sb.doc_id
-    WHERE round(c::DOUBLE / (sa.n + sb.n - c), 6) >= 0.8
+    WHERE c::DOUBLE / (sa.n + sb.n - c) >= 0.8
     """,
 )
 def exact_jaccard_prefix_join(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -8439,7 +8439,7 @@ def dedup_repeated_spans(spark: SparkSession, sf_dir: str) -> DataFrame:
     SELECT ia AS contained_id, ib AS container_id,
            round(c::DOUBLE / sa.n, 6) AS containment
     FROM inter JOIN sizes sa ON ia = sa.doc_id
-    WHERE round(c::DOUBLE / sa.n, 6) >= 0.8
+    WHERE c::DOUBLE / sa.n >= 0.8
     """,
 )
 def containment_prefix_join(spark: SparkSession, sf_dir: str) -> DataFrame:

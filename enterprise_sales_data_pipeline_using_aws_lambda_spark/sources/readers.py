@@ -168,7 +168,16 @@ def read_any(
         return spark.read.orc(path)
     if lower.endswith(".txt"):
         # one row per line, single `value` string column (Spark-native
-        # text source); schema/infer do not apply
+        # text source).  A caller-provided schema cannot be honored —
+        # reject it loudly (same philosophy as the unsupported-suffix
+        # guard) rather than silently returning a differently-shaped
+        # frame the caller's schema promised otherwise.
+        if schema is not None:
+            raise UnsupportedFormatError(
+                "read_any: .txt files always yield a single `value` "
+                "string column; a caller-provided schema cannot apply "
+                f"({path})"
+            )
         return spark.read.text(path)
     raise UnsupportedFormatError(f"Unsupported file format: {path}")
 

@@ -207,6 +207,10 @@ def test_read_any_extended_formats(spark, tmp_path):
     lines = read_any(spark, str(txt))
     assert lines.columns == ["value"]
     assert sorted(r["value"] for r in lines.collect()) == ["alpha", "beta"]
+    # a caller-provided schema cannot apply to the fixed single-value
+    # text shape — loud rejection, not a silently different frame
+    with _pytest.raises(UnsupportedFormatError):
+        read_any(spark, str(txt), schema=df.schema)
 
     with _pytest.raises(UnsupportedFormatError):
         read_any(spark, str(tmp_path / "t.xlsx"))

@@ -284,6 +284,10 @@ def test_query_set_guard_branches(spark):
             sim.cosine_topk(vecs, vecs, k=2)
         with _pytest.raises(sim.QuerySetTooLarge):
             sim.ivf_topk(vecs, vecs, k=2, n_lists=2, n_probe=2)
+        # lsh_topk force-broadcasts the melted query side, so it must
+        # enforce the same bound (it has no _collect_query_vectors)
+        with _pytest.raises(sim.QuerySetTooLarge):
+            sim.lsh_topk(vecs, vecs, k=2, tables=2, planes=2)
     finally:
         sim.MAX_QUERY_VECTORS = old
 
