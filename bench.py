@@ -261,17 +261,29 @@ def main() -> None:
             failed[name] = (str(e).splitlines() or ['<no message>'])[0][:200]
 
     sf = os.path.basename(sf_dir.rstrip("/")).replace("sf", "")
+    # Key ORDER is load-bearing: the driver archives only the LAST
+    # 2000 characters of stdout, so the bulk per-query maps go FIRST
+    # and the graded summary (total, slowest lanes with spreads, sf)
+    # goes LAST — the archived tail alone must answer "total + top
+    # movers" (round-5 artifact gripe: the tail held only
+    # runs_per_query and carried no usable numbers).
+    slowest = {
+        name: [timings[name], spreads.get(name, 0.0)]
+        for name in sorted(timings, key=timings.get, reverse=True)[:15]
+    }
     result = {
-        "metric": "headline_queries_total_wall_seconds",
-        "value": round(sum(timings.values()), 3),
-        "unit": "sec",
         "queries": timings,
-        "aux": aux,
         # max−min across a query's runs: the measured same-code noise
         # floor a regression claim must clear
         "spread": spreads,
         "runs_per_query": nruns,
+        "aux": aux,
         "timing": "min-of-2; min-of-3 when min > 2s (steady state)",
+        "metric": "headline_queries_total_wall_seconds",
+        "unit": "sec",
+        "n_queries": len(timings),
+        "slowest": slowest,
+        "value": round(sum(timings.values()), 3),
         "sf": float(sf) if sf else sf_dir,
     }
     if failed:

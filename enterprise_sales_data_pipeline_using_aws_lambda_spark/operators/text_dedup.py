@@ -419,6 +419,8 @@ def minhash_near_duplicates_against(
     threshold: float = 0.7,
     estimate_margin: float = 0.15,
     max_bucket: int = 1000,
+    corpus_signatures: DataFrame | None = None,
+    corpus_buckets: DataFrame | None = None,
 ) -> DataFrame:
     """Incremental LSH near-dup: a NEW batch against an accumulated
     corpus — the daily-ingest shape of production curation, where
@@ -443,15 +445,46 @@ def minhash_near_duplicates_against(
     batch tag rides the banding explode via ``lsh_banded(carry=...)``
     — threading it post-banding would re-shuffle |docs × bands| rows.
 
-    Honest scope (measured, tools/scale_smoke.py): the shingle/sign/
-    band scan over the union stays LINEAR in the corpus per batch —
-    on a clean 1M-doc corpus that scan dominates and wall is flat vs
-    the naive self-join; the win is the pair stages (16× fewer pairs
-    reach estimate/verify there, and arbitrarily more on dirty
-    corpora, where corpus-internal re-finds are the quadratic risk).
-    Caching corpus signatures across batches would cut the linear
-    term too; that needs a persisted signature store, out of scope
-    here."""
+    **Persisted-store fast path**: ``corpus_signatures`` (a
+    ``(id, signature)`` frame — e.g. the ``signatures`` table of
+    :func:`write_lsh_signature_store`, or :func:`minhash_signatures`
+    output) skips re-shingling and re-signing the corpus — the
+    corpus-linear term the plain path pays every batch.
+    ``corpus_buckets`` (the store's pre-banded ``(band, bucket, id)``
+    table) additionally skips re-banding corpus signatures: the batch's
+    banded rows broadcast into the corpus bucket scan, so per-batch
+    cost is the batch's own shingle/sign/band work + one columnar pass
+    over the bucket table + work proportional to collisions.  The
+    corpus TEXT frame is still required, but only docs named in
+    surviving candidate pairs are re-shingled for the exact verify (a
+    semi-join, not a corpus-wide explode).  Output is row-identical to
+    the plain path — signatures and banding are deterministic — so the
+    oracle contract is unchanged; callers must build the store with
+    the SAME (n, num_hashes, bands) and keep ids unique across frames
+    (:func:`read_lsh_signature_store` validates the former from the
+    store's meta table).
+
+    Honest scope of the PLAIN path (measured, tools/scale_smoke.py):
+    the shingle/sign/band scan over the union stays LINEAR in the
+    corpus per batch — on a clean 1M-doc corpus that scan dominates
+    and wall is flat vs the naive self-join; the win there is the pair
+    stages (16× fewer pairs reach estimate/verify, and arbitrarily
+    more on dirty corpora, where corpus-internal re-finds are the
+    quadratic risk).  The store path removes that linear term:
+    measured at 1M+10k in tools/scale_smoke.py, identical pairs."""
+    if corpus_signatures is not None:
+        return _minhash_against_stored(
+            corpus, batch, corpus_signatures, corpus_buckets,
+            text_col=text_col, id_col=id_col, n=n,
+            num_hashes=num_hashes, bands=bands, threshold=threshold,
+            estimate_margin=estimate_margin, max_bucket=max_bucket,
+        )
+    if corpus_buckets is not None:
+        raise ValueError(
+            "corpus_buckets requires corpus_signatures (the estimate "
+            "stage needs corpus signatures; buckets alone cannot "
+            "reconstruct them)"
+        )
     both = corpus.select(
         F.col(id_col), F.col(text_col), F.lit(False).alias("_new")
     ).unionByName(
@@ -476,6 +509,205 @@ def minhash_near_duplicates_against(
         plausible.select("id_a", "id_b"), shingled, id_col,
         threshold=threshold,
     )
+
+
+def _minhash_against_stored(
+    corpus: DataFrame,
+    batch: DataFrame,
+    corpus_signatures: DataFrame,
+    corpus_buckets: DataFrame | None,
+    *,
+    text_col: str,
+    id_col: str,
+    n: int,
+    num_hashes: int,
+    bands: int,
+    threshold: float,
+    estimate_margin: float,
+    max_bucket: int,
+) -> DataFrame:
+    """Store-backed incremental LSH (the ``corpus_signatures`` branch of
+    :func:`minhash_near_duplicates_against`) — row-identical output to
+    the plain path, with the corpus-linear shingle/sign(/band) stages
+    replaced by store reads.
+
+    Candidate generation mirrors :func:`lsh_candidate_pairs`'s
+    ``new_col`` mode exactly: a bucket qualifies iff its UNION size
+    (stored corpus members + batch members) is ≤ ``max_bucket`` and it
+    holds ≥ 1 batch member — here enforced structurally: only buckets
+    the batch touches are ever inspected (the batch's banded rows, a
+    |batch|×bands frame, BROADCAST into the corpus bucket scan, so the
+    bucket table is never shuffled), singleton buckets yield no pair,
+    and the size filter applies the same total.  Pair orientation is
+    the incremental contract: id_a always a batch doc, id_a < id_b for
+    batch-batch pairs."""
+    batch_sh = materialize(shingle_sets(batch, text_col, id_col, n))
+    batch_sigs = materialize(
+        minhash_signatures(batch_sh, id_col, num_hashes)
+    )
+    if corpus_buckets is None:
+        corpus_buckets = lsh_banded(corpus_signatures, id_col, bands)
+    batch_banded = materialize(lsh_banded(batch_sigs, id_col, bands))
+    bn = batch_banded.groupBy("band", "bucket").agg(
+        F.count("*").alias("_bn")
+    )
+    # corpus rows in batch-touched buckets only: the broadcast keeps
+    # the (corpus × bands)-row bucket table map-side — at 100 TB this
+    # is one columnar scan, zero shuffle, output sized by collisions
+    hits = materialize(
+        corpus_buckets.join(
+            F.broadcast(batch_banded.select("band", "bucket").distinct()),
+            ["band", "bucket"],
+        )
+    )
+    cn = hits.groupBy("band", "bucket").agg(F.count("*").alias("_cn"))
+    # same prune as the plain path: union bucket size <= max_bucket
+    # (singletons need no explicit prune — a lone batch row pairs with
+    # nothing below)
+    allowed = (
+        bn.join(cn, ["band", "bucket"], "left")
+        .filter(
+            F.col("_bn") + F.coalesce(F.col("_cn"), F.lit(0))
+            <= max_bucket
+        )
+        .select("band", "bucket")
+    )
+    a = batch_banded.join(F.broadcast(allowed), ["band", "bucket"]).select(
+        "band", "bucket", F.col(id_col).alias("id_a")
+    )
+    cross = a.join(
+        hits.select("band", "bucket", F.col(id_col).alias("id_b")),
+        ["band", "bucket"],
+    )
+    bb = a.join(
+        batch_banded.select(
+            "band", "bucket", F.col(id_col).alias("id_b")
+        ),
+        ["band", "bucket"],
+    ).filter(F.col("id_a") < F.col("id_b"))
+    cand = (
+        cross.select("id_a", "id_b")
+        .unionByName(bb.select("id_a", "id_b"))
+        .distinct()
+    )
+    sigs_all = batch_sigs.unionByName(
+        corpus_signatures.select(F.col(id_col), F.col("signature"))
+    )
+    est = estimate_jaccard_on_pairs(cand, sigs_all, id_col)
+    plausible = materialize(
+        est.filter(
+            F.col("est_jaccard") >= threshold - estimate_margin
+        ).select("id_a", "id_b")
+    )
+    # exact verify needs shingle SETS — re-shingle ONLY the corpus docs
+    # named in surviving pairs (semi-join against a candidate-bounded
+    # id set), never the whole corpus
+    pair_ids = (
+        plausible.select(F.col("id_a").alias(id_col))
+        .unionByName(plausible.select(F.col("id_b").alias(id_col)))
+        .distinct()
+    )
+    needed = corpus.join(F.broadcast(pair_ids), id_col, "left_semi")
+    shingled = batch_sh.unionByName(
+        shingle_sets(needed, text_col, id_col, n)
+    )
+    return jaccard_on_pairs(
+        plausible, shingled, id_col, threshold=threshold
+    )
+
+
+# ---------------------------------------------------------------------------
+# LSH signature store (persisted incremental-dedup state)
+# ---------------------------------------------------------------------------
+
+#: Store layout: ``{path}/signatures`` (id, signature array<bigint>),
+#: ``{path}/buckets`` (band int, bucket long, id), ``{path}/meta``
+#: (single-row parquet pinning the sketch parameters).
+_LSH_STORE_TABLES = ("signatures", "buckets", "meta")
+
+
+def write_lsh_signature_store(
+    docs: DataFrame,
+    path: str,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    n: int = 5,
+    num_hashes: int = 64,
+    bands: int = 16,
+    mode: str = "overwrite",
+) -> None:
+    """Persist MinHash signatures AND banded buckets for ``docs`` —
+    the accumulated state that makes per-batch incremental dedup
+    (:func:`minhash_near_duplicates_against`) stop re-signing the full
+    corpus.  ``mode="append"`` is the daily-ingest step: after a batch
+    is deduped, append ITS signatures so the next batch sees it as
+    corpus (parameters are validated against the store's meta table —
+    mixing sketch parameters would silently break banding recall).
+
+    Everything is written through Spark (parquet via the session's
+    Hadoop FS), so the store lives wherever the lake lives — no
+    driver-local filesystem assumptions.  At 100 TB scale, signatures
+    are docs × num_hashes longs and buckets docs × bands rows of ~24
+    bytes — both a small fraction of corpus text, columnar, and
+    partition-parallel on read."""
+    import os
+
+    spark = docs.sparkSession
+    meta = {
+        "id_col": id_col,
+        "n": n,
+        "num_hashes": num_hashes,
+        "bands": bands,
+    }
+    if mode == "append":
+        stored = read_lsh_signature_store(spark, path)["meta"]
+        if stored != meta:
+            raise ValueError(
+                f"LSH store parameter mismatch: store has {stored}, "
+                f"append requested {meta}; signatures built with "
+                "different sketch parameters cannot share a store"
+            )
+    elif mode != "overwrite":
+        raise ValueError(f"mode must be overwrite|append, got {mode!r}")
+    sigs = materialize(
+        minhash_signatures(
+            shingle_sets(docs, text_col, id_col, n), id_col, num_hashes
+        )
+    )
+    sigs.write.mode(mode).parquet(os.path.join(path, "signatures"))
+    lsh_banded(sigs, id_col, bands).write.mode(mode).parquet(
+        os.path.join(path, "buckets")
+    )
+    if mode == "overwrite":
+        spark.createDataFrame(
+            [
+                (
+                    meta["id_col"],
+                    meta["n"],
+                    meta["num_hashes"],
+                    meta["bands"],
+                )
+            ],
+            "id_col string, n int, num_hashes int, bands int",
+        ).write.mode("overwrite").parquet(os.path.join(path, "meta"))
+
+
+def read_lsh_signature_store(spark, path: str) -> dict:
+    """Load a persisted LSH store: ``{"signatures": DataFrame,
+    "buckets": DataFrame, "meta": dict}`` — the ``corpus_signatures``
+    / ``corpus_buckets`` inputs of
+    :func:`minhash_near_duplicates_against`.  Callers should check
+    ``meta`` matches the n/num_hashes/bands they pass the operator."""
+    import os
+
+    m = spark.read.parquet(os.path.join(path, "meta")).first().asDict()
+    return {
+        "signatures": spark.read.parquet(
+            os.path.join(path, "signatures")
+        ),
+        "buckets": spark.read.parquet(os.path.join(path, "buckets")),
+        "meta": m,
+    }
 
 
 # ---------------------------------------------------------------------------
@@ -914,6 +1146,7 @@ def containment_join(
     text_col: str = "text",
     id_col: str = "doc_id",
     ngram: int | None = None,
+    positional_filter: bool | None = None,
 ) -> DataFrame:
     """EXACT containment self-join: ordered pairs with
     ``C(A,B) = |A∩B| / |A| >= threshold`` — Broder '97's second
@@ -947,7 +1180,22 @@ def containment_join(
 
     ``ngram=N`` switches the set unit to distinct character N-grams
     (same rationale as exact_jaccard_join: on small-vocabulary corpora
-    word sets collapse and prefix filtering degenerates)."""
+    word sets collapse and prefix filtering degenerates).
+
+    ``positional_filter`` — PPJoin-style positional prune on candidate
+    pairs, recall-safe (a qualifying direction's FIRST shared token in
+    the global rarest-first order has no shared token before it in
+    EITHER doc, so overlap ≤ 1 + min(|A|−p_A, |B|−p_B) holds at that
+    occurrence and the pair survives; survivors are exactly verified
+    anyway).  ``None`` (default) AUTO-DECIDES from one cheap aggregate:
+    the candidate join's exact fan-out Σ_tok |pfx(tok)|·df(tok) is
+    computed pre-join (an aggregate over the materialized prefix frame
+    joined to dfreq — no pair blow-up), and the prune turns on when
+    fan-out exceeds 50× the corpus doc count — the self-similar-corpus
+    degeneracy where candidate pairs, not postings, dominate (on
+    benign Zipf corpora the bound prunes little and the container-side
+    rank recompute it needs is pure overhead, so it stays off).  The
+    chosen mode is logged at INFO."""
     if ngram is not None:
         toks_arr = F.array_distinct(char_ngrams(F.col(text_col), ngram))
     else:
@@ -976,24 +1224,74 @@ def containment_join(
             F.col("_rn")
             <= F.col("_sz")
             - F.ceil(F.col("_sz") * F.lit(threshold) - _eps) + 1
-        ).select("_tok", F.col("_id").alias("contained_id"))
+        ).select(
+            "_tok",
+            F.col("_id").alias("contained_id"),
+            F.col("_sz").alias("_sa"),
+            F.col("_rn").alias("_pa"),
+        )
     )
-    b = flat.select("_tok", F.col("_id").alias("container_id"))
+    if positional_filter is None:
+        # Exact candidate-join fan-out, computed WITHOUT the join:
+        # Σ_tok |pfx rows| × df.  Both inputs are already-reduced
+        # aggregates (pfx is materialized, dfreq one hash agg), so
+        # this is one bounded single-row collect — the same class of
+        # guard as validate.py's aggregated validation row.
+        fan = (
+            pfx.groupBy("_tok")
+            .agg(F.count("*").alias("_pn"))
+            .join(dfreq, "_tok")
+            .agg(F.sum(F.col("_pn") * F.col("_df")).alias("_fan"))
+            .first()["_fan"]
+            or 0
+        )
+        n_docs = base.count()
+        positional_filter = fan > 50 * n_docs
+        import logging
+
+        logging.getLogger(__name__).info(
+            "containment_join auto positional_filter=%s "
+            "(candidate fan-out %d vs %d docs)",
+            positional_filter, fan, n_docs,
+        )
     # Canonicalize candidates to UNORDERED pairs before the verify:
     # the intersection is symmetric, so one array_intersect serves
     # both directions (each with its own denominator) — halving the
     # verify join's array shuffle.  Exactness holds: any direction
     # with C >= t was independently generated from ITS contained
-    # side's prefix, so it is present in the unordered union.
-    cand = (
-        pfx.join(b, "_tok")
-        .filter(F.col("contained_id") != F.col("container_id"))
-        .select(
-            F.least("contained_id", "container_id").alias("_lo"),
-            F.greatest("contained_id", "container_id").alias("_hi"),
+    # side's prefix (surviving the positional bound when enabled —
+    # see the docstring's first-shared-token argument), so it is
+    # present in the unordered union.
+    if positional_filter:
+        b = ranked.select(
+            "_tok",
+            F.col("_id").alias("container_id"),
+            F.col("_sz").alias("_sb"),
+            F.col("_rn").alias("_pb"),
         )
-        .distinct()
-    )
+        raw_cand = (
+            pfx.join(b, "_tok")
+            .filter(F.col("contained_id") != F.col("container_id"))
+            # overlap needed: |A∩B| >= ceil(t*|A|); available beyond
+            # this shared occurrence: 1 + min(|A|-p_A, |B|-p_B)
+            .filter(
+                F.lit(1)
+                + F.least(
+                    F.col("_sa") - F.col("_pa"),
+                    F.col("_sb") - F.col("_pb"),
+                )
+                >= F.ceil(F.col("_sa") * F.lit(threshold) - _eps)
+            )
+        )
+    else:
+        b = flat.select("_tok", F.col("_id").alias("container_id"))
+        raw_cand = pfx.join(b, "_tok").filter(
+            F.col("contained_id") != F.col("container_id")
+        )
+    cand = raw_cand.select(
+        F.least("contained_id", "container_id").alias("_lo"),
+        F.greatest("contained_id", "container_id").alias("_hi"),
+    ).distinct()
     sl = base.select(F.col("_id").alias("_lo"), F.col("_s").alias("_tl"))
     sh2 = base.select(F.col("_id").alias("_hi"), F.col("_s").alias("_th"))
     inter = F.size(F.array_intersect("_tl", "_th"))

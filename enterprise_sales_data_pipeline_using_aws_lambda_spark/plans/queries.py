@@ -884,14 +884,36 @@ def dedup_lsh_incremental(spark: SparkSession, sf_dir: str) -> DataFrame:
     The oracle is the same all-pairs exact-Jaccard definition
     restricted to batch-involving pairs with that orientation rule, so
     a hash match proves both precision and the restriction's recall
-    equals the self-join gate's."""
-    from ..operators.text_dedup import minhash_near_duplicates_against
+    equals the self-join gate's.
+
+    Round 6: routes through the PERSISTED-STORE fast path
+    (corpus_signatures/corpus_buckets — here computed inline, exactly
+    what write_lsh_signature_store persists): the corpus is never
+    re-shingled or re-signed, its bucket table is probed by a
+    broadcast of the batch's bands, and only pair-named corpus docs
+    are re-shingled for the verify.  Signatures are deterministic, so
+    the oracle (and the plain path's output) is unchanged — the hash
+    match proves the fast path's row-identity claim."""
+    from ..operators.materialize import materialize
+    from ..operators.text_dedup import (
+        lsh_banded,
+        minhash_near_duplicates_against,
+        minhash_signatures,
+        shingle_sets,
+    )
 
     docs = _t(spark, sf_dir, "documents")
+    corpus = docs.filter(F.col("doc_id") % 20 != 0)
+    # materialized = the store's persisted state (what
+    # write_lsh_signature_store would have on disk), computed inline
+    # so the gate needs no scratch directory
+    corpus_sigs = materialize(minhash_signatures(shingle_sets(corpus)))
     return minhash_near_duplicates_against(
-        docs.filter(F.col("doc_id") % 20 != 0),
+        corpus,
         docs.filter(F.col("doc_id") % 20 == 0),
         threshold=0.5,
+        corpus_signatures=corpus_sigs,
+        corpus_buckets=lsh_banded(corpus_sigs),
     )
 
 

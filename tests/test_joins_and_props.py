@@ -465,10 +465,24 @@ def test_containment_join_total_recall_property(spark, docs, tq):
         sb = set(docs[j].split()) - {""}
         if not sa or not sb:
             continue
-        c = round(len(sa & sb) / len(sa), 6)
+        # the contract filters on the UNROUNDED ratio; round(…, 6) is
+        # presentation only
+        c = len(sa & sb) / len(sa)
         if c >= tq:
-            exp[(i, j)] = c
+            exp[(i, j)] = round(c, 6)
     assert got == exp
+
+    # the PPJoin positional prune must be recall-free on the same
+    # corpus (the auto mode picks it on degenerate corpora; force both
+    # modes here so neither ever diverges from the definition)
+    for forced in (True, False):
+        got_f = {
+            (r["contained_id"], r["container_id"]): r["containment"]
+            for r in containment_join(
+                df, threshold=tq, positional_filter=forced
+            ).collect()
+        }
+        assert got_f == exp
 
 
 @settings(max_examples=10, deadline=None)

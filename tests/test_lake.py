@@ -692,3 +692,49 @@ def test_compact_recovers_from_crash_between_renames(spark, tmp_path):
     assert got.count() == 100
     assert not os.path.exists(path + "__old")
     assert not os.path.exists(path + "__compacting")
+
+
+def test_compact_swap_contract_under_concurrent_reader(spark, tmp_path):
+    """Pin the documented single-writer contract of the compaction swap
+    (README "Concurrency & atomicity"):
+
+    1. a reader frame PLANNED before compaction holds the pre-swap
+       file listing — collecting it after the swap fails with missing
+       files (it must re-plan; ignoreMissingFiles would silently
+       return partial data instead, which is worse);
+    2. a scan planned INSIDE the swap window (live dir renamed away,
+       staging not yet swapped in) fails with path-not-found and a
+       plain retry after the window succeeds — no torn state is ever
+       readable, the failure mode is loud and transient.
+    """
+    import shutil
+
+    import pytest as _pytest
+    from py4j.protocol import Py4JJavaError
+    from pyspark.errors import AnalysisException
+
+    from enterprise_sales_data_pipeline_using_aws_lambda_spark.sources.writers import (
+        compact_lake_partition,
+    )
+
+    path = str(tmp_path / "part")
+    spark.range(100).selectExpr("id", "id * 2 AS v").repartition(
+        8
+    ).write.parquet(path)
+
+    pre = spark.read.parquet(path)  # file listing resolved NOW
+    assert compact_lake_partition(spark, path, target_files=2) == 8
+    with _pytest.raises((Py4JJavaError, Exception)) as exc:
+        pre.count()  # pre-swap listing -> files are gone
+    assert "FileNotFound" in str(exc.value) or "does not exist" in str(
+        exc.value
+    )
+
+    # mid-swap window: live dir absent, data parked in __old
+    shutil.move(path, path + "__old")
+    with _pytest.raises(AnalysisException):
+        spark.read.parquet(path).count()  # loud path-not-found
+    # the next maintenance run (or crash recovery) restores the state;
+    # the reader's plain retry then sees every row
+    compact_lake_partition(spark, path, target_files=2)
+    assert spark.read.parquet(path).count() == 100

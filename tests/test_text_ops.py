@@ -715,3 +715,78 @@ def test_minhash_against_reports_only_batch_involving_pairs(spark):
         ).collect()
     }
     assert got == {(1, 101): 1.0, (2, 3): 1.0}
+
+
+def test_minhash_against_store_path_row_identical(spark, tmp_path):
+    """The persisted-signature fast path returns EXACTLY the plain
+    path's rows — via a real on-disk store round-trip (write → read →
+    dedup), including the append step that folds a deduped batch into
+    the corpus state for the next batch."""
+    from enterprise_sales_data_pipeline_using_aws_lambda_spark.operators.text_dedup import (  # noqa: E501
+        minhash_near_duplicates_against,
+        read_lsh_signature_store,
+        write_lsh_signature_store,
+    )
+
+    x = "the quick brown fox jumps over the lazy dog again and again"
+    y = "pack my box with five dozen liquor jugs every single day"
+    z = "sphinx of black quartz judge my vow under the midnight sky"
+    u = "completely unrelated content about distributed query engines"
+    corpus = spark.createDataFrame(
+        [(101, x), (102, y), (103, y)], "doc_id long, text string"
+    )
+    batch = spark.createDataFrame(
+        [(1, x), (2, z), (3, z), (4, u)], "doc_id long, text string"
+    )
+    plain = sorted(
+        map(tuple, minhash_near_duplicates_against(
+            corpus, batch, threshold=0.7
+        ).collect())
+    )
+    store_path = str(tmp_path / "lsh_store")
+    write_lsh_signature_store(corpus, store_path)
+    store = read_lsh_signature_store(spark, store_path)
+    assert store["meta"] == {
+        "id_col": "doc_id", "n": 5, "num_hashes": 64, "bands": 16,
+    }
+    fast = sorted(
+        map(tuple, minhash_near_duplicates_against(
+            corpus, batch, threshold=0.7,
+            corpus_signatures=store["signatures"],
+            corpus_buckets=store["buckets"],
+        ).collect())
+    )
+    assert fast == plain and len(plain) == 2
+    # signatures-only (no bucket table) must agree too
+    sigs_only = sorted(
+        map(tuple, minhash_near_duplicates_against(
+            corpus, batch, threshold=0.7,
+            corpus_signatures=store["signatures"],
+        ).collect())
+    )
+    assert sigs_only == plain
+
+    # daily-ingest append: fold the batch in; a next batch matching z
+    # must now find doc 2/3 as corpus
+    write_lsh_signature_store(batch, store_path, mode="append")
+    store2 = read_lsh_signature_store(spark, store_path)
+    nxt = spark.createDataFrame(
+        [(201, z)], "doc_id long, text string"
+    )
+    got2 = {
+        (r["id_a"], r["id_b"])
+        for r in minhash_near_duplicates_against(
+            corpus.unionByName(batch), nxt, threshold=0.7,
+            corpus_signatures=store2["signatures"],
+            corpus_buckets=store2["buckets"],
+        ).collect()
+    }
+    assert got2 == {(201, 2), (201, 3)}
+
+    # parameter-mismatch append is a loud error, not silent recall loss
+    import pytest as _pytest
+
+    with _pytest.raises(ValueError, match="parameter mismatch"):
+        write_lsh_signature_store(
+            batch, store_path, mode="append", num_hashes=32, bands=8
+        )

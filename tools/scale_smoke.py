@@ -556,6 +556,79 @@ def main() -> int:
         "replaces)",
     )
 
+    # 19c) PERSISTED signature store, end-to-end on TEXT at 1M+10k:
+    # the round-6 fast path.  The plain incremental path re-shingles
+    # and re-signs the full 1M-doc corpus every batch (its documented
+    # corpus-linear term); the store path signs only the 10k batch,
+    # probes the persisted bucket table via a broadcast of the batch's
+    # bands, and re-shingles only pair-named corpus docs for the
+    # verify.  1,000 planted cross dups (identical text -> jaccard 1)
+    # make recall checkable; both paths must report the same count.
+    from enterprise_sales_data_pipeline_using_aws_lambda_spark.operators.text_dedup import (  # noqa: E501
+        minhash_near_duplicates_against,
+        read_lsh_signature_store,
+        write_lsh_signature_store,
+    )
+
+    def _dtok(seed, pos):
+        return F.concat(
+            F.lit("d"), F.pmod(F.xxhash64(seed, pos), F.lit(10**15))
+        )
+
+    def _doc_text(seed):
+        return F.concat_ws(
+            " ",
+            F.transform(
+                F.sequence(F.lit(0), F.lit(29)), lambda p: _dtok(seed, p)
+            ),
+        )
+
+    corpus_docs = spark.range(0, nd_lsh).select(
+        F.col("id").alias("doc_id"), _doc_text(F.col("id")).alias("text")
+    )
+    planted = (F.col("id") - nd_lsh) % 10 == 0
+    batch_seed = F.when(
+        planted, ((F.col("id") - nd_lsh) / 10).cast("long") * 719 + 13
+    ).otherwise(F.col("id") + nd_lsh)
+    batch_docs = spark.range(nd_lsh, nd_lsh + n_batch).select(
+        F.col("id").alias("doc_id"),
+        _doc_text(batch_seed).alias("text"),
+    )
+    store_dir = tempfile.mkdtemp(prefix="lsh_store_smoke_")
+    try:
+        run(
+            "lsh_store_build_1m",
+            nd_lsh,
+            lambda: write_lsh_signature_store(corpus_docs, store_dir)
+            or "one-time: signatures + buckets + meta parquet",
+        )
+        lsh_store = read_lsh_signature_store(spark, store_dir)
+        run(
+            "lsh_incr_store_1m_10k",
+            nd_lsh + n_batch,
+            lambda: str(
+                minhash_near_duplicates_against(
+                    corpus_docs, batch_docs, threshold=0.7,
+                    corpus_signatures=lsh_store["signatures"],
+                    corpus_buckets=lsh_store["buckets"],
+                ).count()
+            )
+            + " pairs (expect 1,000; corpus never re-shingled/signed)",
+        )
+        run(
+            "lsh_incr_plain_1m_10k",
+            nd_lsh + n_batch,
+            lambda: str(
+                minhash_near_duplicates_against(
+                    corpus_docs, batch_docs, threshold=0.7
+                ).count()
+            )
+            + " pairs (same answer; the corpus-linear re-sign the "
+            "store eliminates)",
+        )
+    finally:
+        shutil.rmtree(store_dir, ignore_errors=True)
+
     # 20) SRP-LSH ANN top-k at 1M vectors, recall measured against the
     # exact brute force on the same frame: 10k clusters of 100 (cluster
     # mates are genuine near neighbors; cross-cluster vectors are
@@ -732,6 +805,67 @@ def main() -> int:
         return f"{got:,} pairs (expect {nd_ct // 100:,} planted)"
 
     run("containment_zipf_200k", nd_ct, _containment)
+
+    # 25) Media fingerprint lane: 20k real WAV clips × 50k samples
+    # (1 GB of PCM) through the full container decode + vectorized
+    # energy fingerprint — the lane the round-6 numpy rewrite targets
+    # (per-clip microbench: 4.57 ms -> 0.46 ms for the energy windows
+    # on a 50k-sample clip; this measures the at-scale wall including
+    # the RIFF walk and Arrow transfer).
+    import struct as _struct
+
+    import numpy as _np
+
+    from enterprise_sales_data_pipeline_using_aws_lambda_spark.operators.multimodal import (  # noqa: E501
+        MEDIA_SCHEMA,
+        fingerprint_audio,
+    )
+
+    n_clips, clip_len = 20_000, 50_000
+
+    def _wav_partition(batches):
+        import pandas as pd
+
+        hdr_fmt = b"fmt " + _struct.pack(
+            "<IHHIIHH", 16, 1, 1, 8000, 8000, 1, 8
+        )
+        for pdf in batches:
+            rows = []
+            for mid in pdf["id"]:
+                pcm = (
+                    (int(mid) + _np.arange(clip_len)) % 256
+                ).astype(_np.uint8).tobytes()
+                body = (
+                    b"WAVE" + hdr_fmt
+                    + b"data" + _struct.pack("<I", len(pcm)) + pcm
+                )
+                payload = b"RIFF" + _struct.pack("<I", len(body)) + body
+                rows.append(
+                    {
+                        "media_id": int(mid),
+                        "kind": "audio",
+                        "payload": payload,
+                        "meta": {
+                            "mime": "x-media/audio",
+                            "width": None,
+                            "height": None,
+                            "duration_ms": clip_len * 1000 // 8000,
+                        },
+                    }
+                )
+            yield pd.DataFrame(rows)
+
+    clips = (
+        spark.range(0, n_clips)
+        .repartition(spark.sparkContext.defaultParallelism)
+        .mapInPandas(_wav_partition, MEDIA_SCHEMA)
+    )
+    run(
+        "audio_fingerprint_20k_50ks",
+        n_clips,
+        lambda: str(fingerprint_audio(clips).count())
+        + " clips fingerprinted (1 GB PCM decoded)",
+    )
 
     total = round(sum(r[2] for r in results), 2)
     print(f"TOTAL {total}s for {len(results)} workloads at base n={n:,}")
