@@ -26,16 +26,18 @@ from enterprise_sales_data_pipeline_using_aws_lambda_spark.plans.queries import 
 SMOKE_SF_DIR = "/root/testdata/sf0.001"
 
 # The driver checks exactly 50 entries per round, in dict order
-# (CORRECTNESS_r01-r04 evidence).  Round-5 rotation (VERDICT r04 items
-# 1 and 5): CORRECTNESS_r04 was 50/50 green with zero reds, so this
-# round's budget goes to (1) queries whose PLAN changed this round
-# (peak_concurrent_sessions — sweep migrated to the global_cumsum
-# distributed prefix sum), (2) round-5 additions (capped ≤5 per
-# VERDICT item 5), (3) ALL 37 queries whose only driver check is
-# round 1 — four rounds of refactors stale — then (4) the
-# oldest-of-the-rest (round-2-checked) queries as fillers in any
-# remaining slots.  1+2+3 ≤ 50, so after this round no registered
-# query's latest driver check is older than round 2.
+# (CORRECTNESS_r01-r05 evidence).  Round-6 rotation (VERDICT r05 item
+# 3): CORRECTNESS_r05 was 50/50 green with zero reds, so this round's
+# budget goes to (1) the 12 queries whose PLAN changed this round
+# (the jaccard family's unrounded-threshold filters + two oracle
+# WHERE alignments, the dedup_lsh_incremental persisted-signature
+# fast path, containment's auto positional filter, and the four
+# media gates' numpy decode path), (2) ALL 35 queries whose latest
+# driver check is round 2 (the OLDEST_R2 tail past round 5's filler
+# cut), then (3) round-3-checked fillers, oldest cohort first.
+# 12+35+3 = 50, so after this round no registered query's latest
+# driver check is older than round 3.  No new queries this round —
+# registered stays at 174 (VERDICT item 7: spend slots on rotation).
 
 
 def entry(spark: SparkSession) -> DataFrame:
@@ -47,76 +49,46 @@ def entry(spark: SparkSession) -> DataFrame:
     return QUERIES["ref_sales_summary"](spark, SMOKE_SF_DIR)
 
 
-# Round-4 red rows: NONE (CORRECTNESS_r04 was 50/50 green).
-R04_RED: list[str] = []
+# Round-5 red rows: NONE (CORRECTNESS_r05 was 50/50 green).
+R05_RED: list[str] = []
 
-# Queries whose Spark plan CHANGED this round — green in r04 but the
+# Queries whose Spark plan CHANGED this round — green before, but the
 # code they exercised no longer exists, so they must be re-proven.
 CHANGED_THIS_ROUND = [
-    # sweep migrated from a single-partition global window to the
-    # agg.global_cumsum range-partitioned prefix sum (VERDICT r04
-    # item 2); oracle SQL untouched
-    "peak_concurrent_sessions",
-]
-
-# Queries ADDED this round (locally strict-oracle-green under the
-# driver-faithful pandas comparison).  Capped at 5 (VERDICT r04
-# item 5: consolidate, don't grow the refresh cycle).
-NEW_THIS_ROUND: list[str] = [
-    # audio analog of image_ahash_fingerprints (VERDICT r04 item 5's
-    # named multimodal-parity gap): real WAV decode → 32 integer
-    # energy windows → strict-mean-threshold fingerprint
-    "audio_energy_fingerprints",
-    # video leg of the same family: real Y4M decode → per-frame LUMA
-    # aHash (shot-level near-dup key)
-    "video_frame_ahash",
-    # maximal cross-doc repeated spans (Lee et al. '22 exact
-    # substring dedup at word granularity) — the sub-document signal
-    # passage grids and doc hashing both miss
-    "dedup_repeated_spans",
-    # Broder containment C(A,B)=|A∩B|/|A| — asymmetric subsumption
-    # dedup (short doc quoted inside a long one) that Jaccard
-    # structurally misses; zero-FN contained-side prefix filter
-    "containment_prefix_join",
-    # incremental LSH near-dup: NEW batch vs accumulated corpus —
-    # buckets with no batch member drop before the candidate join, so
-    # per-batch cost scales with batch collisions, never corpus²
+    # persisted-signature fast path: the gate now routes through
+    # corpus_signatures=/corpus_buckets= (store state computed inline;
+    # signatures deterministic, oracle unchanged)
     "dedup_lsh_incremental",
+    # jaccard family: verify filters moved to the UNROUNDED ratio
+    # (round(.,6) is presentation-only now); exact_jaccard and
+    # containment oracles' WHERE clauses aligned the same round
+    "dedup_minhash_lsh",
+    "exact_jaccard_prefix_join",
+    "containment_prefix_join",
+    # compose minhash_near_duplicates → inherit the filter change
+    "near_dup_cluster_canonical",
+    "cross_split_contamination",
+    # jaccard_on_pairs internal reshape (raw column then round)
+    "ngram_jaccard_adjacent",
+    "dedup_connected_components",
+    # numpy-vectorized decode/fingerprint path (same exact integers:
+    # frombuffer + reduceat energies, fancy-index 8×8 grids, vector
+    # byte sums, PNG None/Up unfilter rows)
+    "image_ahash_fingerprints",
+    "audio_energy_fingerprints",
+    "video_frame_ahash",
+    "multimodal_features",
 ]
 
-# The 37 queries whose ONLY driver check is round 1 (recomputed from
-# CORRECTNESS_r01-r04: latest-check round == 1).  All inside this
-# round's 50-slot budget — after r5 no query's coverage is older than
-# round 2.
-OLDEST_R1 = [
-    "q3_shipping_priority", "q5_local_supplier_volume",
-    "q6_revenue_forecast", "join_region_rollup",
-    "semi_join_active_customers", "anti_join_inactive_customers",
-    "window_top_orders_per_cust", "window_running_total",
-    "agg_rollup_returns", "event_daily_agg",
-    "text_quality", "text_tokens", "text_lang_id", "text_fingerprint",
-    "dedup_exact_docs", "ngram_jaccard_adjacent",
-    "similarity_topk_bruteforce", "dedup_embedding_cosine",
-    "event_sessionize", "scalar_function_suite", "exists_late_orders",
-    "intersect_repeat_customers", "except_single_status_customers",
-    "agg_cube_status_priority", "pivot_priority_by_status",
-    "global_topk_orders", "window_rank_suite",
-    "full_outer_nation_balance", "distinct_users_daily",
-    "asof_click_purchase", "range_join_error_burst",
-    "scalar_subquery_small_qty", "in_subquery_big_orders",
-    "json_props_stats", "embedding_vector_stats",
-    "window_moving_avg_range", "top_terms",
-]
+# No additions this round — registered stays at 174 and the 50-slot
+# budget goes to rotation (VERDICT r05 item 7).
+NEW_THIS_ROUND: list[str] = []
 
-# Remaining budget: fillers, oldest-first — queries whose latest
-# driver check is round 2 (42 such; the first 50-|above| fill this
-# round's slots, the rest rotate forward next round).
+# The 35 queries whose latest driver check is round 2 (recomputed from
+# CORRECTNESS_r01-r05) — the OLDEST_R2 tail past round 5's filler cut.
+# All inside this round's budget: after r6 no registered query's
+# coverage is older than round 3.
 OLDEST_R2 = [
-    "stateful_user_totals", "dedup_connected_components",
-    "similarity_topk_ivf", "argmin_supplier_per_nation",
-    "sliding_window_event_rate", "salted_join_parity",
-    "grouping_sets_region_channel", "variant_props_banded",
-    "scd2_customer_segments", "stream_stream_attribution",
     "unpivot_status_totals", "profile_lineitem_stats",
     "histogram_order_values", "pmi_bigrams", "nullsafe_join_segments",
     "daily_revenue_dense", "try_functions_safety",
@@ -131,33 +103,42 @@ OLDEST_R2 = [
     "referential_integrity_audit", "order_reconciliation",
     "bounded_rows_moving_avg", "higher_moments_profile",
     "event_seasonality_profile", "pareto_abc_customers",
+    "scd2_customer_segments", "stream_stream_attribution",
+    "variant_props_banded",
+]
+
+# Remaining budget: round-3-checked fillers (oldest cohort), front-
+# loading the one whose operator grew a guard this round
+# (similarity_topk_lsh → lsh_topk's MAX_QUERY_VECTORS check).
+OLDEST_R3_FILLERS = [
+    "similarity_topk_lsh", "approx_distinct_users_daily",
+    "approx_percentile_summary",
 ]
 
 
-# ROUND-6 ROTATION PLAN (for the next context): this round's 50 slots
-# are R04_RED(0) + CHANGED(1) + NEW(|new|) + OLDEST_R1(37) + the first
-# 50-38-|new| OLDEST_R2 fillers.  If CORRECTNESS_r05 comes back green,
-# no query's latest check is older than round 2.  Next round: front
-# any r5 reds, then plan-changed queries, then r6 additions, then the
-# REMAINING OLDEST_R2 entries (the ones past this round's filler
-# cut), then the round-3-checked queries as they age.  Keep
-# must-check <= 50 (tests/test_plans.py asserts it).
+# ROUND-7 ROTATION PLAN (for the next context): this round's 50 slots
+# are R05_RED(0) + CHANGED(12) + OLDEST_R2(35) + 3 r3 fillers.  If
+# CORRECTNESS_r06 comes back green, no query's latest check is older
+# than round 3.  Next round: front any r6 reds, then r7 plan-changed
+# queries, then the REMAINING 37 round-3-checked queries
+# (40 minus this round's 3 fillers), then round-4-checked queries as
+# they age.  Keep must-check <= 50 (tests/test_plans.py asserts it).
 
 
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     """One entry per implemented operator from SURVEY.md §2.
 
     Ordered so the driver's budgeted (50-entry, dict-ordered)
-    verification spends its budget where it matters: (1) round-4 red
-    rows (none), (2) queries whose plan changed this round, (3)
-    round-5 additions, (4) the 37 queries last driver-checked in
-    round 1, (5) round-2-checked fillers.  1+2+3+4 <= 50, so every
-    red, changed, new, or stale-since-r1 gate is inside this round's
-    budget (asserted by tests/test_plans.py's rotation guard).
+    verification spends its budget where it matters: (1) round-5 red
+    rows (none), (2) the 12 queries whose plan changed this round,
+    (3) the 35 queries last driver-checked in round 2, (4) round-3
+    fillers.  1+2+3+4 = 50 exactly, so every red, changed, or
+    stale-since-r2 gate is inside this round's budget (asserted by
+    tests/test_plans.py's rotation guard).
     """
     explicit = (
-        R04_RED + CHANGED_THIS_ROUND + NEW_THIS_ROUND + OLDEST_R1
-        + OLDEST_R2
+        R05_RED + CHANGED_THIS_ROUND + NEW_THIS_ROUND + OLDEST_R2
+        + OLDEST_R3_FILLERS
     )
 
     def bucket(name: str) -> tuple:

@@ -384,17 +384,25 @@ def minhash_near_duplicates(
     borderline pair (true j == threshold) is missed with p ≈ Φ(-2.5σ)
     < 1%; report-exactness is unaffected — surviving pairs carry exact
     Jaccard."""
-    # Both intermediates are consumed twice (signatures by banding and
-    # the estimate stage; shingles by signatures and the exact verify).
-    # Signatures are docs × num_hashes longs — cacheable at any corpus
-    # size; shingles are corpus-sized, so spill-to-disk caching trades
-    # one full re-shingling pass for local disk.  Eager localCheckpoint
-    # instead of .persist(): the ContextCleaner reclaims the backing
-    # cache once the frames go unreachable, whereas CacheManager
-    # entries from persist leak across invocations (each bench/job
-    # re-run stacked another corpus-sized cached copy).
-    shingled = materialize(shingle_sets(df, text_col, id_col, n))
-    sigs = materialize(minhash_signatures(shingled, id_col, num_hashes))
+    # Only SIGNATURES are pinned (docs × num_hashes longs — cacheable
+    # at any corpus size; consumed by banding and the estimate stage).
+    # Shingle arrays are corpus-sized and deliberately NOT
+    # checkpointed: pinning them starved the signature aggregation's
+    # execution memory (AGGREGATE_OUT_OF_MEMORY at 1M text docs on the
+    # 8g test heap — found in round 6's full-text scale lane) to cache
+    # data the verify stage barely needs.  Instead the exact verify
+    # re-shingles ONLY docs named in surviving candidate pairs — a
+    # candidate-bounded semi-join against the input, not a second
+    # corpus-wide explode.  Eager localCheckpoint instead of
+    # .persist(): the ContextCleaner reclaims the backing cache once
+    # the frames go unreachable, whereas CacheManager entries from
+    # persist leak across invocations (each bench/job re-run stacked
+    # another cached copy).
+    sigs = materialize(
+        minhash_signatures(
+            shingle_sets(df, text_col, id_col, n), id_col, num_hashes
+        )
+    )
     cands = lsh_candidate_pairs(sigs, id_col, bands)
     est = estimate_jaccard_on_pairs(cands, sigs, id_col)
     plausible = est.filter(
@@ -402,8 +410,15 @@ def minhash_near_duplicates(
     )
     if not verify:
         return plausible
+    pairs = materialize(plausible.select("id_a", "id_b"))
+    pair_ids = (
+        pairs.select(F.col("id_a").alias(id_col))
+        .unionByName(pairs.select(F.col("id_b").alias(id_col)))
+        .distinct()
+    )
+    needed = df.join(F.broadcast(pair_ids), id_col, "left_semi")
     return jaccard_on_pairs(
-        plausible.select("id_a", "id_b"), shingled, id_col,
+        pairs, shingle_sets(needed, text_col, id_col, n), id_col,
         threshold=threshold,
     )
 
@@ -491,8 +506,13 @@ def minhash_near_duplicates_against(
         batch.select(F.col(id_col), F.col(text_col), F.lit(True).alias("_new"))
     )
     tags = both.select(F.col(id_col), "_new")
-    shingled = materialize(shingle_sets(both, text_col, id_col, n))
-    sigs = materialize(minhash_signatures(shingled, id_col, num_hashes))
+    # shingles NOT checkpointed; verify re-shingles pair-named docs
+    # only — same memory rationale as minhash_near_duplicates
+    sigs = materialize(
+        minhash_signatures(
+            shingle_sets(both, text_col, id_col, n), id_col, num_hashes
+        )
+    )
     # docs-sized join (sigs is already hash-partitioned on id post-agg)
     cand = lsh_candidate_pairs(
         sigs.join(tags, id_col),
@@ -502,11 +522,19 @@ def minhash_near_duplicates_against(
         new_col="_new",
     )
     est = estimate_jaccard_on_pairs(cand, sigs, id_col)
-    plausible = est.filter(
-        F.col("est_jaccard") >= threshold - estimate_margin
+    pairs = materialize(
+        est.filter(
+            F.col("est_jaccard") >= threshold - estimate_margin
+        ).select("id_a", "id_b")
     )
+    pair_ids = (
+        pairs.select(F.col("id_a").alias(id_col))
+        .unionByName(pairs.select(F.col("id_b").alias(id_col)))
+        .distinct()
+    )
+    needed = both.join(F.broadcast(pair_ids), id_col, "left_semi")
     return jaccard_on_pairs(
-        plausible.select("id_a", "id_b"), shingled, id_col,
+        pairs, shingle_sets(needed, text_col, id_col, n), id_col,
         threshold=threshold,
     )
 

@@ -125,8 +125,8 @@ def test_rotation_and_bench_integrity():
     qs = entry.queries()
     names = list(qs)
     explicit = (
-        entry.R04_RED + entry.CHANGED_THIS_ROUND + entry.NEW_THIS_ROUND
-        + entry.OLDEST_R1 + entry.OLDEST_R2
+        entry.R05_RED + entry.CHANGED_THIS_ROUND + entry.NEW_THIS_ROUND
+        + entry.OLDEST_R2 + entry.OLDEST_R3_FILLERS
     )
     assert len(explicit) == len(set(explicit)), "duplicate rotation entry"
     missing = [n for n in explicit if n not in qs]
@@ -134,13 +134,14 @@ def test_rotation_and_bench_integrity():
     assert names[: len(explicit)] == explicit, (
         "explicit rotation block must lead queries() exactly"
     )
-    # Red/changed/new/r1-stale must fit the 50-slot budget; OLDEST_R2
-    # is the regression filler that may spill past 50 into next round.
+    # Red/changed/new/r2-stale must fit the 50-slot budget; the r3
+    # fillers then top the block up to exactly the driver's 50 slots.
     must_check = (
-        entry.R04_RED + entry.CHANGED_THIS_ROUND + entry.NEW_THIS_ROUND
-        + entry.OLDEST_R1
+        entry.R05_RED + entry.CHANGED_THIS_ROUND + entry.NEW_THIS_ROUND
+        + entry.OLDEST_R2
     )
     assert len(must_check) <= 50, "must-check block exceeds driver budget"
+    assert len(explicit) == 50, "rotation block must fill all 50 slots"
     bad = [n for n in bench.HEADLINE if n not in qs]
     assert not bad, f"bench HEADLINE entries not registered: {bad}"
     oracles = entry.oracle_sql()
