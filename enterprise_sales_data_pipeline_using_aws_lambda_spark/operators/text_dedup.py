@@ -1290,6 +1290,24 @@ def containment_join(
     # side's prefix (surviving the positional bound when enabled —
     # see the docstring's first-shared-token argument), so it is
     # present in the unordered union.
+    # container-size bound: |A∩B| <= |B|, so C(A,B) >= t forces
+    # |B| >= ceil(t*|A|) — the one length filter containment admits
+    # (the Jaccard-style upper bound on |B| does not exist: a
+    # container may be arbitrarily larger).  Applied only in the
+    # positional branch, which already threads the container size:
+    # adding _sb to the PLAIN posting frame was measured to flip the
+    # candidate join's build side from the prefix frame to the
+    # corpus-sized posting frame (BuildLeft→BuildRight via changed
+    # size estimates) — 22.6 s → 39 s on the 200k Zipf lane for a
+    # filter worth far less than the flip costs.  Counterfactual on
+    # the sf0.1 self-similar lane (uniform doc sizes, the corpus
+    # shape that auto-enables this branch): 31.4 s with vs 32.0 s
+    # without, identical 14.1M pairs — neutral there, because equal
+    # sizes never violate the bound; the prune pays on size-VARIED
+    # corpora where a long contained doc meets short containers.
+    size_ok = F.col("_sb") >= F.ceil(
+        F.col("_sa") * F.lit(threshold) - _eps
+    )
     if positional_filter:
         b = ranked.select(
             "_tok",
@@ -1300,6 +1318,7 @@ def containment_join(
         raw_cand = (
             pfx.join(b, "_tok")
             .filter(F.col("contained_id") != F.col("container_id"))
+            .filter(size_ok)
             # overlap needed: |A∩B| >= ceil(t*|A|); available beyond
             # this shared occurrence: 1 + min(|A|-p_A, |B|-p_B)
             .filter(
