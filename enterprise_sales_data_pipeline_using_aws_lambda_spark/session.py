@@ -53,5 +53,26 @@ def get_spark(app_name: str = "enterprise-sales-engine", cpus: int | None = None
         .config("spark.driver.memory", os.environ.get("SPARK_GRAFT_DRIVER_MEM", "8g"))
         .config("spark.ui.enabled", "false")
         .config("spark.sql.autoBroadcastJoinThreshold", str(64 * 1024 * 1024))
+        # InferFiltersFromGenerate synthesizes `size(arr) > 0` from every
+        # non-outer explode.  For this engine's explodes the array is
+        # almost always a COMPUTED expression (char n-gram shingles,
+        # banded signature slices, gram windows), so PushDownPredicates
+        # substitutes the full expression into the inferred filter and
+        # pushes it below ensure_min_parallelism's round-robin exchange —
+        # the whole shingling CPU then runs inside the 1-split parquet
+        # scan stage on ONE core, and is recomputed above the exchange
+        # anyway.  Measured on dedup_minhash_lsh at sf0.1/local[32]:
+        # 7.7-9.3 s -> 5.2-5.8 s steady-state with the rule excluded,
+        # identical output (the plan's Filter(size(array_distinct(
+        # transform(...))) > 0) under the Exchange disappears).  The
+        # inference is semantically redundant — explode already drops
+        # empty arrays — and any operator that WANTS early pruning on a
+        # stored array column can write the cheap attribute filter
+        # explicitly, which still pushes to the scan.
+        .config(
+            "spark.sql.optimizer.excludedRules",
+            "org.apache.spark.sql.catalyst.optimizer."
+            "InferFiltersFromGenerate",
+        )
     )
     return builder.getOrCreate()

@@ -163,3 +163,31 @@ def test_join_strategy_hints_are_honored(spark):
         a.join(b.hint("shuffle_hash"), "k")
     )
     assert "SortMergeJoin" in plan_of(a.join(b.hint("merge"), "k"))
+
+
+def test_no_inferred_filter_duplicates_shingling(spark, sf_dir):
+    """InferFiltersFromGenerate is excluded in get_spark: the rule
+    synthesizes `size(shingles) > 0` from the minhash explode, and
+    PushDownPredicates then substitutes the WHOLE shingling expression
+    into that filter and pushes it below ensure_min_parallelism's
+    round-robin exchange — the full char-n-gram CPU runs serially in
+    the 1-split parquet scan stage, then is recomputed in parallel
+    above (measured 7.7-9.3 s -> 5.2-5.8 s on dedup_minhash_lsh at
+    sf0.1 once excluded).  Pin that no Filter in the optimized plan
+    carries the duplicated array_distinct shingle expression."""
+    from enterprise_sales_data_pipeline_using_aws_lambda_spark.operators.text_dedup import (
+        minhash_signatures,
+        shingle_sets,
+    )
+    from enterprise_sales_data_pipeline_using_aws_lambda_spark.sources.readers import (
+        read_table,
+    )
+
+    docs = read_table(spark, sf_dir, "documents")
+    plan = optimized_of(minhash_signatures(shingle_sets(docs, n=5)))
+    for line in plan.splitlines():
+        if line.lstrip().startswith(("Filter", "+- Filter")):
+            assert "array_distinct" not in line, (
+                "shingle expression duplicated into an inferred filter:\n"
+                + line
+            )
