@@ -47,6 +47,13 @@ def shingle_sets(
 
 _MERSENNE31 = (1 << 31) - 1
 
+#: Upper bound on |batch| × bands rows the store-backed incremental
+#: path will force-broadcast (see _minhash_against_stored).  4M rows of
+#: (band int, bucket long, id long) ≈ 64 MB serialized — the same
+#: order as spark.sql.autoBroadcastJoinThreshold, i.e. the point past
+#: which a forced broadcast stops being obviously safe.
+MAX_STORE_BATCH_BANDED = 4_000_000
+
 
 def _hash_family(num_hashes: int) -> list[tuple[int, int]]:
     """Deterministic (a, b) coefficients for the universal hash family
@@ -416,7 +423,12 @@ def minhash_near_duplicates(
         .unionByName(pairs.select(F.col("id_b").alias(id_col)))
         .distinct()
     )
-    needed = df.join(F.broadcast(pair_ids), id_col, "left_semi")
+    # No broadcast hint: pair-named ids are usually tiny, but on a
+    # pervasively-duplicated corpus they approach |docs| and a FORCED
+    # broadcast dies at the driver.  pairs is checkpointed, so AQE sees
+    # the real post-shuffle size and converts to broadcast exactly when
+    # it is safe.
+    needed = df.join(pair_ids, id_col, "left_semi")
     return jaccard_on_pairs(
         pairs, shingle_sets(needed, text_col, id_col, n), id_col,
         threshold=threshold,
@@ -532,7 +544,9 @@ def minhash_near_duplicates_against(
         .unionByName(pairs.select(F.col("id_b").alias(id_col)))
         .distinct()
     )
-    needed = both.join(F.broadcast(pair_ids), id_col, "left_semi")
+    # unhinted semi-join: AQE broadcasts when the checkpointed pair set
+    # is actually small (see minhash_near_duplicates)
+    needed = both.join(pair_ids, id_col, "left_semi")
     return jaccard_on_pairs(
         pairs, shingle_sets(needed, text_col, id_col, n), id_col,
         threshold=threshold,
@@ -576,6 +590,21 @@ def _minhash_against_stored(
     if corpus_buckets is None:
         corpus_buckets = lsh_banded(corpus_signatures, id_col, bands)
     batch_banded = materialize(lsh_banded(batch_sigs, id_col, bands))
+    # The no-shuffle invariant below FORCES the batch's banded rows
+    # into broadcasts; like lsh_topk's MAX_QUERY_VECTORS guard, the
+    # "batch is small" contract is enforced, not assumed — a
+    # fact-sized batch would otherwise OOM the driver instead of
+    # degrading.  batch_banded is checkpointed, so the count is a
+    # cheap bounded job.
+    n_banded = batch_banded.limit(MAX_STORE_BATCH_BANDED + 1).count()
+    if n_banded > MAX_STORE_BATCH_BANDED:
+        raise ValueError(
+            f"store-backed incremental dedup batch exceeds "
+            f"{MAX_STORE_BATCH_BANDED} banded rows "
+            f"(|batch| x bands); its banded rows must broadcast. "
+            f"Split the batch, or run the plain path "
+            f"(corpus_signatures=None), which shuffle-joins instead"
+        )
     bn = batch_banded.groupBy("band", "bucket").agg(
         F.count("*").alias("_bn")
     )
@@ -635,7 +664,9 @@ def _minhash_against_stored(
         .unionByName(plausible.select(F.col("id_b").alias(id_col)))
         .distinct()
     )
-    needed = corpus.join(F.broadcast(pair_ids), id_col, "left_semi")
+    # unhinted semi-join: AQE broadcasts when the checkpointed pair set
+    # is actually small (see minhash_near_duplicates)
+    needed = corpus.join(pair_ids, id_col, "left_semi")
     shingled = batch_sh.unionByName(
         shingle_sets(needed, text_col, id_col, n)
     )

@@ -790,3 +790,38 @@ def test_minhash_against_store_path_row_identical(spark, tmp_path):
         write_lsh_signature_store(
             batch, store_path, mode="append", num_hashes=32, bands=8
         )
+
+
+def test_minhash_against_store_guards_fact_sized_batch(
+    spark, tmp_path, monkeypatch
+):
+    """The store path force-broadcasts the batch's banded rows (the
+    no-shuffle bucket-scan invariant), so — like lsh_topk's
+    MAX_QUERY_VECTORS — the 'batch is small' contract is enforced with
+    a loud error instead of a driver OOM.  The bound is monkeypatched
+    down so the test stays tiny."""
+    from enterprise_sales_data_pipeline_using_aws_lambda_spark.operators import (
+        text_dedup,
+    )
+
+    corpus = spark.createDataFrame(
+        [(101, "the quick brown fox jumps over the lazy dog")],
+        "doc_id long, text string",
+    )
+    batch = spark.createDataFrame(
+        [(i, f"completely unique document number {i} padding text")
+         for i in range(4)],
+        "doc_id long, text string",
+    )
+    store_path = str(tmp_path / "store")
+    text_dedup.write_lsh_signature_store(corpus, store_path)
+    store = text_dedup.read_lsh_signature_store(spark, store_path)
+    monkeypatch.setattr(text_dedup, "MAX_STORE_BATCH_BANDED", 8)
+    import pytest as _pytest
+
+    with _pytest.raises(ValueError, match="banded rows"):
+        text_dedup.minhash_near_duplicates_against(
+            corpus, batch, threshold=0.7,
+            corpus_signatures=store["signatures"],
+            corpus_buckets=store["buckets"],
+        ).collect()
