@@ -26,6 +26,10 @@ def main() -> int:
         get_spark,
     )
 
+    from enterprise_sales_data_pipeline_using_aws_lambda_spark.operators.materialize import (  # noqa: E501
+        release_checkpoints,
+    )
+
     m = int(sys.argv[1]) if len(sys.argv) > 1 else 20
     n = m * 1_000_000
     spark = get_spark("scale-smoke")
@@ -39,6 +43,20 @@ def main() -> int:
         dt = time.perf_counter() - t0
         results.append((name, rows, round(dt, 2), out))
         print(f"{name:<28} rows={rows:>12,}  {dt:7.2f}s  ({out})", flush=True)
+
+    def section_break():
+        """Free localCheckpoint blocks left by the previous section —
+        the same between-queries hygiene bench.py applies.  Without it
+        the round-6 store lanes (1M-doc checkpointed signature frames)
+        leave pinned, non-evictable blocks whose heap pressure taxes
+        every LATER lane: back-to-back full runs measured repeated
+        spans at 13.9 s then 38.1 s and containment at 52.4 s then
+        36.6 s — noise this large makes lane numbers meaningless.
+        Only call between sections: a released localCheckpoint cannot
+        be recomputed, so it must never run while a section still
+        holds a checkpointed frame (e.g. the shared ANN codebook)."""
+        release_checkpoints(spark)
+        spark.sparkContext._jvm.System.gc()
 
     # 1) Wide hash aggregation with a high-cardinality key (~n/10 groups).
     fact = spark.range(0, n).select(
@@ -325,6 +343,8 @@ def main() -> int:
         + " pairs",
     )
 
+    section_break()
+
     # 12/13) Text-pipeline ops on a synthetic corpus: n/20 docs of ~50
     # words from a 30-word vocabulary (JVM-generated, no Python).
     # repetition_stats explodes ~49 bigrams/doc into a hash aggregate;
@@ -367,6 +387,8 @@ def main() -> int:
         )
         + " contaminated",
     )
+
+    section_break()
 
     # 14-17) Round-2 text/retrieval ops on the same synthetic corpus.
     from enterprise_sales_data_pipeline_using_aws_lambda_spark.operators.retrieval import (
@@ -420,6 +442,8 @@ def main() -> int:
         or "30 megaterms",
     )
 
+    section_break()
+
     # 18) Z-order clustered write: 10M rows, 2 decorrelated dimensions,
     # 64 output files — one min/max aggregate + range shuffle + local
     # sort, the same cost profile as a plain sorted write.
@@ -446,6 +470,8 @@ def main() -> int:
         )
     finally:
         shutil.rmtree(zdir, ignore_errors=True)
+
+    section_break()
 
     # 19) LSH singleton-bucket prune, quantified at 1M docs: a realistic
     # near-dup layout (1% of docs in clusters of 4, one 2,000-doc
@@ -556,6 +582,8 @@ def main() -> int:
         "replaces)",
     )
 
+    section_break()
+
     # 19c) PERSISTED signature store, end-to-end on TEXT at 1M+10k:
     # the round-6 fast path.  The plain incremental path re-shingles
     # and re-signs the full 1M-doc corpus every batch (its documented
@@ -628,6 +656,8 @@ def main() -> int:
         )
     finally:
         shutil.rmtree(store_dir, ignore_errors=True)
+
+    section_break()
 
     # 20) SRP-LSH ANN top-k at 1M vectors, recall measured against the
     # exact brute force on the same frame: 10k clusters of 100 (cluster
@@ -726,6 +756,8 @@ def main() -> int:
         + " rows (scan cost |Q|-independent)",
     )
 
+    section_break()
+
     # 23) Maximal repeated spans at 200k docs: 2% of docs carry one
     # planted 20-token verbatim run shared with a partner doc (the
     # rest of every doc is unique), so the expected flag count is
@@ -769,6 +801,8 @@ def main() -> int:
 
     run("repeated_spans_200k", nd_sp, _spans)
 
+    section_break()
+
     # 24) Containment join at 200k docs over a Zipf(1) vocabulary —
     # the adversarial shape for posting joins (hot tokens dominate the
     # posting list; they miss the prefix build side and are discarded
@@ -805,6 +839,8 @@ def main() -> int:
         return f"{got:,} pairs (expect {nd_ct // 100:,} planted)"
 
     run("containment_zipf_200k", nd_ct, _containment)
+
+    section_break()
 
     # 25) Media fingerprint lane: 20k real WAV clips × 50k samples
     # (1 GB of PCM) through the full container decode + vectorized
