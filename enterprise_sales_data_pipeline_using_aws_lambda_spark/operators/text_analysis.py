@@ -302,7 +302,15 @@ def repetition_stats(
     max.  Never an O(len²) per-row array scan — a 10⁶-token document
     costs 10⁶ explode rows, not 10¹² comparisons.  The top-ngram tie
     rule is max(struct(count, ngram)): highest count, then
-    lexicographically greatest ngram — deterministic on both engines."""
+    lexicographically greatest ngram — deterministic on both engines.
+
+    A zero-shuffle alternative (array_sort + an ``F.aggregate``
+    longest-run fold, no explode) was counterfactually measured at 1M
+    docs: 2.5× SLOWER steady-state (48.5 s vs 19.3 s) — higher-order
+    lambdas evaluate on the interpreted expression path, while the
+    explode + hash aggregate stays inside whole-stage codegen.  The
+    shuffles are cheap (map-side combine; one row per distinct
+    (doc, ngram)); the per-element eval path is not."""
     # Gram/tokenization fan-out is the CPU-heavy map stage; do not let
     # it fuse into an under-split (single row group) scan task.
     df = ensure_min_parallelism(df)
@@ -383,11 +391,16 @@ def boilerplate_ngram_stats(
        collapses each gram to one row per partition, so the shuffle
        carries one (gram, partial) row per distinct gram per partition —
        never one row per occurrence.
-    2. the (doc, gram) pairs re-join the boilerplate gram set on the
-       same gram key (co-partitioned: Catalyst reuses the exchange) and
-       aggregate back to one row per doc.
-    The boilerplate set itself is corpus-frequency-bounded (a gram needs
-    ``min_docs`` distinct docs), so no driver materialization anywhere.
+    2. the (doc, gram) pairs re-join the boilerplate gram set.  AQE
+       broadcasts it (it is frequency-bounded: ≤ corpus_grams/min_docs
+       rows), so the probe side never shuffles and the gram explode is
+       recomputed under each consumer rather than materialized.
+    That double-compute is deliberate: a shared ``repartition(_g)``
+    exchange (explode once, both consumers read the shuffle files) was
+    counterfactually measured at 1M docs / 48M gram rows — 0.95× median
+    over 3 interleaved pairs, inside box noise — because the exchange
+    shuffles ~8× the corpus bytes while the recompute is a second pass
+    over an already-small map stage.  No driver materialization anywhere.
     """
     # Gram/tokenization fan-out is the CPU-heavy map stage; do not let
     # it fuse into an under-split (single row group) scan task.
