@@ -769,6 +769,147 @@ def read_lsh_signature_store(spark, path: str) -> dict:
     }
 
 
+def ingest_dedup_batch(
+    corpus: DataFrame,
+    batch: DataFrame,
+    store_path: str,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    threshold: float = 0.7,
+    estimate_margin: float = 0.15,
+    max_bucket: int = 1000,
+) -> tuple[DataFrame, DataFrame]:
+    """One daily-ingest step, composed from the store-backed pieces:
+    dedup ``batch`` against the persisted LSH store at ``store_path``
+    (and against itself) and return ``(clean, pairs)`` — the batch docs
+    to admit, and the near-dup evidence (id_a, id_b, jaccard).
+
+    Drop rule (the greedy pair rule, not connected-component
+    canonicalization): a batch doc is dropped iff it near-duplicates a
+    corpus doc (pairs where ``id_b`` is corpus-side drop ``id_a``) or a
+    smaller-id batch doc (batch-batch pairs drop ``id_b``).  Compose
+    with :func:`dedup_connected_components` when cluster-level
+    canonicals are needed.
+
+    Exactly-once at the id level: batch ids ALREADY in the store are
+    filtered out before anything else — they were admitted by a prior
+    (possibly crashed) run of the same delivery, and re-dedup'ing them
+    against their own stored signatures would self-match every one of
+    them.  That makes the three-step ingest transaction convergent
+    under re-drive from ANY crash point, provided the caller keeps this
+    order::
+
+        clean, pairs = ingest_dedup_batch(lake_docs, batch, store)
+        append_log_idempotent(clean, lake, batch_id)   # docs first
+        append_batch_signatures(clean, store)          # state last
+
+    Crash before the doc write: nothing persisted, re-run redoes all.
+    Crash between doc write and signature append: re-run re-derives the
+    SAME clean set (signatures are deterministic and the store is
+    unchanged — candidates come from store buckets, so the half-written
+    lake does not perturb the answer), the doc write no-ops on its
+    batch-id key, and the append completes.  Crash after the append:
+    re-run pre-filters every admitted id, previously-dropped docs
+    re-drop against the now-stored survivors, and
+    :func:`append_batch_signatures`' own anti-join appends nothing.
+
+    Per-batch cost is the store fast path's: batch-linear shingle/sign/
+    band work, one columnar pass over the bucket table, plus two
+    id-column-only store scans (the pre-filter here and the append's
+    anti-join) — never corpus-linear text work.  Ids must be unique
+    across lake and batch (the operator's keyed contract)."""
+    spark = batch.sparkSession
+    store = read_lsh_signature_store(spark, store_path)
+    meta = store["meta"]
+    if meta["id_col"] != id_col:
+        raise ValueError(
+            f"LSH store at {store_path} is keyed on "
+            f"{meta['id_col']!r}, not {id_col!r}"
+        )
+    # exactly-once by id: ids already in the store are a replayed
+    # delivery — parquet column pruning makes this an id-only scan
+    fresh = batch.join(
+        store["signatures"].select(id_col), id_col, "left_anti"
+    )
+    pairs = minhash_near_duplicates_against(
+        corpus,
+        fresh,
+        text_col=text_col,
+        id_col=id_col,
+        n=meta["n"],
+        num_hashes=meta["num_hashes"],
+        bands=meta["bands"],
+        threshold=threshold,
+        estimate_margin=estimate_margin,
+        max_bucket=max_bucket,
+        corpus_signatures=store["signatures"],
+        corpus_buckets=store["buckets"],
+    )
+    # distinct: in the crash-between-doc-write-and-append window the
+    # half-written lake holds the batch docs too, so verify re-shingles
+    # a pair-named batch id twice (batch copy + lake copy) — identical
+    # text, identical jaccard, duplicate evidence rows.  The pairs
+    # frame is near-dup-count-sized, so exactness here is ~free.
+    pairs = pairs.distinct()
+    batch_ids_b = fresh.select(F.col(id_col).alias("id_b"))
+    dropped = (
+        # batch-batch pairs (id_a < id_b, both batch): larger id drops
+        pairs.join(batch_ids_b, "id_b", "left_semi")
+        .select(F.col("id_b").alias(id_col))
+        .unionByName(
+            # batch-vs-corpus pairs: the batch side (always id_a) drops
+            pairs.join(batch_ids_b, "id_b", "left_anti")
+            .select(F.col("id_a").alias(id_col))
+        )
+        .distinct()
+    )
+    return fresh.join(dropped, id_col, "left_anti"), pairs
+
+
+def append_batch_signatures(
+    clean: DataFrame,
+    store_path: str,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+) -> int:
+    """Fold an admitted batch into the LSH store (the "state last" step
+    of :func:`ingest_dedup_batch`'s ingest order), idempotently: ids
+    already present are anti-joined away before the append, so a
+    re-driven step appends nothing instead of duplicating signature and
+    bucket rows (duplicates would double candidate generation for every
+    future batch).  Sketch parameters come from the store's own meta —
+    a caller cannot drift them.  Returns the number of docs appended
+    (0 on a fully-replayed batch).
+
+    ``clean`` is localCheckpointed before the anti-join: a frame from
+    :func:`ingest_dedup_batch` carries scans of THIS store's parquet
+    from before any intervening append, and mixing two vintages of the
+    same path in one plan lets Spark canonicalize the fresh scan away —
+    measured: a stale frame re-appended every row until the checkpoint
+    cut its file-scan lineage.  The frame is batch-bounded, so the
+    checkpoint is cheap."""
+    spark = clean.sparkSession
+    clean = materialize(clean)
+    store = read_lsh_signature_store(spark, store_path)
+    meta = store["meta"]
+    fresh = clean.join(
+        store["signatures"].select(id_col), id_col, "left_anti"
+    )
+    n_new = fresh.count()  # batch-bounded: one cheap job
+    if n_new:
+        write_lsh_signature_store(
+            fresh,
+            store_path,
+            text_col=text_col,
+            id_col=id_col,
+            n=meta["n"],
+            num_hashes=meta["num_hashes"],
+            bands=meta["bands"],
+            mode="append",
+        )
+    return n_new
+
+
 # ---------------------------------------------------------------------------
 # SimHash
 # ---------------------------------------------------------------------------

@@ -825,3 +825,129 @@ def test_minhash_against_store_guards_fact_sized_batch(
             corpus_signatures=store["signatures"],
             corpus_buckets=store["buckets"],
         ).collect()
+
+
+def test_ingest_dedup_batch_daily_loop_convergence(spark, tmp_path):
+    """The composed daily-ingest step (ingest_dedup_batch →
+    append_log_idempotent → append_batch_signatures) over three
+    consecutive batches, including the two re-drive scenarios the
+    docstring promises convergence for: a full replay of an already
+    completed batch, and a crash between the doc write and the
+    signature append."""
+    from enterprise_sales_data_pipeline_using_aws_lambda_spark.operators.text_dedup import (  # noqa: E501
+        append_batch_signatures,
+        ingest_dedup_batch,
+        read_lsh_signature_store,
+        write_lsh_signature_store,
+    )
+    from enterprise_sales_data_pipeline_using_aws_lambda_spark.sources.writers import (
+        append_log_idempotent,
+    )
+
+    x = "the quick brown fox jumps over the lazy dog again and again"
+    y = "pack my box with five dozen liquor jugs every single day"
+    z = "sphinx of black quartz judge my vow under the midnight sky"
+    u = "completely unrelated content about distributed query engines"
+    w = "a fresh document on columnar storage formats and encodings"
+    v = "another novel text describing adaptive query execution plans"
+    lake = str(tmp_path / "lake")
+    store = str(tmp_path / "lsh_store")
+    corpus0 = spark.createDataFrame(
+        [(101, x), (102, y), (103, y)], "doc_id long, text string"
+    )
+    assert append_log_idempotent(spark, corpus0, lake, "b0")
+    # small sketch: every batch here is exact dups (jaccard 1.0, which
+    # collides in every band regardless of parameters) — 16×4 keeps the
+    # eight ingest calls below cheap
+    write_lsh_signature_store(corpus0, store, num_hashes=16, bands=4)
+
+    def lake_docs():
+        return spark.read.parquet(lake).select("doc_id", "text")
+
+    def store_ids():
+        return {
+            r["doc_id"]
+            for r in read_lsh_signature_store(spark, store)["signatures"]
+            .select("doc_id").distinct().collect()
+        }
+
+    # batch 1: 1 duplicates corpus x; 2/3 duplicate each other (keep
+    # the smaller id); 4 is novel
+    batch1 = spark.createDataFrame(
+        [(1, x), (2, z), (3, z), (4, u)], "doc_id long, text string"
+    )
+    clean1, pairs1 = ingest_dedup_batch(lake_docs(), batch1, store)
+    assert {r["doc_id"] for r in clean1.select("doc_id").collect()} == {2, 4}
+    assert {
+        (r["id_a"], r["id_b"], r["jaccard"]) for r in pairs1.collect()
+    } == {(1, 101, 1.0), (2, 3, 1.0)}
+    assert append_log_idempotent(spark, clean1, lake, "b1")
+    assert append_batch_signatures(clean1, store) == 2
+
+    # batch 2: 201/202 duplicate docs ADMITTED in batch 1 (cross pairs
+    # orient batch-side first even when the batch id is larger); 203
+    # is novel
+    batch2 = spark.createDataFrame(
+        [(201, z), (202, u), (203, w)], "doc_id long, text string"
+    )
+    clean2, pairs2 = ingest_dedup_batch(lake_docs(), batch2, store)
+    assert {r["doc_id"] for r in clean2.select("doc_id").collect()} == {203}
+    assert {
+        (r["id_a"], r["id_b"]) for r in pairs2.collect()
+    } == {(201, 2), (202, 4)}
+    assert append_log_idempotent(spark, clean2, lake, "b2")
+    assert append_batch_signatures(clean2, store) == 1
+    ids_after_b2 = store_ids()
+    assert ids_after_b2 == {101, 102, 103, 2, 4, 203}
+
+    # full replay of batch 2 (crash AFTER everything — redelivery):
+    # 203 pre-filters out as already ingested, 201/202 re-drop against
+    # the stored survivors, and nothing is appended anywhere
+    clean2r, _ = ingest_dedup_batch(lake_docs(), batch2, store)
+    assert clean2r.count() == 0
+    assert not append_log_idempotent(spark, clean2r, lake, "b2")
+    assert append_batch_signatures(clean2r, store) == 0
+    assert store_ids() == ids_after_b2
+
+    # batch 3 with a crash BETWEEN the doc write and the signature
+    # append: the re-run must re-derive the same clean set even though
+    # the lake already holds doc 302 (the store, which drives candidate
+    # generation, is unchanged)
+    batch3 = spark.createDataFrame(
+        [(301, x), (302, v)], "doc_id long, text string"
+    )
+    clean3, _ = ingest_dedup_batch(lake_docs(), batch3, store)
+    assert {r["doc_id"] for r in clean3.select("doc_id").collect()} == {302}
+    assert append_log_idempotent(spark, clean3, lake, "b3")
+    # -- crash here: append_batch_signatures never ran -- re-drive:
+    clean3r, pairs3r = ingest_dedup_batch(lake_docs(), batch3, store)
+    assert {r["doc_id"] for r in clean3r.select("doc_id").collect()} == {302}
+    assert {(r["id_a"], r["id_b"]) for r in pairs3r.collect()} == {(301, 101)}
+    assert not append_log_idempotent(spark, clean3r, lake, "b3")
+    assert append_batch_signatures(clean3r, store) == 1
+    assert store_ids() == ids_after_b2 | {302}
+
+    # STALE-frame re-append (retrying just the append step with the
+    # pre-append DataFrame object): clean3's plan scans the store's
+    # parquet as of BEFORE the append — without the checkpoint inside
+    # append_batch_signatures, Spark canonicalizes the fresh store scan
+    # against the stale one and the anti-join removes nothing,
+    # duplicating every signature (measured; see the docstring)
+    assert append_batch_signatures(clean3, store) == 0
+    assert store_ids() == ids_after_b2 | {302}
+
+    # the lake holds exactly the admitted docs, each exactly once
+    admitted = lake_docs().groupBy("doc_id").count().collect()
+    assert {r["doc_id"] for r in admitted} == ids_after_b2 | {302}
+    assert all(r["count"] == 1 for r in admitted)
+
+    # a store keyed on a different id column is a loud error
+    import pytest as _pytest
+
+    with _pytest.raises(ValueError, match="keyed on"):
+        ingest_dedup_batch(
+            lake_docs().withColumnRenamed("doc_id", "id"),
+            batch3.withColumnRenamed("doc_id", "id"),
+            store,
+            id_col="id",
+        )
