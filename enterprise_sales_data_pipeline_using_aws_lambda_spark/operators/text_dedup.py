@@ -848,9 +848,13 @@ def ingest_dedup_batch(
     # distinct: in the crash-between-doc-write-and-append window the
     # half-written lake holds the batch docs too, so verify re-shingles
     # a pair-named batch id twice (batch copy + lake copy) — identical
-    # text, identical jaccard, duplicate evidence rows.  The pairs
-    # frame is near-dup-count-sized, so exactness here is ~free.
-    pairs = pairs.distinct()
+    # text, identical jaccard, duplicate evidence rows.  materialize:
+    # dropped consumes pairs twice and clean consumes dropped, and the
+    # verify stage above them ends in a corpus-text semi-join — without
+    # the checkpoint that corpus scan re-runs per consumer (measured:
+    # 30.1 s → 21.4 s for the composed 1M+10k ingest).  The pairs frame
+    # is near-dup-count-sized, so both are ~free.
+    pairs = materialize(pairs.distinct())
     batch_ids_b = fresh.select(F.col(id_col).alias("id_b"))
     dropped = (
         # batch-batch pairs (id_a < id_b, both batch): larger id drops
@@ -892,6 +896,11 @@ def append_batch_signatures(
     clean = materialize(clean)
     store = read_lsh_signature_store(spark, store_path)
     meta = store["meta"]
+    if meta["id_col"] != id_col:
+        raise ValueError(
+            f"LSH store at {store_path} is keyed on "
+            f"{meta['id_col']!r}, not {id_col!r}"
+        )
     fresh = clean.join(
         store["signatures"].select(id_col), id_col, "left_anti"
     )

@@ -1,0 +1,117 @@
+"""Streaming near-dup-deduped document ingest — the production loop of
+the LLM-curation stack: a file source watching an arrival directory,
+each micro-batch deduplicated against the persisted LSH signature store
+(and itself) before its survivors join the corpus.
+
+This is the reference's event-driven model (one object-created event →
+one processing run, reference ``lambda.py:207-209``) applied to corpus
+curation instead of sales rows, and it composes three already-proven
+pieces per micro-batch:
+
+1. :func:`~..operators.text_dedup.ingest_dedup_batch` — store-backed
+   incremental MinHash/LSH dedup with the id-level exactly-once
+   pre-filter (batch-linear work; the corpus is never re-shingled).
+2. :func:`~..sources.writers.append_log_idempotent` — the admitted docs
+   land in a batch-id-keyed lake partition (staging + atomic rename;
+   replays skip committed partitions).
+3. :func:`~..operators.text_dedup.append_batch_signatures` — the
+   admitted docs' signatures fold into the store, anti-joined against
+   ids already present.
+
+Exactly-once: ``foreachBatch`` is AT-LEAST-ONCE (a micro-batch can
+re-run after its writes land but before the checkpoint commits), and
+each of the three steps above is individually convergent under re-drive
+— the batch-mode proof is
+``tests/test_text_ops.py::test_ingest_dedup_batch_daily_loop_convergence``
+— so a replayed micro-batch admits nothing twice at either sink.  The
+streaming face adds only the checkpointed source (which files belong to
+which batch id) on top of the batch contract.
+
+The signature store must exist before the stream starts (bootstrap with
+``write_lsh_signature_store`` — an EMPTY docs frame is a valid seed and
+pins the sketch parameters); the lake may start absent.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+
+from ..operators.text_dedup import (
+    append_batch_signatures,
+    ingest_dedup_batch,
+)
+from ..sources.writers import append_log_idempotent
+
+
+def _lake_docs(
+    spark: SparkSession, lake_dir: str, schema: str, text_col: str,
+    id_col: str,
+) -> DataFrame:
+    """The accumulated corpus TEXT (verify-stage input) — empty with
+    the right schema before the first admitted batch, so a fresh
+    deployment needs no lake bootstrap."""
+    from pyspark.errors import AnalysisException
+
+    try:
+        return spark.read.parquet(lake_dir).select(id_col, text_col)
+    except AnalysisException as e:
+        if "PATH_NOT_FOUND" in str(e):
+            return spark.createDataFrame([], schema)
+        raise
+
+
+def stream_docs_dedup_ingest(
+    spark: SparkSession,
+    raw_dir: str,
+    lake_dir: str,
+    store_path: str,
+    checkpoint_dir: str,
+    schema: str = "doc_id long, text string",
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    threshold: float = 0.7,
+    max_files_per_trigger: int = 16,
+    available_now: bool = True,
+    fmt: str = "parquet",
+):
+    """Start the deduplicating document ingest of ``raw_dir``.
+
+    Returns the started ``StreamingQuery``; with ``available_now`` the
+    caller should ``awaitTermination()`` — the query drains pending
+    files then stops, and a later restart with the same
+    ``checkpoint_dir`` resumes with only files that arrived since
+    (their near-dups against everything ADMITTED so far are dropped:
+    the store, not the stream, carries that state)."""
+    stream = (
+        spark.readStream.format(fmt)
+        .schema(schema)
+        .option("maxFilesPerTrigger", max_files_per_trigger)
+        .load(raw_dir)
+    )
+
+    def process_batch(batch_df: DataFrame, batch_id: int) -> None:
+        if batch_df.isEmpty():
+            return
+        clean, _pairs = ingest_dedup_batch(
+            _lake_docs(spark, lake_dir, schema, text_col, id_col),
+            batch_df.select(id_col, text_col),
+            store_path,
+            text_col=text_col,
+            id_col=id_col,
+            threshold=threshold,
+        )
+        # docs first, store state last — the re-drive-convergent order
+        # (see ingest_dedup_batch's docstring)
+        append_log_idempotent(spark, clean, lake_dir, str(batch_id))
+        append_batch_signatures(
+            clean, store_path, text_col=text_col, id_col=id_col
+        )
+
+    writer = (
+        stream.writeStream.foreachBatch(process_batch)
+        .option("checkpointLocation", checkpoint_dir)
+        .outputMode("append")
+    )
+    if available_now:
+        writer = writer.trigger(availableNow=True)
+    return writer.start()

@@ -932,3 +932,83 @@ def test_rollup_preserves_null_day_totals(spark, tmp_path):
     merge_rollup_batch(spark, b2, serving, batch_id=1)
     out2 = spark.read.parquet(f"{serving}/{ROLLUP_TABLE}").collect()
     assert out2[0]["n_events"] == 8
+
+
+def test_stream_docs_dedup_ingest_exactly_once(spark, tmp_path):
+    """The streaming face of the deduplicating corpus ingest: file
+    source → foreachBatch(ingest_dedup_batch → idempotent doc append →
+    idempotent signature append).  State between micro-batches lives in
+    the signature store, not the stream — a dup of a doc admitted in an
+    EARLIER drain is dropped after a restart — and a full from-scratch
+    reprocessing (fresh checkpoint over the same files) admits nothing
+    twice at either sink."""
+    import pandas as pd
+
+    from enterprise_sales_data_pipeline_using_aws_lambda_spark.operators.text_dedup import (  # noqa: E501
+        read_lsh_signature_store,
+        write_lsh_signature_store,
+    )
+    from enterprise_sales_data_pipeline_using_aws_lambda_spark.streaming.dedup_ingest import (  # noqa: E501
+        stream_docs_dedup_ingest,
+    )
+
+    x = "the quick brown fox jumps over the lazy dog again and again"
+    y = "pack my box with five dozen liquor jugs every single day"
+    w = "a fresh document on columnar storage formats and encodings"
+    raw = tmp_path / "raw"
+    raw.mkdir()
+    lake = str(tmp_path / "lake")
+    store = str(tmp_path / "store")
+    ckpt = str(tmp_path / "ckpt")
+    # bootstrap: an EMPTY seed frame is a valid store (pins the sketch
+    # parameters); the lake needs no bootstrap at all
+    write_lsh_signature_store(
+        spark.createDataFrame([], "doc_id long, text string"),
+        store, num_hashes=16, bands=4,
+    )
+
+    def lake_state():
+        df = spark.read.parquet(lake).groupBy("doc_id").count().collect()
+        return {r["doc_id"]: r["count"] for r in df}
+
+    def store_ids():
+        return {
+            r["doc_id"]
+            for r in read_lsh_signature_store(spark, store)["signatures"]
+            .select("doc_id").distinct().collect()
+        }
+
+    def run_stream(checkpoint):
+        q = stream_docs_dedup_ingest(
+            spark, str(raw), lake, store, checkpoint,
+            threshold=0.7, available_now=True,
+        )
+        q.awaitTermination(180)
+
+    # drain 1: 1/2 duplicate each other in-batch (keep 1), 3 is unique
+    pd.DataFrame({"doc_id": [1, 2, 3], "text": [x, x, y]}).astype(
+        {"doc_id": "int64"}
+    ).to_parquet(raw / "b1.parquet", index=False)
+    run_stream(ckpt)
+    assert lake_state() == {1: 1, 3: 1}
+    assert store_ids() == {1, 3}
+
+    # drain 2 (same checkpoint): 10 duplicates doc 1 ADMITTED in the
+    # previous drain — the store, not the stream, carries that state
+    pd.DataFrame({"doc_id": [10, 11], "text": [x, w]}).astype(
+        {"doc_id": "int64"}
+    ).to_parquet(raw / "b2.parquet", index=False)
+    run_stream(ckpt)
+    assert lake_state() == {1: 1, 3: 1, 11: 1}
+    assert store_ids() == {1, 3, 11}
+
+    # restart with the same checkpoint and no new files: a no-op
+    run_stream(ckpt)
+    assert lake_state() == {1: 1, 3: 1, 11: 1}
+
+    # full reprocessing from scratch (fresh checkpoint, both files):
+    # every admitted id pre-filters against the store, the dups re-drop,
+    # and nothing lands twice anywhere
+    run_stream(str(tmp_path / "ckpt2"))
+    assert lake_state() == {1: 1, 3: 1, 11: 1}
+    assert store_ids() == {1, 3, 11}

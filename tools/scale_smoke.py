@@ -654,6 +654,33 @@ def main() -> int:
             + " pairs (same answer; the corpus-linear re-sign the "
             "store eliminates)",
         )
+
+        # 19d) the COMPOSED daily-ingest step (dedup + drop rule +
+        # idempotent signature append) — everything a production batch
+        # pays on top of the raw store dedup above: two id-only store
+        # scans, the drop-rule anti-join, and appending the ~9k
+        # admitted docs' signatures.  Mutates the store, so it runs
+        # last in this section.
+        from enterprise_sales_data_pipeline_using_aws_lambda_spark.operators.text_dedup import (  # noqa: E501
+            append_batch_signatures,
+            ingest_dedup_batch,
+        )
+
+        def _composed_ingest():
+            clean, _pairs = ingest_dedup_batch(
+                corpus_docs, batch_docs, store_dir, threshold=0.7
+            )
+            appended = append_batch_signatures(clean, store_dir)
+            return (
+                f"{appended} admitted+appended (expect 9,000; "
+                "1,000 planted dups dropped)"
+            )
+
+        run(
+            "lsh_ingest_composed_1m_10k",
+            nd_lsh + n_batch,
+            _composed_ingest,
+        )
     finally:
         shutil.rmtree(store_dir, ignore_errors=True)
 
