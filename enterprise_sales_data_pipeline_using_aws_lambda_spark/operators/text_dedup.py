@@ -827,9 +827,14 @@ def ingest_dedup_batch(
             f"{meta['id_col']!r}, not {id_col!r}"
         )
     # exactly-once by id: ids already in the store are a replayed
-    # delivery — parquet column pruning makes this an id-only scan
-    fresh = batch.join(
-        store["signatures"].select(id_col), id_col, "left_anti"
+    # delivery — parquet column pruning makes this an id-only scan.
+    # materialize: fresh feeds the dedup, the drop-rule id set, and the
+    # final anti-join — unpinned it would re-run the store id scan per
+    # consumer, and with the checkpointed pairs below it leaves ZERO
+    # live store scans in the returned frames, so `clean` is pinned at
+    # ingest time (re-evaluating it after an append cannot shift it).
+    fresh = materialize(
+        batch.join(store["signatures"].select(id_col), id_col, "left_anti")
     )
     pairs = minhash_near_duplicates_against(
         corpus,

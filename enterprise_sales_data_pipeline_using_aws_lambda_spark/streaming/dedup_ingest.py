@@ -49,13 +49,15 @@ def _lake_docs(
 ) -> DataFrame:
     """The accumulated corpus TEXT (verify-stage input) — empty with
     the right schema before the first admitted batch, so a fresh
-    deployment needs no lake bootstrap."""
+    deployment needs no lake bootstrap.  UNABLE_TO_INFER_SCHEMA covers
+    a lake holding only footerless partition debris (same narrowed
+    except set as ``pipeline.reprocess_quarantine``)."""
     from pyspark.errors import AnalysisException
 
     try:
         return spark.read.parquet(lake_dir).select(id_col, text_col)
     except AnalysisException as e:
-        if "PATH_NOT_FOUND" in str(e):
+        if "PATH_NOT_FOUND" in str(e) or "UNABLE_TO_INFER_SCHEMA" in str(e):
             return spark.createDataFrame([], schema)
         raise
 
@@ -101,8 +103,15 @@ def stream_docs_dedup_ingest(
             threshold=threshold,
         )
         # docs first, store state last — the re-drive-convergent order
-        # (see ingest_dedup_batch's docstring)
-        append_log_idempotent(spark, clean, lake_dir, str(batch_id))
+        # (see ingest_dedup_batch's docstring).  An all-duplicate batch
+        # admits nothing: skip the doc write entirely (an empty
+        # partition per batch would pollute the lake with footerless
+        # directories — the same rule the sales pipeline applies to
+        # clean-batch quarantine), and the signature append's own
+        # anti-join already no-ops.  `clean` is checkpoint-backed, so
+        # the emptiness probe is a cheap bounded job.
+        if not clean.isEmpty():
+            append_log_idempotent(spark, clean, lake_dir, str(batch_id))
         append_batch_signatures(
             clean, store_path, text_col=text_col, id_col=id_col
         )

@@ -1002,11 +1002,39 @@ def test_stream_docs_dedup_ingest_exactly_once(spark, tmp_path):
     assert lake_state() == {1: 1, 3: 1, 11: 1}
     assert store_ids() == {1, 3, 11}
 
+    # drain 3: an ALL-duplicate file admits nothing — no empty lake
+    # partition lands (footerless directories would pollute reads) and
+    # the store is untouched
+    pd.DataFrame({"doc_id": [20], "text": [x]}).astype(
+        {"doc_id": "int64"}
+    ).to_parquet(raw / "b3.parquet", index=False)
+    run_stream(ckpt)
+    assert lake_state() == {1: 1, 3: 1, 11: 1}
+    assert store_ids() == {1, 3, 11}
+    assert not [
+        p for p in os.listdir(lake)
+        if p.startswith("ingest_batch=") and not os.listdir(f"{lake}/{p}")
+    ]
+
+    # a lake holding only footerless debris reads as empty (the
+    # UNABLE_TO_INFER_SCHEMA branch), not as a crash
+    from enterprise_sales_data_pipeline_using_aws_lambda_spark.streaming.dedup_ingest import (  # noqa: E501
+        _lake_docs,
+    )
+
+    debris = tmp_path / "debris_lake" / "ingest_batch=0"
+    debris.mkdir(parents=True)
+    (debris / "_SUCCESS").touch()
+    assert _lake_docs(
+        spark, str(tmp_path / "debris_lake"),
+        "doc_id long, text string", "text", "doc_id",
+    ).count() == 0
+
     # restart with the same checkpoint and no new files: a no-op
     run_stream(ckpt)
     assert lake_state() == {1: 1, 3: 1, 11: 1}
 
-    # full reprocessing from scratch (fresh checkpoint, both files):
+    # full reprocessing from scratch (fresh checkpoint, all files):
     # every admitted id pre-filters against the store, the dups re-drop,
     # and nothing lands twice anywhere
     run_stream(str(tmp_path / "ckpt2"))
