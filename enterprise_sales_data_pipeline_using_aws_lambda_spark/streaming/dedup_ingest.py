@@ -30,6 +30,13 @@ which batch id) on top of the batch contract.
 The signature store must exist before the stream starts (bootstrap with
 ``write_lsh_signature_store`` — an EMPTY docs frame is a valid seed and
 pins the sketch parameters); the lake may start absent.
+
+Checkpoint, lake, and store are a unit: batch ids are checkpoint-scoped,
+so discarding the checkpoint while keeping the lake makes fresh ids
+collide with committed ``ingest_batch=`` partitions from the old era.
+The batch processor detects that divergence by content (a true replay's
+partition already holds every admitted id) and fails loudly instead of
+silently marking docs ingested without landing them.
 """
 
 from __future__ import annotations
@@ -111,7 +118,40 @@ def stream_docs_dedup_ingest(
         # anti-join already no-ops.  `clean` is checkpoint-backed, so
         # the emptiness probe is a cheap bounded job.
         if not clean.isEmpty():
-            append_log_idempotent(spark, clean, lake_dir, str(batch_id))
+            wrote = append_log_idempotent(
+                spark, clean, lake_dir, str(batch_id)
+            )
+            if not wrote:
+                # The skip is legitimate only on a REPLAY of this very
+                # batch (crash between the doc write and the signature
+                # append — clean re-derives identically there).  But
+                # batch ids are CHECKPOINT-scoped: a caller who
+                # discarded the checkpoint while keeping the lake gets
+                # fresh ids that collide with committed partitions from
+                # the old era, and the skip would then silently swallow
+                # NEW docs while their signatures still landed in the
+                # store — docs marked ingested that are in no corpus.
+                # Distinguish the two by content: on a true replay
+                # every admitted id is already in the partition.
+                committed = spark.read.parquet(
+                    f"{lake_dir}/ingest_batch={batch_id}"
+                ).select(id_col)
+                missing = clean.select(id_col).join(
+                    committed, id_col, "left_anti"
+                )
+                if not missing.isEmpty():
+                    raise RuntimeError(
+                        f"lake partition ingest_batch={batch_id} exists "
+                        f"but lacks ids this micro-batch admits: batch "
+                        f"ids are checkpoint-scoped, so this stream's "
+                        f"checkpoint does not match the lake at "
+                        f"{lake_dir} (checkpoint discarded while the "
+                        f"lake was kept?).  Refusing to mark these docs "
+                        f"ingested without landing them.  Recover by "
+                        f"restoring the original checkpoint, or by "
+                        f"pointing the stream at fresh lake+store+"
+                        f"checkpoint and reprocessing from scratch."
+                    )
         append_batch_signatures(
             clean, store_path, text_col=text_col, id_col=id_col
         )

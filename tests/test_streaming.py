@@ -1040,3 +1040,17 @@ def test_stream_docs_dedup_ingest_exactly_once(spark, tmp_path):
     run_stream(str(tmp_path / "ckpt2"))
     assert lake_state() == {1: 1, 3: 1, 11: 1}
     assert store_ids() == {1, 3, 11}
+
+    # checkpoint/lake divergence is a LOUD error, not silent loss: a
+    # fresh checkpoint re-assigns batch id 0, whose committed partition
+    # (docs 1/3) lacks the NEW doc 30 this batch admits — the skip
+    # would mark 30 ingested without landing it, so the guard refuses
+    # BEFORE any signature lands
+    v2 = "yet another brand new document about shuffle partitioning"
+    pd.DataFrame({"doc_id": [30], "text": [v2]}).astype(
+        {"doc_id": "int64"}
+    ).to_parquet(raw / "b4.parquet", index=False)
+    with pytest.raises(Exception, match="checkpoint"):
+        run_stream(str(tmp_path / "ckpt3"))
+    assert lake_state() == {1: 1, 3: 1, 11: 1}  # nothing half-landed
+    assert store_ids() == {1, 3, 11}            # 30 NOT marked ingested
