@@ -817,7 +817,9 @@ def ingest_dedup_batch(
     band work, one columnar pass over the bucket table, plus two
     id-column-only store scans (the pre-filter here and the append's
     anti-join) — never corpus-linear text work.  Ids must be unique
-    across lake and batch (the operator's keyed contract)."""
+    across lake and batch (the operator's keyed contract); within the
+    batch, exact redelivered rows (same id AND text) collapse silently,
+    while the same id carrying different text raises."""
     spark = batch.sparkSession
     store = read_lsh_signature_store(spark, store_path)
     meta = store["meta"]
@@ -825,6 +827,25 @@ def ingest_dedup_batch(
         raise ValueError(
             f"LSH store at {store_path} is keyed on "
             f"{meta['id_col']!r}, not {id_col!r}"
+        )
+    # Within-batch id hygiene at the ingest entrance: an exact
+    # redelivered row (same id, same text — e.g. one file landing twice
+    # in one drain) collapses silently; the same id carrying DIFFERENT
+    # text is a keyed-contract violation that would otherwise admit
+    # duplicate rows downstream, so it fails loudly here.  Both probes
+    # are batch-bounded jobs.
+    batch = batch.select(id_col, text_col).dropDuplicates(
+        [id_col, text_col]
+    )
+    conflicted = (
+        batch.groupBy(id_col).count().filter(F.col("count") > 1)
+    )
+    if not conflicted.isEmpty():
+        sample = [r[id_col] for r in conflicted.limit(5).collect()]
+        raise ValueError(
+            f"batch carries the same {id_col} with DIFFERENT text "
+            f"(e.g. {sample}): ids must identify one document "
+            f"(the keyed contract); fix the upstream delivery"
         )
     # exactly-once by id: ids already in the store are a replayed
     # delivery — parquet column pruning makes this an id-only scan.

@@ -951,3 +951,18 @@ def test_ingest_dedup_batch_daily_loop_convergence(spark, tmp_path):
             store,
             id_col="id",
         )
+
+    # within-batch id hygiene: an exact redelivered row (same id AND
+    # text — one file landing twice in a drain) collapses silently...
+    v2 = "one more entirely new passage about broadcast thresholds"
+    redelivered = spark.createDataFrame(
+        [(401, v2), (401, v2)], "doc_id long, text string"
+    )
+    clean4, _ = ingest_dedup_batch(lake_docs(), redelivered, store)
+    assert [r["doc_id"] for r in clean4.collect()] == [401]
+    # ...while the same id carrying DIFFERENT text is a loud error
+    conflicted = spark.createDataFrame(
+        [(402, v2), (402, w)], "doc_id long, text string"
+    )
+    with _pytest.raises(ValueError, match="DIFFERENT text"):
+        ingest_dedup_batch(lake_docs(), conflicted, store)
