@@ -582,6 +582,7 @@ def ivf_topk(
     id_col: str = "vec_id",
     vec_col: str = "embedding",
     centroids=None,
+    assigned: DataFrame | None = None,
 ) -> DataFrame:
     """IVF approximate nearest neighbors: corpus pre-partitioned into
     ``n_lists`` Voronoi cells; each query scores only its ``n_probe``
@@ -590,18 +591,33 @@ def ivf_topk(
     the invariant the oracle checks; production uses
     ``n_probe ≪ n_lists`` to scan ~n_probe/n_lists of the corpus.
 
-    At scale: persist ``assign_ivf_lists`` output partitioned BY list_id
-    so a probe prunes parquet partitions instead of filtering a full
-    scan — the candidate join below then touches only probed files.
-    Output: (qid, vec_id, cosine, rank) like cosine_topk.
+    ``assigned`` (an (id, vec, list_id) frame — the ``assignments``
+    table of :func:`write_ivf_index`, or :func:`assign_ivf_lists`
+    output) skips re-assigning the corpus — the corpus-linear pass the
+    inline path pays every call; ``centroids`` must then be the SAME
+    codebook the assignments were built with (``read_ivf_index``
+    returns both, parameter-pinned by the index meta).  Unprobed lists
+    are filtered out BEFORE the list shuffle, so the scored scan costs
+    ~(queries × n_probe)/n_lists of the corpus — and on the persisted
+    list_id-partitioned index the filter prunes parquet partitions,
+    touching only probed files.  Output: (qid, vec_id, cosine, rank)
+    like cosine_topk.
     """
     import numpy as np
 
     if centroids is None:
+        if assigned is not None:
+            raise ValueError(
+                "assigned requires centroids (probe selection needs the "
+                "codebook the assignments were built with)"
+            )
         centroids = train_ivf_centroids(corpus, n_lists, id_col=id_col, vec_col=vec_col)
     cent = np.asarray(centroids, dtype=np.float64)
 
-    indexed = assign_ivf_lists(corpus, cent, id_col, vec_col)
+    indexed = (
+        assigned if assigned is not None
+        else assign_ivf_lists(corpus, cent, id_col, vec_col)
+    )
 
     qrows = _collect_query_vectors(
         queries, id_col, vec_col, MAX_QUERY_VECTORS
@@ -640,6 +656,16 @@ def ivf_topk(
     list_qidx = {
         l: np.array(ix, dtype=np.int64) for l, ix in probe_qidx.items()
     }
+    # Unprobed lists contribute nothing — drop them BEFORE the
+    # groupBy("list_id") shuffle, so it carries only probed lists'
+    # rows (~n_probe × |Q| / n_lists of the corpus) instead of every
+    # vector; on a list_id-partitioned persisted index this same
+    # filter prunes parquet partitions at the scan.  No-op in the
+    # degenerate n_probe == n_lists verdict shape.
+    if len(list_qidx) < cent.shape[0]:
+        indexed = indexed.filter(
+            F.col("list_id").isin(sorted(list_qidx))
+        )
     local_k = k + 1  # +1 so a dropped self-match cannot starve a query
 
     def score_list(key, pdf):
@@ -683,6 +709,122 @@ def ivf_topk(
         .filter(F.col("rank") <= k)
         .select("qid", id_col, F.round("_cos", 6).alias("cosine"), "rank")
     )
+
+
+def write_ivf_index(
+    corpus: DataFrame,
+    path: str,
+    n_lists: int = 16,
+    iters: int = 2,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    centroids=None,
+) -> None:
+    """Persist an IVF index for ``corpus`` — the ANN analog of the LSH
+    signature store: codebook + list assignments on disk so repeated
+    query batches stop re-training and re-assigning the corpus (the
+    corpus-linear pass :func:`ivf_topk`'s inline path pays every call).
+
+    Layout: ``{path}/assignments`` (id, vector, list_id) written
+    **partitioned by list_id** — :func:`ivf_topk`'s probed-list filter
+    then prunes parquet partitions, so a query batch reads only the
+    ~(queries × n_probe)/n_lists of the corpus it scores —
+    ``{path}/centroids`` (list_id, centroid), and ``{path}/meta``
+    pinning (id_col, vec_col, n_lists, dim).  Everything is written
+    through Spark, so the index lives wherever the lake lives.
+
+    Pass ``centroids=`` to reuse an existing codebook (e.g. trained on
+    a sample); otherwise :func:`train_ivf_centroids` runs here."""
+    import os
+
+    import numpy as np
+
+    spark = corpus.sparkSession
+    if centroids is None:
+        centroids = train_ivf_centroids(
+            corpus, n_lists, iters=iters, id_col=id_col, vec_col=vec_col
+        )
+    cent = np.asarray(centroids, dtype=np.float64)
+    assign_ivf_lists(corpus, cent, id_col, vec_col).write.mode(
+        "overwrite"
+    ).partitionBy("list_id").parquet(os.path.join(path, "assignments"))
+    spark.createDataFrame(
+        [(i, [float(x) for x in row]) for i, row in enumerate(cent)],
+        "list_id int, centroid array<double>",
+    ).write.mode("overwrite").parquet(os.path.join(path, "centroids"))
+    spark.createDataFrame(
+        [(id_col, vec_col, int(cent.shape[0]), int(cent.shape[1]))],
+        "id_col string, vec_col string, n_lists int, dim int",
+    ).write.mode("overwrite").parquet(os.path.join(path, "meta"))
+
+
+def read_ivf_index(spark, path: str) -> dict:
+    """Load a persisted IVF index: ``{"centroids": np.ndarray,
+    "assignments": DataFrame, "meta": dict}`` — the ``centroids=`` /
+    ``assigned=`` inputs of :func:`ivf_topk`.  The codebook is
+    n_lists × dim floats (broadcast-sized by construction), so the
+    driver-side collect here is bounded by the index parameters, never
+    the corpus."""
+    import os
+
+    import numpy as np
+
+    meta = spark.read.parquet(os.path.join(path, "meta")).first().asDict()
+    rows = (
+        spark.read.parquet(os.path.join(path, "centroids"))
+        .orderBy("list_id")
+        .collect()
+    )
+    cent = np.array([list(r["centroid"]) for r in rows], dtype=np.float64)
+    return {
+        "centroids": cent,
+        "assignments": spark.read.parquet(
+            os.path.join(path, "assignments")
+        ),
+        "meta": meta,
+    }
+
+
+def append_to_ivf_index(
+    batch: DataFrame,
+    path: str,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+) -> int:
+    """Fold new vectors into a persisted IVF index, idempotently: the
+    batch is assigned with the index's OWN codebook (centroids stay
+    fixed — standard IVF practice; retrain offline when recall drifts),
+    ids already present are anti-joined away (a replayed delivery
+    appends nothing), and the new rows land in their list_id
+    partitions.  Returns the number of vectors appended.
+
+    The assigned batch is localCheckpointed before the write: the write
+    plan would otherwise scan ``assignments`` (the anti-join side)
+    while appending to it, and a stale caller-held frame mixed with the
+    fresh read of the same path can canonicalize the fresh scan away
+    (the measured pitfall ``append_batch_signatures`` documents)."""
+    import os
+
+    spark = batch.sparkSession
+    idx = read_ivf_index(spark, path)
+    meta = idx["meta"]
+    if meta["id_col"] != id_col or meta["vec_col"] != vec_col:
+        raise ValueError(
+            f"IVF index at {path} is keyed on "
+            f"({meta['id_col']!r}, {meta['vec_col']!r}), not "
+            f"({id_col!r}, {vec_col!r})"
+        )
+    fresh = materialize(
+        assign_ivf_lists(batch, idx["centroids"], id_col, vec_col).join(
+            idx["assignments"].select(id_col), id_col, "left_anti"
+        )
+    )
+    n_new = fresh.count()  # batch-bounded: one cheap job
+    if n_new:
+        fresh.write.mode("append").partitionBy("list_id").parquet(
+            os.path.join(path, "assignments")
+        )
+    return n_new
 
 
 def semantic_dedup(

@@ -369,3 +369,86 @@ def test_probe_bloom_null_keys_get_boolean_verdict(spark):
     assert out["a"] is True
     assert out["zzz"] in (False, True)  # FP allowed, NULL never
     assert all(v is not None for v in out.values())
+
+
+def test_ivf_index_store_roundtrip_append_and_pruning(spark, sf_dir, tmp_path):
+    """The persisted IVF index (codebook + list_id-partitioned
+    assignments): the from-index query path must be row-identical to
+    the inline path (the codebook is deterministic), the probed-list
+    filter must prune parquet PARTITIONS on the stored layout, and
+    appends must be idempotent and use the index's own codebook."""
+    import re
+
+    from enterprise_sales_data_pipeline_using_aws_lambda_spark.operators.similarity import (  # noqa: E501
+        append_to_ivf_index,
+        ivf_topk,
+        read_ivf_index,
+        write_ivf_index,
+    )
+    from enterprise_sales_data_pipeline_using_aws_lambda_spark.sources.readers import (
+        read_table,
+    )
+    from pyspark.sql import functions as F
+
+    emb = read_table(spark, sf_dir, "embeddings")
+    corpus = emb.filter(F.col("vec_id") >= 20)
+    queries = emb.filter(F.col("vec_id") < 20)
+    path = str(tmp_path / "ivf")
+    write_ivf_index(corpus, path, n_lists=8)
+    idx = read_ivf_index(spark, path)
+    dim = len(corpus.select("embedding").first()[0])
+    assert idx["meta"] == {
+        "id_col": "vec_id", "vec_col": "embedding",
+        "n_lists": 8, "dim": dim,
+    }
+    assert idx["centroids"].shape == (8, dim)
+
+    inline = sorted(map(tuple, ivf_topk(
+        corpus, queries, k=5, n_lists=8, n_probe=3
+    ).collect()))
+    stored_df = ivf_topk(
+        None, queries, k=5, n_probe=3,
+        centroids=idx["centroids"], assigned=idx["assignments"],
+    )
+    stored = sorted(map(tuple, stored_df.collect()))
+    assert stored == inline and len(stored) > 0
+
+    # probed-list filter reaches the scan as a PARTITION filter on the
+    # stored layout (collect first: final adaptive plan)
+    one_q = ivf_topk(
+        None, queries.limit(1), k=5, n_probe=1,
+        centroids=idx["centroids"], assigned=idx["assignments"],
+    )
+    one_q.collect()
+    plan = one_q._jdf.queryExecution().executedPlan().toString()
+    assert re.search(r"PartitionFilters: \[.*list_id", plan), plan
+
+    # append: assigned with the index's own codebook, idempotent by id
+    base_rows = idx["assignments"].count()
+    qvec = queries.filter(F.col("vec_id") == 0).first()["embedding"]
+    batch = spark.createDataFrame(
+        [(900001, qvec), (900002, [float(-x) for x in qvec])],
+        "vec_id long, embedding array<float>",
+    )
+    assert append_to_ivf_index(batch, path) == 2
+    assert append_to_ivf_index(batch, path) == 0  # replayed delivery
+    idx2 = read_ivf_index(spark, path)
+    assert idx2["assignments"].count() == base_rows + 2
+    # the appended exact copy of query 0's vector is now its rank-1
+    # neighbor through the stored path
+    top = ivf_topk(
+        None, queries.filter(F.col("vec_id") == 0), k=1, n_probe=8,
+        centroids=idx2["centroids"], assigned=idx2["assignments"],
+    ).collect()
+    assert len(top) == 1 and top[0]["vec_id"] == 900001
+    assert abs(top[0]["cosine"] - 1.0) < 1e-6
+
+    # guards: assigned without centroids, and a mismatched key contract
+    import pytest as _pytest
+
+    with _pytest.raises(ValueError, match="assigned requires centroids"):
+        ivf_topk(None, queries, k=5, assigned=idx2["assignments"])
+    with _pytest.raises(ValueError, match="keyed on"):
+        append_to_ivf_index(
+            batch.withColumnRenamed("vec_id", "id"), path, id_col="id"
+        )

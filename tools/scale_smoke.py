@@ -783,6 +783,47 @@ def main() -> int:
         + " rows (scan cost |Q|-independent)",
     )
 
+    # 22b) PERSISTED IVF index: assignments land partitioned by list_id
+    # once; after that a query batch skips the corpus-linear assignment
+    # pass entirely and its probed-list filter prunes parquet
+    # partitions at the scan (20 queries x 8 probes touch <= 160 of 64
+    # lists' partitions — here all 64 may be probed, but the ASSIGN
+    # pass, the expensive part, is gone).  Same recall contract as the
+    # inline lane above.
+    from enterprise_sales_data_pipeline_using_aws_lambda_spark.operators.similarity import (  # noqa: E501
+        read_ivf_index,
+        write_ivf_index,
+    )
+
+    ivf_dir = tempfile.mkdtemp(prefix="ivf_index_smoke_")
+    try:
+        run(
+            "ivf_index_build_1m",
+            nv,
+            lambda: write_ivf_index(vecs, ivf_dir, centroids=ivf_cent)
+            or "one-time: codebook + list_id-partitioned assignments",
+        )
+        ivf_idx = read_ivf_index(spark, ivf_dir)
+
+        def _ann_ivf_stored():
+            got = {
+                (r["qid"], r["vec_id"])
+                for r in ivf_topk(
+                    None, ann_q, k=5, n_probe=8,
+                    centroids=ivf_idx["centroids"],
+                    assigned=ivf_idx["assignments"],
+                ).collect()
+            }
+            recall = len(got & exact_pairs) / max(len(exact_pairs), 1)
+            return (
+                f"recall {recall:.2f} vs exact (no assign pass; "
+                "partition-pruned scan)"
+            )
+
+        run("ann_ivf_stored_1m", nv, _ann_ivf_stored)
+    finally:
+        shutil.rmtree(ivf_dir, ignore_errors=True)
+
     section_break()
 
     # 23) Maximal repeated spans at 200k docs: 2% of docs carry one
