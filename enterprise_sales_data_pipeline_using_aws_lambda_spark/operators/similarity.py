@@ -835,6 +835,7 @@ def semantic_dedup(
     vec_col: str = "embedding",
     target_cluster_size: int = 1024,
     centroids=None,
+    assigned: DataFrame | None = None,
 ) -> DataFrame:
     """Semantic deduplication (SemDeDup, Abbas et al. '23, public):
     cluster the embedding space, compare pairs ONLY within a cluster,
@@ -865,15 +866,19 @@ def semantic_dedup(
       cosine_pairs_blocked, so soundness verdicts compare
       like-for-like at the threshold boundary.
 
-    Returns one row per vector: (id, list_id, keep)."""
-    if centroids is None:
-        if n_lists is None:
-            n_rows = corpus.count()  # one aggregate job, nothing collected
-            n_lists = max(8, -(-n_rows // target_cluster_size))
-        centroids = train_ivf_centroids(
-            corpus, n_lists, id_col=id_col, vec_col=vec_col
-        )
-    assigned = assign_ivf_lists(corpus, centroids, id_col, vec_col)
+    ``assigned`` (an (id, vec, list_id) frame — the ``assignments``
+    table of :func:`write_ivf_index`) skips both codebook training and
+    the corpus assignment pass; the clusters are then the index's
+    lists.  Returns one row per vector: (id, list_id, keep)."""
+    if assigned is None:
+        if centroids is None:
+            if n_lists is None:
+                n_rows = corpus.count()  # one aggregate job, nothing collected
+                n_lists = max(8, -(-n_rows // target_cluster_size))
+            centroids = train_ivf_centroids(
+                corpus, n_lists, id_col=id_col, vec_col=vec_col
+            )
+        assigned = assign_ivf_lists(corpus, centroids, id_col, vec_col)
     # Two plan branches consume the assignment (the grouped pair scan
     # and the final keep-join), and a mapInPandas stage is opaque to
     # exchange reuse — materialize the one Arrow pass instead of

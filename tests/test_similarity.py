@@ -423,6 +423,20 @@ def test_ivf_index_store_roundtrip_append_and_pruning(spark, sf_dir, tmp_path):
     plan = one_q._jdf.queryExecution().executedPlan().toString()
     assert re.search(r"PartitionFilters: \[.*list_id", plan), plan
 
+    # semantic_dedup reuses the index too: identical verdicts to the
+    # inline path under the same codebook
+    from enterprise_sales_data_pipeline_using_aws_lambda_spark.operators.similarity import (  # noqa: E501
+        semantic_dedup,
+    )
+
+    sd_inline = sorted(map(tuple, semantic_dedup(
+        corpus, threshold=0.99, centroids=idx["centroids"]
+    ).collect()))
+    sd_stored = sorted(map(tuple, semantic_dedup(
+        None, threshold=0.99, assigned=idx["assignments"]
+    ).collect()))
+    assert sd_stored == sd_inline and len(sd_stored) > 0
+
     # append: assigned with the index's own codebook, idempotent by id
     base_rows = idx["assignments"].count()
     qvec = queries.filter(F.col("vec_id") == 0).first()["embedding"]
