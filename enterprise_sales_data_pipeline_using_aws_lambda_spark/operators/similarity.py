@@ -827,6 +827,131 @@ def append_to_ivf_index(
     return n_new
 
 
+def ingest_semantic_batch(
+    batch: DataFrame,
+    index_path: str,
+    threshold: float = 0.95,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+) -> tuple[DataFrame, DataFrame]:
+    """One semantic-dedup ingest step against a persisted IVF index —
+    the embedding analog of ``text_dedup.ingest_dedup_batch``: assign
+    the batch with the index's codebook, compare each batch vector ONLY
+    against its own cluster (SemDeDup semantics — the same in-cluster
+    scope and float64 cosine as :func:`semantic_dedup`), and return
+    ``(clean, dropped)`` where ``dropped`` carries the evidence
+    (id, neighbor_id, cosine of its strongest ≥-threshold neighbor;
+    ties on cosine break to the smaller neighbor id).
+
+    Drop rule: a batch vector drops iff some CORPUS vector in its list
+    reaches ``threshold`` (admitted docs are canonical regardless of
+    id), or a smaller-id batch vector in its list does (the same
+    greedy smaller-id rule as :func:`semantic_dedup`, not
+    survivor-chained).  Ids already IN the index pre-filter away first
+    (a replayed delivery, id-level exactly-once).  Fold survivors in
+    with :func:`append_to_ivf_index` AFTER durably writing them — the
+    same docs-first, state-last re-drive order as the text ingest.
+
+    Scale shape: the corpus side is read ONLY for the lists the batch
+    touches — at most min(|batch|, n_lists) list ids, collected
+    driver-side (bounded by the index's n_lists, never the corpus) and
+    pushed as a partition filter into the list_id-partitioned
+    assignments scan.  The in-cluster scan is the grouped, row-chunked
+    Arrow matmul of :func:`semantic_dedup`; nothing pair-sized is ever
+    materialized."""
+    import numpy as np
+
+    spark = batch.sparkSession
+    idx = read_ivf_index(spark, index_path)
+    meta = idx["meta"]
+    if meta["id_col"] != id_col or meta["vec_col"] != vec_col:
+        raise ValueError(
+            f"IVF index at {index_path} is keyed on "
+            f"({meta['id_col']!r}, {meta['vec_col']!r}), not "
+            f"({id_col!r}, {vec_col!r})"
+        )
+    # id-level exactly-once, then one assignment pass over the batch
+    fresh = materialize(
+        batch.select(id_col, vec_col).join(
+            idx["assignments"].select(id_col), id_col, "left_anti"
+        )
+    )
+    batch_assigned = materialize(
+        assign_ivf_lists(fresh, idx["centroids"], id_col, vec_col)
+    )
+    # lists the batch touches: bounded by n_lists, prunes the corpus
+    # partitions at the scan
+    touched = sorted(
+        r["list_id"]
+        for r in batch_assigned.select("list_id").distinct().collect()
+    )
+    corpus_side = idx["assignments"].filter(
+        F.col("list_id").isin(touched)
+    ).withColumn("_new", F.lit(False))
+    both = batch_assigned.withColumn("_new", F.lit(True)).unionByName(
+        corpus_side
+    )
+    thr = float(threshold)
+
+    def drop_new_in_cluster(key, pdf):
+        import pandas as pd
+
+        empty = pd.DataFrame({
+            "_id": pd.Series([], dtype="int64"),
+            "_nb": pd.Series([], dtype="int64"),
+            "_cos": pd.Series([], dtype="float64"),
+        })
+        new_mask = pdf["_new"].to_numpy(dtype=bool)
+        if not new_mask.any():
+            return empty
+        ids = pdf[id_col].to_numpy(dtype=np.int64)
+        order = np.argsort(ids)
+        ids, new_mask = ids[order], new_mask[order]
+        m = _mat(pdf[vec_col])[order]
+        u = m / np.maximum(np.linalg.norm(m, axis=1, keepdims=True), 1e-12)
+        new_pos = np.flatnonzero(new_mask)
+        out_id, out_nb, out_cos = [], [], []
+        # chunk the NEW rows: per-block memory is B × |cluster|
+        for lo in range(0, len(new_pos), 256):
+            pos = new_pos[lo:lo + 256]
+            sims = u[pos] @ u.T
+            # eligible droppers per new row: any corpus row, or a
+            # smaller-id new row (ids sorted ⇒ strictly earlier new
+            # positions)
+            elig = np.broadcast_to(~new_mask, sims.shape).copy()
+            elig |= new_mask[None, :] & (
+                np.arange(len(ids))[None, :] < pos[:, None]
+            )
+            sims = np.where(elig, sims, -np.inf)
+            best = np.argmax(sims, axis=1)  # ties → first = min id
+            cos = sims[np.arange(len(pos)), best]
+            hit = cos >= thr
+            out_id.extend(ids[pos[hit]])
+            out_nb.extend(ids[best[hit]])
+            out_cos.extend(cos[hit])
+        if not out_id:
+            return empty
+        return pd.DataFrame({
+            "_id": np.array(out_id, dtype=np.int64),
+            "_nb": np.array(out_nb, dtype=np.int64),
+            "_cos": np.array(out_cos, dtype=np.float64),
+        })
+
+    dropped = materialize(
+        both.groupBy("list_id")
+        .applyInPandas(
+            drop_new_in_cluster, "_id long, _nb long, _cos double"
+        )
+        .select(
+            F.col("_id").alias(id_col),
+            F.col("_nb").alias("neighbor_id"),
+            F.round("_cos", 6).alias("cosine"),
+        )
+    )
+    clean = fresh.join(dropped.select(id_col), id_col, "left_anti")
+    return clean, dropped
+
+
 def semantic_dedup(
     corpus: DataFrame,
     threshold: float = 0.95,

@@ -466,3 +466,59 @@ def test_ivf_index_store_roundtrip_append_and_pruning(spark, sf_dir, tmp_path):
         append_to_ivf_index(
             batch.withColumnRenamed("vec_id", "id"), path, id_col="id"
         )
+
+
+def test_ingest_semantic_batch_against_index(spark, sf_dir, tmp_path):
+    """Incremental semantic dedup against the persisted IVF index —
+    the embedding analog of the text daily-ingest step: exact copies of
+    corpus vectors drop with evidence, within-batch duplicates keep the
+    smaller id, novel vectors are admitted, and after the append a
+    replayed delivery converges (clean and dropped both empty)."""
+    from enterprise_sales_data_pipeline_using_aws_lambda_spark.operators.similarity import (  # noqa: E501
+        append_to_ivf_index,
+        ingest_semantic_batch,
+        write_ivf_index,
+    )
+    from enterprise_sales_data_pipeline_using_aws_lambda_spark.sources.readers import (
+        read_table,
+    )
+    from pyspark.sql import functions as F
+
+    emb = read_table(spark, sf_dir, "embeddings")
+    corpus = emb.filter(F.col("vec_id") >= 20)
+    path = str(tmp_path / "ivf")
+    write_ivf_index(corpus, path, n_lists=8)
+
+    cvec = corpus.filter(F.col("vec_id") == 100).first()["embedding"]
+    novel = [float(x) for x in [1.0] + [0.0] * (len(cvec) - 1)]
+    nvec = [float(-x) for x in cvec]  # cosine -1 to its source
+    batch = spark.createDataFrame(
+        [
+            (900001, cvec),   # exact copy of corpus 100 -> dropped
+            (900002, nvec),   # novel (anti-parallel to 100) -> kept
+            (900003, nvec),   # within-batch dup of 900002 -> dropped
+            (900004, novel),  # novel one-hot -> kept
+        ],
+        "vec_id long, embedding array<float>",
+    )
+    clean, dropped = ingest_semantic_batch(
+        batch, path, threshold=0.99
+    )
+    assert {r["vec_id"] for r in clean.select("vec_id").collect()} == {
+        900002, 900004,
+    }
+    ev = {
+        r["vec_id"]: (r["neighbor_id"], r["cosine"])
+        for r in dropped.collect()
+    }
+    assert ev[900001] == (100, 1.0)
+    assert ev[900003] == (900002, 1.0)
+    assert set(ev) == {900001, 900003}
+
+    # fold survivors in, then replay the whole delivery: ids pre-filter
+    # or re-drop against the now-indexed survivors — nothing admitted
+    assert append_to_ivf_index(clean, path) == 2
+    clean2, dropped2 = ingest_semantic_batch(batch, path, threshold=0.99)
+    assert clean2.count() == 0
+    # 900001/900003 re-drop identically (their canonicals are corpus now)
+    assert {r["vec_id"] for r in dropped2.collect()} == {900001, 900003}
