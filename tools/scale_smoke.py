@@ -702,21 +702,24 @@ def main() -> int:
 
     nv = max(n // 20, 1_000_000)
     dim_ann = 32
-    center = F.col("id") % 10_000
-    vecs = (
-        spark.range(0, nv)
-        .select(
-            F.col("id").alias("vec_id"),
-            F.transform(
-                F.sequence(F.lit(0), F.lit(dim_ann - 1)),
-                lambda d: (
-                    (F.pmod(F.xxhash64(center, d), F.lit(1000)).cast("double")
-                     / 1000.0 - 0.5)
-                    + 0.1 * (F.pmod(F.xxhash64(F.col("id"), d + 1_000_000),
-                                    F.lit(1000)).cast("double") / 1000.0 - 0.5)
-                ).cast("float"),
-            ).alias("embedding"),
+
+    def _vec_expr(seed):
+        """Clustered synthetic vector keyed on ``seed``: 10k tight
+        centers + 10% per-id noise — equal seeds give byte-equal
+        vectors (the planted-copy mechanism of the ingest lane)."""
+        return F.transform(
+            F.sequence(F.lit(0), F.lit(dim_ann - 1)),
+            lambda d: (
+                (F.pmod(F.xxhash64(seed % 10_000, d), F.lit(1000))
+                 .cast("double") / 1000.0 - 0.5)
+                + 0.1 * (F.pmod(F.xxhash64(seed, d + 1_000_000),
+                                F.lit(1000)).cast("double") / 1000.0 - 0.5)
+            ).cast("float"),
         )
+
+    vecs = spark.range(0, nv).select(
+        F.col("id").alias("vec_id"),
+        _vec_expr(F.col("id")).alias("embedding"),
     )
     ann_q = vecs.filter(F.col("vec_id") % 50_000 == 0)  # 20 queries
     exact_pairs: set = set()
@@ -821,6 +824,39 @@ def main() -> int:
             )
 
         run("ann_ivf_stored_1m", nv, _ann_ivf_stored)
+
+        # 22c) incremental SEMANTIC ingest against the index: a 10k
+        # batch where every 10th vector is a byte-exact copy of a
+        # corpus vector (equal seeds -> equal vectors) and the rest are
+        # fresh seeds (same-center cluster mates sit at ~0.995 cosine,
+        # below the exact-copy threshold).  The corpus side reads ONLY
+        # the touched lists' partitions; expect exactly the 1,000
+        # planted copies dropped and 9,000 admitted + appended.
+        from enterprise_sales_data_pipeline_using_aws_lambda_spark.operators.similarity import (  # noqa: E501
+            append_to_ivf_index,
+            ingest_semantic_batch,
+        )
+
+        planted_v = (F.col("id") - nv) % 10 == 0
+        vseed = F.when(
+            planted_v, ((F.col("id") - nv) / 10).cast("long") * 719 + 13
+        ).otherwise(F.col("id") + nv)
+        batch_vecs = spark.range(nv, nv + 10_000).select(
+            F.col("id").alias("vec_id"),
+            _vec_expr(vseed).alias("embedding"),
+        )
+
+        def _semantic_ingest():
+            clean, dropped = ingest_semantic_batch(
+                batch_vecs, ivf_dir, threshold=0.999999
+            )
+            appended = append_to_ivf_index(clean, ivf_dir)
+            return (
+                f"{appended} admitted+appended, {dropped.count()} "
+                "dropped (expect 9,000 / 1,000)"
+            )
+
+        run("semantic_ingest_1m_10k", nv + 10_000, _semantic_ingest)
     finally:
         shutil.rmtree(ivf_dir, ignore_errors=True)
 
