@@ -69,6 +69,45 @@ def _lake_docs(
         raise
 
 
+def guarded_idempotent_append(
+    spark: SparkSession, clean: DataFrame, lake_dir: str, batch_id: int,
+    id_col: str,
+) -> None:
+    """The docs-first half of a convergent streaming ingest step: write
+    the admitted rows to their batch-id-keyed lake partition, skipping
+    empty batches (a footerless partition per batch would pollute
+    reads), and distinguish a true replay from checkpoint/lake
+    divergence by CONTENT when the partition already exists.
+
+    Batch ids are checkpoint-scoped: a caller who discarded the
+    checkpoint while keeping the lake gets fresh ids that collide with
+    committed partitions from the old era, and a bare skip would then
+    silently swallow NEW rows while their dedup-state append still
+    landed — rows marked ingested that are in no corpus.  On a true
+    replay (crash between the doc write and the state append) the
+    partition already holds every admitted id, so the anti-join below
+    is empty; anything else raises with recovery guidance."""
+    if clean.isEmpty():
+        return
+    if append_log_idempotent(spark, clean, lake_dir, str(batch_id)):
+        return
+    committed = spark.read.parquet(
+        f"{lake_dir}/ingest_batch={batch_id}"
+    ).select(id_col)
+    missing = clean.select(id_col).join(committed, id_col, "left_anti")
+    if not missing.isEmpty():
+        raise RuntimeError(
+            f"lake partition ingest_batch={batch_id} exists but lacks "
+            f"ids this micro-batch admits: batch ids are "
+            f"checkpoint-scoped, so this stream's checkpoint does not "
+            f"match the lake at {lake_dir} (checkpoint discarded while "
+            f"the lake was kept?).  Refusing to mark these rows "
+            f"ingested without landing them.  Recover by restoring the "
+            f"original checkpoint, or by pointing the stream at fresh "
+            f"lake+state+checkpoint and reprocessing from scratch."
+        )
+
+
 def stream_docs_dedup_ingest(
     spark: SparkSession,
     raw_dir: str,
@@ -110,48 +149,10 @@ def stream_docs_dedup_ingest(
             threshold=threshold,
         )
         # docs first, store state last — the re-drive-convergent order
-        # (see ingest_dedup_batch's docstring).  An all-duplicate batch
-        # admits nothing: skip the doc write entirely (an empty
-        # partition per batch would pollute the lake with footerless
-        # directories — the same rule the sales pipeline applies to
-        # clean-batch quarantine), and the signature append's own
-        # anti-join already no-ops.  `clean` is checkpoint-backed, so
-        # the emptiness probe is a cheap bounded job.
-        if not clean.isEmpty():
-            wrote = append_log_idempotent(
-                spark, clean, lake_dir, str(batch_id)
-            )
-            if not wrote:
-                # The skip is legitimate only on a REPLAY of this very
-                # batch (crash between the doc write and the signature
-                # append — clean re-derives identically there).  But
-                # batch ids are CHECKPOINT-scoped: a caller who
-                # discarded the checkpoint while keeping the lake gets
-                # fresh ids that collide with committed partitions from
-                # the old era, and the skip would then silently swallow
-                # NEW docs while their signatures still landed in the
-                # store — docs marked ingested that are in no corpus.
-                # Distinguish the two by content: on a true replay
-                # every admitted id is already in the partition.
-                committed = spark.read.parquet(
-                    f"{lake_dir}/ingest_batch={batch_id}"
-                ).select(id_col)
-                missing = clean.select(id_col).join(
-                    committed, id_col, "left_anti"
-                )
-                if not missing.isEmpty():
-                    raise RuntimeError(
-                        f"lake partition ingest_batch={batch_id} exists "
-                        f"but lacks ids this micro-batch admits: batch "
-                        f"ids are checkpoint-scoped, so this stream's "
-                        f"checkpoint does not match the lake at "
-                        f"{lake_dir} (checkpoint discarded while the "
-                        f"lake was kept?).  Refusing to mark these docs "
-                        f"ingested without landing them.  Recover by "
-                        f"restoring the original checkpoint, or by "
-                        f"pointing the stream at fresh lake+store+"
-                        f"checkpoint and reprocessing from scratch."
-                    )
+        # (see ingest_dedup_batch's docstring); the guarded append
+        # skips empty batches and fails loudly on checkpoint/lake
+        # divergence instead of silently swallowing new docs
+        guarded_idempotent_append(spark, clean, lake_dir, batch_id, id_col)
         append_batch_signatures(
             clean, store_path, text_col=text_col, id_col=id_col
         )

@@ -1,0 +1,89 @@
+"""Streaming semantically-deduplicated embedding ingest — the vector
+face of the deduplicating corpus loop (``dedup_ingest`` is the text
+face): a file source watching an arrival directory, each micro-batch
+semantically deduplicated against the persisted IVF index before its
+survivors join the lake and the index.
+
+Per micro-batch, three individually-convergent steps (same shape as the
+text loop — the reference's one-event-one-run model,
+``lambda.py:207-209``, applied to embeddings):
+
+1. :func:`~..operators.similarity.ingest_semantic_batch` — SemDeDup
+   in-cluster dedup against only the index lists the batch touches,
+   with the id-level exactly-once pre-filter.
+2. :func:`~..streaming.dedup_ingest.guarded_idempotent_append` — the
+   admitted vectors land in a batch-id-keyed lake partition; a replay
+   skips, checkpoint/lake divergence raises by content.
+3. :func:`~..operators.similarity.append_to_ivf_index` — survivors fold
+   into the index idempotently with the index's own codebook.
+
+``foreachBatch`` is at-least-once; each step converges under re-drive,
+so a replayed micro-batch admits nothing twice at either sink.  The
+index must exist before the stream starts (``write_ivf_index`` — train
+the codebook on a representative corpus or sample; the codebook stays
+fixed across appends, retrain offline when recall drifts).  The lake
+may start absent.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+
+from ..operators.similarity import (
+    append_to_ivf_index,
+    ingest_semantic_batch,
+)
+from .dedup_ingest import guarded_idempotent_append
+
+
+def stream_vectors_semantic_ingest(
+    spark: SparkSession,
+    raw_dir: str,
+    lake_dir: str,
+    index_path: str,
+    checkpoint_dir: str,
+    schema: str = "vec_id long, embedding array<float>",
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    threshold: float = 0.95,
+    max_files_per_trigger: int = 16,
+    available_now: bool = True,
+    fmt: str = "parquet",
+):
+    """Start the semantically-deduplicating vector ingest of
+    ``raw_dir``.  Returns the started ``StreamingQuery``; with
+    ``available_now`` the caller should ``awaitTermination()`` — a
+    later restart with the same ``checkpoint_dir`` resumes with only
+    files that arrived since (near-dups of everything ADMITTED so far
+    drop: the index, not the stream, carries that state)."""
+    stream = (
+        spark.readStream.format(fmt)
+        .schema(schema)
+        .option("maxFilesPerTrigger", max_files_per_trigger)
+        .load(raw_dir)
+    )
+
+    def process_batch(batch_df: DataFrame, batch_id: int) -> None:
+        if batch_df.isEmpty():
+            return
+        clean, _dropped = ingest_semantic_batch(
+            batch_df.select(id_col, vec_col),
+            index_path,
+            threshold=threshold,
+            id_col=id_col,
+            vec_col=vec_col,
+        )
+        # vectors first, index state last — the re-drive-convergent
+        # order; the guarded append skips empty batches and fails
+        # loudly on checkpoint/lake divergence
+        guarded_idempotent_append(spark, clean, lake_dir, batch_id, id_col)
+        append_to_ivf_index(clean, index_path, id_col=id_col, vec_col=vec_col)
+
+    writer = (
+        stream.writeStream.foreachBatch(process_batch)
+        .option("checkpointLocation", checkpoint_dir)
+        .outputMode("append")
+    )
+    if available_now:
+        writer = writer.trigger(availableNow=True)
+    return writer.start()

@@ -1054,3 +1054,78 @@ def test_stream_docs_dedup_ingest_exactly_once(spark, tmp_path):
         run_stream(str(tmp_path / "ckpt3"))
     assert lake_state() == {1: 1, 3: 1, 11: 1}  # nothing half-landed
     assert store_ids() == {1, 3, 11}            # 30 NOT marked ingested
+
+
+def test_stream_vectors_semantic_ingest_exactly_once(spark, tmp_path):
+    """The vector face of the deduplicating ingest: file source →
+    foreachBatch(ingest_semantic_batch → guarded lake append →
+    append_to_ivf_index).  Near-dup state lives in the IVF index, so a
+    duplicate of a vector admitted in an earlier drain drops after
+    restart, and a from-scratch reprocessing admits nothing twice."""
+    import glob
+    import shutil
+
+    from enterprise_sales_data_pipeline_using_aws_lambda_spark.operators.similarity import (  # noqa: E501
+        read_ivf_index,
+        write_ivf_index,
+    )
+    from enterprise_sales_data_pipeline_using_aws_lambda_spark.streaming.semantic_ingest import (  # noqa: E501
+        stream_vectors_semantic_ingest,
+    )
+
+    emb = spark.read.parquet(f"{SF_DIR}/embeddings.parquet")
+    corpus = emb.filter(F.col("vec_id") >= 20)
+    raw = tmp_path / "raw"
+    raw.mkdir()
+    lake = str(tmp_path / "lake")
+    index = str(tmp_path / "ivf")
+    ckpt = str(tmp_path / "ckpt")
+    write_ivf_index(corpus, index, n_lists=8)
+
+    def write_batch(rows, name):
+        # through Spark so the file's schema (array<float>) matches the
+        # index's assignments exactly
+        staging = str(tmp_path / f"_stage_{name}")
+        spark.createDataFrame(
+            rows, "vec_id long, embedding array<float>"
+        ).coalesce(1).write.mode("overwrite").parquet(staging)
+        shutil.copy(glob.glob(f"{staging}/part-*.parquet")[0],
+                    raw / f"{name}.parquet")
+
+    def lake_ids():
+        return {r["vec_id"]
+                for r in spark.read.parquet(lake).select("vec_id").collect()}
+
+    def index_extra_ids():
+        ids = {r["vec_id"]
+               for r in read_ivf_index(spark, index)["assignments"]
+               .select("vec_id").distinct().collect()}
+        return {i for i in ids if i >= 900000}
+
+    def run_stream(checkpoint):
+        q = stream_vectors_semantic_ingest(
+            spark, str(raw), lake, index, checkpoint,
+            threshold=0.99, available_now=True,
+        )
+        q.awaitTermination(180)
+
+    cvec = corpus.filter(F.col("vec_id") == 100).first()["embedding"]
+    novel = [1.0] + [0.0] * (len(cvec) - 1)
+    # drain 1: a copy of corpus vec 100 drops; the novel one-hot lands
+    write_batch([(900001, cvec), (900002, novel)], "b1")
+    run_stream(ckpt)
+    assert lake_ids() == {900002}
+    assert index_extra_ids() == {900002}
+
+    # drain 2: a copy of the PREVIOUS drain's admitted vector drops
+    # (the index carries that state); an anti-parallel novel lands
+    write_batch([(900003, novel), (900004, [-x for x in cvec])], "b2")
+    run_stream(ckpt)
+    assert lake_ids() == {900002, 900004}
+    assert index_extra_ids() == {900002, 900004}
+
+    # from-scratch reprocessing (fresh checkpoint, both files): every
+    # admitted id pre-filters, the dups re-drop, nothing lands twice
+    run_stream(str(tmp_path / "ckpt2"))
+    assert lake_ids() == {900002, 900004}
+    assert index_extra_ids() == {900002, 900004}
