@@ -522,3 +522,14 @@ def test_ingest_semantic_batch_against_index(spark, sf_dir, tmp_path):
     assert clean2.count() == 0
     # 900001/900003 re-drop identically (their canonicals are corpus now)
     assert {r["vec_id"] for r in dropped2.collect()} == {900001, 900003}
+
+    # a batch of ONLY already-indexed ids pre-filters to empty: zero
+    # touched lists, zero corpus read, empty outputs
+    only_admitted = spark.createDataFrame(
+        [(900002, nvec), (900004, novel)],
+        "vec_id long, embedding array<float>",
+    )
+    clean3, dropped3 = ingest_semantic_batch(
+        only_admitted, path, threshold=0.99
+    )
+    assert clean3.count() == 0 and dropped3.count() == 0

@@ -952,6 +952,15 @@ def test_ingest_dedup_batch_daily_loop_convergence(spark, tmp_path):
             id_col="id",
         )
 
+    # a batch of ONLY already-admitted ids pre-filters to empty — the
+    # store-backed dedup must run clean over a zero-row batch (the
+    # fully-replayed-delivery edge)
+    all_admitted = spark.createDataFrame(
+        [(2, z), (4, u)], "doc_id long, text string"
+    )
+    clean_e, pairs_e = ingest_dedup_batch(lake_docs(), all_admitted, store)
+    assert clean_e.count() == 0 and pairs_e.count() == 0
+
     # within-batch id hygiene: an exact redelivered row (same id AND
     # text — one file landing twice in a drain) collapses silently...
     v2 = "one more entirely new passage about broadcast thresholds"
