@@ -28,6 +28,13 @@ from .materialize import materialize
 #: the driver into the bottleneck, so the operators fail fast instead.
 MAX_QUERY_VECTORS = 10_000
 
+#: Ceiling on an IVF index's n_lists for the incremental semantic
+#: ingest, whose touched-list collect is bounded by n_lists — the same
+#: enforced-not-assumed contract as MAX_QUERY_VECTORS.  1M ints is a
+#: trivial driver collect; a codebook past it is almost certainly a
+#: mis-trained index (SemDeDup-scale clustering targets ~1k rows/list).
+MAX_INGEST_TOUCHED_LISTS = 1_000_000
+
 
 class QuerySetTooLarge(ValueError):
     """Raised when a top-k query set exceeds MAX_QUERY_VECTORS."""
@@ -734,10 +741,18 @@ def write_ivf_index(
     through Spark, so the index lives wherever the lake lives.
 
     Pass ``centroids=`` to reuse an existing codebook (e.g. trained on
-    a sample); otherwise :func:`train_ivf_centroids` runs here."""
+    a sample); otherwise :func:`train_ivf_centroids` runs here.
+
+    Crash ordering: ``meta`` is deleted FIRST and rewritten LAST, so a
+    rebuild that dies between the data writes leaves an index with no
+    meta — :func:`read_ivf_index` fails loudly instead of validating
+    new assignments against a stale parameter pin.  Recovery is
+    re-running the write."""
     import os
 
     import numpy as np
+
+    from ..sources.writers import delete_path
 
     spark = corpus.sparkSession
     if centroids is None:
@@ -745,6 +760,7 @@ def write_ivf_index(
             corpus, n_lists, iters=iters, id_col=id_col, vec_col=vec_col
         )
     cent = np.asarray(centroids, dtype=np.float64)
+    delete_path(spark, os.path.join(path, "meta"))
     assign_ivf_lists(corpus, cent, id_col, vec_col).write.mode(
         "overwrite"
     ).partitionBy("list_id").parquet(os.path.join(path, "assignments"))
@@ -785,6 +801,38 @@ def read_ivf_index(spark, path: str) -> dict:
     }
 
 
+def _check_index_compat(
+    batch: DataFrame, meta: dict, path: str, id_col: str, vec_col: str
+) -> None:
+    """Loud batch-vs-index contract checks shared by the index append
+    and the semantic ingest: key columns must match the meta pin, and
+    every batch vector's dimensionality must equal the codebook's —
+    a mismatch would otherwise surface as a numpy broadcast error
+    deep inside an executor's Arrow batch, with no hint of which
+    store disagrees.  The dim probe is one batch-bounded aggregate
+    (distinct sizes), nothing corpus-sized."""
+    if meta["id_col"] != id_col or meta["vec_col"] != vec_col:
+        raise ValueError(
+            f"IVF index at {path} is keyed on "
+            f"({meta['id_col']!r}, {meta['vec_col']!r}), not "
+            f"({id_col!r}, {vec_col!r})"
+        )
+    dims = [
+        r["d"]
+        for r in batch.select(
+            F.size(F.col(vec_col)).alias("d")
+        ).distinct().collect()
+    ]
+    bad = sorted(d for d in dims if d != meta["dim"])
+    if bad:
+        raise ValueError(
+            f"batch vectors have dimension(s) {bad} but the IVF index "
+            f"at {path} was built with dim={meta['dim']}; re-embed the "
+            f"batch with the index's model, or rebuild the index "
+            f"(write_ivf_index) for the new embedding space"
+        )
+
+
 def append_to_ivf_index(
     batch: DataFrame,
     path: str,
@@ -807,13 +855,7 @@ def append_to_ivf_index(
 
     spark = batch.sparkSession
     idx = read_ivf_index(spark, path)
-    meta = idx["meta"]
-    if meta["id_col"] != id_col or meta["vec_col"] != vec_col:
-        raise ValueError(
-            f"IVF index at {path} is keyed on "
-            f"({meta['id_col']!r}, {meta['vec_col']!r}), not "
-            f"({id_col!r}, {vec_col!r})"
-        )
+    _check_index_compat(batch, idx["meta"], path, id_col, vec_col)
     fresh = materialize(
         assign_ivf_lists(batch, idx["centroids"], id_col, vec_col).join(
             idx["assignments"].select(id_col), id_col, "left_anti"
@@ -825,6 +867,71 @@ def append_to_ivf_index(
             os.path.join(path, "assignments")
         )
     return n_new
+
+
+def compact_ivf_index(
+    spark,
+    path: str,
+    target_files: int = 1,
+    min_files: int = 2,
+) -> dict:
+    """Small-file maintenance for a persisted IVF index: rewrite each
+    ``list_id=`` partition of the assignments table down to
+    ``target_files`` files (rollback-safe staging+swap via
+    ``writers.compact_lake_partition``).  Centroids and meta — one
+    file each, the parameter pin — are never touched, so
+    :func:`read_ivf_index`'s validation and codebook reuse are
+    unaffected and a replayed :func:`append_to_ivf_index` still
+    no-ops on its id anti-join.
+
+    Why at scale: every appended batch lands one file per touched
+    list; after thousands of daily batches a probed list's scan cost
+    is file listing + footer reads, not data.  Partitions are walked
+    independently (the loop is bounded by n_lists, and only
+    partitions with ≥ ``min_files`` data files are rewritten — one FS
+    listing each), so an interrupted maintenance run leaves every
+    partition either compacted or untouched, and re-running converges.
+    Run from a maintenance window (the store's single-writer
+    contract).  Returns {list_id: files_before} for rewritten
+    partitions."""
+    import os
+
+    from ..sources.writers import compact_lake_partition, count_data_files
+
+    # meta must exist (loud on a half-built index) — nothing else read
+    spark.read.parquet(os.path.join(path, "meta")).first()
+    sc = spark.sparkContext
+    jvm = sc._jvm
+    aroot = os.path.join(path, "assignments")
+    adir = jvm.org.apache.hadoop.fs.Path(aroot)
+    fs = adir.getFileSystem(sc._jsc.hadoopConfiguration())
+    # A crashed swap leaves `list_id=N__old` / `__compacting` debris
+    # that partition discovery over the root would mis-parse (and the
+    # partition itself may be mid-swap), so crashed partitions are
+    # ALWAYS revisited — compact_lake_partition's own recovery rolls
+    # them back before rewriting — regardless of the min_files trigger.
+    parts, crashed = set(), set()
+    for st in fs.listStatus(adir):
+        if not st.isDirectory():
+            continue
+        name = st.getPath().getName()
+        if name.endswith("__old"):
+            crashed.add(name[: -len("__old")])
+        elif name.endswith("__compacting"):
+            crashed.add(name[: -len("__compacting")])
+        elif name.startswith("list_id="):
+            parts.add(name)
+    results = {}
+    for name in sorted(parts | crashed):
+        sub = os.path.join(aroot, name)
+        if name not in crashed and count_data_files(
+            spark, sub
+        ) < min_files:
+            continue
+        results[int(name.split("=", 1)[1])] = compact_lake_partition(
+            spark, sub, target_files
+        )
+    return results
 
 
 def ingest_semantic_batch(
@@ -864,15 +971,32 @@ def ingest_semantic_batch(
     spark = batch.sparkSession
     idx = read_ivf_index(spark, index_path)
     meta = idx["meta"]
-    if meta["id_col"] != id_col or meta["vec_col"] != vec_col:
+    _check_index_compat(batch, meta, index_path, id_col, vec_col)
+    # Within-batch id hygiene — the same entrance contract as the text
+    # path (ingest_dedup_batch): an exact redelivered row (same id AND
+    # vector — one file landing twice in a drain) collapses silently;
+    # without this BOTH copies survive the index anti-join, the later
+    # drops against the earlier at cosine 1.0, and the dropped-by-id
+    # anti-join below then removes both — the vector silently lost
+    # from lake and index.  The same id carrying DIFFERENT vectors is
+    # a keyed-contract violation that would admit duplicate-id rows
+    # into the index, so it fails loudly.  Both probes batch-bounded.
+    batch = batch.select(id_col, vec_col).dropDuplicates(
+        [id_col, vec_col]
+    )
+    conflicted = (
+        batch.groupBy(id_col).count().filter(F.col("count") > 1)
+    )
+    if not conflicted.isEmpty():
+        sample = [r[id_col] for r in conflicted.limit(5).collect()]
         raise ValueError(
-            f"IVF index at {index_path} is keyed on "
-            f"({meta['id_col']!r}, {meta['vec_col']!r}), not "
-            f"({id_col!r}, {vec_col!r})"
+            f"batch carries the same {id_col} with DIFFERENT vectors "
+            f"(e.g. {sample}): ids must identify one embedding (the "
+            f"keyed contract); fix the upstream delivery"
         )
     # id-level exactly-once, then one assignment pass over the batch
     fresh = materialize(
-        batch.select(id_col, vec_col).join(
+        batch.join(
             idx["assignments"].select(id_col), id_col, "left_anti"
         )
     )
@@ -880,7 +1004,18 @@ def ingest_semantic_batch(
         assign_ivf_lists(fresh, idx["centroids"], id_col, vec_col)
     )
     # lists the batch touches: bounded by n_lists, prunes the corpus
-    # partitions at the scan
+    # partitions at the scan.  The collect is ≤ n_lists ints by
+    # construction; like MAX_STORE_BATCH_BANDED, that bound is
+    # ENFORCED, not assumed — a pathological codebook fails loudly
+    # instead of flooding the driver.
+    if meta["n_lists"] > MAX_INGEST_TOUCHED_LISTS:
+        raise ValueError(
+            f"IVF index at {index_path} has n_lists={meta['n_lists']} "
+            f"> {MAX_INGEST_TOUCHED_LISTS}: the ingest's touched-list "
+            f"collect is bounded by n_lists and must stay driver-"
+            f"sized.  Rebuild the index with fewer lists, or batch-"
+            f"dedup with semantic_dedup(assigned=...) instead"
+        )
     touched = sorted(
         r["list_id"]
         for r in batch_assigned.select("list_id").distinct().collect()

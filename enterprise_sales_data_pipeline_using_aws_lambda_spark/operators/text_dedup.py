@@ -54,6 +54,13 @@ _MERSENNE31 = (1 << 31) - 1
 #: which a forced broadcast stops being obviously safe.
 MAX_STORE_BATCH_BANDED = 4_000_000
 
+#: Upper bound on pair-named corpus ids the store-backed verify stage
+#: will collect and push into the corpus text scan as a literal IN
+#: filter (see _minhash_against_stored).  10k longs is a trivial
+#: driver collect; past it the verify falls back to the semi-join,
+#: which never collects but cannot prune parquet row groups.
+MAX_VERIFY_ID_PUSHDOWN = 10_000
+
 
 def _hash_family(num_hashes: int) -> list[tuple[int, int]]:
     """Deterministic (a, b) coefficients for the universal hash family
@@ -610,14 +617,32 @@ def _minhash_against_stored(
     )
     # corpus rows in batch-touched buckets only: the broadcast keeps
     # the (corpus × bands)-row bucket table map-side — at 100 TB this
-    # is one columnar scan, zero shuffle, output sized by collisions
+    # is one columnar scan, zero shuffle, output sized by collisions.
+    # The anti-join then removes corpus rows whose id IS a batch id:
+    # ids are unique across frames by contract, so such rows are
+    # always replay artifacts — orphan bucket rows from an append that
+    # crashed between its buckets and signatures writes (see
+    # write_lsh_signature_store), whose ids re-enter via the re-driven
+    # batch.  Without it a batch doc would pair with its own orphan
+    # row (est sees its batch-side signature: jaccard 1.0 → self-drop)
+    # and batch-batch pairs could surface in corpus orientation,
+    # inverting the drop rule.  Batch-bounded broadcast anti-join.
     hits = materialize(
         corpus_buckets.join(
             F.broadcast(batch_banded.select("band", "bucket").distinct()),
             ["band", "bucket"],
+        ).join(
+            F.broadcast(batch_sigs.select(id_col)), id_col, "left_anti"
         )
     )
-    cn = hits.groupBy("band", "bucket").agg(F.count("*").alias("_cn"))
+    # count DISTINCT ids, not rows: a crash inside a store append
+    # (between the buckets and signatures writes — see
+    # write_lsh_signature_store's append ordering) leaves benign
+    # duplicate bucket rows after the re-driven append; row counts
+    # would inflate the union-size prune and silently drop candidates.
+    cn = hits.groupBy("band", "bucket").agg(
+        F.count_distinct(F.col(id_col)).alias("_cn")
+    )
     # same prune as the plain path: union bucket size <= max_bucket
     # (singletons need no explicit prune — a lone batch row pairs with
     # nothing below)
@@ -632,10 +657,12 @@ def _minhash_against_stored(
     a = batch_banded.join(F.broadcast(allowed), ["band", "bucket"]).select(
         "band", "bucket", F.col(id_col).alias("id_a")
     )
+    # hits carries no batch ids (anti-joined above), so id_a != id_b
+    # holds structurally; the filter is a zero-cost invariant pin.
     cross = a.join(
         hits.select("band", "bucket", F.col(id_col).alias("id_b")),
         ["band", "bucket"],
-    )
+    ).filter(F.col("id_a") != F.col("id_b"))
     bb = a.join(
         batch_banded.select(
             "band", "bucket", F.col(id_col).alias("id_b")
@@ -657,16 +684,37 @@ def _minhash_against_stored(
         ).select("id_a", "id_b")
     )
     # exact verify needs shingle SETS — re-shingle ONLY the corpus docs
-    # named in surviving pairs (semi-join against a candidate-bounded
-    # id set), never the whole corpus
+    # named in surviving pairs (a candidate-bounded id set), never the
+    # whole corpus
     pair_ids = (
         plausible.select(F.col("id_a").alias(id_col))
         .unionByName(plausible.select(F.col("id_b").alias(id_col)))
         .distinct()
     )
-    # unhinted semi-join: AQE broadcasts when the checkpointed pair set
-    # is actually small (see minhash_near_duplicates)
-    needed = corpus.join(pair_ids, id_col, "left_semi")
+    # Literal-IN pushdown instead of a semi-join when the id set is
+    # small (the normal dirty batch: a handful of pair-named docs): a
+    # semi-join never reaches the parquet scan as a pushed filter, so
+    # any surviving pair cost one full-lake text-column read.  A
+    # collected isin() DOES push (PushedFilters: In/range), and on an
+    # id-clustered lake (append_log_idempotent(sort_col=...) /
+    # write_sorted_lake) row-group min/max stats prune the scan to the
+    # few row groups actually holding those docs.  The collect is
+    # guarded the MAX_STORE_BATCH_BANDED way: bounded contract, loud
+    # fallback — past the bound the semi-join path (AQE broadcast)
+    # takes over unchanged.  pair_ids is derived from the checkpointed
+    # `plausible`, so the probe is a cheap bounded job.
+    ids = [
+        r[0]
+        for r in pair_ids.limit(MAX_VERIFY_ID_PUSHDOWN + 1).collect()
+    ]
+    if 0 < len(ids) <= MAX_VERIFY_ID_PUSHDOWN:
+        needed = corpus.filter(F.col(id_col).isin(ids))
+    else:
+        # unhinted semi-join: AQE broadcasts when the checkpointed
+        # pair set is actually small (see minhash_near_duplicates);
+        # empty pair sets propagate to an empty relation — the clean
+        # batch never touches corpus text either way
+        needed = corpus.join(pair_ids, id_col, "left_semi")
     shingled = batch_sh.unionByName(
         shingle_sets(needed, text_col, id_col, n)
     )
@@ -708,7 +756,30 @@ def write_lsh_signature_store(
     driver-local filesystem assumptions.  At 100 TB scale, signatures
     are docs × num_hashes longs and buckets docs × bands rows of ~24
     bytes — both a small fraction of corpus text, columnar, and
-    partition-parallel on read."""
+    partition-parallel on read.
+
+    Crash ordering (each individual parquet write commits atomically
+    via the job-commit protocol; the windows are BETWEEN writes):
+
+    - ``overwrite`` deletes ``meta`` FIRST and rewrites it LAST, so a
+      rebuild that dies mid-way leaves a store with no meta —
+      :func:`read_lsh_signature_store` fails loudly instead of passing
+      parameter validation against half-rebuilt tables.  Recovery is
+      re-running the overwrite.
+    - ``append`` writes ``buckets`` first and ``signatures`` last —
+      the direction :func:`append_batch_signatures`' idempotence
+      anti-join (keyed on signatures, the LAST-written table) can
+      self-heal: a crash between the two leaves orphan bucket rows
+      whose ids are absent from signatures, the re-driven append
+      re-appends BOTH tables (duplicate bucket rows are benign —
+      candidate generation counts distinct ids and de-dups pairs, and
+      store compaction removes them), and no doc is ever left
+      invisible to candidate generation.  The reverse order would
+      strand signatures-without-buckets: the re-driven append would
+      see the ids present and append nothing, permanently hiding
+      those docs from every future batch's bucket probe.  Bare
+      ``mode="append"`` on this function is NOT idempotent — replay
+      protection is :func:`append_batch_signatures`' job."""
     import os
 
     spark = docs.sparkSession
@@ -733,11 +804,14 @@ def write_lsh_signature_store(
             shingle_sets(docs, text_col, id_col, n), id_col, num_hashes
         )
     )
-    sigs.write.mode(mode).parquet(os.path.join(path, "signatures"))
-    lsh_banded(sigs, id_col, bands).write.mode(mode).parquet(
-        os.path.join(path, "buckets")
-    )
     if mode == "overwrite":
+        from ..sources.writers import delete_path
+
+        delete_path(spark, os.path.join(path, "meta"))
+        sigs.write.mode(mode).parquet(os.path.join(path, "signatures"))
+        lsh_banded(sigs, id_col, bands).write.mode(mode).parquet(
+            os.path.join(path, "buckets")
+        )
         spark.createDataFrame(
             [
                 (
@@ -749,6 +823,11 @@ def write_lsh_signature_store(
             ],
             "id_col string, n int, num_hashes int, bands int",
         ).write.mode("overwrite").parquet(os.path.join(path, "meta"))
+    else:
+        lsh_banded(sigs, id_col, bands).write.mode(mode).parquet(
+            os.path.join(path, "buckets")
+        )
+        sigs.write.mode(mode).parquet(os.path.join(path, "signatures"))
 
 
 def read_lsh_signature_store(spark, path: str) -> dict:
@@ -804,14 +883,23 @@ def ingest_dedup_batch(
         append_batch_signatures(clean, store)          # state last
 
     Crash before the doc write: nothing persisted, re-run redoes all.
-    Crash between doc write and signature append: re-run re-derives the
-    SAME clean set (signatures are deterministic and the store is
+    Crash between doc write and the state append: re-run re-derives
+    the SAME clean set (signatures are deterministic and the store is
     unchanged — candidates come from store buckets, so the half-written
     lake does not perturb the answer), the doc write no-ops on its
-    batch-id key, and the append completes.  Crash after the append:
-    re-run pre-filters every admitted id, previously-dropped docs
-    re-drop against the now-stored survivors, and
-    :func:`append_batch_signatures`' own anti-join appends nothing.
+    batch-id key, and the append completes.  Crash INSIDE the state
+    append (between its buckets and signatures writes — the append
+    writes buckets first): the admitted ids are still absent from
+    signatures, so the re-run's pre-filter keeps them, the orphan
+    bucket rows they left are excluded from candidate generation (the
+    batch-id anti-join in the store path), the re-dedup derives the
+    same clean set, the doc write no-ops, and the re-driven append
+    re-appends both tables — its duplicate bucket rows are benign
+    (distinct-id counting + pair dedup) and removed by store
+    compaction.  Crash after the append: re-run pre-filters every
+    admitted id, previously-dropped docs re-drop against the
+    now-stored survivors, and :func:`append_batch_signatures`' own
+    anti-join appends nothing.
 
     Per-batch cost is the store fast path's: batch-linear shingle/sign/
     band work, one columnar pass over the bucket table, plus two
@@ -883,9 +971,13 @@ def ingest_dedup_batch(
     pairs = materialize(pairs.distinct())
     batch_ids_b = fresh.select(F.col(id_col).alias("id_b"))
     dropped = (
-        # batch-batch pairs (id_a < id_b, both batch): larger id drops
+        # batch-batch pairs (both batch): the larger id drops.  The
+        # engine emits these (min, max)-oriented, so greatest() ==
+        # id_b today — stating the RULE rather than the orientation
+        # keeps the drop correct even if a future candidate path
+        # surfaces a batch-batch pair corpus-oriented.
         pairs.join(batch_ids_b, "id_b", "left_semi")
-        .select(F.col("id_b").alias(id_col))
+        .select(F.greatest("id_a", "id_b").alias(id_col))
         .unionByName(
             # batch-vs-corpus pairs: the batch side (always id_a) drops
             pairs.join(batch_ids_b, "id_b", "left_anti")
@@ -904,12 +996,18 @@ def append_batch_signatures(
 ) -> int:
     """Fold an admitted batch into the LSH store (the "state last" step
     of :func:`ingest_dedup_batch`'s ingest order), idempotently: ids
-    already present are anti-joined away before the append, so a
-    re-driven step appends nothing instead of duplicating signature and
-    bucket rows (duplicates would double candidate generation for every
-    future batch).  Sketch parameters come from the store's own meta —
-    a caller cannot drift them.  Returns the number of docs appended
-    (0 on a fully-replayed batch).
+    already present in SIGNATURES — the last-written table of the
+    append, so presence there means the whole append committed — are
+    anti-joined away, and a re-driven completed step appends nothing.
+    A step that crashed INSIDE the append (after buckets, before
+    signatures) re-appends both tables on re-drive: the resulting
+    duplicate bucket rows are benign (candidate generation counts
+    distinct ids and de-dups pairs; compaction removes them), which is
+    the self-healing direction — keying on the FIRST-written table
+    would instead skip the re-append and permanently hide the docs
+    from bucket probes.  Sketch parameters come from the store's own
+    meta — a caller cannot drift them.  Returns the number of docs
+    appended (0 on a fully-replayed batch).
 
     ``clean`` is localCheckpointed before the anti-join: a frame from
     :func:`ingest_dedup_batch` carries scans of THIS store's parquet
@@ -943,6 +1041,52 @@ def append_batch_signatures(
             mode="append",
         )
     return n_new
+
+
+def compact_lsh_signature_store(
+    spark,
+    store_path: str,
+    target_files: int = 8,
+    min_files: int = 0,
+) -> dict:
+    """Small-file maintenance for a persisted LSH store: rewrite the
+    ``signatures`` and ``buckets`` tables down to ``target_files``
+    files each (rollback-safe staging+swap via
+    ``writers.compact_lake_partition``), de-duplicating the exact
+    duplicate bucket rows a crash-healed append leaves behind.  The
+    ``meta`` table (one file, the parameter pin) is never touched.
+
+    Why at scale: :func:`append_batch_signatures` lands one file set
+    per batch — after thousands of daily batches the store's scan cost
+    is dominated by file listing and per-file footer reads, degrading
+    the very probes the store exists to speed up.  ``min_files`` makes
+    this a cheap no-op trigger (one FS listing per table): a table
+    with fewer data files is skipped.  Run from a maintenance window —
+    the swap is not safe under concurrent readers or appends (the
+    store's single-writer contract).  Returns
+    ``{table: files_before}`` with 0 for skipped tables."""
+    import os
+
+    from ..sources.writers import compact_lake_partition, count_data_files
+
+    meta = read_lsh_signature_store(spark, store_path)["meta"]
+    id_col = meta["id_col"]
+    results = {}
+    for table, transform in (
+        ("signatures", None),
+        # exact-duplicate rows only: orphan rows (ids absent from
+        # signatures) are left for the next append's self-heal
+        ("buckets",
+         lambda df: df.dropDuplicates(["band", "bucket", id_col])),
+    ):
+        p = os.path.join(store_path, table)
+        if min_files and count_data_files(spark, p) < min_files:
+            results[table] = 0
+            continue
+        results[table] = compact_lake_partition(
+            spark, p, target_files, transform=transform
+        )
+    return results
 
 
 # ---------------------------------------------------------------------------

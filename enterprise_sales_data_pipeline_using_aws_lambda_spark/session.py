@@ -53,6 +53,15 @@ def get_spark(app_name: str = "enterprise-sales-engine", cpus: int | None = None
         .config("spark.driver.memory", os.environ.get("SPARK_GRAFT_DRIVER_MEM", "8g"))
         .config("spark.ui.enabled", "false")
         .config("spark.sql.autoBroadcastJoinThreshold", str(64 * 1024 * 1024))
+        # Literal IN-lists push into parquet as exact per-value filters
+        # up to this size (beyond it Spark degrades the pushed filter
+        # to a [min,max] range).  The default of 10 is far below the
+        # id sets the store-backed dedup verify pushes
+        # (text_dedup.MAX_VERIFY_ID_PUSHDOWN): exact In filters prune
+        # row groups on an id-clustered lake even when the ids are
+        # scattered, where a range filter spanning them prunes nothing.
+        # 1000 values per row-group stat check is still trivial CPU.
+        .config("spark.sql.parquet.pushdown.inFilterThreshold", "1000")
         # InferFiltersFromGenerate synthesizes `size(arr) > 0` from every
         # non-outer explode.  For this engine's explodes the array is
         # almost always a COMPUTED expression (char n-gram shingles,

@@ -182,11 +182,28 @@ def export_table(
     w.format(fmt).save(path)
 
 
+def count_data_files(spark: SparkSession, path: str) -> int:
+    """Number of data files directly under ``path`` (underscore/dot
+    prefixed bookkeeping excluded) — the trigger metric for
+    small-file compaction.  One FS listing, no data read."""
+    sc = spark.sparkContext
+    p = sc._jvm.org.apache.hadoop.fs.Path(path)
+    fs = p.getFileSystem(sc._jsc.hadoopConfiguration())
+    if not fs.exists(p):
+        return 0
+    return len([
+        f for f in fs.listStatus(p)
+        if f.isFile()
+        and not f.getPath().getName().startswith(("_", "."))
+    ])
+
+
 def compact_lake_partition(
     spark: SparkSession,
     path: str,
     target_files: int,
     staging_suffix: str = "__compacting",
+    transform=None,
 ) -> int:
     """Small-file compaction for a lake directory (one partition's worth).
 
@@ -208,6 +225,12 @@ def compact_lake_partition(
     maintenance job; on object stores swap rename-atomicity caveats with
     a table format (Delta/Iceberg OPTIMIZE) — this operator is the
     Hadoop-FS form.
+
+    ``transform`` (DataFrame → DataFrame, optional) is applied to the
+    directory's rows before the rewrite — for row-identity-preserving
+    maintenance only (dropping exact-duplicate rows a crash-healed
+    append left behind, re-sorting for layout).  Anything that changes
+    the logical contents belongs in an operator, not a compaction.
     """
     sc = spark.sparkContext
     jvm = sc._jvm
@@ -234,6 +257,8 @@ def compact_lake_partition(
     ])
 
     df = spark.read.parquet(path)
+    if transform is not None:
+        df = transform(df)
     df.repartition(target_files).write.mode("overwrite").parquet(
         path + staging_suffix
     )
@@ -354,7 +379,12 @@ def write_zorder_lake(
 
 
 def append_log_idempotent(
-    spark: SparkSession, df: DataFrame, path: str, batch_id: str
+    spark: SparkSession,
+    df: DataFrame,
+    path: str,
+    batch_id: str,
+    sort_col: str | None = None,
+    sort_files: int | None = None,
 ) -> bool:
     """Batch-id-keyed idempotent append (SURVEY §7.5.3): the reference's
     append log double-writes on Lambda retries (at-least-once, no
@@ -369,7 +399,19 @@ def append_log_idempotent(
     complete one and permanently drop the missing rows.  Combined with
     upstream retry: exactly once.  Streaming gets this from
     checkpoints; this is the batch-mode equivalent.  Returns True if
-    the batch was written, False if it was already present (replay)."""
+    the batch was written, False if it was already present (replay).
+
+    ``sort_col`` gives the partition an id-clustered layout: rows are
+    range-shuffled on the column across ``sort_files`` output files
+    (default: Spark's shuffle partitioning) and sorted within each, so
+    every parquet row group's min/max stats span a narrow slice — the
+    :func:`write_sorted_lake` property, per batch partition.  Point
+    and IN() predicates on the column then prune row groups instead of
+    scanning the batch; the store-backed dedup verify
+    (``text_dedup._minhash_against_stored``) pushes exactly such a
+    filter, so an ingest lake written with ``sort_col=id_col`` pays a
+    few row groups per dirty batch instead of a full-lake text read.
+    Cost: one batch-bounded range shuffle + local sort per append."""
     sc = spark.sparkContext
     jvm = sc._jvm
     conf = sc._jsc.hadoopConfiguration()
@@ -383,6 +425,12 @@ def append_log_idempotent(
     )
     if fs.exists(staging):  # crashed earlier attempt: clear and redo
         fs.delete(staging, True)
+    if sort_col is not None:
+        df = (
+            df.repartitionByRange(sort_files, F.col(sort_col))
+            if sort_files
+            else df.repartitionByRange(F.col(sort_col))
+        ).sortWithinPartitions(sort_col)
     df.write.mode("overwrite").parquet(staging.toString())
     fs.mkdirs(root)
     if not fs.rename(staging, part):

@@ -71,7 +71,7 @@ def _lake_docs(
 
 def guarded_idempotent_append(
     spark: SparkSession, clean: DataFrame, lake_dir: str, batch_id: int,
-    id_col: str,
+    id_col: str, sort_files: int | None = None,
 ) -> None:
     """The docs-first half of a convergent streaming ingest step: write
     the admitted rows to their batch-id-keyed lake partition, skipping
@@ -86,10 +86,19 @@ def guarded_idempotent_append(
     landed — rows marked ingested that are in no corpus.  On a true
     replay (crash between the doc write and the state append) the
     partition already holds every admitted id, so the anti-join below
-    is empty; anything else raises with recovery guidance."""
+    is empty; anything else raises with recovery guidance.
+
+    ``sort_files`` (int) gives the partition an id-clustered layout —
+    ``append_log_idempotent(sort_col=id_col)`` — so the dedup verify
+    stage's pushed id filter prunes row groups instead of scanning the
+    lake's text column; None keeps the batch's own layout."""
     if clean.isEmpty():
         return
-    if append_log_idempotent(spark, clean, lake_dir, str(batch_id)):
+    if append_log_idempotent(
+        spark, clean, lake_dir, str(batch_id),
+        sort_col=id_col if sort_files else None,
+        sort_files=sort_files,
+    ):
         return
     committed = spark.read.parquet(
         f"{lake_dir}/ingest_batch={batch_id}"
@@ -151,8 +160,14 @@ def stream_docs_dedup_ingest(
         # docs first, store state last — the re-drive-convergent order
         # (see ingest_dedup_batch's docstring); the guarded append
         # skips empty batches and fails loudly on checkpoint/lake
-        # divergence instead of silently swallowing new docs
-        guarded_idempotent_append(spark, clean, lake_dir, batch_id, id_col)
+        # divergence instead of silently swallowing new docs.
+        # sort_files=4: each batch partition lands id-clustered so the
+        # verify stage's pushed id filter prunes row groups (four
+        # sorted files per micro-batch — fewer files than the batch's
+        # own partitioning AND a layout scans can skip)
+        guarded_idempotent_append(
+            spark, clean, lake_dir, batch_id, id_col, sort_files=4
+        )
         append_batch_signatures(
             clean, store_path, text_col=text_col, id_col=id_col
         )

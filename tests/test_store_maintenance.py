@@ -1,0 +1,454 @@
+"""Round-7 store durability + maintenance contracts:
+
+- the LSH store append's crash-inside-the-append window self-heals on
+  re-drive (ADVICE r6 medium #1: buckets-first ordering, idempotence
+  keyed on the last-written signatures table, duplicates benign);
+- overwrite rebuilds that crash mid-way leave an UNREADABLE store /
+  index instead of data readable under a stale parameter pin
+  (ADVICE r6 low);
+- small-file compaction for the LSH store and the IVF index preserves
+  rows, meta pinning, and replay-safety (VERDICT r6 item 2);
+- the store-backed dedup verify pushes a literal id filter into the
+  corpus scan so an id-clustered lake prunes row groups
+  (VERDICT r6 item 1);
+- the semantic ingest applies the text path's within-batch id hygiene
+  (ADVICE r6 medium #2) and fails loudly on embedding-dim mismatch.
+"""
+
+import glob
+import os
+
+import pytest
+from pyspark.sql import functions as F
+
+X = "the quick brown fox jumps over the lazy dog again and again"
+Y = "pack my box with five dozen liquor jugs every single day"
+Z = "sphinx of black quartz judge my vow under the midnight sky"
+U = "completely unrelated content about distributed query engines"
+W = "a fresh document on columnar storage formats and encodings"
+
+
+def _store_ids(spark, store, table="signatures"):
+    from enterprise_sales_data_pipeline_using_aws_lambda_spark.operators.text_dedup import (  # noqa: E501
+        read_lsh_signature_store,
+    )
+
+    return {
+        r["doc_id"]
+        for r in read_lsh_signature_store(spark, store)[table]
+        .select("doc_id").distinct().collect()
+    }
+
+
+def test_append_crash_inside_store_append_self_heals(spark, tmp_path):
+    """Crash BETWEEN the append's buckets and signatures writes (the
+    window ADVICE r6 found uncovered): the re-driven ingest step must
+    re-derive the same clean set, the re-driven append must re-append
+    both tables (no doc left invisible to bucket probes), and the
+    duplicate bucket rows it leaves must not change any answer —
+    before or after compaction removes them."""
+    from enterprise_sales_data_pipeline_using_aws_lambda_spark.operators.text_dedup import (  # noqa: E501
+        append_batch_signatures,
+        compact_lsh_signature_store,
+        ingest_dedup_batch,
+        lsh_banded,
+        minhash_near_duplicates_against,
+        minhash_signatures,
+        read_lsh_signature_store,
+        shingle_sets,
+        write_lsh_signature_store,
+    )
+    from enterprise_sales_data_pipeline_using_aws_lambda_spark.sources.writers import (
+        append_log_idempotent,
+    )
+
+    lake = str(tmp_path / "lake")
+    store = str(tmp_path / "store")
+    corpus0 = spark.createDataFrame(
+        [(101, X), (102, Y)], "doc_id long, text string"
+    )
+    assert append_log_idempotent(spark, corpus0, lake, "b0")
+    write_lsh_signature_store(corpus0, store, num_hashes=16, bands=4)
+
+    def lake_docs():
+        return spark.read.parquet(lake).select("doc_id", "text")
+
+    # batch: 1 duplicates corpus X; 2/3 duplicate each other; 4 novel
+    batch = spark.createDataFrame(
+        [(1, X), (2, Z), (3, Z), (4, U)], "doc_id long, text string"
+    )
+    clean, pairs = ingest_dedup_batch(lake_docs(), batch, store)
+    assert {r["doc_id"] for r in clean.collect()} == {2, 4}
+    assert append_log_idempotent(spark, clean, lake, "b1")
+
+    # simulate the crash: ONLY the buckets half of the append lands
+    # (exactly what write_lsh_signature_store(mode="append") writes
+    # first), signatures never committed
+    sigs = minhash_signatures(
+        shingle_sets(clean, "text", "doc_id", 5), "doc_id", 16
+    )
+    lsh_banded(sigs, "doc_id", 4).write.mode("append").parquet(
+        os.path.join(store, "buckets")
+    )
+    assert _store_ids(spark, store) == {101, 102}  # sigs: pre-crash
+    assert _store_ids(spark, store, "buckets") == {101, 102, 2, 4}
+
+    # re-drive the whole step: same clean set, same evidence — the
+    # orphan bucket rows must NOT self-match docs 2/4 or flip the
+    # batch-batch drop orientation
+    clean_r, pairs_r = ingest_dedup_batch(lake_docs(), batch, store)
+    assert {r["doc_id"] for r in clean_r.collect()} == {2, 4}
+    assert {(r["id_a"], r["id_b"]) for r in pairs_r.collect()} == {
+        (1, 101), (2, 3),
+    }
+    assert not append_log_idempotent(spark, clean_r, lake, "b1")
+    # the re-driven append re-appends BOTH tables (self-heal direction)
+    assert append_batch_signatures(clean_r, store) == 2
+    assert _store_ids(spark, store) == {101, 102, 2, 4}
+
+    # duplicate bucket rows exist and are benign: a next batch still
+    # sees exactly its true near-dups
+    st = read_lsh_signature_store(spark, store)
+    assert st["buckets"].count() > st["buckets"].distinct().count()
+    nxt = spark.createDataFrame([(201, Z)], "doc_id long, text string")
+    got = {
+        (r["id_a"], r["id_b"])
+        for r in minhash_near_duplicates_against(
+            lake_docs(), nxt, threshold=0.7, num_hashes=16, bands=4,
+            corpus_signatures=st["signatures"],
+            corpus_buckets=st["buckets"],
+        ).collect()
+    }
+    assert got == {(201, 2)}
+
+    # compaction drops the duplicates, keeps rows/meta, answers hold
+    res = compact_lsh_signature_store(spark, store, target_files=1)
+    assert res["signatures"] >= 1 and res["buckets"] >= 1
+    st2 = read_lsh_signature_store(spark, store)
+    assert st2["meta"] == st["meta"]
+    assert st2["buckets"].count() == st2["buckets"].distinct().count()
+    assert st2["signatures"].count() == 4
+    got2 = {
+        (r["id_a"], r["id_b"])
+        for r in minhash_near_duplicates_against(
+            lake_docs(), nxt, threshold=0.7, num_hashes=16, bands=4,
+            corpus_signatures=st2["signatures"],
+            corpus_buckets=st2["buckets"],
+        ).collect()
+    }
+    assert got2 == {(201, 2)}
+    # replayed append after compaction still no-ops
+    assert append_batch_signatures(clean_r, store) == 0
+
+
+def test_lsh_store_compaction_trigger_and_file_counts(spark, tmp_path):
+    """min_files makes compaction a cheap no-op below the threshold and
+    a real rewrite above it; signature rows are preserved exactly."""
+    from enterprise_sales_data_pipeline_using_aws_lambda_spark.operators.text_dedup import (  # noqa: E501
+        append_batch_signatures,
+        compact_lsh_signature_store,
+        read_lsh_signature_store,
+        write_lsh_signature_store,
+    )
+
+    store = str(tmp_path / "store")
+    base = spark.createDataFrame(
+        [(1, X), (2, Y)], "doc_id long, text string"
+    )
+    write_lsh_signature_store(base, store, num_hashes=16, bands=4)
+    for i, t in enumerate([Z, U, W]):
+        b = spark.createDataFrame(
+            [(10 + i, t)], "doc_id long, text string"
+        )
+        assert append_batch_signatures(b, store) == 1
+    before = read_lsh_signature_store(spark, store)
+    sig_rows = sorted(
+        r["doc_id"] for r in before["signatures"].collect()
+    )
+    n_files = len(glob.glob(f"{store}/signatures/*.parquet"))
+    assert n_files >= 4  # one file set per append
+
+    # below-threshold: untouched
+    res = compact_lsh_signature_store(
+        spark, store, target_files=1, min_files=n_files + 1
+    )
+    assert res == {"signatures": 0, "buckets": 0}
+    assert len(glob.glob(f"{store}/signatures/*.parquet")) == n_files
+
+    res = compact_lsh_signature_store(
+        spark, store, target_files=1, min_files=2
+    )
+    assert res["signatures"] == n_files
+    assert len(glob.glob(f"{store}/signatures/*.parquet")) == 1
+    after = read_lsh_signature_store(spark, store)
+    assert sorted(
+        r["doc_id"] for r in after["signatures"].collect()
+    ) == sig_rows
+    assert after["meta"] == before["meta"]
+
+
+def test_overwrite_crash_leaves_store_unreadable(
+    spark, tmp_path, monkeypatch
+):
+    """A rebuild with NEW parameters that dies between the data writes
+    must not leave the new tables readable under the OLD meta (ADVICE
+    r6 low): meta is deleted first and rewritten last, so the
+    half-rebuilt store fails loudly at read."""
+    from enterprise_sales_data_pipeline_using_aws_lambda_spark.operators import (
+        text_dedup,
+    )
+
+    store = str(tmp_path / "store")
+    docs = spark.createDataFrame(
+        [(1, X), (2, Y)], "doc_id long, text string"
+    )
+    text_dedup.write_lsh_signature_store(docs, store)
+    assert text_dedup.read_lsh_signature_store(spark, store)["meta"][
+        "num_hashes"
+    ] == 64
+
+    real_banded = text_dedup.lsh_banded
+
+    def boom(*a, **k):
+        raise RuntimeError("simulated crash mid-rebuild")
+
+    monkeypatch.setattr(text_dedup, "lsh_banded", boom)
+    with pytest.raises(RuntimeError, match="simulated crash"):
+        text_dedup.write_lsh_signature_store(
+            docs, store, num_hashes=32, bands=8
+        )
+    monkeypatch.setattr(text_dedup, "lsh_banded", real_banded)
+    # the store is now loudly unreadable — not silently mixed-params
+    with pytest.raises(Exception):
+        text_dedup.read_lsh_signature_store(spark, store)
+    # recovery = re-run the overwrite
+    text_dedup.write_lsh_signature_store(docs, store, num_hashes=32, bands=8)
+    assert text_dedup.read_lsh_signature_store(spark, store)["meta"][
+        "num_hashes"
+    ] == 32
+
+
+def _mk_vec_rows(ids, base):
+    # two far-apart clusters around +/-base so a 2-list codebook splits
+    rows = []
+    for i in ids:
+        sign = 1.0 if i % 2 == 0 else -1.0
+        rows.append((i, [sign * base, sign * (base + i % 3), 1.0, 0.5]))
+    return rows
+
+
+def test_write_ivf_index_crash_leaves_index_unreadable(
+    spark, tmp_path, monkeypatch
+):
+    from enterprise_sales_data_pipeline_using_aws_lambda_spark.operators import (
+        similarity,
+    )
+
+    path = str(tmp_path / "ivf")
+    corpus = spark.createDataFrame(
+        _mk_vec_rows(range(20), 10.0),
+        "vec_id long, embedding array<double>",
+    )
+    similarity.write_ivf_index(corpus, path, n_lists=2)
+    assert similarity.read_ivf_index(spark, path)["meta"]["n_lists"] == 2
+
+    real_assign = similarity.assign_ivf_lists
+
+    def boom(*a, **k):
+        raise RuntimeError("simulated crash mid-rebuild")
+
+    # precomputed codebook: the crash must land AFTER the meta delete
+    # (train_ivf_centroids itself uses assign_ivf_lists)
+    cent = similarity.train_ivf_centroids(corpus, 4)
+    monkeypatch.setattr(similarity, "assign_ivf_lists", boom)
+    with pytest.raises(RuntimeError, match="simulated crash"):
+        similarity.write_ivf_index(corpus, path, centroids=cent)
+    monkeypatch.setattr(similarity, "assign_ivf_lists", real_assign)
+    with pytest.raises(Exception):
+        similarity.read_ivf_index(spark, path)
+    similarity.write_ivf_index(corpus, path, n_lists=4)
+    assert similarity.read_ivf_index(spark, path)["meta"]["n_lists"] == 4
+
+
+def test_compact_ivf_index_parity_replay_and_crash_recovery(
+    spark, tmp_path,
+):
+    from enterprise_sales_data_pipeline_using_aws_lambda_spark.operators.similarity import (  # noqa: E501
+        append_to_ivf_index,
+        compact_ivf_index,
+        read_ivf_index,
+        write_ivf_index,
+    )
+
+    path = str(tmp_path / "ivf")
+    corpus = spark.createDataFrame(
+        _mk_vec_rows(range(20), 10.0),
+        "vec_id long, embedding array<double>",
+    )
+    write_ivf_index(corpus, path, n_lists=2)
+    b1 = spark.createDataFrame(
+        _mk_vec_rows(range(100, 104), 10.0),
+        "vec_id long, embedding array<double>",
+    )
+    b2 = spark.createDataFrame(
+        _mk_vec_rows(range(200, 204), 10.0),
+        "vec_id long, embedding array<double>",
+    )
+    assert append_to_ivf_index(b1, path) == 4
+    assert append_to_ivf_index(b2, path) == 4
+    idx = read_ivf_index(spark, path)
+    rows_before = sorted(
+        (r["vec_id"], r["list_id"])
+        for r in idx["assignments"].collect()
+    )
+    # each touched list holds >= 3 file sets (base + two appends)
+    res = compact_ivf_index(spark, path, target_files=1, min_files=2)
+    assert res and all(v >= 2 for v in res.values())
+    idx2 = read_ivf_index(spark, path)
+    assert sorted(
+        (r["vec_id"], r["list_id"])
+        for r in idx2["assignments"].collect()
+    ) == rows_before
+    assert idx2["meta"] == idx["meta"]
+    for lid in res:
+        files = glob.glob(f"{path}/assignments/list_id={lid}/*.parquet")
+        assert len(files) == 1
+    # replayed append after compaction still no-ops
+    assert append_to_ivf_index(b2, path) == 0
+
+    # crash recovery: a maintenance run that died between swap-out and
+    # swap-in left list_id=K__old and no list_id=K — the next run must
+    # restore it even though the partition is below min_files
+    lid = next(iter(res))
+    src = f"{path}/assignments/list_id={lid}"
+    os.rename(src, src + "__old")
+    res2 = compact_ivf_index(spark, path, target_files=1, min_files=99)
+    assert lid in res2
+    assert os.path.isdir(src) and not os.path.isdir(src + "__old")
+    idx3 = read_ivf_index(spark, path)
+    assert sorted(
+        (r["vec_id"], r["list_id"])
+        for r in idx3["assignments"].collect()
+    ) == rows_before
+
+
+def test_semantic_ingest_redelivery_hygiene_and_dim_guard(
+    spark, tmp_path,
+):
+    """ADVICE r6 medium #2: an exact redelivered vector row collapses
+    silently (admitted ONCE — not dropped-both), the same id with
+    different vectors raises, and a dim-mismatched batch fails loudly
+    at the entrance rather than inside an executor."""
+    from enterprise_sales_data_pipeline_using_aws_lambda_spark.operators.similarity import (  # noqa: E501
+        append_to_ivf_index,
+        ingest_semantic_batch,
+        write_ivf_index,
+    )
+
+    path = str(tmp_path / "ivf")
+    corpus = spark.createDataFrame(
+        _mk_vec_rows(range(20), 10.0),
+        "vec_id long, embedding array<double>",
+    )
+    write_ivf_index(corpus, path, n_lists=2)
+
+    v = [10.0, 11.5, 1.0, 0.5]
+    far = [0.0, 0.0, -40.0, 40.0]  # near no cluster member
+    redelivered = spark.createDataFrame(
+        [(500, far), (500, far)],
+        "vec_id long, embedding array<double>",
+    )
+    clean, dropped = ingest_semantic_batch(
+        redelivered, path, threshold=0.95
+    )
+    assert [r["vec_id"] for r in clean.collect()] == [500]
+    assert dropped.count() == 0
+
+    conflicted = spark.createDataFrame(
+        [(501, v), (501, far)],
+        "vec_id long, embedding array<double>",
+    )
+    with pytest.raises(ValueError, match="DIFFERENT vectors"):
+        ingest_semantic_batch(conflicted, path, threshold=0.95)
+
+    bad_dim = spark.createDataFrame(
+        [(600, [1.0, 2.0, 3.0])],
+        "vec_id long, embedding array<double>",
+    )
+    with pytest.raises(ValueError, match="dimension"):
+        ingest_semantic_batch(bad_dim, path, threshold=0.95)
+    with pytest.raises(ValueError, match="dimension"):
+        append_to_ivf_index(bad_dim, path)
+
+
+def test_store_verify_pushes_id_filter_on_sorted_lake(spark, tmp_path):
+    """VERDICT r6 item 1: with an id-clustered lake
+    (append_log_idempotent(sort_col=...)), the store-path verify stage
+    reaches the corpus text scan as a pushed literal In filter — the
+    form parquet row-group stats can prune — and returns rows
+    identical to the semi-join fallback."""
+    import pyarrow.parquet as pq
+
+    from enterprise_sales_data_pipeline_using_aws_lambda_spark.operators import (
+        text_dedup,
+    )
+    from enterprise_sales_data_pipeline_using_aws_lambda_spark.sources.writers import (
+        append_log_idempotent,
+    )
+
+    lake = str(tmp_path / "lake")
+    store = str(tmp_path / "store")
+    rows = [(i, f"{W} number {i} with its own unique trailing words")
+            for i in range(2000)]
+    rows[7] = (7, X)  # the doc the batch will near-dup
+    corpus = spark.createDataFrame(rows, "doc_id long, text string")
+    assert append_log_idempotent(
+        spark, corpus, lake, "b0", sort_col="doc_id", sort_files=4
+    )
+    text_dedup.write_lsh_signature_store(
+        spark.read.parquet(lake).select("doc_id", "text"), store,
+        num_hashes=16, bands=4,
+    )
+    # id-clustered layout: every row group spans a narrow id slice
+    spans = []
+    for f in glob.glob(f"{lake}/ingest_batch=b0/*.parquet"):
+        md = pq.ParquetFile(f).metadata
+        for rg in range(md.num_row_groups):
+            col = next(
+                md.row_group(rg).column(i)
+                for i in range(md.num_columns)
+                if md.row_group(rg).column(i).path_in_schema == "doc_id"
+            )
+            spans.append(col.statistics.max - col.statistics.min)
+    assert spans and max(spans) < 2000 / 2
+
+    st = text_dedup.read_lsh_signature_store(spark, store)
+    batch = spark.createDataFrame(
+        [(9001, X), (9002, U)], "doc_id long, text string"
+    )
+    lake_docs = spark.read.parquet(lake).select("doc_id", "text")
+    out = text_dedup.minhash_near_duplicates_against(
+        lake_docs, batch, threshold=0.7, num_hashes=16, bands=4,
+        corpus_signatures=st["signatures"],
+        corpus_buckets=st["buckets"],
+    )
+    pushed = {(r["id_a"], r["id_b"]) for r in out.collect()}
+    assert pushed == {(9001, 7)}
+    # the verify's corpus text scan carries the pushed In filter
+    plan = out._jdf.queryExecution().executedPlan().toString()
+    assert "PushedFilters: [In(doc_id" in plan
+
+    # fallback parity: force the semi-join path (bound -> 0)
+    import unittest.mock as mock
+
+    with mock.patch.object(text_dedup, "MAX_VERIFY_ID_PUSHDOWN", 0):
+        out_sj = text_dedup.minhash_near_duplicates_against(
+            lake_docs, batch, threshold=0.7, num_hashes=16, bands=4,
+            corpus_signatures=st["signatures"],
+            corpus_buckets=st["buckets"],
+        )
+        assert {
+            (r["id_a"], r["id_b"]) for r in out_sj.collect()
+        } == pushed
+        plan_sj = out_sj._jdf.queryExecution().executedPlan().toString()
+        assert "In(doc_id" not in plan_sj
