@@ -26,18 +26,19 @@ from enterprise_sales_data_pipeline_using_aws_lambda_spark.plans.queries import 
 SMOKE_SF_DIR = "/root/testdata/sf0.001"
 
 # The driver checks exactly 50 entries per round, in dict order
-# (CORRECTNESS_r01-r05 evidence).  Round-6 rotation (VERDICT r05 item
-# 3): CORRECTNESS_r05 was 50/50 green with zero reds, so this round's
-# budget goes to (1) the 12 queries whose PLAN changed this round
-# (the jaccard family's unrounded-threshold filters + two oracle
-# WHERE alignments, the dedup_lsh_incremental persisted-signature
-# fast path, containment's auto positional filter, and the four
-# media gates' numpy decode path), (2) ALL 35 queries whose latest
-# driver check is round 2 (the OLDEST_R2 tail past round 5's filler
-# cut), then (3) round-3-checked fillers, oldest cohort first.
-# 12+35+3 = 50, so after this round no registered query's latest
-# driver check is older than round 3.  No new queries this round —
-# registered stays at 174 (VERDICT item 7: spend slots on rotation).
+# (CORRECTNESS_r01-r06 evidence).  Round-7 rotation (VERDICT r06 item
+# 3): CORRECTNESS_r06 was 50/50 green with zero reds, so this round's
+# budget goes to (1) the one query whose PLAN changed this round
+# (dedup_lsh_incremental — the store verify stage now pushes a
+# literal id filter into the corpus scan, the bucket probe anti-joins
+# batch ids and counts distinct ids, and the append order is
+# crash-self-healing), (2) ALL 35 queries whose latest driver check
+# is round 3, then (3) round-4-checked fillers (reference surface
+# first).  1+35+14 = 50, so after this round no registered query's
+# latest driver check is older than round 4.  No new queries this
+# round — registered stays at 174 (VERDICT item 7: the round-7 work
+# re-proves existing gates; the new store-maintenance/hygiene
+# contracts are test-covered, not gate queries).
 
 
 def entry(spark: SparkSession) -> DataFrame:
@@ -49,96 +50,82 @@ def entry(spark: SparkSession) -> DataFrame:
     return QUERIES["ref_sales_summary"](spark, SMOKE_SF_DIR)
 
 
-# Round-5 red rows: NONE (CORRECTNESS_r05 was 50/50 green).
-R05_RED: list[str] = []
+# Round-6 red rows: NONE (CORRECTNESS_r06 was 50/50 green).
+R06_RED: list[str] = []
 
 # Queries whose Spark plan CHANGED this round — green before, but the
 # code they exercised no longer exists, so they must be re-proven.
 CHANGED_THIS_ROUND = [
-    # persisted-signature fast path: the gate now routes through
-    # corpus_signatures=/corpus_buckets= (store state computed inline;
-    # signatures deterministic, oracle unchanged)
+    # store-backed incremental path, round-7 changes: the bucket probe
+    # anti-joins batch ids and counts DISTINCT ids per bucket (crash-
+    # heal duplicates benign), and the exact-verify corpus read pushes
+    # the collected pair-id set as a literal In filter
+    # (MAX_VERIFY_ID_PUSHDOWN-guarded) instead of a semi-join
     "dedup_lsh_incremental",
-    # jaccard family: verify filters moved to the UNROUNDED ratio
-    # (round(.,6) is presentation-only now); exact_jaccard and
-    # containment oracles' WHERE clauses aligned the same round
-    "dedup_minhash_lsh",
-    "exact_jaccard_prefix_join",
-    "containment_prefix_join",
-    # compose minhash_near_duplicates → inherit the filter change
-    "near_dup_cluster_canonical",
-    "cross_split_contamination",
-    # jaccard_on_pairs internal reshape (raw column then round)
-    "ngram_jaccard_adjacent",
-    "dedup_connected_components",
-    # numpy-vectorized decode/fingerprint path (same exact integers:
-    # frombuffer + reduceat energies, fancy-index 8×8 grids, vector
-    # byte sums, PNG None/Up unfilter rows)
-    "image_ahash_fingerprints",
-    "audio_energy_fingerprints",
-    "video_frame_ahash",
-    "multimodal_features",
 ]
 
 # No additions this round — registered stays at 174 and the 50-slot
-# budget goes to rotation (VERDICT r05 item 7).
+# budget goes to rotation (VERDICT r06 item 7).
 NEW_THIS_ROUND: list[str] = []
 
-# The 35 queries whose latest driver check is round 2 (recomputed from
-# CORRECTNESS_r01-r05) — the OLDEST_R2 tail past round 5's filler cut.
-# All inside this round's budget: after r6 no registered query's
-# coverage is older than round 3.
-OLDEST_R2 = [
-    "unpivot_status_totals", "profile_lineitem_stats",
-    "histogram_order_values", "pmi_bigrams", "nullsafe_join_segments",
-    "daily_revenue_dense", "try_functions_safety",
-    "shuffle_export_shards", "disjunctive_promo_revenue",
-    "funnel_stages", "regression_per_flag", "chunk_documents_fixed",
-    "llm_data_pipeline", "global_row_numbering",
-    "weighted_sample_docs", "shipping_delay_stats",
-    "ratio_to_report_lang_share", "order_history_features",
-    "key_skew_profile", "fuzzy_dedup_pipeline", "nth_order_values",
-    "monthly_revenue_growth", "order_interarrival_stats",
-    "price_quartile_stats", "cohort_retention", "rfm_segmentation",
-    "referential_integrity_audit", "order_reconciliation",
-    "bounded_rows_moving_avg", "higher_moments_profile",
-    "event_seasonality_profile", "pareto_abc_customers",
-    "scd2_customer_segments", "stream_stream_attribution",
-    "variant_props_banded",
+# The 35 queries whose latest driver check is round 3 (recomputed from
+# CORRECTNESS_r01-r06).  All inside this round's budget: after r7 no
+# registered query's coverage is older than round 4.
+OLDEST_R3 = [
+    "basket_part_pairs_lift", "benchmark_decontamination",
+    "bloom_incremental_dedup", "bm25_retrieval", "bpe_pair_top",
+    "chunk_documents_boundary", "collect_order_arrays",
+    "crosstab_status_priority", "cube_with_grouping_id",
+    "decimal_money_totals", "dedup_edit_distance_blocked",
+    "dedup_simhash", "dedup_token_sort_fingerprint",
+    "deterministic_split_docs", "doc_repetition_stats",
+    "dup_cluster_size_profile", "embedding_preprocess",
+    "event_transition_matrix", "ewma_monthly_revenue",
+    "feature_hash_vectors", "hll_sketch_rollup",
+    "inverted_index_topk", "lm_perplexity_scores",
+    "mad_robust_spread", "map_status_counts", "mixture_resample_docs",
+    "percentile_summary", "pii_scrub_contacts",
+    "semantic_dedup_embeddings", "skyline_price_quantity",
+    "stratified_split_quotas", "tfidf_top_terms",
+    "token_entropy_quality", "topk_sketch_rollup",
+    "weighted_median_price",
 ]
 
-# Remaining budget: round-3-checked fillers (oldest cohort), front-
-# loading the one whose operator grew a guard this round
-# (similarity_topk_lsh → lsh_topk's MAX_QUERY_VECTORS check).
-OLDEST_R3_FILLERS = [
-    "similarity_topk_lsh", "approx_distinct_users_daily",
-    "approx_percentile_summary",
+# Remaining budget: round-4-checked fillers — the reference-surface
+# family first (the core contract), then representative heavy lanes.
+OLDEST_R4_FILLERS = [
+    "ref_sales_summary", "ref_dedup_keep_last", "ref_upsert",
+    "ref_union", "ref_validate_counts", "ref_date_format",
+    "q1_pricing_summary", "udtf_keyvalue_explode",
+    "pagerank_part_graph", "triangle_count_parts",
+    "document_pipeline", "sequence_packing", "embedding_gram_matrix",
+    "snapshot_diff",
 ]
 
 
-# ROUND-7 ROTATION PLAN (for the next context): this round's 50 slots
-# are R05_RED(0) + CHANGED(12) + OLDEST_R2(35) + 3 r3 fillers.  If
-# CORRECTNESS_r06 comes back green, no query's latest check is older
-# than round 3.  Next round: front any r6 reds, then r7 plan-changed
-# queries, then the REMAINING 37 round-3-checked queries
-# (40 minus this round's 3 fillers), then round-4-checked queries as
-# they age.  Keep must-check <= 50 (tests/test_plans.py asserts it).
+# ROUND-8 ROTATION PLAN (for the next context): this round's 50 slots
+# are R06_RED(0) + CHANGED(1) + OLDEST_R3(35) + 14 r4 fillers.  If
+# CORRECTNESS_r07 comes back green, no query's latest check is older
+# than round 4.  Next round: front any r7 reds, then r8 plan-changed
+# queries, then the REMAINING 31 round-4-checked queries (45 minus
+# this round's 14 fillers), then round-5-checked queries as they age.
+# Keep must-check <= 50 (tests/test_plans.py asserts it).
 
 
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     """One entry per implemented operator from SURVEY.md §2.
 
     Ordered so the driver's budgeted (50-entry, dict-ordered)
-    verification spends its budget where it matters: (1) round-5 red
-    rows (none), (2) the 12 queries whose plan changed this round,
-    (3) the 35 queries last driver-checked in round 2, (4) round-3
-    fillers.  1+2+3+4 = 50 exactly, so every red, changed, or
-    stale-since-r2 gate is inside this round's budget (asserted by
+    verification spends its budget where it matters: (1) round-6 red
+    rows (none), (2) the one query whose plan changed this round,
+    (3) the 35 queries last driver-checked in round 3, (4) round-4
+    fillers.  0+1+35+14 = 50 exactly, so every red, changed, or
+    stale-since-r3 gate is inside this round's budget (asserted by
     tests/test_plans.py's rotation guard).
     """
     explicit = (
-        R05_RED + CHANGED_THIS_ROUND + NEW_THIS_ROUND + OLDEST_R2
-        + OLDEST_R3_FILLERS
+        R06_RED + CHANGED_THIS_ROUND + NEW_THIS_ROUND + OLDEST_R3
+        + OLDEST_R4_FILLERS
     )
 
     def bucket(name: str) -> tuple:

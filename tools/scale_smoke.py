@@ -655,6 +655,118 @@ def main() -> int:
             "store eliminates)",
         )
 
+        # 19c') id-clustered LAKE + pushed verify filter (round-7):
+        # the one corpus-linear term left in the ingest loop was the
+        # verify stage's text fetch — a semi-join that scanned the
+        # whole lake text column whenever ANY pair survived.  Write
+        # the corpus as a real on-disk lake, id-range-partitioned and
+        # sorted (append_log_idempotent sort_col=), and dedup a
+        # mostly-clean batch (20 planted dups in 10k docs — the
+        # production shape) through the store: the verify now pushes
+        # the 20 pair-named ids as a literal In filter, and parquet
+        # row-group stats bound the text actually read.  The matched
+        # row-group fraction is computed from the footers; at corpus
+        # scale it decays as ids/row_groups (1000 dirty ids against
+        # ~800k row groups of a 100 TB lake reads ~0.1%).
+        from enterprise_sales_data_pipeline_using_aws_lambda_spark.operators import (  # noqa: E501
+            text_dedup as _td,
+        )
+        from enterprise_sales_data_pipeline_using_aws_lambda_spark.sources.writers import (  # noqa: E501
+            append_log_idempotent,
+        )
+
+        lake_dir = tempfile.mkdtemp(prefix="lsh_lake_smoke_")
+        nd2 = nd_lsh + n_batch
+        planted2 = (F.col("id") - nd2) % 500 == 0
+        dirty_seed = F.when(
+            planted2,
+            ((F.col("id") - nd2) / 500).cast("long") * 50_021 + 7,
+        ).otherwise(F.col("id") + nd2)
+        dirty_batch = spark.range(nd2, nd2 + n_batch).select(
+            F.col("id").alias("doc_id"),
+            _doc_text(dirty_seed).alias("text"),
+        )
+        try:
+            run(
+                "lake_write_sorted_1m",
+                nd_lsh,
+                lambda: str(
+                    append_log_idempotent(
+                        spark, corpus_docs, lake_dir, "b0",
+                        sort_col="doc_id", sort_files=128,
+                    )
+                )
+                + " (128 id-range files, sorted within)",
+            )
+            lake_docs = spark.read.parquet(lake_dir).select(
+                "doc_id", "text"
+            )
+
+            def _verify_pruned():
+                cnt = minhash_near_duplicates_against(
+                    lake_docs, dirty_batch, threshold=0.7,
+                    corpus_signatures=lsh_store["signatures"],
+                    corpus_buckets=lsh_store["buckets"],
+                ).count()
+                # matched row groups from the footers (what the pushed
+                # In filter lets the scan skip)
+                import bisect
+                import glob as _glob
+
+                import pyarrow.parquet as _pq
+
+                ids = sorted(
+                    k * 50_021 + 7 for k in range(n_batch // 500)
+                )
+                total = hit = 0
+                for fp in _glob.glob(
+                    f"{lake_dir}/ingest_batch=b0/*.parquet"
+                ):
+                    md = _pq.ParquetFile(fp).metadata
+                    for rg in range(md.num_row_groups):
+                        col = next(
+                            md.row_group(rg).column(i)
+                            for i in range(md.num_columns)
+                            if md.row_group(rg).column(i).path_in_schema
+                            == "doc_id"
+                        )
+                        lo = col.statistics.min
+                        hi = col.statistics.max
+                        total += 1
+                        j = bisect.bisect_left(ids, lo)
+                        if j < len(ids) and ids[j] <= hi:
+                            hit += 1
+                return (
+                    f"{cnt} pairs (expect 20); verify text read "
+                    f"bounded to {hit}/{total} row groups"
+                )
+
+            run("lsh_verify_pruned_lake", nd_lsh + n_batch, _verify_pruned)
+
+            def _verify_semijoin():
+                saved = _td.MAX_VERIFY_ID_PUSHDOWN
+                _td.MAX_VERIFY_ID_PUSHDOWN = 0
+                try:
+                    cnt = minhash_near_duplicates_against(
+                        lake_docs, dirty_batch, threshold=0.7,
+                        corpus_signatures=lsh_store["signatures"],
+                        corpus_buckets=lsh_store["buckets"],
+                    ).count()
+                finally:
+                    _td.MAX_VERIFY_ID_PUSHDOWN = saved
+                return (
+                    f"{cnt} pairs (same answer; full-lake text "
+                    "semi-join — the round-6 behavior)"
+                )
+
+            run(
+                "lsh_verify_semijoin_lake",
+                nd_lsh + n_batch,
+                _verify_semijoin,
+            )
+        finally:
+            shutil.rmtree(lake_dir, ignore_errors=True)
+
         # 19d) the COMPOSED daily-ingest step (dedup + drop rule +
         # idempotent signature append) — everything a production batch
         # pays on top of the raw store dedup above: two id-only store
@@ -680,6 +792,58 @@ def main() -> int:
             "lsh_ingest_composed_1m_10k",
             nd_lsh + n_batch,
             _composed_ingest,
+        )
+
+        # 19e) store small-file maintenance (round-7): 20 simulated
+        # daily appends land one file set each; compaction rewrites
+        # signatures+buckets to 8 files with row parity, so the
+        # store's scan cost stays flat over a year of batches instead
+        # of degrading into per-file listing/footer overhead.
+        from enterprise_sales_data_pipeline_using_aws_lambda_spark.operators.text_dedup import (  # noqa: E501
+            compact_lsh_signature_store,
+        )
+
+        def _store_maintenance():
+            import glob as _glob
+
+            for i in range(20):
+                b = spark.range(
+                    9_000_000 + i, 9_000_001 + i
+                ).select(
+                    F.col("id").alias("doc_id"),
+                    _doc_text(F.col("id") * 31 + 5_000_000).alias(
+                        "text"
+                    ),
+                )
+                append_batch_signatures(b, store_dir)
+            files_before = len(
+                _glob.glob(f"{store_dir}/signatures/*.parquet")
+            )
+            st = read_lsh_signature_store(spark, store_dir)
+            rows_before = st["signatures"].count()
+            t0 = time.perf_counter()
+            st["signatures"].select("doc_id").count()
+            scan_before = time.perf_counter() - t0
+            compact_lsh_signature_store(
+                spark, store_dir, target_files=8, min_files=8
+            )
+            files_after = len(
+                _glob.glob(f"{store_dir}/signatures/*.parquet")
+            )
+            st2 = read_lsh_signature_store(spark, store_dir)
+            assert st2["signatures"].count() == rows_before
+            t0 = time.perf_counter()
+            st2["signatures"].select("doc_id").count()
+            scan_after = time.perf_counter() - t0
+            return (
+                f"{files_before}->{files_after} sig files, row parity "
+                f"held; id scan {scan_before:.2f}s->{scan_after:.2f}s"
+            )
+
+        run(
+            "lsh_store_compaction_20appends",
+            nd_lsh + n_batch,
+            _store_maintenance,
         )
     finally:
         shutil.rmtree(store_dir, ignore_errors=True)
