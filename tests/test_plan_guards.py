@@ -185,3 +185,49 @@ def test_ensure_min_parallelism_noop_at_scale(spark):
     assert out is not narrow
     assert out.rdd.getNumPartitions() == target
     assert out.count() == 1000
+
+
+def test_ensure_min_parallelism_plan_cache_skips_rdd_probe(
+    spark, monkeypatch
+):
+    """A FRESH DataFrame object over an already-probed plan must take
+    its verdict from the semanticHash cache without the RDD-conversion
+    probe (the ~35-430 ms/frame driver overhead the round-5 ADVICE
+    flagged): with DataFrame.rdd booby-trapped, a semantically
+    identical rebuild still resolves — and still gets repartitioned
+    when the cached verdict says under-split."""
+    from pyspark.sql import DataFrame
+    from pyspark.sql import functions as F
+
+    from enterprise_sales_data_pipeline_using_aws_lambda_spark.operators.materialize import (  # noqa: E501
+        ensure_min_parallelism,
+    )
+
+    target = spark.sparkContext.defaultParallelism
+
+    def build(n_parts):
+        return spark.range(0, 1000, 1, n_parts).select(
+            F.col("id"), F.lit("probe-cache").alias("text")
+        )
+
+    # prime both verdicts through the real probe
+    assert ensure_min_parallelism(build(target + 4)) is not None
+    primed_narrow = ensure_min_parallelism(build(1))
+    assert primed_narrow.rdd.getNumPartitions() == target
+
+    real_rdd = DataFrame.rdd
+
+    def boom(self):
+        raise AssertionError("RDD probe ran despite plan-cache hit")
+
+    monkeypatch.setattr(DataFrame, "rdd", property(boom))
+    try:
+        wide2 = build(target + 4)
+        assert ensure_min_parallelism(wide2) is wide2
+        narrow2 = build(1)
+        out = ensure_min_parallelism(narrow2)
+        assert out is not narrow2
+    finally:
+        monkeypatch.setattr(DataFrame, "rdd", real_rdd)
+    assert out.rdd.getNumPartitions() == target
+    assert out.count() == 1000
