@@ -879,8 +879,11 @@ def ingest_dedup_batch(
     order::
 
         clean, pairs = ingest_dedup_batch(lake_docs, batch, store)
-        append_log_idempotent(clean, lake, batch_id)   # docs first
-        append_batch_signatures(clean, store)          # state last
+        append_log_idempotent(                          # docs first —
+            spark, clean, lake, batch_id,               # id-clustered,
+            sort_col=id_col, sort_files=4,              # so the verify
+        )                                               # prunes (below)
+        append_batch_signatures(clean, store)           # state last
 
     Crash before the doc write: nothing persisted, re-run redoes all.
     Crash between doc write and the state append: re-run re-derives
@@ -904,7 +907,11 @@ def ingest_dedup_batch(
     Per-batch cost is the store fast path's: batch-linear shingle/sign/
     band work, one columnar pass over the bucket table, plus two
     id-column-only store scans (the pre-filter here and the append's
-    anti-join) — never corpus-linear text work.  Ids must be unique
+    anti-join) — never corpus-linear text work: the exact verify's
+    text fetch pushes the pair-named id set into the lake scan as a
+    literal In filter, so a lake written id-clustered (the
+    ``sort_col=`` append above) reads a few row groups per dirty
+    batch, not the text column.  Ids must be unique
     across lake and batch (the operator's keyed contract); within the
     batch, exact redelivered rows (same id AND text) collapse silently,
     while the same id carrying different text raises."""
@@ -1061,13 +1068,36 @@ def compact_lsh_signature_store(
     is dominated by file listing and per-file footer reads, degrading
     the very probes the store exists to speed up.  ``min_files`` makes
     this a cheap no-op trigger (one FS listing per table): a table
-    with fewer data files is skipped.  Run from a maintenance window —
-    the swap is not safe under concurrent readers or appends (the
-    store's single-writer contract).  Returns
+    with fewer data files is skipped — EXCEPT a table with crash
+    debris (``__old``/``__compacting`` siblings from a maintenance run
+    that died mid-swap), which is always revisited so
+    ``compact_lake_partition``'s recovery restores it; a min_files
+    skip there would leave the store unreadable forever (the table
+    itself may be mid-swap and list zero files).  Run from a
+    maintenance window — the swap is not safe under concurrent
+    readers or appends (the store's single-writer contract).  Returns
     ``{table: files_before}`` with 0 for skipped tables."""
     import os
 
     from ..sources.writers import compact_lake_partition, count_data_files
+
+    sc = spark.sparkContext
+    jvm = sc._jvm
+    conf = sc._jsc.hadoopConfiguration()
+
+    def _crashed(p: str) -> bool:
+        for suffix in ("__old", "__compacting"):
+            hp = jvm.org.apache.hadoop.fs.Path(p + suffix)
+            if hp.getFileSystem(conf).exists(hp):
+                return True
+        return False
+
+    # recover BEFORE reading meta validation targets: a crashed swap
+    # can leave signatures/buckets themselves missing
+    for table in ("signatures", "buckets"):
+        p = os.path.join(store_path, table)
+        if _crashed(p):
+            compact_lake_partition(spark, p, target_files)
 
     meta = read_lsh_signature_store(spark, store_path)["meta"]
     id_col = meta["id_col"]

@@ -45,6 +45,7 @@ from pyspark.sql import DataFrame, SparkSession
 
 from ..operators.text_dedup import (
     append_batch_signatures,
+    compact_lsh_signature_store,
     ingest_dedup_batch,
 )
 from ..sources.writers import append_log_idempotent
@@ -130,6 +131,8 @@ def stream_docs_dedup_ingest(
     max_files_per_trigger: int = 16,
     available_now: bool = True,
     fmt: str = "parquet",
+    compact_store_every: int | None = None,
+    compact_store_target: int = 8,
 ):
     """Start the deduplicating document ingest of ``raw_dir``.
 
@@ -138,7 +141,17 @@ def stream_docs_dedup_ingest(
     files then stops, and a later restart with the same
     ``checkpoint_dir`` resumes with only files that arrived since
     (their near-dups against everything ADMITTED so far are dropped:
-    the store, not the stream, carries that state)."""
+    the store, not the stream, carries that state).
+
+    ``compact_store_every`` (int) makes the loop self-maintaining:
+    when the store's signatures table has accumulated that many data
+    files (one set lands per admitted batch), it is compacted down to
+    ``compact_store_target`` files before the batch is processed.
+    The stream is the store's single writer, so running maintenance
+    inside its own loop honors the single-writer contract; running it
+    FIRST in the batch is the recovery-safe order — a crash inside a
+    previous compaction's swap leaves the store mid-rename, and the
+    compactor's debris recovery must run before anything reads it."""
     stream = (
         spark.readStream.format(fmt)
         .schema(schema)
@@ -149,6 +162,12 @@ def stream_docs_dedup_ingest(
     def process_batch(batch_df: DataFrame, batch_id: int) -> None:
         if batch_df.isEmpty():
             return
+        if compact_store_every:
+            compact_lsh_signature_store(
+                spark, store_path,
+                target_files=compact_store_target,
+                min_files=compact_store_every,
+            )
         clean, _pairs = ingest_dedup_batch(
             _lake_docs(spark, lake_dir, schema, text_col, id_col),
             batch_df.select(id_col, text_col),

@@ -187,6 +187,86 @@ def test_lsh_store_compaction_trigger_and_file_counts(spark, tmp_path):
     assert after["meta"] == before["meta"]
 
 
+def test_compact_lsh_store_recovers_mid_swap_crash(spark, tmp_path):
+    """A maintenance run that died between swap-out and swap-in leaves
+    `signatures__old` and NO `signatures` — the store is unreadable
+    and the table lists zero files, so a min_files trigger alone would
+    skip it forever.  The compactor must always revisit crash debris,
+    restore the table, and leave the store readable with rows intact."""
+    from enterprise_sales_data_pipeline_using_aws_lambda_spark.operators.text_dedup import (  # noqa: E501
+        compact_lsh_signature_store,
+        read_lsh_signature_store,
+        write_lsh_signature_store,
+    )
+
+    store = str(tmp_path / "store")
+    docs = spark.createDataFrame(
+        [(1, X), (2, Y), (3, Z)], "doc_id long, text string"
+    )
+    write_lsh_signature_store(docs, store, num_hashes=16, bands=4)
+    os.rename(f"{store}/signatures", f"{store}/signatures__old")
+    with pytest.raises(Exception):
+        read_lsh_signature_store(spark, store)["signatures"].count()
+    compact_lsh_signature_store(
+        spark, store, target_files=1, min_files=99
+    )
+    assert not os.path.isdir(f"{store}/signatures__old")
+    st = read_lsh_signature_store(spark, store)
+    assert sorted(
+        r["doc_id"] for r in st["signatures"].collect()
+    ) == [1, 2, 3]
+    assert st["meta"]["num_hashes"] == 16
+
+
+def test_stream_ingest_self_maintains_store(spark, tmp_path):
+    """compact_store_every makes the streaming loop its own maintenance
+    job: after draining several single-file batches, the signatures
+    table is compacted instead of holding one file set per batch, and
+    the admitted corpus is exactly the unique documents."""
+    from enterprise_sales_data_pipeline_using_aws_lambda_spark.operators.text_dedup import (  # noqa: E501
+        read_lsh_signature_store,
+        write_lsh_signature_store,
+    )
+    from enterprise_sales_data_pipeline_using_aws_lambda_spark.streaming.dedup_ingest import (  # noqa: E501
+        stream_docs_dedup_ingest,
+    )
+
+    raw = tmp_path / "raw"
+    raw.mkdir()
+    lake = str(tmp_path / "lake")
+    store = str(tmp_path / "store")
+    ckpt = str(tmp_path / "ckpt")
+    empty = spark.createDataFrame([], "doc_id long, text string")
+    write_lsh_signature_store(empty, store, num_hashes=16, bands=4)
+
+    import pandas as pd
+
+    texts = [X, Y, Z, U, W, X]  # last file duplicates the first
+    for i, t in enumerate(texts):
+        pd.DataFrame({"doc_id": [i], "text": [t]}).to_parquet(
+            raw / f"f{i}.parquet", index=False
+        )
+    q = stream_docs_dedup_ingest(
+        spark, str(raw), lake, store, ckpt,
+        max_files_per_trigger=1,
+        compact_store_every=3, compact_store_target=1,
+    )
+    q.awaitTermination(300)
+    admitted = {
+        r["doc_id"]
+        for r in spark.read.parquet(lake).select("doc_id").collect()
+    }
+    assert admitted == {0, 1, 2, 3, 4}  # doc 5 dropped as dup of 0
+    st = read_lsh_signature_store(spark, store)
+    assert sorted(
+        r["doc_id"] for r in st["signatures"].collect()
+    ) == [0, 1, 2, 3, 4]
+    sig_files = glob.glob(f"{store}/signatures/*.parquet")
+    # five admitted batches landed five file sets; the in-loop trigger
+    # kept the table compacted below that
+    assert len(sig_files) < 5
+
+
 def test_overwrite_crash_leaves_store_unreadable(
     spark, tmp_path, monkeypatch
 ):
