@@ -31,6 +31,7 @@ from pyspark.sql import DataFrame, SparkSession
 
 from ..operators.similarity import (
     append_to_ivf_index,
+    compact_ivf_index,
     ingest_semantic_batch,
 )
 from .dedup_ingest import guarded_idempotent_append
@@ -49,13 +50,25 @@ def stream_vectors_semantic_ingest(
     max_files_per_trigger: int = 16,
     available_now: bool = True,
     fmt: str = "parquet",
+    compact_index_every: int | None = None,
+    compact_index_target: int = 1,
 ):
     """Start the semantically-deduplicating vector ingest of
     ``raw_dir``.  Returns the started ``StreamingQuery``; with
     ``available_now`` the caller should ``awaitTermination()`` — a
     later restart with the same ``checkpoint_dir`` resumes with only
     files that arrived since (near-dups of everything ADMITTED so far
-    drop: the index, not the stream, carries that state)."""
+    drop: the index, not the stream, carries that state).
+
+    ``compact_index_every`` (int) makes the loop self-maintaining —
+    the vector face of ``stream_docs_dedup_ingest``'s
+    ``compact_store_every``: assignment partitions that accumulated
+    that many data files (each appended batch lands one file per
+    touched list) are compacted to ``compact_index_target`` files
+    before the batch is processed.  Recovery-first ordering: a crash
+    inside a previous compaction's swap leaves ``list_id=N__old``
+    debris that breaks partition discovery, and ``compact_ivf_index``
+    always revisits crashed partitions before the trigger applies."""
     stream = (
         spark.readStream.format(fmt)
         .schema(schema)
@@ -66,6 +79,12 @@ def stream_vectors_semantic_ingest(
     def process_batch(batch_df: DataFrame, batch_id: int) -> None:
         if batch_df.isEmpty():
             return
+        if compact_index_every:
+            compact_ivf_index(
+                spark, index_path,
+                target_files=compact_index_target,
+                min_files=compact_index_every,
+            )
         clean, _dropped = ingest_semantic_batch(
             batch_df.select(id_col, vec_col),
             index_path,

@@ -267,6 +267,79 @@ def test_stream_ingest_self_maintains_store(spark, tmp_path):
     assert len(sig_files) < 5
 
 
+def test_stream_semantic_ingest_self_maintains_index(spark, tmp_path):
+    """compact_index_every: the vector face's in-loop maintenance —
+    after draining several single-vector batches into the same index
+    list, the touched partition is compacted instead of holding one
+    file per appended batch; admitted vectors and dedup state are
+    unchanged."""
+    import shutil as _sh
+
+    from enterprise_sales_data_pipeline_using_aws_lambda_spark.operators.similarity import (  # noqa: E501
+        read_ivf_index,
+        write_ivf_index,
+    )
+    from enterprise_sales_data_pipeline_using_aws_lambda_spark.streaming.semantic_ingest import (  # noqa: E501
+        stream_vectors_semantic_ingest,
+    )
+
+    raw = tmp_path / "raw"
+    raw.mkdir()
+    lake = str(tmp_path / "lake")
+    index = str(tmp_path / "ivf")
+    ckpt = str(tmp_path / "ckpt")
+    corpus = spark.createDataFrame(
+        [(i, [10.0 * (1 if i % 2 == 0 else -1), float(i % 3), 1.0, 0.5])
+         for i in range(20)],
+        "vec_id long, embedding array<float>",
+    )
+    write_ivf_index(corpus, index, n_lists=2)
+
+    def write_batch(rows, name):
+        staging = str(tmp_path / f"_stage_{name}")
+        spark.createDataFrame(
+            rows, "vec_id long, embedding array<float>"
+        ).coalesce(1).write.mode("overwrite").parquet(staging)
+        _sh.copy(glob.glob(f"{staging}/part-*.parquet")[0],
+                 raw / f"{name}.parquet")
+
+    # five novel vectors in the SAME far-off direction region land in
+    # one cluster but below threshold of each other; the sixth exactly
+    # redelivers the first and must drop
+    base = [0.0, 0.0, -40.0, 40.0]
+    vecs = [
+        (100 + i, [base[0] + 30.0 * i, base[1] - 25.0 * i,
+                   base[2], base[3]])
+        for i in range(5)
+    ]
+    for i, row in enumerate(vecs):
+        write_batch([row], f"b{i}")
+    write_batch([vecs[0]], "b5")
+
+    q = stream_vectors_semantic_ingest(
+        spark, str(raw), lake, index, ckpt,
+        threshold=0.999, max_files_per_trigger=1,
+        compact_index_every=3, compact_index_target=1,
+    )
+    q.awaitTermination(300)
+
+    lake_ids = {
+        r["vec_id"]
+        for r in spark.read.parquet(lake).select("vec_id").collect()
+    }
+    assert lake_ids == {100, 101, 102, 103, 104}
+    idx = read_ivf_index(spark, index)
+    appended = {
+        r["vec_id"]
+        for r in idx["assignments"].select("vec_id").collect()
+        if r["vec_id"] >= 100
+    }
+    assert appended == lake_ids
+    # every assignments partition stays below one-file-per-batch
+    for d in glob.glob(f"{index}/assignments/list_id=*"):
+        assert len(glob.glob(f"{d}/*.parquet")) < 5
+
+
 def test_overwrite_crash_leaves_store_unreadable(
     spark, tmp_path, monkeypatch
 ):
