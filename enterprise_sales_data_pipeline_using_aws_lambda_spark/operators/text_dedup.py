@@ -669,14 +669,37 @@ def _minhash_against_stored(
         ),
         ["band", "bucket"],
     ).filter(F.col("id_a") < F.col("id_b"))
-    cand = (
+    cand = materialize(
         cross.select("id_a", "id_b")
         .unionByName(bb.select("id_a", "id_b"))
         .distinct()
     )
-    sigs_all = batch_sigs.unionByName(
-        corpus_signatures.select(F.col(id_col), F.col("signature"))
-    )
+    # The estimate stage's signature lookups are candidate-bounded:
+    # id_a is ALWAYS a batch doc (batch_sigs covers it), and the
+    # corpus rows id_b can name are exactly the candidate id_b set —
+    # so the corpus SIGNATURES table gets the same guarded literal-In
+    # pushdown as the verify stage's text read, instead of a full
+    # columnar scan per batch (signatures are small next to text, but
+    # still corpus-linear: ~520 B/doc).  Batch ids in the filter list
+    # are harmless (absent from the corpus table by contract).  On an
+    # id-clustered signatures table (sorted at build/compaction;
+    # appends are naturally per-batch-clustered) row-group stats
+    # prune the scan; past the guard the full-table join (AQE
+    # broadcast of cand) takes over unchanged.
+    cand_b = [
+        r[0]
+        for r in cand.select("id_b").distinct()
+        .limit(MAX_VERIFY_ID_PUSHDOWN + 1).collect()
+    ]
+    if 0 < len(cand_b) <= MAX_VERIFY_ID_PUSHDOWN:
+        corpus_sigs = corpus_signatures.filter(
+            F.col(id_col).isin(cand_b)
+        ).select(F.col(id_col), F.col("signature"))
+    else:
+        corpus_sigs = corpus_signatures.select(
+            F.col(id_col), F.col("signature")
+        )
+    sigs_all = batch_sigs.unionByName(corpus_sigs)
     est = estimate_jaccard_on_pairs(cand, sigs_all, id_col)
     plausible = materialize(
         est.filter(
@@ -804,11 +827,22 @@ def write_lsh_signature_store(
             shingle_sets(docs, text_col, id_col, n), id_col, num_hashes
         )
     )
+    # signatures land id-sorted within each written file set: the
+    # est-stage's pushed candidate-id filter then prunes row groups
+    # (appends are per-batch file sets, so each stays clustered over
+    # its batch's id range; compaction re-sorts globally).  One
+    # range shuffle of docs × ~520 B — trivial per batch, one-time
+    # at build.
+    sorted_sigs = sigs.repartitionByRange(
+        F.col(id_col)
+    ).sortWithinPartitions(id_col)
     if mode == "overwrite":
         from ..sources.writers import delete_path
 
         delete_path(spark, os.path.join(path, "meta"))
-        sigs.write.mode(mode).parquet(os.path.join(path, "signatures"))
+        sorted_sigs.write.mode(mode).parquet(
+            os.path.join(path, "signatures")
+        )
         lsh_banded(sigs, id_col, bands).write.mode(mode).parquet(
             os.path.join(path, "buckets")
         )
@@ -827,7 +861,9 @@ def write_lsh_signature_store(
         lsh_banded(sigs, id_col, bands).write.mode(mode).parquet(
             os.path.join(path, "buckets")
         )
-        sigs.write.mode(mode).parquet(os.path.join(path, "signatures"))
+        sorted_sigs.write.mode(mode).parquet(
+            os.path.join(path, "signatures")
+        )
 
 
 def read_lsh_signature_store(spark, path: str) -> dict:
@@ -1102,19 +1138,25 @@ def compact_lsh_signature_store(
     meta = read_lsh_signature_store(spark, store_path)["meta"]
     id_col = meta["id_col"]
     results = {}
-    for table, transform in (
-        ("signatures", None),
+    for table, transform, sort_col in (
+        # signatures re-cluster globally on id: per-append file sets
+        # are only per-batch clustered, and the est stage's pushed
+        # candidate-id filter prunes best against a globally sorted
+        # table
+        ("signatures", None, id_col),
         # exact-duplicate rows only: orphan rows (ids absent from
         # signatures) are left for the next append's self-heal
         ("buckets",
-         lambda df: df.dropDuplicates(["band", "bucket", id_col])),
+         lambda df: df.dropDuplicates(["band", "bucket", id_col]),
+         None),
     ):
         p = os.path.join(store_path, table)
         if min_files and count_data_files(spark, p) < min_files:
             results[table] = 0
             continue
         results[table] = compact_lake_partition(
-            spark, p, target_files, transform=transform
+            spark, p, target_files, transform=transform,
+            sort_col=sort_col,
         )
     return results
 

@@ -204,6 +204,7 @@ def compact_lake_partition(
     target_files: int,
     staging_suffix: str = "__compacting",
     transform=None,
+    sort_col: str | None = None,
 ) -> int:
     """Small-file compaction for a lake directory (one partition's worth).
 
@@ -231,6 +232,12 @@ def compact_lake_partition(
     maintenance only (dropping exact-duplicate rows a crash-healed
     append left behind, re-sorting for layout).  Anything that changes
     the logical contents belongs in an operator, not a compaction.
+
+    ``sort_col`` rewrites with the :func:`write_sorted_lake` layout
+    (range-partitioned across ``target_files``, sorted within each)
+    instead of round-robin, so compaction doubles as re-clustering:
+    row-group min/max stats on the column stay tight and pushed
+    point/IN predicates keep pruning after the rewrite.
     """
     sc = spark.sparkContext
     jvm = sc._jvm
@@ -259,9 +266,13 @@ def compact_lake_partition(
     df = spark.read.parquet(path)
     if transform is not None:
         df = transform(df)
-    df.repartition(target_files).write.mode("overwrite").parquet(
-        path + staging_suffix
-    )
+    if sort_col is not None:
+        df = df.repartitionByRange(
+            target_files, F.col(sort_col)
+        ).sortWithinPartitions(sort_col)
+    else:
+        df = df.repartition(target_files)
+    df.write.mode("overwrite").parquet(path + staging_suffix)
     if not fs.rename(src, old):
         raise IOError(f"compaction swap failed for {path}")
     if not fs.rename(staging, src):
