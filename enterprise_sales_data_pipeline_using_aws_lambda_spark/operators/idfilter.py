@@ -1,0 +1,55 @@
+"""Guarded pushed-filter anti-join for id-level exactly-once checks.
+
+Every incremental-state operator in this package pre-filters a batch
+against its persisted store ("ids already present are a replayed
+delivery") and appends with the same anti-join.  A plain anti-join
+scans the store's full id column per batch — only ~8 B/doc, but still
+corpus-linear, and at a 100 TB corpus that's the last per-batch read
+whose cost grows with the corpus instead of the batch.
+
+The batch side of these joins is bounded by construction (the store
+paths enforce batch-sized contracts), so the ids can be collected and
+PUSHED into the store scan as a literal In filter: parquet row-group
+stats then bound the read to the row groups that could hold those ids
+(the signature store is written id-sorted; per-batch append files are
+naturally clustered over their batch's id range), and the anti-join
+itself becomes a broadcast against the batch-bounded hit set.  Past
+the guard, the plain anti-join takes over unchanged — the fallback is
+always exact, the fast path is exact too (an In probe returns exactly
+the present ids), so this is a scan-bound optimization, never a
+semantics change.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+
+#: Ceiling on batch ids collected for the pushed-filter fast path —
+#: same order as text_dedup.MAX_VERIFY_ID_PUSHDOWN: a 10k-long collect
+#: is trivial driver work, and typical ingest batches sit well under.
+MAX_ID_PUSHDOWN = 10_000
+
+
+def anti_join_ids(
+    batch: DataFrame,
+    store: DataFrame,
+    id_col: str,
+    max_pushdown: int = MAX_ID_PUSHDOWN,
+) -> DataFrame:
+    """``batch`` rows whose ``id_col`` is absent from ``store`` —
+    exactly ``batch.join(store.select(id), id, "left_anti")``, with a
+    guarded fast path: for batches of ≤ ``max_pushdown`` distinct ids,
+    the id list is pushed into the store scan as a literal In filter
+    (row-group-pruned on an id-clustered store) and the anti-join runs
+    against the broadcast, batch-bounded hit set instead of the full
+    id column."""
+    ids = [
+        r[0]
+        for r in batch.select(id_col).distinct()
+        .limit(max_pushdown + 1).collect()
+    ]
+    if 0 < len(ids) <= max_pushdown:
+        present = store.filter(F.col(id_col).isin(ids)).select(id_col)
+        return batch.join(F.broadcast(present), id_col, "left_anti")
+    return batch.join(store.select(id_col), id_col, "left_anti")

@@ -856,9 +856,12 @@ def append_to_ivf_index(
     spark = batch.sparkSession
     idx = read_ivf_index(spark, path)
     _check_index_compat(batch, idx["meta"], path, id_col, vec_col)
+    from .idfilter import anti_join_ids
+
     fresh = materialize(
-        assign_ivf_lists(batch, idx["centroids"], id_col, vec_col).join(
-            idx["assignments"].select(id_col), id_col, "left_anti"
+        anti_join_ids(
+            assign_ivf_lists(batch, idx["centroids"], id_col, vec_col),
+            idx["assignments"], id_col,
         )
     )
     n_new = fresh.count()  # batch-bounded: one cheap job
@@ -994,12 +997,11 @@ def ingest_semantic_batch(
             f"(e.g. {sample}): ids must identify one embedding (the "
             f"keyed contract); fix the upstream delivery"
         )
-    # id-level exactly-once, then one assignment pass over the batch
-    fresh = materialize(
-        batch.join(
-            idx["assignments"].select(id_col), id_col, "left_anti"
-        )
-    )
+    # id-level exactly-once (guarded pushed-filter anti-join — see
+    # operators.idfilter), then one assignment pass over the batch
+    from .idfilter import anti_join_ids
+
+    fresh = materialize(anti_join_ids(batch, idx["assignments"], id_col))
     batch_assigned = materialize(
         assign_ivf_lists(fresh, idx["centroids"], id_col, vec_col)
     )

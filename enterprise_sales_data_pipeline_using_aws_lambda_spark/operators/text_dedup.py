@@ -979,14 +979,19 @@ def ingest_dedup_batch(
             f"(the keyed contract); fix the upstream delivery"
         )
     # exactly-once by id: ids already in the store are a replayed
-    # delivery — parquet column pruning makes this an id-only scan.
-    # materialize: fresh feeds the dedup, the drop-rule id set, and the
-    # final anti-join — unpinned it would re-run the store id scan per
-    # consumer, and with the checkpointed pairs below it leaves ZERO
-    # live store scans in the returned frames, so `clean` is pinned at
-    # ingest time (re-evaluating it after an append cannot shift it).
+    # delivery — the guarded pushed-filter anti-join bounds the store
+    # read to the row groups that could hold the batch's ids (see
+    # operators.idfilter), falling back to the full id-column scan
+    # past the guard.  materialize: fresh feeds the dedup, the
+    # drop-rule id set, and the final anti-join — unpinned it would
+    # re-run the store probe per consumer, and with the checkpointed
+    # pairs below it leaves ZERO live store scans in the returned
+    # frames, so `clean` is pinned at ingest time (re-evaluating it
+    # after an append cannot shift it).
+    from .idfilter import anti_join_ids
+
     fresh = materialize(
-        batch.join(store["signatures"].select(id_col), id_col, "left_anti")
+        anti_join_ids(batch, store["signatures"], id_col)
     )
     pairs = minhash_near_duplicates_against(
         corpus,
@@ -1068,9 +1073,9 @@ def append_batch_signatures(
             f"LSH store at {store_path} is keyed on "
             f"{meta['id_col']!r}, not {id_col!r}"
         )
-    fresh = clean.join(
-        store["signatures"].select(id_col), id_col, "left_anti"
-    )
+    from .idfilter import anti_join_ids
+
+    fresh = anti_join_ids(clean, store["signatures"], id_col)
     n_new = fresh.count()  # batch-bounded: one cheap job
     if n_new:
         write_lsh_signature_store(
