@@ -785,7 +785,21 @@ def read_ivf_index(spark, path: str) -> dict:
 
     import numpy as np
 
-    meta = spark.read.parquet(os.path.join(path, "meta")).first().asDict()
+    from pyspark.errors import AnalysisException
+
+    try:
+        meta = spark.read.parquet(
+            os.path.join(path, "meta")
+        ).first().asDict()
+    except AnalysisException as e:
+        if "PATH_NOT_FOUND" in str(e):
+            raise ValueError(
+                f"no IVF index at {path}: the meta table is missing — "
+                f"either nothing was built here, or a rebuild crashed "
+                f"mid-way (meta is written last).  Recover by "
+                f"re-running write_ivf_index"
+            ) from e
+        raise
     rows = (
         spark.read.parquet(os.path.join(path, "centroids"))
         .orderBy("list_id")

@@ -871,10 +871,28 @@ def read_lsh_signature_store(spark, path: str) -> dict:
     "buckets": DataFrame, "meta": dict}`` — the ``corpus_signatures``
     / ``corpus_buckets`` inputs of
     :func:`minhash_near_duplicates_against`.  Callers should check
-    ``meta`` matches the n/num_hashes/bands they pass the operator."""
+    ``meta`` matches the n/num_hashes/bands they pass the operator.
+
+    A store with no readable meta raises with recovery guidance: meta
+    is deleted first and rewritten last by the overwrite path, so its
+    absence means either no store was ever built here or a rebuild
+    died mid-way."""
     import os
 
-    m = spark.read.parquet(os.path.join(path, "meta")).first().asDict()
+    from pyspark.errors import AnalysisException
+
+    try:
+        m = spark.read.parquet(os.path.join(path, "meta")).first().asDict()
+    except AnalysisException as e:
+        if "PATH_NOT_FOUND" in str(e):
+            raise ValueError(
+                f"no LSH signature store at {path}: the meta table is "
+                f"missing — either nothing was built here, or an "
+                f"overwrite rebuild crashed mid-way (meta is written "
+                f"last).  Recover by re-running "
+                f"write_lsh_signature_store(mode='overwrite')"
+            ) from e
+        raise
     return {
         "signatures": spark.read.parquet(
             os.path.join(path, "signatures")

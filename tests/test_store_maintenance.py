@@ -534,7 +534,177 @@ def test_semantic_ingest_redelivery_hygiene_and_dim_guard(
         append_to_ivf_index(bad_dim, path)
 
 
-def test_anti_join_ids_parity_and_pushdown(spark, tmp_path):
+def test_signature_store_rowgroups_stay_id_clustered(spark, tmp_path):
+    """The signatures table must be physically id-clustered — the
+    property the est-stage and id-probe pushed filters prune against:
+    narrow row-group doc_id spans after the initial build, and again
+    after appends + compaction re-sort the table globally."""
+    import pyarrow.parquet as pq
+
+    from enterprise_sales_data_pipeline_using_aws_lambda_spark.operators.text_dedup import (  # noqa: E501
+        append_batch_signatures,
+        compact_lsh_signature_store,
+        write_lsh_signature_store,
+    )
+
+    def spans(store):
+        out = []
+        for f in glob.glob(f"{store}/signatures/*.parquet"):
+            md = pq.ParquetFile(f).metadata
+            for rg in range(md.num_row_groups):
+                col = next(
+                    md.row_group(rg).column(i)
+                    for i in range(md.num_columns)
+                    if md.row_group(rg).column(i).path_in_schema
+                    == "doc_id"
+                )
+                out.append(
+                    (col.statistics.min, col.statistics.max)
+                )
+        return out
+
+    store = str(tmp_path / "store")
+    n = 4000
+    # ids arrive shuffled; the store write must still cluster them
+    docs = spark.range(n).select(
+        F.xxhash64("id").alias("_r"),
+        F.col("id").alias("doc_id"),
+        F.concat(F.lit(W + " tail "), F.col("id")).alias("text"),
+    ).orderBy("_r").drop("_r")
+    # the store's range shuffle leaves the partition count to AQE
+    # (advisory ~64 MB chunks — right at scale); at test scale that
+    # coalesces to ONE file, so shrink the advisory size to force
+    # several files and make the clustering observable
+    confs = {
+        "spark.sql.adaptive.advisoryPartitionSizeInBytes": "8KB",
+        # the 1 MB floor would re-merge the tiny test shuffle to one
+        # partition no matter the advisory size
+        "spark.sql.adaptive.coalescePartitions.minPartitionSize": "1KB",
+    }
+    saved = {k: spark.conf.get(k) for k in confs}
+    for k, v in confs.items():
+        spark.conf.set(k, v)
+    try:
+        write_lsh_signature_store(docs, store, num_hashes=16, bands=4)
+    finally:
+        for k, v in saved.items():
+            spark.conf.set(k, v)
+    built = sorted(spans(store))
+    assert len(built) >= 2
+    # disjoint, narrow ranges — the sorted-lake property
+    for (lo1, hi1), (lo2, hi2) in zip(built, built[1:]):
+        assert hi1 < lo2
+    assert max(hi - lo for lo, hi in built) < n
+
+    # appends land as their own clustered file sets; compaction then
+    # re-sorts globally and the property must hold again
+    extra = spark.range(n, n + 200).select(
+        F.col("id").alias("doc_id"),
+        F.concat(F.lit(U + " tail "), F.col("id")).alias("text"),
+    )
+    assert append_batch_signatures(extra, store) == 200
+    compact_lsh_signature_store(spark, store, target_files=4)
+    after = sorted(spans(store))
+    for (lo1, hi1), (lo2, hi2) in zip(after, after[1:]):
+        assert hi1 < lo2
+    assert after[0][0] == 0 and after[-1][1] == n + 199
+
+
+def test_ingest_crash_matrix_converges_everywhere(spark, tmp_path):
+    """Exhaustive crash-point sweep over the composed daily-ingest
+    transaction: for EACH crash window (before the doc write, between
+    doc write and state append, inside the state append between its
+    buckets and signatures halves) injected into EACH batch of a
+    3-batch loop, the re-driven loop must end in exactly the no-crash
+    loop's lake and store state.  The per-window contracts are pinned
+    individually elsewhere; this pins their composition."""
+    from enterprise_sales_data_pipeline_using_aws_lambda_spark.operators.text_dedup import (  # noqa: E501
+        append_batch_signatures,
+        ingest_dedup_batch,
+        lsh_banded,
+        minhash_signatures,
+        read_lsh_signature_store,
+        shingle_sets,
+        write_lsh_signature_store,
+    )
+    from enterprise_sales_data_pipeline_using_aws_lambda_spark.sources.writers import (
+        append_log_idempotent,
+    )
+
+    v = "one more entirely new passage about broadcast thresholds"
+    batches = [
+        [(1, X), (2, Z), (3, Z), (4, U)],   # corpus dup + intra dup
+        [(11, Z), (12, W)],                  # dup of admitted 2
+        [(21, W), (22, v), (23, X)],         # dup of 12, dup of corpus
+    ]
+
+    def run_loop(root, crash_batch=None, crash_mode=None):
+        lake = f"{root}/lake"
+        store = f"{root}/store"
+        corpus0 = spark.createDataFrame(
+            [(101, X), (102, Y)], "doc_id long, text string"
+        )
+        append_log_idempotent(spark, corpus0, lake, "b0")
+        write_lsh_signature_store(
+            corpus0, store, num_hashes=16, bands=4
+        )
+
+        def lake_docs():
+            return spark.read.parquet(lake).select("doc_id", "text")
+
+        def step(i, rows, crash=None):
+            b = spark.createDataFrame(
+                rows, "doc_id long, text string"
+            )
+            if crash == "before_docs":
+                ingest_dedup_batch(lake_docs(), b, store)  # work, no writes
+                return False  # crashed before anything persisted
+            clean, _ = ingest_dedup_batch(lake_docs(), b, store)
+            append_log_idempotent(spark, clean, lake, f"b{i + 1}")
+            if crash == "after_docs":
+                return False  # crashed before the state append
+            if crash == "inside_append":
+                # exactly the first (buckets) half of the append
+                sigs = minhash_signatures(
+                    shingle_sets(clean, "text", "doc_id", 5),
+                    "doc_id", 16,
+                )
+                lsh_banded(sigs, "doc_id", 4).write.mode(
+                    "append"
+                ).parquet(f"{store}/buckets")
+                return False
+            append_batch_signatures(clean, store)
+            return True
+
+        for i, rows in enumerate(batches):
+            if i == crash_batch:
+                assert step(i, rows, crash_mode) is False
+                assert step(i, rows) is True  # the re-drive
+            else:
+                assert step(i, rows) is True
+
+        lake_state = sorted(
+            (r["doc_id"], r["text"])
+            for r in lake_docs().collect()
+        )
+        st = read_lsh_signature_store(spark, store)
+        sig_state = sorted(
+            r["doc_id"] for r in st["signatures"].collect()
+        )
+        bucket_state = sorted(map(tuple, st["buckets"].distinct().collect()))
+        return lake_state, sig_state, bucket_state
+
+    reference = run_loop(str(tmp_path / "ref"))
+    # sanity on the reference itself: dups dropped across batches
+    assert [d for d, _ in reference[0]] == [2, 4, 12, 22, 101, 102]
+
+    for crash_batch in range(3):
+        for crash_mode in ("before_docs", "after_docs", "inside_append"):
+            root = str(tmp_path / f"c{crash_batch}_{crash_mode}")
+            got = run_loop(root, crash_batch, crash_mode)
+            assert got == reference, (
+                f"crash {crash_mode} in batch {crash_batch} diverged"
+            )
     """The guarded pushed-filter anti-join (the id-level exactly-once
     probe) must return exactly the plain anti-join's rows on both
     sides of the guard, and its fast path must reach the store scan
