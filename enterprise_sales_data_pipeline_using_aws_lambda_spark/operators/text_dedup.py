@@ -866,23 +866,22 @@ def write_lsh_signature_store(
         )
 
 
-def read_lsh_signature_store(spark, path: str) -> dict:
-    """Load a persisted LSH store: ``{"signatures": DataFrame,
-    "buckets": DataFrame, "meta": dict}`` — the ``corpus_signatures``
-    / ``corpus_buckets`` inputs of
-    :func:`minhash_near_duplicates_against`.  Callers should check
-    ``meta`` matches the n/num_hashes/bands they pass the operator.
-
-    A store with no readable meta raises with recovery guidance: meta
-    is deleted first and rewritten last by the overwrite path, so its
-    absence means either no store was ever built here or a rebuild
-    died mid-way."""
+def _read_store_meta(spark, path: str) -> dict:
+    """The store's meta row as a dict, with recovery guidance when the
+    meta table is absent: meta is deleted first and rewritten last by
+    the overwrite path, so its absence means either no store was ever
+    built here or a rebuild died mid-way.  Meta is the ONE table
+    maintenance never touches, so this read is safe even while the
+    data tables sit mid-swap (compaction crash debris)."""
     import os
 
     from pyspark.errors import AnalysisException
 
     try:
-        m = spark.read.parquet(os.path.join(path, "meta")).first().asDict()
+        return (
+            spark.read.parquet(os.path.join(path, "meta"))
+            .first().asDict()
+        )
     except AnalysisException as e:
         if "PATH_NOT_FOUND" in str(e):
             raise ValueError(
@@ -893,6 +892,20 @@ def read_lsh_signature_store(spark, path: str) -> dict:
                 f"write_lsh_signature_store(mode='overwrite')"
             ) from e
         raise
+
+
+def read_lsh_signature_store(spark, path: str) -> dict:
+    """Load a persisted LSH store: ``{"signatures": DataFrame,
+    "buckets": DataFrame, "meta": dict}`` — the ``corpus_signatures``
+    / ``corpus_buckets`` inputs of
+    :func:`minhash_near_duplicates_against`.  Callers should check
+    ``meta`` matches the n/num_hashes/bands they pass the operator.
+
+    A store with no readable meta raises with recovery guidance (see
+    :func:`_read_store_meta`)."""
+    import os
+
+    m = _read_store_meta(spark, path)
     return {
         "signatures": spark.read.parquet(
             os.path.join(path, "signatures")
@@ -1151,15 +1164,11 @@ def compact_lsh_signature_store(
                 return True
         return False
 
-    # recover BEFORE reading meta validation targets: a crashed swap
-    # can leave signatures/buckets themselves missing
-    for table in ("signatures", "buckets"):
-        p = os.path.join(store_path, table)
-        if _crashed(p):
-            compact_lake_partition(spark, p, target_files)
-
-    meta = read_lsh_signature_store(spark, store_path)["meta"]
-    id_col = meta["id_col"]
+    # meta is the one table maintenance never touches, so it is
+    # readable even while a crashed swap has a data table mid-rename —
+    # read it DIRECTLY (read_lsh_signature_store also plans the
+    # signature/bucket reads, which would throw on a mid-swap table)
+    id_col = _read_store_meta(spark, store_path)["id_col"]
     results = {}
     for table, transform, sort_col in (
         # signatures re-cluster globally on id: per-append file sets
@@ -1174,7 +1183,14 @@ def compact_lsh_signature_store(
          None),
     ):
         p = os.path.join(store_path, table)
-        if min_files and count_data_files(spark, p) < min_files:
+        # crash debris bypasses the min_files gate (the table may be
+        # mid-swap and list zero files) and gets the SAME transform +
+        # sort as a normal rewrite — recovery that re-clustered
+        # round-robin would silently strip the sorted layout the
+        # pushed-id probes prune against
+        if not _crashed(p) and min_files and count_data_files(
+            spark, p
+        ) < min_files:
             results[table] = 0
             continue
         results[table] = compact_lake_partition(

@@ -609,6 +609,20 @@ def test_signature_store_rowgroups_stay_id_clustered(spark, tmp_path):
         assert hi1 < lo2
     assert after[0][0] == 0 and after[-1][1] == n + 199
 
+    # crash recovery must NOT strip the layout: a maintenance run that
+    # died between swap-out and swap-in is revisited (min_files
+    # bypassed) and the rewrite re-sorts — a round-robin recovery
+    # would silently cost every future pushed-id probe its pruning
+    os.rename(f"{store}/signatures", f"{store}/signatures__old")
+    compact_lsh_signature_store(
+        spark, store, target_files=4, min_files=99
+    )
+    recovered = sorted(spans(store))
+    assert len(recovered) >= 2
+    for (lo1, hi1), (lo2, hi2) in zip(recovered, recovered[1:]):
+        assert hi1 < lo2
+    assert recovered[0][0] == 0 and recovered[-1][1] == n + 199
+
 
 def test_ingest_crash_matrix_converges_everywhere(spark, tmp_path):
     """Exhaustive crash-point sweep over the composed daily-ingest
@@ -705,6 +719,9 @@ def test_ingest_crash_matrix_converges_everywhere(spark, tmp_path):
             assert got == reference, (
                 f"crash {crash_mode} in batch {crash_batch} diverged"
             )
+
+
+def test_anti_join_ids_parity_and_pushdown(spark, tmp_path):
     """The guarded pushed-filter anti-join (the id-level exactly-once
     probe) must return exactly the plain anti-join's rows on both
     sides of the guard, and its fast path must reach the store scan
