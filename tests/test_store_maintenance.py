@@ -12,7 +12,10 @@
   corpus scan so an id-clustered lake prunes row groups
   (VERDICT r6 item 1);
 - the semantic ingest applies the text path's within-batch id hygiene
-  (ADVICE r6 medium #2) and fails loudly on embedding-dim mismatch.
+  (ADVICE r6 medium #2) and fails loudly on embedding-dim mismatch;
+- the composed semantic ingest loop converges under re-drive from any
+  crash point, including a PARTIAL index append (the text crash
+  matrix's analog, plus the window unique to a single-table append).
 """
 
 import glob
@@ -754,6 +757,117 @@ def test_anti_join_ids_parity_and_pushdown(spark, tmp_path):
     # empty batch: falls through to the plain anti-join, stays empty
     empty = batch.filter(F.lit(False))
     assert anti_join_ids(empty, store, "doc_id").count() == 0
+
+
+def test_semantic_ingest_crash_matrix_converges_everywhere(
+    spark, tmp_path,
+):
+    """The semantic analog of the text crash matrix: for EACH crash
+    window (before the vector write, between vector write and index
+    append, inside the index append with only PART of the batch's
+    assignment rows committed — the partial-job-commit state a
+    non-atomic parquet append can expose) injected into EACH batch of
+    a 3-batch loop, the re-driven loop must end in exactly the
+    no-crash loop's lake and index state.  The partial-append window
+    matters because its re-drive takes a DIFFERENT code path: the
+    committed id pre-filters away as "already indexed" and acts as a
+    corpus dropper (regardless of id) instead of a smaller-id batch
+    dropper — convergent only because two admitted vectors are never
+    ≥ threshold of each other."""
+    import math
+
+    from enterprise_sales_data_pipeline_using_aws_lambda_spark.operators.similarity import (  # noqa: E501
+        append_to_ivf_index,
+        assign_ivf_lists,
+        ingest_semantic_batch,
+        read_ivf_index,
+        write_ivf_index,
+    )
+    from enterprise_sales_data_pipeline_using_aws_lambda_spark.sources.writers import (
+        append_log_idempotent,
+    )
+
+    def ang(deg):  # unit-ish vector in the centroid plane
+        r = math.radians(deg)
+        return [10 * math.cos(r), 10 * math.sin(r), 0.0, 0.0]
+
+    # centroids train to exactly 0° and 90° (the two corpus vectors);
+    # near-dup pairs sit ~2° apart (cos 0.9994 ≥ 0.95), every admitted
+    # vector is ≥ 18° from all same-list survivors (cos ≤ 0.91 < 0.95)
+    A, B = ang(0), ang(90)
+    batches = [
+        [(1, ang(2)), (2, ang(35)), (3, ang(33)), (4, ang(125))],
+        # 1 drops vs corpus A; 3 drops vs in-batch 2; 2, 4 admitted
+        [(11, ang(37)), (12, ang(65))],
+        # 11 drops vs ADMITTED 2 (now corpus); 12 admitted
+        [(21, ang(63)), (22, [0.0, 7.0, 7.0, 0.0]),
+         (23, [10.0, 0.0, 0.4, 0.0])],
+        # 21 drops vs admitted 12; 23 drops vs corpus A; 22 admitted
+    ]
+    schema = "vec_id long, embedding array<double>"
+
+    def run_loop(root, crash_batch=None, crash_mode=None):
+        lake = f"{root}/lake"
+        index = f"{root}/ivf"
+        corpus0 = spark.createDataFrame([(101, A), (102, B)], schema)
+        append_log_idempotent(spark, corpus0, lake, "b0")
+        write_ivf_index(corpus0, index, n_lists=2)
+
+        def step(i, rows, crash=None):
+            b = spark.createDataFrame(rows, schema)
+            if crash == "before_docs":
+                ingest_semantic_batch(b, index)  # work, no writes
+                return False
+            clean, _ = ingest_semantic_batch(b, index)
+            append_log_idempotent(spark, clean, lake, f"b{i + 1}")
+            if crash == "after_docs":
+                return False  # crashed before the index append
+            if crash == "inside_append":
+                # partial job commit: exactly ONE admitted row's
+                # assignment lands, the rest of the batch does not
+                idx = read_ivf_index(spark, index)
+                one = assign_ivf_lists(
+                    clean.orderBy("vec_id").limit(1), idx["centroids"]
+                )
+                one.write.mode("append").partitionBy(
+                    "list_id"
+                ).parquet(f"{index}/assignments")
+                return False
+            append_to_ivf_index(clean, index)
+            return True
+
+        for i, rows in enumerate(batches):
+            if i == crash_batch:
+                assert step(i, rows, crash_mode) is False
+                assert step(i, rows) is True  # the re-drive
+            else:
+                assert step(i, rows) is True
+
+        lake_state = sorted(
+            (r["vec_id"], tuple(r["embedding"]))
+            for r in spark.read.parquet(lake)
+            .select("vec_id", "embedding").collect()
+        )
+        # full multiset, not distinct: a partial append healed by
+        # anything short of the id anti-join would duplicate rows
+        idx_state = sorted(
+            (r["vec_id"], r["list_id"], tuple(r["embedding"]))
+            for r in read_ivf_index(spark, index)["assignments"]
+            .collect()
+        )
+        return lake_state, idx_state
+
+    reference = run_loop(str(tmp_path / "ref"))
+    assert [v for v, _ in reference[0]] == [2, 4, 12, 22, 101, 102]
+    assert [v for v, _, _ in reference[1]] == [2, 4, 12, 22, 101, 102]
+
+    for crash_batch in range(3):
+        for crash_mode in ("before_docs", "after_docs", "inside_append"):
+            root = str(tmp_path / f"c{crash_batch}_{crash_mode}")
+            got = run_loop(root, crash_batch, crash_mode)
+            assert got == reference, (
+                f"crash {crash_mode} in batch {crash_batch} diverged"
+            )
 
 
 def test_store_verify_pushes_id_filter_on_sorted_lake(spark, tmp_path):
