@@ -31,6 +31,26 @@ from pyspark.sql import functions as F
 MAX_ID_PUSHDOWN = 10_000
 
 
+def collect_ids_bounded(
+    df: DataFrame,
+    id_col: str,
+    max_ids: int = MAX_ID_PUSHDOWN,
+) -> list | None:
+    """``df``'s distinct ``id_col`` values as a driver-side list, or
+    ``None`` if there are more than ``max_ids`` of them — the ONE
+    guarded collect every pushed-literal-filter fast path in this
+    package goes through (``limit(max+1)`` probe, so an over-bound
+    frame costs one bounded job, never an unbounded collect).  A
+    ``None`` return means: take the join fallback; an empty list
+    means: the id set is genuinely empty."""
+    ids = [
+        r[0]
+        for r in df.select(id_col).distinct()
+        .limit(max_ids + 1).collect()
+    ]
+    return None if len(ids) > max_ids else ids
+
+
 def anti_join_ids(
     batch: DataFrame,
     store: DataFrame,
@@ -44,12 +64,8 @@ def anti_join_ids(
     (row-group-pruned on an id-clustered store) and the anti-join runs
     against the broadcast, batch-bounded hit set instead of the full
     id column."""
-    ids = [
-        r[0]
-        for r in batch.select(id_col).distinct()
-        .limit(max_pushdown + 1).collect()
-    ]
-    if 0 < len(ids) <= max_pushdown:
+    ids = collect_ids_bounded(batch, id_col, max_pushdown)
+    if ids:
         present = store.filter(F.col(id_col).isin(ids)).select(id_col)
         return batch.join(F.broadcast(present), id_col, "left_anti")
     return batch.join(store.select(id_col), id_col, "left_anti")

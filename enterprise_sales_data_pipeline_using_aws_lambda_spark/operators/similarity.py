@@ -774,6 +774,33 @@ def write_ivf_index(
     ).write.mode("overwrite").parquet(os.path.join(path, "meta"))
 
 
+def _read_index_meta(spark, path: str) -> dict:
+    """The index's meta row as a dict, with recovery guidance when the
+    meta table is absent (meta is deleted first and rewritten last by
+    :func:`write_ivf_index`, so its absence means nothing was built
+    here or a rebuild died mid-way).  Meta is the one table
+    maintenance never touches, so this read is safe even while the
+    assignments partitions sit mid-swap."""
+    import os
+
+    from pyspark.errors import AnalysisException
+
+    try:
+        return (
+            spark.read.parquet(os.path.join(path, "meta"))
+            .first().asDict()
+        )
+    except AnalysisException as e:
+        if "PATH_NOT_FOUND" in str(e):
+            raise ValueError(
+                f"no IVF index at {path}: the meta table is missing — "
+                f"either nothing was built here, or a rebuild crashed "
+                f"mid-way (meta is written last).  Recover by "
+                f"re-running write_ivf_index"
+            ) from e
+        raise
+
+
 def read_ivf_index(spark, path: str) -> dict:
     """Load a persisted IVF index: ``{"centroids": np.ndarray,
     "assignments": DataFrame, "meta": dict}`` — the ``centroids=`` /
@@ -785,21 +812,7 @@ def read_ivf_index(spark, path: str) -> dict:
 
     import numpy as np
 
-    from pyspark.errors import AnalysisException
-
-    try:
-        meta = spark.read.parquet(
-            os.path.join(path, "meta")
-        ).first().asDict()
-    except AnalysisException as e:
-        if "PATH_NOT_FOUND" in str(e):
-            raise ValueError(
-                f"no IVF index at {path}: the meta table is missing — "
-                f"either nothing was built here, or a rebuild crashed "
-                f"mid-way (meta is written last).  Recover by "
-                f"re-running write_ivf_index"
-            ) from e
-        raise
+    meta = _read_index_meta(spark, path)
     rows = (
         spark.read.parquet(os.path.join(path, "centroids"))
         .orderBy("list_id")
@@ -837,6 +850,15 @@ def _check_index_compat(
             F.size(F.col(vec_col)).alias("d")
         ).distinct().collect()
     ]
+    # F.size(NULL) -> NULL: call out null embeddings by name instead
+    # of sorting None against ints (TypeError) or printing
+    # "dimension(s) [None]"
+    if any(d is None for d in dims):
+        raise ValueError(
+            f"batch contains rows with NULL {vec_col}; every vector "
+            f"must be a {meta['dim']}-dim embedding (IVF index at "
+            f"{path}) — filter or re-embed the null rows upstream"
+        )
     bad = sorted(d for d in dims if d != meta["dim"])
     if bad:
         raise ValueError(
@@ -915,8 +937,14 @@ def compact_ivf_index(
 
     from ..sources.writers import compact_lake_partition, count_data_files
 
-    # meta must exist (loud on a half-built index) — nothing else read
-    spark.read.parquet(os.path.join(path, "meta")).first()
+    from ..sources.writers import (
+        COMPACT_BACKUP_SUFFIX,
+        COMPACT_STAGING_SUFFIX,
+    )
+
+    # meta must exist (loud, with recovery guidance, on a half-built
+    # index) — nothing else read
+    _read_index_meta(spark, path)
     sc = spark.sparkContext
     jvm = sc._jvm
     aroot = os.path.join(path, "assignments")
@@ -927,15 +955,17 @@ def compact_ivf_index(
     # partition itself may be mid-swap), so crashed partitions are
     # ALWAYS revisited — compact_lake_partition's own recovery rolls
     # them back before rewriting — regardless of the min_files trigger.
+    # Suffixes come from the writers module: the naming contract lives
+    # in ONE place.
     parts, crashed = set(), set()
     for st in fs.listStatus(adir):
         if not st.isDirectory():
             continue
         name = st.getPath().getName()
-        if name.endswith("__old"):
-            crashed.add(name[: -len("__old")])
-        elif name.endswith("__compacting"):
-            crashed.add(name[: -len("__compacting")])
+        if name.endswith(COMPACT_BACKUP_SUFFIX):
+            crashed.add(name[: -len(COMPACT_BACKUP_SUFFIX)])
+        elif name.endswith(COMPACT_STAGING_SUFFIX):
+            crashed.add(name[: -len(COMPACT_STAGING_SUFFIX)])
         elif name.startswith("list_id="):
             parts.add(name)
     results = {}
@@ -998,8 +1028,13 @@ def ingest_semantic_batch(
     # from lake and index.  The same id carrying DIFFERENT vectors is
     # a keyed-contract violation that would admit duplicate-id rows
     # into the index, so it fails loudly.  Both probes batch-bounded.
-    batch = batch.select(id_col, vec_col).dropDuplicates(
-        [id_col, vec_col]
+    # materialize: the deduped frame feeds three separate jobs (the
+    # conflict probe, the anti-join's id collect, the fresh pin) —
+    # unpinned, each re-runs the dedup shuffle from the source
+    batch = materialize(
+        batch.select(id_col, vec_col).dropDuplicates(
+            [id_col, vec_col]
+        )
     )
     conflicted = (
         batch.groupBy(id_col).count().filter(F.col("count") > 1)

@@ -675,30 +675,42 @@ def _minhash_against_stored(
         .distinct()
     )
     # The estimate stage's signature lookups are candidate-bounded:
-    # id_a is ALWAYS a batch doc (batch_sigs covers it), and the
-    # corpus rows id_b can name are exactly the candidate id_b set —
-    # so the corpus SIGNATURES table gets the same guarded literal-In
-    # pushdown as the verify stage's text read, instead of a full
-    # columnar scan per batch (signatures are small next to text, but
-    # still corpus-linear: ~520 B/doc).  Batch ids in the filter list
-    # are harmless (absent from the corpus table by contract).  On an
-    # id-clustered signatures table (sorted at build/compaction;
+    # id_a is ALWAYS a batch doc (batch_sigs covers it), and the only
+    # candidate ids needing CORPUS signatures are the cross-pair id_b
+    # set — bb pairs name batch ids on both sides, so they are
+    # anti-joined out of the collected list rather than inflating it
+    # (a batch with heavy internal duplication would otherwise trip
+    # the guard, or widen the pushed In range, on ids that never
+    # touch the corpus table).  So the corpus SIGNATURES table gets
+    # the same guarded literal-In pushdown as the verify stage's text
+    # read, instead of a full columnar scan per batch (signatures are
+    # small next to text, but still corpus-linear: ~520 B/doc).  On
+    # an id-clustered signatures table (sorted at build/compaction;
     # appends are naturally per-batch-clustered) row-group stats
     # prune the scan; past the guard the full-table join (AQE
-    # broadcast of cand) takes over unchanged.
-    cand_b = [
-        r[0]
-        for r in cand.select("id_b").distinct()
-        .limit(MAX_VERIFY_ID_PUSHDOWN + 1).collect()
-    ]
-    if 0 < len(cand_b) <= MAX_VERIFY_ID_PUSHDOWN:
-        corpus_sigs = corpus_signatures.filter(
-            F.col(id_col).isin(cand_b)
-        ).select(F.col(id_col), F.col("signature"))
-    else:
+    # broadcast of cand) takes over unchanged; an all-bb candidate
+    # set skips the corpus signatures read entirely.
+    from .idfilter import collect_ids_bounded
+
+    cand_b = collect_ids_bounded(
+        cand.join(
+            F.broadcast(
+                batch_sigs.select(F.col(id_col).alias("id_b"))
+            ),
+            "id_b",
+            "left_anti",
+        ),
+        "id_b",
+        MAX_VERIFY_ID_PUSHDOWN,
+    )
+    if cand_b is None:  # over the bound: full-table join fallback
         corpus_sigs = corpus_signatures.select(
             F.col(id_col), F.col("signature")
         )
+    else:  # exact corpus-side id set ([] -> empty relation, no read)
+        corpus_sigs = corpus_signatures.filter(
+            F.col(id_col).isin(cand_b) if cand_b else F.lit(False)
+        ).select(F.col(id_col), F.col("signature"))
     sigs_all = batch_sigs.unionByName(corpus_sigs)
     est = estimate_jaccard_on_pairs(cand, sigs_all, id_col)
     plausible = materialize(
@@ -708,11 +720,20 @@ def _minhash_against_stored(
     )
     # exact verify needs shingle SETS — re-shingle ONLY the corpus docs
     # named in surviving pairs (a candidate-bounded id set), never the
-    # whole corpus
+    # whole corpus.  Corpus-side ids only: id_a is always a batch doc
+    # and bb-pair id_b is too — batch_sh already covers every batch
+    # id, so batch ids in this set would only inflate the pushed In
+    # list (and, in the crash-between-doc-write-and-append window,
+    # pointlessly re-read the half-written lake's copies of the batch
+    # docs).
     pair_ids = (
-        plausible.select(F.col("id_a").alias(id_col))
-        .unionByName(plausible.select(F.col("id_b").alias(id_col)))
+        plausible.select(F.col("id_b").alias(id_col))
         .distinct()
+        .join(
+            F.broadcast(batch_sigs.select(id_col)),
+            id_col,
+            "left_anti",
+        )
     )
     # Literal-IN pushdown instead of a semi-join when the id set is
     # small (the normal dirty batch: a handful of pair-named docs): a
@@ -726,18 +747,18 @@ def _minhash_against_stored(
     # fallback — past the bound the semi-join path (AQE broadcast)
     # takes over unchanged.  pair_ids is derived from the checkpointed
     # `plausible`, so the probe is a cheap bounded job.
-    ids = [
-        r[0]
-        for r in pair_ids.limit(MAX_VERIFY_ID_PUSHDOWN + 1).collect()
-    ]
-    if 0 < len(ids) <= MAX_VERIFY_ID_PUSHDOWN:
-        needed = corpus.filter(F.col(id_col).isin(ids))
-    else:
-        # unhinted semi-join: AQE broadcasts when the checkpointed
-        # pair set is actually small (see minhash_near_duplicates);
-        # empty pair sets propagate to an empty relation — the clean
-        # batch never touches corpus text either way
+    ids = collect_ids_bounded(pair_ids, id_col, MAX_VERIFY_ID_PUSHDOWN)
+    if ids is None:
+        # over the bound — unhinted semi-join: AQE broadcasts when
+        # the checkpointed pair set is actually small (see
+        # minhash_near_duplicates)
         needed = corpus.join(pair_ids, id_col, "left_semi")
+    else:
+        # exact corpus-side id set ([] -> empty relation: a clean or
+        # batch-internal-only batch never touches corpus text)
+        needed = corpus.filter(
+            F.col(id_col).isin(ids) if ids else F.lit(False)
+        )
     shingled = batch_sh.unionByName(
         shingle_sets(needed, text_col, id_col, n)
     )
@@ -996,8 +1017,13 @@ def ingest_dedup_batch(
     # text is a keyed-contract violation that would otherwise admit
     # duplicate rows downstream, so it fails loudly here.  Both probes
     # are batch-bounded jobs.
-    batch = batch.select(id_col, text_col).dropDuplicates(
-        [id_col, text_col]
+    # materialize: the deduped frame feeds three separate jobs (the
+    # conflict probe, the anti-join's id collect, the fresh pin) —
+    # unpinned, each re-runs the dedup shuffle from the source
+    batch = materialize(
+        batch.select(id_col, text_col).dropDuplicates(
+            [id_col, text_col]
+        )
     )
     conflicted = (
         batch.groupBy(id_col).count().filter(F.col("count") > 1)
@@ -1038,10 +1064,13 @@ def ingest_dedup_batch(
         corpus_signatures=store["signatures"],
         corpus_buckets=store["buckets"],
     )
-    # distinct: in the crash-between-doc-write-and-append window the
-    # half-written lake holds the batch docs too, so verify re-shingles
-    # a pair-named batch id twice (batch copy + lake copy) — identical
-    # text, identical jaccard, duplicate evidence rows.  materialize:
+    # distinct: a safety net against duplicate evidence rows (the
+    # historical source — the crash-between-doc-write-and-append
+    # window, where the half-written lake held the batch docs and
+    # verify re-shingled a pair-named batch id twice — is gone now
+    # that the verify read is corpus-side-only, but the net is
+    # near-dup-count-sized and a convergence contract shouldn't lean
+    # on the optimization that made it vacuous).  materialize:
     # dropped consumes pairs twice and clean consumes dropped, and the
     # verify stage above them ends in a corpus-text semi-join — without
     # the checkpoint that corpus scan re-runs per consumer (measured:
@@ -1151,18 +1180,11 @@ def compact_lsh_signature_store(
     ``{table: files_before}`` with 0 for skipped tables."""
     import os
 
-    from ..sources.writers import compact_lake_partition, count_data_files
-
-    sc = spark.sparkContext
-    jvm = sc._jvm
-    conf = sc._jsc.hadoopConfiguration()
-
-    def _crashed(p: str) -> bool:
-        for suffix in ("__old", "__compacting"):
-            hp = jvm.org.apache.hadoop.fs.Path(p + suffix)
-            if hp.getFileSystem(conf).exists(hp):
-                return True
-        return False
+    from ..sources.writers import (
+        compact_lake_partition,
+        count_data_files,
+        has_crash_debris,
+    )
 
     # meta is the one table maintenance never touches, so it is
     # readable even while a crashed swap has a data table mid-rename —
@@ -1188,9 +1210,9 @@ def compact_lsh_signature_store(
         # sort as a normal rewrite — recovery that re-clustered
         # round-robin would silently strip the sorted layout the
         # pushed-id probes prune against
-        if not _crashed(p) and min_files and count_data_files(
-            spark, p
-        ) < min_files:
+        if not has_crash_debris(spark, p) and min_files and (
+            count_data_files(spark, p) < min_files
+        ):
             results[table] = 0
             continue
         results[table] = compact_lake_partition(

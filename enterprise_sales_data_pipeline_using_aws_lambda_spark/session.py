@@ -56,12 +56,15 @@ def get_spark(app_name: str = "enterprise-sales-engine", cpus: int | None = None
         # Literal IN-lists push into parquet as exact per-value filters
         # up to this size (beyond it Spark degrades the pushed filter
         # to a [min,max] range).  The default of 10 is far below the
-        # id sets the store-backed dedup verify pushes
-        # (text_dedup.MAX_VERIFY_ID_PUSHDOWN): exact In filters prune
-        # row groups on an id-clustered lake even when the ids are
-        # scattered, where a range filter spanning them prunes nothing.
-        # 1000 values per row-group stat check is still trivial CPU.
-        .config("spark.sql.parquet.pushdown.inFilterThreshold", "1000")
+        # id sets the store-backed dedup verify pushes; the value here
+        # matches the collect guards exactly
+        # (text_dedup.MAX_VERIFY_ID_PUSHDOWN / idfilter.MAX_ID_PUSHDOWN
+        # = 10_000) so NO guarded fast path silently degrades to a
+        # [min,max] range that prunes nothing on scattered ids — a
+        # mismatch here is a broken cost claim, not a visible error.
+        # Row-group stat checks evaluate the sorted value set, so 10k
+        # values per check is still trivial CPU.
+        .config("spark.sql.parquet.pushdown.inFilterThreshold", "10000")
         # InferFiltersFromGenerate synthesizes `size(arr) > 0` from every
         # non-outer explode.  For this engine's explodes the array is
         # almost always a COMPUTED expression (char n-gram shingles,

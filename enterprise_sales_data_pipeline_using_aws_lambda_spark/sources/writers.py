@@ -182,6 +182,35 @@ def export_table(
     w.format(fmt).save(path)
 
 
+#: Compaction swap suffixes — the ONE place the crash-debris naming
+#: contract lives.  ``__compacting`` holds the staged rewrite,
+#: ``__old`` holds the swapped-out original; either existing next to
+#: a lake directory means a maintenance run is mid-swap or crashed,
+#: and detectors (``has_crash_debris``, the IVF partition walk) must
+#: recognize exactly these names.
+COMPACT_STAGING_SUFFIX = "__compacting"
+COMPACT_BACKUP_SUFFIX = "__old"
+
+
+def has_crash_debris(
+    spark: SparkSession,
+    path: str,
+    staging_suffix: str = COMPACT_STAGING_SUFFIX,
+) -> bool:
+    """True if a :func:`compact_lake_partition` run on ``path`` left
+    mid-swap debris (``<path>__old`` or the staging directory) — the
+    signal that the directory must be revisited by maintenance
+    regardless of its file-count trigger, because the table itself may
+    be mid-rename and list zero files."""
+    sc = spark.sparkContext
+    conf = sc._jsc.hadoopConfiguration()
+    for suffix in (COMPACT_BACKUP_SUFFIX, staging_suffix):
+        hp = sc._jvm.org.apache.hadoop.fs.Path(path + suffix)
+        if hp.getFileSystem(conf).exists(hp):
+            return True
+    return False
+
+
 def count_data_files(spark: SparkSession, path: str) -> int:
     """Number of data files directly under ``path`` (underscore/dot
     prefixed bookkeeping excluded) — the trigger metric for
@@ -202,7 +231,7 @@ def compact_lake_partition(
     spark: SparkSession,
     path: str,
     target_files: int,
-    staging_suffix: str = "__compacting",
+    staging_suffix: str = COMPACT_STAGING_SUFFIX,
     transform=None,
     sort_col: str | None = None,
 ) -> int:
@@ -244,7 +273,7 @@ def compact_lake_partition(
     conf = sc._jsc.hadoopConfiguration()
     src = jvm.org.apache.hadoop.fs.Path(path)
     fs = src.getFileSystem(conf)
-    old = jvm.org.apache.hadoop.fs.Path(path + "__old")
+    old = jvm.org.apache.hadoop.fs.Path(path + COMPACT_BACKUP_SUFFIX)
     staging = jvm.org.apache.hadoop.fs.Path(path + staging_suffix)
     # crash recovery from a previous run (class of states is closed:
     # __old only exists between swap-out and the post-swap delete)
@@ -258,10 +287,9 @@ def compact_lake_partition(
                 raise IOError(f"compaction recovery failed for {path}")
     if fs.exists(staging):  # stale staging from any crashed attempt
         fs.delete(staging, True)
-    before = len([
-        f for f in fs.listStatus(src)
-        if f.isFile() and not f.getPath().getName().startswith("_")
-    ])
+    # same metric as the min_files trigger (count_data_files), so the
+    # returned files_before is consistent with what tripped it
+    before = count_data_files(spark, path)
 
     df = spark.read.parquet(path)
     if transform is not None:

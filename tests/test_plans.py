@@ -165,6 +165,26 @@ def test_join_strategy_hints_are_honored(spark):
     assert "SortMergeJoin" in plan_of(a.join(b.hint("merge"), "k"))
 
 
+def test_in_filter_threshold_covers_pushdown_guards(spark):
+    """The session's parquet inFilterThreshold must cover every guarded
+    id-collect bound: past it Spark degrades a pushed In to a
+    [min,max] range, which prunes nothing on scattered ids — the
+    guarded fast paths would still be correct but their whole cost
+    claim (row-group-pruned store/lake reads) silently breaks."""
+    from enterprise_sales_data_pipeline_using_aws_lambda_spark.operators.idfilter import (
+        MAX_ID_PUSHDOWN,
+    )
+    from enterprise_sales_data_pipeline_using_aws_lambda_spark.operators.text_dedup import (  # noqa: E501
+        MAX_VERIFY_ID_PUSHDOWN,
+    )
+
+    thr = int(
+        spark.conf.get("spark.sql.parquet.pushdown.inFilterThreshold")
+    )
+    assert thr >= MAX_ID_PUSHDOWN
+    assert thr >= MAX_VERIFY_ID_PUSHDOWN
+
+
 def test_no_inferred_filter_duplicates_shingling(spark, sf_dir):
     """InferFiltersFromGenerate is excluded in get_spark: the rule
     synthesizes `size(shingles) > 0` from the minhash explode, and

@@ -536,6 +536,15 @@ def test_semantic_ingest_redelivery_hygiene_and_dim_guard(
     with pytest.raises(ValueError, match="dimension"):
         append_to_ivf_index(bad_dim, path)
 
+    # a NULL embedding names itself (F.size(NULL) -> None used to
+    # TypeError inside sorted() when mixed with a wrong-dim row)
+    null_vec = spark.createDataFrame(
+        [(601, None), (602, [1.0, 2.0, 3.0])],
+        "vec_id long, embedding array<double>",
+    )
+    with pytest.raises(ValueError, match="NULL"):
+        ingest_semantic_batch(null_vec, path, threshold=0.95)
+
 
 def test_signature_store_rowgroups_stay_id_clustered(spark, tmp_path):
     """The signatures table must be physically id-clustered — the
@@ -923,9 +932,17 @@ def test_store_verify_pushes_id_filter_on_sorted_lake(spark, tmp_path):
     )
     pushed = {(r["id_a"], r["id_b"]) for r in out.collect()}
     assert pushed == {(9001, 7)}
-    # the verify's corpus text scan carries the pushed In filter
+    # the verify's corpus text scan carries the pushed literal filter
+    # for the CORPUS side of the pair set only: one id pushes as
+    # EqualTo, several as In — and the batch ids (9001/9002) must not
+    # appear in any pushed filter, where they would only widen the
+    # row-group pruning range
+    import re
+
     plan = out._jdf.queryExecution().executedPlan().toString()
-    assert "PushedFilters: [In(doc_id" in plan
+    pf = " ".join(re.findall(r"PushedFilters: \[[^\]]*\]", plan))
+    assert "EqualTo(doc_id,7)" in pf or "In(doc_id, [7" in pf
+    assert "9001" not in pf and "9002" not in pf
 
     # fallback parity: force the semi-join path (bound -> 0)
     import unittest.mock as mock
