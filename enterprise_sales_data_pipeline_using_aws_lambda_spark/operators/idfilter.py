@@ -9,15 +9,20 @@ whose cost grows with the corpus instead of the batch.
 
 The batch side of these joins is bounded by construction (the store
 paths enforce batch-sized contracts), so the ids can be collected and
-PUSHED into the store scan as a literal In filter: parquet row-group
-stats then bound the read to the row groups that could hold those ids
-(the signature store is written id-sorted; per-batch append files are
-naturally clustered over their batch's id range), and the anti-join
-itself becomes a broadcast against the batch-bounded hit set.  Past
-the guard, the plain anti-join takes over unchanged — the fallback is
-always exact, the fast path is exact too (an In probe returns exactly
-the present ids), so this is a scan-bound optimization, never a
-semantics change.
+PUSHED into the store scan as a literal In filter, and the anti-join
+itself becomes a broadcast against the batch-bounded hit set.  The
+parquet-side benefit is two-tier: up to the session's
+``spark.sql.parquet.pushdown.inFilterThreshold`` (see session.py —
+deliberately far below MAX_ID_PUSHDOWN, because parquet's exact-In
+form recurses per value and overflows an executor stack near 1000)
+the filter reaches row-group stats as exact per-value checks and
+prunes even scattered ids on an id-clustered store; past it the
+pushed form degrades to a [min,max] range (prunes only clustered
+ids) while the broadcast-hit-set anti-join still replaces the full
+id-column scan.  Past the guard, the plain anti-join takes over
+unchanged — the fallback is always exact, the fast path is exact too
+(an In probe returns exactly the present ids), so this is a
+scan-bound optimization, never a semantics change.
 """
 
 from __future__ import annotations

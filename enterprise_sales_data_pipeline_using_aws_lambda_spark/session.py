@@ -54,17 +54,21 @@ def get_spark(app_name: str = "enterprise-sales-engine", cpus: int | None = None
         .config("spark.ui.enabled", "false")
         .config("spark.sql.autoBroadcastJoinThreshold", str(64 * 1024 * 1024))
         # Literal IN-lists push into parquet as exact per-value filters
-        # up to this size (beyond it Spark degrades the pushed filter
-        # to a [min,max] range).  The default of 10 is far below the
-        # id sets the store-backed dedup verify pushes; the value here
-        # matches the collect guards exactly
-        # (text_dedup.MAX_VERIFY_ID_PUSHDOWN / idfilter.MAX_ID_PUSHDOWN
-        # = 10_000) so NO guarded fast path silently degrades to a
-        # [min,max] range that prunes nothing on scattered ids — a
-        # mismatch here is a broken cost claim, not a visible error.
-        # Row-group stat checks evaluate the sorted value set, so 10k
-        # values per check is still trivial CPU.
-        .config("spark.sql.parquet.pushdown.inFilterThreshold", "10000")
+        # up to this size; beyond it Spark degrades the pushed filter
+        # to a [min,max] range (row-group pruning then only helps when
+        # the ids are clustered).  The default of 10 is far below the
+        # id sets the store-backed dedup verify pushes for a typical
+        # dirty batch (tens to hundreds of pair-named docs).  Do NOT
+        # raise this toward MAX_VERIFY_ID_PUSHDOWN: the exact-In form
+        # recurses per value in the parquet filter path, and a
+        # 1000-value In StackOverflowErrors an executor on default
+        # thread stacks (measured on this box: 999 ok, 1000 crashes;
+        # pinned by tests/test_plans.py's in-filter boundary test).
+        # 500 keeps 2x headroom under the measured ceiling; id lists
+        # past it are still CORRECT — the guarded fast paths keep the
+        # broadcast-hit-set anti-join, only the parquet-side pruning
+        # degrades to the range form.
+        .config("spark.sql.parquet.pushdown.inFilterThreshold", "500")
         # InferFiltersFromGenerate synthesizes `size(arr) > 0` from every
         # non-outer explode.  For this engine's explodes the array is
         # almost always a COMPUTED expression (char n-gram shingles,

@@ -165,12 +165,17 @@ def test_join_strategy_hints_are_honored(spark):
     assert "SortMergeJoin" in plan_of(a.join(b.hint("merge"), "k"))
 
 
-def test_in_filter_threshold_covers_pushdown_guards(spark):
-    """The session's parquet inFilterThreshold must cover every guarded
-    id-collect bound: past it Spark degrades a pushed In to a
-    [min,max] range, which prunes nothing on scattered ids — the
-    guarded fast paths would still be correct but their whole cost
-    claim (row-group-pruned store/lake reads) silently breaks."""
+def test_in_filter_boundary_executes_at_both_tiers(spark, tmp_path):
+    """Parquet's exact-In pushdown recurses per value: a 1000-value In
+    StackOverflowErrors an executor on default thread stacks (measured;
+    999 was the ceiling on this box), which is why the session pins
+    inFilterThreshold WELL below the 10k collect guards instead of
+    matching them.  Pin the whole ladder by EXECUTION, not by reading
+    the conf: an isin exactly AT the threshold (max-depth exact-In
+    pushdown) and one at MAX_ID_PUSHDOWN (the range-degraded tier the
+    guarded fast paths rely on past the threshold) must both scan
+    correctly — if someone raises the threshold into the crash zone,
+    the first scan dies here instead of inside a production verify."""
     from enterprise_sales_data_pipeline_using_aws_lambda_spark.operators.idfilter import (
         MAX_ID_PUSHDOWN,
     )
@@ -181,8 +186,18 @@ def test_in_filter_threshold_covers_pushdown_guards(spark):
     thr = int(
         spark.conf.get("spark.sql.parquet.pushdown.inFilterThreshold")
     )
-    assert thr >= MAX_ID_PUSHDOWN
-    assert thr >= MAX_VERIFY_ID_PUSHDOWN
+    assert thr <= 999  # the measured executor-stack ceiling
+    assert MAX_VERIFY_ID_PUSHDOWN == MAX_ID_PUSHDOWN
+    path = str(tmp_path / "t")
+    spark.range(0, 50_000).select(
+        F.col("id").alias("doc_id")
+    ).write.parquet(path)
+    t = spark.read.parquet(path)
+    for k in (thr, MAX_ID_PUSHDOWN):
+        ids = list(range(0, 2 * k, 2))
+        assert t.filter(F.col("doc_id").isin(ids)).count() == len(
+            [i for i in ids if i < 50_000]
+        )
 
 
 def test_no_inferred_filter_duplicates_shingling(spark, sf_dir):
