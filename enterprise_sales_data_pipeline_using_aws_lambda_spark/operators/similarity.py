@@ -916,8 +916,10 @@ def compact_ivf_index(
 ) -> dict:
     """Small-file maintenance for a persisted IVF index: rewrite each
     ``list_id=`` partition of the assignments table down to
-    ``target_files`` files (rollback-safe staging+swap via
-    ``writers.compact_lake_partition``).  Centroids and meta — one
+    ``target_files`` files, id-sorted (rollback-safe staging+swap via
+    ``writers.compact_lake_partition(sort_col=)``), so the
+    exactly-once probes' pushed id filters keep pruning row groups
+    after maintenance.  Centroids and meta — one
     file each, the parameter pin — are never touched, so
     :func:`read_ivf_index`'s validation and codebook reuse are
     unaffected and a replayed :func:`append_to_ivf_index` still
@@ -943,8 +945,10 @@ def compact_ivf_index(
     )
 
     # meta must exist (loud, with recovery guidance, on a half-built
-    # index) — nothing else read
-    _read_index_meta(spark, path)
+    # index); its id_col drives the rewrite's clustering — meta is the
+    # one table maintenance never touches, so this read is safe even
+    # while assignment partitions sit mid-swap
+    id_col = _read_index_meta(spark, path)["id_col"]
     sc = spark.sparkContext
     jvm = sc._jvm
     aroot = os.path.join(path, "assignments")
@@ -975,8 +979,15 @@ def compact_ivf_index(
             spark, sub
         ) < min_files:
             continue
+        # id-sorted rewrite (the signatures-table treatment): each
+        # appended batch lands its own file per touched list, so the
+        # partition is only per-batch id-clustered; re-sorting on the
+        # id keeps row-group min/max tight and the append/ingest
+        # exactly-once probes' pushed id filters pruning after
+        # maintenance, instead of every probe re-reading the whole
+        # partition's id column
         results[int(name.split("=", 1)[1])] = compact_lake_partition(
-            spark, sub, target_files
+            spark, sub, target_files, sort_col=id_col
         )
     return results
 

@@ -487,6 +487,33 @@ def test_compact_ivf_index_parity_replay_and_crash_recovery(
         for r in idx3["assignments"].collect()
     ) == rows_before
 
+    # the rewrite is id-SORTED (round-7): with target_files=2 each
+    # partition's files own disjoint vec_id ranges, so the pushed-id
+    # exactly-once probes keep pruning row groups after maintenance
+    import pyarrow.parquet as pq
+
+    compact_ivf_index(spark, path, target_files=2, min_files=1)
+    for lid2 in res:
+        spans = []
+        for fp in glob.glob(
+            f"{path}/assignments/list_id={lid2}/*.parquet"
+        ):
+            md = pq.ParquetFile(fp).metadata
+            col = next(
+                md.row_group(0).column(i)
+                for i in range(md.num_columns)
+                if md.row_group(0).column(i).path_in_schema == "vec_id"
+            )
+            spans.append((col.statistics.min, col.statistics.max))
+        spans.sort()
+        assert len(spans) >= 2
+        for (_, hi1), (lo2, _) in zip(spans, spans[1:]):
+            assert hi1 < lo2
+    assert sorted(
+        (r["vec_id"], r["list_id"])
+        for r in read_ivf_index(spark, path)["assignments"].collect()
+    ) == rows_before
+
 
 def test_semantic_ingest_redelivery_hygiene_and_dim_guard(
     spark, tmp_path,
