@@ -239,6 +239,13 @@ def reprocess_quarantine(
             "file": f"requeue-{quarantine_batch_id or 'all'}",
             "n_requeued": 0,
         }
+    # both quarantine faces (write_quarantine and the streaming
+    # idempotent append) land rows under ingest_batch= directories, so
+    # the read carries that PARTITION column — replay bookkeeping, not
+    # row provenance (that's _ingest_batch); strip it so the re-driven
+    # frame matches the serving schema.
+    if "ingest_batch" in df.columns:
+        df = df.drop("ingest_batch")
     if quarantine_batch_id is not None:
         df = df.filter(F.col("_ingest_batch") == quarantine_batch_id)
     clean = df.drop(*QUARANTINE_META_COLUMNS).dropDuplicates()

@@ -69,6 +69,13 @@ def get_spark(app_name: str = "enterprise-sales-engine", cpus: int | None = None
         # broadcast-hit-set anti-join, only the parquet-side pruning
         # degrades to the range form.
         .config("spark.sql.parquet.pushdown.inFilterThreshold", "500")
+        # Session invariant, not a per-read toggle: readers.read_events
+        # must read parquet TIMESTAMP(NANOS) as long, and because
+        # frames are lazy the conf has to hold whenever such a scan
+        # executes — pinning it at build time makes every read's schema
+        # deterministic instead of dependent on whether read_events ran
+        # first (read_events still sets it for vanilla sessions).
+        .config("spark.sql.legacy.parquet.nanosAsLong", "true")
         # InferFiltersFromGenerate synthesizes `size(arr) > 0` from every
         # non-outer explode.  For this engine's explodes the array is
         # almost always a COMPUTED expression (char n-gram shingles,

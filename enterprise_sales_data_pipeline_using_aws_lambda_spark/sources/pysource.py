@@ -104,10 +104,18 @@ class SalesFeedReader(DataSourceReader):
         self.strict = str(options.get("strict", "true")).lower() == "true"
 
     def partitions(self):
+        # isfile: a subdirectory in the feed dir (an archive/ folder,
+        # a partitioned dataset) is NEVER a feed file — without the
+        # check, strict mode rejects the whole healthy feed over it,
+        # and a dir named like '2024.json' would be planned as a
+        # partition and IsADirectoryError every micro-batch (a
+        # permanent wedge in the streaming face, which reuses this
+        # listing from latestOffset).
         files = sorted(
-            os.path.join(self.path, f)
+            p
             for f in os.listdir(self.path)
             if not f.startswith(("_", "."))
+            and os.path.isfile(p := os.path.join(self.path, f))
         )
         good = [
             f for f in files if f.lower().endswith(SUPPORTED_SUFFIXES)
@@ -286,6 +294,23 @@ class SalesFeedStreamReader(DataSourceStreamReader):
         return {"files": sorted(self._seen_files)}
 
     def partitions(self, start, end):
+        # Offset-shape guard: a checkpoint written in one mode replayed
+        # under the other must fail LOUDLY.  Without it, flipping
+        # monotonic=true across a restart makes start.get('hwm','')
+        # read '' from a files-shaped offset and silently re-plans the
+        # entire feed history as new (double-appending everything
+        # downstream); the reverse flip KeyErrors deep in planning.
+        want = "hwm" if self._monotonic else "files"
+        for label, off in (("start", start), ("end", end)):
+            if want not in off:
+                raise ValueError(
+                    f"sales_feed checkpoint offset shape mismatch: "
+                    f"{label} offset {sorted(off)} lacks {want!r} — "
+                    f"this checkpoint was written with monotonic="
+                    f"{str(not self._monotonic).lower()}.  Restart "
+                    f"with the original mode, or start a fresh "
+                    f"checkpoint for the new one"
+                )
         if self._monotonic:
             lo, hi = start.get("hwm", ""), end.get("hwm", "")
             key = (lo, hi)

@@ -219,6 +219,16 @@ def read_events(spark: SparkSession, sf_dir: str) -> DataFrame:
     division — ``ts div 1000`` — because a double division would lose
     precision above 2^53 ns (~1970+104 days).  Truncation matches
     DuckDB's ``CAST(ts_ns AS TIMESTAMP)`` semantics used by the oracles.
+
+    The ``nanosAsLong`` conf set here is deliberately ONE-WAY for the
+    session (``session.get_spark`` pins it at build time too): the
+    returned frame is lazy, so the conf must still be set whenever the
+    scan actually executes — a set-and-restore would make collection
+    fail or change type depending on WHEN the caller acts on the
+    frame.  Session-wide it means any later raw parquet read of a
+    NANOS column in this session yields bigint nanos rather than
+    Spark's unsupported-type error; route reads through
+    :func:`read_table`, which normalizes that deterministically.
     """
     spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
     df = spark.read.parquet(os.path.join(sf_dir, "events.parquet"))

@@ -61,6 +61,12 @@ def write_quarantine(
 
     Unlike the reference, the failure ``reason`` is persisted as a column
     alongside provenance (``_source_file``, ``_ingest_batch``).
+
+    Rows land under ``ingest_batch=<bid>/`` — the same directory
+    layout the streaming face's idempotent quarantine appends produce
+    — so one quarantine directory can hold rows from both faces and
+    from re-drive re-quarantines without mixing flat and partitioned
+    parquet structures (partition discovery rejects a mix).
     """
     bid = batch_id or batch_id_now()
     out = (
@@ -68,7 +74,7 @@ def write_quarantine(
         .withColumn("_source_file", F.lit(source_file or ""))
         .withColumn("_ingest_batch", F.lit(bid))
     )
-    out.write.mode("append").parquet(path)
+    out.write.mode("append").parquet(f"{path}/ingest_batch={bid}")
     return bid
 
 

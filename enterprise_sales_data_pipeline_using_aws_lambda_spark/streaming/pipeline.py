@@ -30,6 +30,7 @@ from pyspark.sql import functions as F
 from ..functions.dates import format_date
 from ..operators.materialize import materialize
 from ..operators.agg import sales_summary
+from ..operators.dedup import dedup_keep_last
 from ..operators.upsert import upsert_keep_last
 from ..operators.validate import (
     row_rules_sales,
@@ -90,18 +91,29 @@ def stream_sales_ingest(
             # Clean batches skip the quarantine write altogether — an
             # empty partition per batch would pollute the store with
             # footerless directories.
+            # _ingest_batch matches the batch face's quarantine schema
+            # so reprocess_quarantine's batch-id filter and meta-column
+            # strip work on rows from either face; both faces land rows
+            # under the same ingest_batch= directory layout, so one
+            # quarantine dir serves batch, streaming, and re-drives.
             if not quarantined.isEmpty():
                 append_log_idempotent(
-                    spark, quarantined, cfg.quarantine_dir, str(batch_id)
+                    spark,
+                    quarantined.withColumn(
+                        "_ingest_batch", F.lit(str(batch_id))
+                    ),
+                    cfg.quarantine_dir,
+                    str(batch_id),
                 )
 
-            casted = valid.drop("_source_file")
+            casted = valid
             for c in SALES_DATE_COLUMNS:
                 casted = casted.withColumn(
                     c, F.to_date(F.col(c).cast("string"), SALES_DATE_FORMAT)
                 )
             append_log_idempotent(
-                spark, casted, cfg.lake_dir, str(batch_id)
+                spark, casted.drop("_source_file"), cfg.lake_dir,
+                str(batch_id),
             )
 
             serving = casted
@@ -111,27 +123,56 @@ def stream_sales_ingest(
             if cfg.jdbc_url:
                 # JDBC append: at-least-once (module docstring)
                 write_serving_table(
-                    serving, cfg.warehouse_dir, "sales", "append",
-                    cfg.jdbc_url, cfg.jdbc_properties,
+                    serving.drop("_source_file"), cfg.warehouse_dir,
+                    "sales", "append", cfg.jdbc_url, cfg.jdbc_properties,
                 )
             else:
                 append_log_idempotent(
-                    spark, serving,
+                    spark, serving.drop("_source_file"),
                     f"{cfg.warehouse_dir}/sales", str(batch_id),
                 )
+            # Intra-batch keyed keep-last BEFORE the upsert: a
+            # micro-batch drains up to 16 files, and the same key
+            # arriving in two of them must resolve the way the
+            # reference's sequential one-event-one-run loop would —
+            # the later file's row wins (``_source_file`` DESC; a
+            # content hash breaks same-file ties deterministically).
+            # The batch path gets this for free from validate_batch's
+            # whole-file V4 uniqueness check; the row-level rules here
+            # have no duplicate-key rule, so without this dedup BOTH
+            # copies survive upsert_keep_last's anti-join+union and
+            # the keyed sales_tgt table double-counts the key.  The
+            # lake and append-only ``sales`` log above keep every row
+            # (the audit record, exactly what sequential reference
+            # runs would have appended).
+            data_cols = [
+                c for c in serving.columns if c != "_source_file"
+            ]
+            incoming = dedup_keep_last(
+                serving, [SALES_KEY_COLUMN],
+                [
+                    F.col("_source_file").desc(),
+                    F.xxhash64(
+                        *[F.col(c).cast("string") for c in data_cols]
+                    ).desc(),
+                ],
+            ).drop("_source_file")
             existing = read_serving_table(
                 spark, cfg.warehouse_dir, "sales_tgt",
                 cfg.jdbc_url, cfg.jdbc_properties,
             )
             merged = upsert_keep_last(
-                existing, serving, [SALES_KEY_COLUMN], broadcast_keys=True
+                existing, incoming, [SALES_KEY_COLUMN],
+                broadcast_keys=True,
             )
             merged = materialize(merged)
             write_serving_table(
                 merged, cfg.warehouse_dir, "sales_tgt", "overwrite",
                 cfg.jdbc_url, cfg.jdbc_properties,
             )
-            summary_src = serving if cfg.summary_scope == "batch" else merged
+            summary_src = (
+                incoming if cfg.summary_scope == "batch" else merged
+            )
             write_serving_table(
                 sales_summary(summary_src), cfg.warehouse_dir,
                 "sales_summary", "overwrite",

@@ -86,7 +86,19 @@ def merge_rollup_batch(
     try:
         existing = spark.read.parquet(path)
         has_existing = True
-    except AnalysisException:  # first batch: serving table not created yet
+    except AnalysisException as e:
+        # ONLY the genuinely-first-batch cases may fall through to the
+        # no-merge path: missing table (PATH_NOT_FOUND) or an empty
+        # directory (UNABLE_TO_INFER_SCHEMA).  Anything else — corrupt
+        # footers, conflicting structures, a table mid-rename — must
+        # propagate: treating it as "first batch" would dynamically
+        # overwrite the affected day partitions with batch-only
+        # partials, silently erasing prior totals (the same
+        # narrow-or-lose-data contract as partitioned_upsert and
+        # reprocess_quarantine).
+        cond = getattr(e, "getCondition", lambda: None)() or ""
+        if cond not in ("PATH_NOT_FOUND", "UNABLE_TO_INFER_SCHEMA"):
+            raise
         has_existing = False
     if has_existing:
         if "last_batch_id" not in existing.columns:
@@ -146,6 +158,7 @@ def stream_events_rollup(
     checkpoint_dir: str,
     available_now: bool = True,
     glob_filter: str | None = None,
+    schema=None,
 ):
     """Maintain the daily (day, event_type) rollup of an events stream.
 
@@ -154,8 +167,14 @@ def stream_events_rollup(
     recorded, and the per-partition ``last_batch_id`` marker (see
     merge_rollup_batch) makes the at-least-once replay window — a batch
     re-running after its write committed but before the checkpoint did —
-    a per-partition no-op instead of a double-merge."""
-    schema = spark.read.parquet(events_dir).schema
+    a per-partition no-op instead of a double-merge.
+
+    Pass ``schema`` to start the stream BEFORE any events have landed
+    (the watch-an-empty-directory pattern the sibling stream builders
+    support); without it the schema is inferred from a batch read of
+    ``events_dir``, which requires at least one committed file."""
+    if schema is None:
+        schema = spark.read.parquet(events_dir).schema
     reader = spark.readStream.schema(schema).option(
         "maxFilesPerTrigger", 4
     )
