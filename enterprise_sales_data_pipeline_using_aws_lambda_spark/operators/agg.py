@@ -333,9 +333,22 @@ def weighted_median(
        1/|buckets|-sized slice finds the crossing value exactly.
 
     Weights are cast to long, so every comparison is integer-exact
-    (identical across engines — no float cumulative-sum ulps).  NULL
-    values and non-positive weights are excluded, matching
+    (identical across engines — no float cumulative-sum ulps).  That
+    makes INTEGER weights the contract: a fractional weight column is
+    rejected loudly — casting 0.25 to long would silently zero the
+    weight and EXCLUDE the row (the `_w > 0` filter), turning
+    normalized-weight inputs into empty or wrong medians.  Pre-scale
+    fractional weights to integers (e.g. basis points) upstream.
+    NULL values and non-positive weights are excluded, matching
     ``percentile_cont``'s null handling."""
+    wt = df.schema[weight_col].dataType.simpleString()
+    if wt.startswith(("double", "float", "decimal")):
+        raise ValueError(
+            f"weighted_median needs an integer weight column; "
+            f"{weight_col!r} is {wt}.  Casting fractional weights to "
+            f"long silently zeroes sub-1 weights and drops their rows "
+            f"— pre-scale to integers (e.g. round(w * 10000)) instead"
+        )
     g = [F.col(c) for c in group_cols]
     v = F.col(value_col)
     w = df.select(

@@ -110,6 +110,18 @@ def connected_components(
         if sig2 == sig:
             break
         sig = sig2
+    else:
+        # Exiting on round count without a stable edge set would
+        # silently project HALF-contracted stars: one component's nodes
+        # map to several non-minimum "component" ids, and a dedup
+        # caller keeps multiple representatives of one duplicate
+        # cluster.  Star contraction converges in O(log n) rounds, so
+        # hitting this means the ceiling is simply too low for the
+        # graph — raise with the knob instead of returning wrong ids.
+        raise ValueError(
+            f"connected_components did not converge within "
+            f"{max_iter} rounds; raise max_iter"
+        )
     comp = e.select(F.col("v").alias("node"), F.col("u").alias("component"))
     roots = e.select(F.col("u").alias("node")).distinct().withColumn(
         "component", F.col("node")

@@ -70,7 +70,9 @@ def anti_join_ids(
     against the broadcast, batch-bounded hit set instead of the full
     id column."""
     ids = collect_ids_bounded(batch, id_col, max_pushdown)
-    if ids:
-        present = store.filter(F.col(id_col).isin(ids)).select(id_col)
-        return batch.join(F.broadcast(present), id_col, "left_anti")
-    return batch.join(store.select(id_col), id_col, "left_anti")
+    if ids is None:  # over the bound: plain anti-join fallback
+        return batch.join(store.select(id_col), id_col, "left_anti")
+    if not ids:  # empty batch: nothing to probe, no store read at all
+        return batch
+    present = store.filter(F.col(id_col).isin(ids)).select(id_col)
+    return batch.join(F.broadcast(present), id_col, "left_anti")

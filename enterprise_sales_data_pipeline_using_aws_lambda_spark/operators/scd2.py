@@ -10,9 +10,14 @@ This operator is the history-preserving sibling of
 Semantics per batch row (one row per key; pre-dedup a multi-version
 batch with ``dedup_keep_last`` on the effective timestamp):
 
-- key exists, tracked attributes changed → close the open row
+- key exists, tracked attributes changed, effective timestamp at or
+  after the open row's ``valid_from`` → close the open row
   (``valid_to = effective``, ``is_current = false``) and insert a new
   open row;
+- key exists, attributes changed, but effective timestamp BEFORE the
+  open row's ``valid_from`` → ignored (a late/replayed delivery;
+  applying it would invert the interval and resurrect older
+  attributes as current — late corrections need an interval rebuild);
 - key exists, attributes identical (null-safe) → no-op;
 - new key → insert an open row;
 - closed history rows pass through untouched.
@@ -77,7 +82,21 @@ def scd2_merge(
     new_struct = F.struct(*[F.col(f"_new_{a}").alias(a) for a in attrs])
     has_old = F.coalesce(F.col("_has_old"), F.lit(False))
     has_new = F.coalesce(F.col("_has_new"), F.lit(False))
-    changed = has_old & has_new & ~old_struct.eqNullSafe(new_struct)
+    # Event-time last-writer-wins: a matched batch row whose _eff
+    # PRECEDES the open row's valid_from is a late or replayed
+    # delivery — applying it would close the open row with
+    # valid_to < valid_from (an inverted interval) and resurrect the
+    # OLDER attributes as current.  It is ignored instead (the open
+    # row already supersedes it); late corrections need an interval
+    # rebuild, not this merge.  NULL on either side (bootstrap rows,
+    # null effective timestamps) keeps the old accept-the-batch
+    # behavior.
+    newer = F.coalesce(
+        F.col("_eff") >= F.col(valid_from), F.lit(True)
+    )
+    changed = (
+        has_old & has_new & ~old_struct.eqNullSafe(new_struct) & newer
+    )
 
     # Surviving old rows: unmatched keys keep their open row; matched-but-
     # unchanged keys keep theirs; changed keys get theirs closed.

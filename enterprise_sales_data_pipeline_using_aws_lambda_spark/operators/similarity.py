@@ -475,9 +475,17 @@ def lsh_topk(
         cands.select(
             "qid",
             "vec_id",
+            # zero-norm guard (the cosine_topk/ivf_topk contract): a
+            # zero vector hashes to bucket 0 in every table, so it
+            # COLLIDES with everything — unguarded, ANSI mode fails the
+            # job with DIVIDE_BY_ZERO and non-ANSI ranks the NaN above
+            # every real neighbor
             (
                 _dot(F.col("qvec"), F.col("cvec"))
-                / (_norm(F.col("qvec")) * _norm(F.col("cvec")))
+                / F.greatest(
+                    _norm(F.col("qvec")) * _norm(F.col("cvec")),
+                    F.lit(1e-12),
+                )
             ).alias("_cos"),
         )
         .groupBy("qid", "vec_id")
@@ -892,6 +900,23 @@ def append_to_ivf_index(
     spark = batch.sparkSession
     idx = read_ivf_index(spark, path)
     _check_index_compat(batch, idx["meta"], path, id_col, vec_col)
+    # Within-batch id hygiene (the ingest_semantic_batch entrance
+    # contract, applied here too for direct callers): an exact
+    # redelivered row collapses; the same id with DIFFERENT vectors
+    # would append duplicate-id rows into the keyed index — permanent
+    # corruption the id anti-join can never self-heal — so it fails
+    # loudly instead.
+    batch = materialize(
+        batch.select(id_col, vec_col).dropDuplicates([id_col, vec_col])
+    )
+    conflicted = batch.groupBy(id_col).count().filter(F.col("count") > 1)
+    if not conflicted.isEmpty():
+        sample = [r[id_col] for r in conflicted.limit(5).collect()]
+        raise ValueError(
+            f"batch carries the same {id_col} with DIFFERENT vectors "
+            f"(e.g. {sample}): ids must identify one embedding (the "
+            f"keyed contract); fix the upstream delivery"
+        )
     from .idfilter import anti_join_ids
 
     fresh = materialize(

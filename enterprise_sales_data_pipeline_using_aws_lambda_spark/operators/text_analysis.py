@@ -319,12 +319,20 @@ def repetition_stats(
     word_stats = base.select(
         F.col(id_col),
         F.size("_t").cast("long").alias("n_words"),
-        F.round(
-            F.lit(1.0)
-            - F.size(F.array_distinct("_t"))
-            / F.greatest(F.size("_t"), F.lit(1)),
-            4,
-        ).alias("dup_word_frac"),
+        # zero tokens means zero DUPLICATED tokens, not "maximally
+        # repeated": without the zero-word branch the formula gives
+        # 1.0 - 0/1 = 1.0 and a Gopher-style dup_word_frac threshold
+        # flags every empty/whitespace doc as degenerate-repetitive
+        F.when(F.size("_t") == 0, F.lit(0.0))
+        .otherwise(
+            F.round(
+                F.lit(1.0)
+                - F.size(F.array_distinct("_t"))
+                / F.greatest(F.size("_t"), F.lit(1)),
+                4,
+            )
+        )
+        .alias("dup_word_frac"),
     )
     grams = F.when(
         F.size("_t") >= n,
@@ -641,10 +649,15 @@ def feature_hash_counts(
     classical quality classifiers (fastText-style) in curation
     pipelines.
 
-    The md5-hex-digit bucket (same spec as
-    ``operators.dedup.deterministic_split``) keeps the feature space
-    engine-portable: any stack reproduces identical vectors from the
-    spec.  Dataflow: explode tokens → project dim → hash aggregate with
+    The md5-hex-digit fold follows the SHAPE of
+    ``operators.dedup.md5_bucket`` but is deliberately its own spec —
+    no seed prefix (the feature space is unseeded by definition) and
+    no NULL sentinel (tokens are non-null by construction of the
+    tokenizer) — and is oracle-pinned independently, so a change to
+    the split-bucket spec must NOT be blindly mirrored here.  It keeps
+    the feature space engine-portable: any stack reproduces identical
+    vectors from the spec.  Dataflow: explode tokens → project dim →
+    hash aggregate with
     map-side combine; the shuffle carries one row per distinct
     (doc, dim) — bounded by ``dims`` per document regardless of length."""
     toks = df.select(

@@ -4517,8 +4517,10 @@ def pareto_abc_customers(spark: SparkSession, sf_dir: str) -> DataFrame:
     ),
     ws AS (
         SELECT doc_id, len(tk) AS n_words,
-               round(1.0 - len(list_distinct(tk)) * 1.0
-                     / greatest(len(tk), 1), 4) AS dup_word_frac
+               CASE WHEN len(tk) = 0 THEN 0.0
+                    ELSE round(1.0 - len(list_distinct(tk)) * 1.0
+                               / greatest(len(tk), 1), 4)
+               END AS dup_word_frac
         FROM t
     ),
     pg AS (
@@ -5902,7 +5904,11 @@ def weighted_median_price(spark: SparkSession, sf_dir: str) -> DataFrame:
         li.select(
             F.col("l_returnflag").alias("flag"),
             "l_extendedprice",
-            "l_quantity",
+            # TPC-H quantities are integral but stored double; the
+            # operator enforces integer weights (a fractional weight
+            # would silently zero out under its exact long arithmetic),
+            # so the caller asserts integrality with an explicit cast
+            F.col("l_quantity").cast("long").alias("l_quantity"),
         ),
         ["flag"],
         "l_extendedprice",

@@ -305,6 +305,24 @@ def test_weighted_median_ignores_nulls_and_nonpositive_weights(spark):
     assert r["wm"] == 1.0  # only (1.0, w1) and (3.0, w1) rank
 
 
+def test_weighted_median_rejects_fractional_weights(spark):
+    """A double weight column fails loudly: casting 0.25 to long would
+    silently zero the weight and DROP the row under the exact integer
+    arithmetic — normalized-weight inputs must pre-scale instead."""
+    import pytest as _pytest
+
+    from enterprise_sales_data_pipeline_using_aws_lambda_spark.operators.agg import (
+        weighted_median,
+    )
+
+    df = spark.createDataFrame(
+        [("a", 1.0, 0.25), ("a", 3.0, 0.75)],
+        "g string, v double, w double",
+    )
+    with _pytest.raises(ValueError, match="integer weight"):
+        weighted_median(df, ["g"], "v", "w", 10.0, "wm")
+
+
 def test_skyline_2d_matches_bruteforce(spark):
     """Two-phase skyline == brute-force non-dominated set on random
     points with duplicates and axis ties."""

@@ -118,6 +118,14 @@ def test_scd2_merge_lifecycle(spark):
     )
     assert all(r["count"] == 1 for r in per_key_open)
 
+    # Late/replayed delivery: a batch whose effective date PRECEDES the
+    # open row's valid_from is ignored — applying it would close the
+    # open row with valid_to < valid_from (an inverted interval) and
+    # resurrect the older attributes as current.
+    t4 = scd2_merge(t3, batch([(1, "Z")], "2020-06-01"),
+                    ["k"], ["seg"], "eff")
+    assert sorted(map(tuple, t4.collect())) == sorted(map(tuple, t3.collect()))
+
 
 def test_shuffle_export_deterministic_balanced_permutation(spark, sf_dir):
     from enterprise_sales_data_pipeline_using_aws_lambda_spark.operators.dedup import (

@@ -563,6 +563,18 @@ def test_semantic_ingest_redelivery_hygiene_and_dim_guard(
     with pytest.raises(ValueError, match="dimension"):
         append_to_ivf_index(bad_dim, path)
 
+    # append_to_ivf_index applies the same entrance hygiene for DIRECT
+    # callers: an exact redelivered row collapses to one appended id;
+    # the same id with different vectors raises instead of permanently
+    # corrupting the keyed index
+    dup = spark.createDataFrame(
+        [(700, far), (700, far)],
+        "vec_id long, embedding array<double>",
+    )
+    assert append_to_ivf_index(dup, path) == 1
+    with pytest.raises(ValueError, match="DIFFERENT vectors"):
+        append_to_ivf_index(conflicted, path)
+
     # a NULL embedding names itself (F.size(NULL) -> None used to
     # TypeError inside sorted() when mixed with a wrong-dim row)
     null_vec = spark.createDataFrame(

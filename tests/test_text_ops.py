@@ -208,6 +208,10 @@ def test_repetition_stats_known_docs(spark):
             (2, "x y z"),
             # single word: no bigrams -> zero-filled top columns
             (3, "solo"),
+            # zero tokens: zero duplicated words, NOT "maximally
+            # repeated" (the formula's 1 - 0/1 = 1.0 trap)
+            (4, ""),
+            (5, "   "),
         ],
         "doc_id long, text string",
     )
@@ -223,6 +227,9 @@ def test_repetition_stats_known_docs(spark):
     assert (r3["top_ngram"], r3["top_ngram_n"], r3["top_ngram_frac"]) == (
         "", 0, 0.0
     )
+    for empty_id in (4, 5):
+        r = rows[empty_id]
+        assert r["n_words"] == 0 and r["dup_word_frac"] == 0.0
 
 
 def test_benchmark_overlap_contamination(spark):
