@@ -39,10 +39,10 @@ from .operators.validate import validate_batch
 from .schema import SALES_DATE_COLUMNS, SALES_KEY_COLUMN
 from .sources.readers import read_sales
 from .sources.writers import (
+    append_log_idempotent,
     batch_id_now,
     delete_path,
     read_serving_table,
-    write_partitioned_parquet,
     write_quarantine,
     write_serving_table,
 )
@@ -62,6 +62,15 @@ class PipelineConfig:
     delete_raw: bool = False
     notifier: Notifier | None = None
     extra: dict = field(default_factory=dict)
+
+    def __post_init__(self) -> None:
+        # the two scopes compute DIFFERENT numbers by design, so a typo
+        # ('Batch', 'batch-only') must not silently select cumulative
+        if self.summary_scope not in ("cumulative", "batch"):
+            raise ValueError(
+                f"summary_scope must be 'cumulative' or 'batch', "
+                f"got {self.summary_scope!r}"
+            )
 
 
 def _notify(cfg: PipelineConfig, status: str, payload: dict) -> None:
@@ -123,22 +132,41 @@ def run_batch_frame(
                 "approx_distinct_keys"
             ),
         )
+        # One parse+validate pass: localCheckpoint the validated frame
+        # (the observation fires on this job), then every sink below
+        # reuses the pinned rows — previously the lake write, the sales
+        # append, the upsert, and the batch-scope summary each
+        # re-executed the full input parse + validation plan.
+        valid = materialize(valid)
+        metrics = {k: v for k, v in obs.get.items()}
         # Parquet lake keeps native DateType (the reference's parquet
         # write happens before restringification too, lambda.py:240 vs
-        # 168-169).
-        write_partitioned_parquet(valid, cfg.lake_dir, batch_id)
-        metrics = {k: v for k, v in obs.get.items()}
+        # 168-169).  Batch-id-KEYED idempotent append (SURVEY §7.5.3):
+        # a re-drive or retry that reuses its batch_id no-ops instead
+        # of double-appending.  run_batch's default mints a fresh
+        # timestamp id per call — the reference's ts-folder behavior —
+        # so lake/sales exactly-once needs the caller to pass a stable
+        # id; reprocess_quarantine derives one from the quarantine
+        # content for exactly this reason.
+        append_log_idempotent(spark, valid, cfg.lake_dir, batch_id)
 
         serving = valid
         if cfg.dates_as_strings:
             for c in SALES_DATE_COLUMNS:
                 serving = serving.withColumn(c, format_date(c))
 
-        # 1) append-only log (reference S6, lambda.py:172)
-        write_serving_table(
-            serving, cfg.warehouse_dir, "sales", "append",
-            cfg.jdbc_url, cfg.jdbc_properties,
-        )
+        # 1) append-only log (reference S6, lambda.py:172): idempotent
+        # on the parquet path; JDBC keeps the plain append (documented
+        # at-least-once — cross-system atomicity is out of scope)
+        if cfg.jdbc_url:
+            write_serving_table(
+                serving, cfg.warehouse_dir, "sales", "append",
+                cfg.jdbc_url, cfg.jdbc_properties,
+            )
+        else:
+            append_log_idempotent(
+                spark, serving, f"{cfg.warehouse_dir}/sales", batch_id
+            )
 
         # 2) keyed keep-last upsert (reference lambda.py:176-181)
         existing = read_serving_table(
@@ -209,12 +237,27 @@ def reprocess_quarantine(
     every failed attempt would double the store and re-drive-all could
     never pass duplicate-key validation again), and calls
     :func:`run_batch_frame`.  Rows that STILL fail are re-quarantined
-    under a NEW suffixed batch id — the original quarantine rows are
-    left in place for audit.  Idempotence comes from the serving
-    layer: the keyed upsert makes a double re-drive a no-op for
-    ``sales_tgt``.  An empty or not-yet-created quarantine store is a
-    clean noop, not an error — the recovery job must be safe to run
-    on a healthy pipeline.
+    under a NEW suffixed batch id.
+
+    Exactly-once across repeated recovery runs, two layers:
+
+    - the re-drive's batch id is a HASH of the re-driven content, so
+      run_batch_frame's idempotent lake/sales appends no-op when the
+      same quarantine state is re-driven again (a scheduled recovery
+      job on a quiet store, or a crash-retry);
+    - on SUCCESS the source ``ingest_batch=`` partitions are ARCHIVED
+      under ``<quarantine_dir>/_requeued/`` (underscore prefix:
+      invisible to parquet reads, preserved for audit), so later runs
+      do not re-ingest rows that already landed.  A crash between the
+      successful ingest and the archive re-drives the same content —
+      which the content-keyed appends absorb; the one residual window
+      is that crash PLUS new failures arriving before the re-run
+      (content hash changes), which re-appends the old rows under the
+      new id — document-level dedup downstream is the backstop there.
+
+    An empty or not-yet-created quarantine store is a clean noop, not
+    an error — the recovery job must be safe to run on a healthy
+    pipeline.
 
     Returns the :func:`run_batch_frame` status dict, plus
     ``n_requeued`` (rows re-driven).
@@ -248,7 +291,7 @@ def reprocess_quarantine(
         df = df.drop("ingest_batch")
     if quarantine_batch_id is not None:
         df = df.filter(F.col("_ingest_batch") == quarantine_batch_id)
-    clean = df.drop(*QUARANTINE_META_COLUMNS).dropDuplicates()
+    clean = materialize(df.drop(*QUARANTINE_META_COLUMNS).dropDuplicates())
     n = clean.count()
     # provenance label, NOT a real path: no colon (a colon would parse
     # as a URI scheme downstream) and delete_raw forced off — there is
@@ -256,15 +299,50 @@ def reprocess_quarantine(
     label = f"requeue-{quarantine_batch_id or 'all'}"
     if n == 0:
         return {"status": "noop", "file": label, "n_requeued": 0}
-    # "_rq" suffix: batch ids have second resolution, so a re-drive in
-    # the same wall-clock second as the original failure would
-    # otherwise collide with it in the quarantine store
+    # Content-keyed batch id: the same quarantine state re-driven again
+    # produces the same id, so run_batch_frame's idempotent lake/sales
+    # appends no-op instead of double-ingesting (docstring).  The "rq_"
+    # prefix keeps re-quarantined failures from colliding with the
+    # original rows' ids in the store.
+    sig = clean.agg(
+        F.bit_xor(
+            F.xxhash64(*[F.col(c).cast("string") for c in clean.columns])
+        ).alias("h")
+    ).first()["h"]
+    rq_id = f"rq_{sig & 0xFFFFFFFFFFFFFFFF:016x}_{n}"
     out = run_batch_frame(
         spark,
         clean,
         label,
         replace(cfg, delete_raw=False),
-        batch_id=f"{batch_id_now()}_rq",
+        batch_id=rq_id,
     )
     out["n_requeued"] = n
+    if out.get("status") == "success":
+        # archive the ingested source partitions (audit-preserving
+        # exactly-once, docstring): every ingest_batch= dir the re-drive
+        # read moves under _requeued/ — one atomic rename each
+        sc = spark.sparkContext
+        jvm = sc._jvm
+        conf = sc._jsc.hadoopConfiguration()
+        root = jvm.org.apache.hadoop.fs.Path(cfg.quarantine_dir)
+        fs = root.getFileSystem(conf)
+        arch = jvm.org.apache.hadoop.fs.Path(
+            cfg.quarantine_dir, "_requeued"
+        )
+        fs.mkdirs(arch)
+        for st in fs.listStatus(root):
+            name = st.getPath().getName()
+            if not (st.isDirectory() and name.startswith("ingest_batch=")):
+                continue
+            if quarantine_batch_id is not None and name != (
+                f"ingest_batch={quarantine_batch_id}"
+            ):
+                continue
+            dst = jvm.org.apache.hadoop.fs.Path(arch, name)
+            if fs.exists(dst):  # re-archived id: keep both generations
+                dst = jvm.org.apache.hadoop.fs.Path(
+                    arch, f"{name}__{rq_id}"
+                )
+            fs.rename(st.getPath(), dst)
     return out

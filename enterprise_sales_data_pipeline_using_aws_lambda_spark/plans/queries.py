@@ -2004,7 +2004,12 @@ def stateful_user_totals(spark: SparkSession, sf_dir: str) -> DataFrame:
         .trigger(availableNow=True)
         .start()
     )
-    q.awaitTermination(300)
+    if not q.awaitTermination(300):
+        # reading the memory sink while micro-batches still emit would
+        # return a silently partial table (a value-hash flake, not a
+        # loud failure)
+        q.stop()
+        raise TimeoutError("availableNow stream did not drain in 300s")
     # update mode may emit once per touched batch: keep the last (the
     # totals are monotone in n_events).
     return spark.sql(
@@ -2490,7 +2495,12 @@ def stream_stream_attribution(spark: SparkSession, sf_dir: str) -> DataFrame:
         .trigger(availableNow=True)
         .start()
     )
-    q.awaitTermination(300)
+    if not q.awaitTermination(300):
+        # reading the memory sink while micro-batches still emit would
+        # return a silently partial table (a value-hash flake, not a
+        # loud failure)
+        q.stop()
+        raise TimeoutError("availableNow stream did not drain in 300s")
     return spark.table(name).select(
         "user_id", "click_id", "click_ts", "purchase_ts", "purchase_value"
     )

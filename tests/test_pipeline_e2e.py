@@ -255,10 +255,25 @@ def test_reprocess_quarantine_redrive(spark, cfg, tmp_path):
     assert r3["n_requeued"] == 500
     tgt = spark.read.parquet(f"{cfg.warehouse_dir}/sales_tgt")
     assert tgt.count() == 500
-    # double re-drive is a no-op for the keyed target (upsert)
+    # exactly-once: the successfully re-driven partition is ARCHIVED
+    # (audit-preserving, invisible to reads), so a second recovery run
+    # is a complete no-op — not just absorbed by the keyed upsert but
+    # never re-appended to the lake or the sales log either
+    import os
+
+    assert os.path.isdir(
+        f"{cfg.quarantine_dir}/_requeued/ingest_batch=b_fix"
+    )
+    lake_rows = spark.read.parquet(cfg.lake_dir).count()
+    sales_rows = spark.read.parquet(f"{cfg.warehouse_dir}/sales").count()
     r4 = reprocess_quarantine(spark, cfg, "b_fix")
-    assert r4["status"] == "success"
+    assert r4["status"] == "noop" and r4["n_requeued"] == 0
     assert spark.read.parquet(f"{cfg.warehouse_dir}/sales_tgt").count() == 500
+    assert spark.read.parquet(cfg.lake_dir).count() == lake_rows
+    assert (
+        spark.read.parquet(f"{cfg.warehouse_dir}/sales").count()
+        == sales_rows
+    )
 
 
 def test_reprocess_quarantine_empty_store_is_noop(spark, cfg, tmp_path):
@@ -307,9 +322,10 @@ def test_reprocess_quarantine_crash_mid_redrive_converges(
     """Replay safety of the recovery job ITSELF: a re-drive that dies
     between sink writes (here: after the lake write and the append log,
     before the sales_tgt upsert lands) must converge when simply
-    re-run — the keyed upsert and the _rq batch ids absorb the partial
-    first attempt.  Only the append-only log shows the double write
-    (documented reference S6 semantics)."""
+    re-run.  The content-keyed batch id makes even the append-only
+    log exactly-once across the retry (the re-run's idempotent append
+    sees its own committed partition and no-ops), and success archives
+    the source partition so a third run is a complete no-op."""
     import enterprise_sales_data_pipeline_using_aws_lambda_spark.pipeline as pl
     from enterprise_sales_data_pipeline_using_aws_lambda_spark.sources.readers import (
         read_sales,
@@ -324,15 +340,16 @@ def test_reprocess_quarantine_crash_mid_redrive_converges(
         "historic failure", SAMPLE_CSV, "b_fix",
     )
 
-    # crash injection: the 2nd serving write of the re-drive is the
-    # sales_tgt overwrite — kill there (lake + append log already on
-    # disk, serving upsert is not)
+    # crash injection: the 1st serving write of the re-drive is the
+    # sales_tgt overwrite (the sales append goes through the idempotent
+    # log, not write_serving_table) — kill there (lake + append log
+    # already on disk, serving upsert is not)
     real_write = pl.write_serving_table
     calls = {"n": 0}
 
     def dying_write(df, *a, **kw):
         calls["n"] += 1
-        if calls["n"] == 2:
+        if calls["n"] == 1:
             raise RuntimeError("simulated crash mid-re-drive")
         return real_write(df, *a, **kw)
 
@@ -351,13 +368,17 @@ def test_reprocess_quarantine_crash_mid_redrive_converges(
     assert tgt.count() == 500
     assert tgt.select("uuid").distinct().count() == 500
     assert spark.read.parquet(f"{cfg.warehouse_dir}/sales_summary").count() > 0
-    # only the append-only log records both attempts
-    assert spark.read.parquet(f"{cfg.warehouse_dir}/sales").count() == 1000
-    # original quarantine rows remain for audit, and a third run is a
-    # serving no-op
-    assert spark.read.parquet(cfg.quarantine_dir).count() == 500
+    # even the append-only log is exactly-once across the retry: the
+    # re-run's content-keyed batch id matches the crashed attempt's
+    # committed partition, so the idempotent append no-ops
+    assert spark.read.parquet(f"{cfg.warehouse_dir}/sales").count() == 500
+    # success archived the source partition (audit preserved under
+    # _requeued/), so a third run is a complete no-op
+    assert os.path.isdir(
+        f"{cfg.quarantine_dir}/_requeued/ingest_batch=b_fix"
+    )
     r3 = pl.reprocess_quarantine(spark, cfg, "b_fix")
-    assert r3["status"] == "success"
+    assert r3["status"] == "noop"
     assert spark.read.parquet(f"{cfg.warehouse_dir}/sales_tgt").count() == 500
 
 
