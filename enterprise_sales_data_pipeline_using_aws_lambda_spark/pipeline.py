@@ -226,123 +226,136 @@ def reprocess_quarantine(
     """Re-drive quarantined rows through the normal gate — the recovery
     path the reference lacks (its quarantine is a dead end,
     ``lambda.py:123-139``): after an upstream fix (a schema hotfix, a
-    corrected dimension, a validator bug), the quarantined batch should
-    flow through the SAME validate → lake → serving pipeline as fresh
-    data, not a bespoke backfill script.
+    corrected dimension, a validator bug), the quarantined batches
+    should flow through the SAME validate → lake → serving pipeline as
+    fresh data, not a bespoke backfill script.
 
-    Reads the quarantine store (optionally one ``_ingest_batch``),
-    strips the provenance columns, collapses EXACT duplicate rows
-    across re-drive generations (a failed re-drive re-quarantines
-    byte-identical copies of the originals; without the collapse,
-    every failed attempt would double the store and re-drive-all could
-    never pass duplicate-key validation again), and calls
-    :func:`run_batch_frame`.  Rows that STILL fail are re-quarantined
-    under a NEW suffixed batch id.
+    Exactly-once by construction, with the lake's idempotent partition
+    as the commit record: the store's ``ingest_batch=`` source
+    partitions are read per directory, GROUPED BY CONTENT HASH
+    (re-drive generations of one failure are byte-identical after the
+    provenance strip, so they form one group), and each group is
+    re-driven once under the content-keyed batch id
+    ``rq_<hash>_<rows>`` through :func:`run_batch_frame`, whose
+    lake/sales appends are batch-id-keyed and therefore no-op on any
+    replay of the same content.  On success every source directory in
+    the group is ARCHIVED under ``<quarantine_dir>/_requeued/``
+    (underscore prefix: invisible to parquet reads, preserved for
+    audit).  Every crash window converges on re-run:
 
-    Exactly-once across repeated recovery runs, two layers:
+    - crash before/inside the group's run → the group re-runs;
+    - crash after the run's sinks landed but before the archive → the
+      group re-runs with the SAME content hash, every sink no-ops
+      (lake/sales by batch id, the upsert by key), then the archive
+      completes;
+    - crash mid-archive → the remaining directories of the group still
+      hash to the same content, re-run no-ops at the sinks and
+      finishes the renames;
+    - NEW failures arriving between runs are new directories — their
+      own groups — and never change an existing group's hash.
 
-    - the re-drive's batch id is a HASH of the re-driven content, so
-      run_batch_frame's idempotent lake/sales appends no-op when the
-      same quarantine state is re-driven again (a scheduled recovery
-      job on a quiet store, or a crash-retry);
-    - on SUCCESS the source ``ingest_batch=`` partitions are ARCHIVED
-      under ``<quarantine_dir>/_requeued/`` (underscore prefix:
-      invisible to parquet reads, preserved for audit), so later runs
-      do not re-ingest rows that already landed.  A crash between the
-      successful ingest and the archive re-drives the same content —
-      which the content-keyed appends absorb; the one residual window
-      is that crash PLUS new failures arriving before the re-run
-      (content hash changes), which re-appends the old rows under the
-      new id — document-level dedup downstream is the backstop there.
+    Rows that STILL fail validation are re-quarantined by
+    run_batch_frame under the group's ``rq_`` id; the duplicate
+    generations this accretes collapse into the original's content
+    group on the next run (identical bytes → identical hash → one
+    re-drive), so failed groups cost one pass per run, not one per
+    generation.  An empty or not-yet-created store is a clean noop —
+    the recovery job must be safe to run on a healthy pipeline.
 
-    An empty or not-yet-created quarantine store is a clean noop, not
-    an error — the recovery job must be safe to run on a healthy
-    pipeline.
-
-    Returns the :func:`run_batch_frame` status dict, plus
-    ``n_requeued`` (rows re-driven).
+    Returns an aggregate dict: ``status`` ("success" iff every group
+    succeeded, "failed" if any failed, "noop" for an empty store),
+    ``n_requeued`` (total rows re-driven), ``groups``/``failed_groups``
+    counts, and the first failure's ``error``.
     """
     from dataclasses import replace
 
-    from pyspark.errors import AnalysisException
-
-    try:
-        df = spark.read.parquet(cfg.quarantine_dir)
-    except AnalysisException as e:
-        # ONLY the nothing-quarantined cases are a noop: missing dir
-        # (PATH_NOT_FOUND) or a dir with no parquet footers
-        # (UNABLE_TO_INFER_SCHEMA).  Anything else — corrupt footers,
-        # permissions, transient store faults — must propagate: a
-        # broken quarantine store is a failure, not a clean no-op.
-        cond = getattr(e, "getCondition", lambda: None)() or ""
-        if cond not in ("PATH_NOT_FOUND", "UNABLE_TO_INFER_SCHEMA"):
-            raise
-        return {
-            "status": "noop",
-            "file": f"requeue-{quarantine_batch_id or 'all'}",
-            "n_requeued": 0,
-        }
-    # both quarantine faces (write_quarantine and the streaming
-    # idempotent append) land rows under ingest_batch= directories, so
-    # the read carries that PARTITION column — replay bookkeeping, not
-    # row provenance (that's _ingest_batch); strip it so the re-driven
-    # frame matches the serving schema.
-    if "ingest_batch" in df.columns:
-        df = df.drop("ingest_batch")
-    if quarantine_batch_id is not None:
-        df = df.filter(F.col("_ingest_batch") == quarantine_batch_id)
-    clean = materialize(df.drop(*QUARANTINE_META_COLUMNS).dropDuplicates())
-    n = clean.count()
-    # provenance label, NOT a real path: no colon (a colon would parse
-    # as a URI scheme downstream) and delete_raw forced off — there is
-    # no raw file to delete on a re-drive.
     label = f"requeue-{quarantine_batch_id or 'all'}"
-    if n == 0:
-        return {"status": "noop", "file": label, "n_requeued": 0}
-    # Content-keyed batch id: the same quarantine state re-driven again
-    # produces the same id, so run_batch_frame's idempotent lake/sales
-    # appends no-op instead of double-ingesting (docstring).  The "rq_"
-    # prefix keeps re-quarantined failures from colliding with the
-    # original rows' ids in the store.
-    sig = clean.agg(
-        F.bit_xor(
-            F.xxhash64(*[F.col(c).cast("string") for c in clean.columns])
-        ).alias("h")
-    ).first()["h"]
-    rq_id = f"rq_{sig & 0xFFFFFFFFFFFFFFFF:016x}_{n}"
-    out = run_batch_frame(
-        spark,
-        clean,
-        label,
-        replace(cfg, delete_raw=False),
-        batch_id=rq_id,
+    noop = {"status": "noop", "file": label, "n_requeued": 0}
+    sc = spark.sparkContext
+    jvm = sc._jvm
+    conf = sc._jsc.hadoopConfiguration()
+    root = jvm.org.apache.hadoop.fs.Path(cfg.quarantine_dir)
+    fs = root.getFileSystem(conf)
+    if not fs.exists(root):
+        return noop
+    want = (
+        None
+        if quarantine_batch_id is None
+        else f"ingest_batch={quarantine_batch_id}"
     )
-    out["n_requeued"] = n
-    if out.get("status") == "success":
-        # archive the ingested source partitions (audit-preserving
-        # exactly-once, docstring): every ingest_batch= dir the re-drive
-        # read moves under _requeued/ — one atomic rename each
-        sc = spark.sparkContext
-        jvm = sc._jvm
-        conf = sc._jsc.hadoopConfiguration()
-        root = jvm.org.apache.hadoop.fs.Path(cfg.quarantine_dir)
-        fs = root.getFileSystem(conf)
-        arch = jvm.org.apache.hadoop.fs.Path(
-            cfg.quarantine_dir, "_requeued"
+    dirs = sorted(
+        st.getPath().toString()
+        for st in fs.listStatus(root)
+        if st.isDirectory()
+        and st.getPath().getName().startswith("ingest_batch=")
+        and (want is None or st.getPath().getName() == want)
+    )
+    if not dirs:
+        return noop
+
+    # group source directories by the content hash of their cleaned
+    # rows (provenance stripped, exact duplicates collapsed): re-drive
+    # generations of one failure are byte-identical, so they re-drive
+    # ONCE and archive together
+    groups: dict = {}
+    for d in dirs:
+        clean_d = materialize(
+            spark.read.parquet(d)
+            .drop(*QUARANTINE_META_COLUMNS)
+            .dropDuplicates()
         )
+        n_d = clean_d.count()
+        if n_d == 0:
+            continue
+        sig = clean_d.agg(
+            F.bit_xor(
+                F.xxhash64(
+                    *[F.col(c).cast("string") for c in clean_d.columns]
+                )
+            ).alias("h")
+        ).first()["h"]
+        key = (sig & 0xFFFFFFFFFFFFFFFF, n_d)
+        groups.setdefault(key, {"dirs": [], "clean": clean_d})
+        groups[key]["dirs"].append(d)
+    if not groups:
+        return noop
+
+    arch = jvm.org.apache.hadoop.fs.Path(cfg.quarantine_dir, "_requeued")
+    cfg_rq = replace(cfg, delete_raw=False)
+    total = 0
+    failed_groups = 0
+    first_error = None
+    for (sig, n_g), g in sorted(groups.items()):
+        out_g = run_batch_frame(
+            spark,
+            g["clean"],
+            label,
+            cfg_rq,
+            batch_id=f"rq_{sig:016x}_{n_g}",
+        )
+        total += n_g
+        if out_g.get("status") != "success":
+            failed_groups += 1
+            if first_error is None:
+                first_error = out_g.get("error")
+            continue
         fs.mkdirs(arch)
-        for st in fs.listStatus(root):
-            name = st.getPath().getName()
-            if not (st.isDirectory() and name.startswith("ingest_batch=")):
-                continue
-            if quarantine_batch_id is not None and name != (
-                f"ingest_batch={quarantine_batch_id}"
-            ):
-                continue
+        for d in g["dirs"]:
+            src = jvm.org.apache.hadoop.fs.Path(d)
+            name = src.getName()
             dst = jvm.org.apache.hadoop.fs.Path(arch, name)
             if fs.exists(dst):  # re-archived id: keep both generations
                 dst = jvm.org.apache.hadoop.fs.Path(
-                    arch, f"{name}__{rq_id}"
+                    arch, f"{name}__rq_{sig:016x}"
                 )
-            fs.rename(st.getPath(), dst)
+            fs.rename(src, dst)
+    out = {
+        "status": "failed" if failed_groups else "success",
+        "file": label,
+        "n_requeued": total,
+        "groups": len(groups),
+        "failed_groups": failed_groups,
+    }
+    if first_error is not None:
+        out["error"] = first_error
     return out

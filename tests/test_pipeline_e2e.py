@@ -391,8 +391,9 @@ def test_reprocess_quarantine_broken_store_raises(spark, cfg):
         reprocess_quarantine,
     )
 
-    os.makedirs(cfg.quarantine_dir, exist_ok=True)
-    with open(os.path.join(cfg.quarantine_dir, "part-0.parquet"), "wb") as fh:
+    part = os.path.join(cfg.quarantine_dir, "ingest_batch=b1")
+    os.makedirs(part, exist_ok=True)
+    with open(os.path.join(part, "part-0.parquet"), "wb") as fh:
         fh.write(b"not a parquet file at all")
     with pytest.raises(Exception):
         reprocess_quarantine(spark, cfg)
