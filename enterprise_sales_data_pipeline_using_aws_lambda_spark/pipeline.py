@@ -299,22 +299,29 @@ def reprocess_quarantine(
     # ONCE and archive together
     groups: dict = {}
     for d in dirs:
-        clean_d = materialize(
+        # no materialize here: pinning every directory's rows at once
+        # would hold the whole store in executor memory — the dir
+        # parquet is already on disk, so the (hash, count) probe is one
+        # bounded job and the group's eventual run re-reads its one
+        # directory.  (hash, count) collisions across different
+        # contents are the same 2^-64 xxhash64 class the engine
+        # accepts elsewhere (graph._sig).
+        clean_d = (
             spark.read.parquet(d)
             .drop(*QUARANTINE_META_COLUMNS)
             .dropDuplicates()
         )
-        n_d = clean_d.count()
-        if n_d == 0:
-            continue
-        sig = clean_d.agg(
+        probe = clean_d.agg(
+            F.count(F.lit(1)).alias("n"),
             F.bit_xor(
                 F.xxhash64(
                     *[F.col(c).cast("string") for c in clean_d.columns]
                 )
-            ).alias("h")
-        ).first()["h"]
-        key = (sig & 0xFFFFFFFFFFFFFFFF, n_d)
+            ).alias("h"),
+        ).first()
+        if probe["n"] == 0:
+            continue
+        key = ((probe["h"] or 0) & 0xFFFFFFFFFFFFFFFF, probe["n"])
         groups.setdefault(key, {"dirs": [], "clean": clean_d})
         groups[key]["dirs"].append(d)
     if not groups:
