@@ -397,3 +397,117 @@ def test_reprocess_quarantine_broken_store_raises(spark, cfg):
         fh.write(b"not a parquet file at all")
     with pytest.raises(Exception):
         reprocess_quarantine(spark, cfg)
+
+
+def test_reprocess_recovery_crash_matrix_converges(spark, cfg, tmp_path):
+    """Crash-matrix pin for the per-content-group recovery contract
+    (reprocess_quarantine docstring): from EVERY window — crash inside
+    a group's run, crash after the sinks but before the archive, crash
+    mid-archive of a multi-directory group, and new failures arriving
+    between runs — a plain re-run converges to exactly-once lake and
+    sales state, with duplicate re-drive generations collapsing into
+    one group."""
+    import shutil
+    import unittest.mock as mock
+
+    import enterprise_sales_data_pipeline_using_aws_lambda_spark.pipeline as pl
+    from enterprise_sales_data_pipeline_using_aws_lambda_spark.sources.writers import (
+        write_quarantine,
+    )
+
+    def rows(uuids):
+        return spark.createDataFrame(
+            [
+                (
+                    u, "Kenya", "Beverages", "Offline", "L",
+                    "03/24/2016", "Asia", "04/05/2016",
+                    2, 3.0, 1.0, 6.0, 2.0, 4.0,
+                )
+                for u in uuids
+            ],
+            "uuid long, Country string, ItemType string, "
+            "SalesChannel string, OrderPriority string, OrderDate string, "
+            "Region string, ShipDate string, UnitsSold long, "
+            "UnitPrice double, UnitCost double, TotalRevenue double, "
+            "TotalCost double, TotalProfit double",
+        )
+
+    qdir = cfg.quarantine_dir
+    write_quarantine(rows([1, 2, 3]), qdir, "old failure", "a", "bA")
+    write_quarantine(rows([11, 12, 13]), qdir, "old failure", "b", "bB")
+    # a byte-identical re-drive generation of bA: must fold into bA's
+    # content group and archive with it, never re-drive separately
+    write_quarantine(rows([1, 2, 3]), qdir, "old failure", "a", "bA2")
+
+    def state():
+        lake = sorted(
+            r["uuid"] for r in spark.read.parquet(cfg.lake_dir).collect()
+        )
+        sales = sorted(
+            r["uuid"]
+            for r in spark.read.parquet(
+                f"{cfg.warehouse_dir}/sales"
+            ).collect()
+        )
+        tgt = sorted(
+            r["uuid"]
+            for r in spark.read.parquet(
+                f"{cfg.warehouse_dir}/sales_tgt"
+            ).collect()
+        )
+        return lake, sales, tgt
+
+    expect = sorted([1, 2, 3, 11, 12, 13])
+
+    # window 1: crash inside the FIRST group's run (the sales_tgt
+    # overwrite dies); the plain re-run must converge
+    real_write = pl.write_serving_table
+    calls = {"n": 0}
+
+    def dying(df, *a, **kw):
+        calls["n"] += 1
+        if calls["n"] == 1:
+            raise RuntimeError("simulated crash in group run")
+        return real_write(df, *a, **kw)
+
+    with mock.patch.object(pl, "write_serving_table", dying):
+        r1 = pl.reprocess_quarantine(spark, cfg)
+    # the crash hit the FIRST group only; the second group of the same
+    # run succeeded independently and was archived
+    assert r1["status"] == "failed"
+    assert r1["groups"] == 2 and r1["failed_groups"] == 1
+    r2 = pl.reprocess_quarantine(spark, cfg)
+    assert r2["status"] == "success" and r2["groups"] == 1
+    assert state() == (expect, expect, expect)
+    arch = f"{qdir}/_requeued"
+    archived = sorted(os.listdir(arch))
+    assert "ingest_batch=bA" in archived and "ingest_batch=bB" in archived
+    assert "ingest_batch=bA2" in archived  # the generation went too
+
+    # window 2: crash after the sinks, before the archive — simulated
+    # by restoring a whole archived group; the re-run must no-op at
+    # every sink and just finish the archive
+    shutil.move(f"{arch}/ingest_batch=bB", f"{qdir}/ingest_batch=bB")
+    r3 = pl.reprocess_quarantine(spark, cfg)
+    assert r3["status"] == "success"
+    assert state() == (expect, expect, expect)  # nothing re-appended
+    assert os.path.isdir(f"{arch}/ingest_batch=bB")
+
+    # window 3: crash MID-archive of the two-directory group —
+    # one generation restored, the other still archived
+    shutil.move(f"{arch}/ingest_batch=bA2", f"{qdir}/ingest_batch=bA2")
+    r4 = pl.reprocess_quarantine(spark, cfg)
+    assert r4["status"] == "success"
+    assert state() == (expect, expect, expect)
+    assert os.path.isdir(f"{arch}/ingest_batch=bA2")
+
+    # window 4: new failures between runs are their own group and never
+    # disturb already-landed rows
+    write_quarantine(rows([21, 22, 23]), qdir, "new failure", "c", "bC")
+    r5 = pl.reprocess_quarantine(spark, cfg)
+    assert r5["status"] == "success" and r5["n_requeued"] == 3
+    expect2 = sorted(expect + [21, 22, 23])
+    assert state() == (expect2, expect2, expect2)
+    # and a final run on the clean store is a complete no-op
+    r6 = pl.reprocess_quarantine(spark, cfg)
+    assert r6["status"] == "noop"
