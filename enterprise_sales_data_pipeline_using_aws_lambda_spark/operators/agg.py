@@ -334,15 +334,23 @@ def weighted_median(
 
     Weights are cast to long, so every comparison is integer-exact
     (identical across engines — no float cumulative-sum ulps).  That
-    makes INTEGER weights the contract: a fractional weight column is
-    rejected loudly — casting 0.25 to long would silently zero the
-    weight and EXCLUDE the row (the `_w > 0` filter), turning
-    normalized-weight inputs into empty or wrong medians.  Pre-scale
+    makes INTEGER weights the contract: a fractional-capable weight
+    column (double/float, or decimal with scale > 0) is rejected
+    loudly — casting 0.25 to long would silently zero the weight and
+    EXCLUDE the row (the `_w > 0` filter), turning normalized-weight
+    inputs into empty or wrong medians.  Scale-0 decimals (money-typed
+    integral counts) cast to long exactly, so they pass.  Pre-scale
     fractional weights to integers (e.g. basis points) upstream.
     NULL values and non-positive weights are excluded, matching
     ``percentile_cont``'s null handling."""
-    wt = df.schema[weight_col].dataType.simpleString()
-    if wt.startswith(("double", "float", "decimal")):
+    from pyspark.sql.types import DecimalType
+
+    wdt = df.schema[weight_col].dataType
+    wt = wdt.simpleString()
+    fractional = wt.startswith(("double", "float")) or (
+        isinstance(wdt, DecimalType) and wdt.scale > 0
+    )
+    if fractional:
         raise ValueError(
             f"weighted_median needs an integer weight column; "
             f"{weight_col!r} is {wt}.  Casting fractional weights to "

@@ -95,11 +95,19 @@ def ensure_min_parallelism(df: DataFrame) -> DataFrame:
     plan cache is a perf-only heuristic: a stale verdict (the same
     path rewritten with different file splits mid-session) or a hash
     collision can only mis-tune the partitioning decision, never
-    change results."""
+    change results.  The session component of the key is the
+    context's ``applicationId`` — stable for the context's lifetime,
+    never recycled the way ``id(session)`` can be after a session is
+    garbage-collected (a reused id would let a dead session's verdict
+    leak into a new one's probe)."""
     if df in _KNOWN_PARALLEL:
         return df
     target = df.sparkSession.sparkContext.defaultParallelism
-    key = (id(df.sparkSession), df.semanticHash(), target)
+    key = (
+        df.sparkSession.sparkContext.applicationId,
+        df.semanticHash(),
+        target,
+    )
     verdict = _PARALLEL_BY_PLAN.get(key)
     if verdict is None:
         verdict = df.rdd.getNumPartitions() >= target

@@ -222,6 +222,7 @@ def reprocess_quarantine(
     spark: SparkSession,
     cfg: PipelineConfig,
     quarantine_batch_id: str | None = None,
+    max_groups_per_run: int | None = None,
 ) -> dict:
     """Re-drive quarantined rows through the normal gate — the recovery
     path the reference lacks (its quarantine is a dead end,
@@ -262,10 +263,24 @@ def reprocess_quarantine(
     generation.  An empty or not-yet-created store is a clean noop —
     the recovery job must be safe to run on a healthy pipeline.
 
+    ``max_groups_per_run`` bounds the per-run fan-out: each content
+    group costs one driver-sequential ``run_batch_frame`` job, so a
+    poisoned upstream that quarantined thousands of DISTINCT batches
+    would otherwise turn one recovery call into thousands of serial
+    Spark jobs.  With the cap set, only the OLDEST ``max_groups_per_run``
+    groups (by earliest source directory name — ingest_batch ids sort
+    chronologically for both faces) run this call; the rest are
+    reported as ``groups_deferred`` and picked up by subsequent runs —
+    the backlog contract is simply "call again until
+    ``groups_deferred == 0``", safe because partial runs already
+    converge by construction (archived groups leave the store, deferred
+    groups are untouched).
+
     Returns an aggregate dict: ``status`` ("success" iff every group
-    succeeded, "failed" if any failed, "noop" for an empty store),
-    ``n_requeued`` (total rows re-driven), ``groups``/``failed_groups``
-    counts, and the first failure's ``error``.
+    this run attempted succeeded, "failed" if any failed, "noop" for an
+    empty store), ``n_requeued`` (total rows re-driven),
+    ``groups``/``failed_groups``/``groups_deferred`` counts, and the
+    first failure's ``error``.
     """
     from dataclasses import replace
 
@@ -283,13 +298,33 @@ def reprocess_quarantine(
         if quarantine_batch_id is None
         else f"ingest_batch={quarantine_batch_id}"
     )
-    dirs = sorted(
-        st.getPath().toString()
-        for st in fs.listStatus(root)
-        if st.isDirectory()
-        and st.getPath().getName().startswith("ingest_batch=")
-        and (want is None or st.getPath().getName() == want)
-    )
+    dirs = []
+    stray = []
+    for st in fs.listStatus(root):
+        name = st.getPath().getName()
+        if st.isDirectory() and name.startswith("ingest_batch="):
+            if want is None or name == want:
+                dirs.append(st.getPath().toString())
+        elif name.startswith(("_", ".")):
+            continue  # bookkeeping (_requeued archive, _SUCCESS, ...)
+        else:
+            # A data file or non-partition directory at the root is a
+            # pre-layout (flat) quarantine store: parquet partition
+            # discovery rejects the mix and the directory walk above
+            # would silently skip those rows forever — reporting
+            # "noop" while quarantined data rots.  Fail loudly with
+            # the migration instead (ADVICE r7).
+            stray.append(name)
+    if stray:
+        raise ValueError(
+            f"quarantine store {cfg.quarantine_dir} contains "
+            f"non-partitioned entries {sorted(stray)[:5]} (of "
+            f"{len(stray)}): rows written before the ingest_batch= "
+            f"layout are invisible to recovery.  Migrate by moving "
+            f"each flat file/directory under "
+            f"ingest_batch=<legacy-id>/ before re-running"
+        )
+    dirs = sorted(dirs)
     if not dirs:
         return noop
 
@@ -332,7 +367,17 @@ def reprocess_quarantine(
     total = 0
     failed_groups = 0
     first_error = None
-    for (sig, n_g), g in sorted(groups.items()):
+    # Oldest-first by each group's earliest source directory (batch ids
+    # sort chronologically for both faces), so a capped run drains the
+    # backlog in arrival order.
+    ordered = sorted(
+        groups.items(), key=lambda kv: (min(kv[1]["dirs"]), kv[0])
+    )
+    deferred = 0
+    if max_groups_per_run is not None and len(ordered) > max_groups_per_run:
+        deferred = len(ordered) - max_groups_per_run
+        ordered = ordered[:max_groups_per_run]
+    for (sig, n_g), g in ordered:
         out_g = run_batch_frame(
             spark,
             g["clean"],
@@ -350,18 +395,32 @@ def reprocess_quarantine(
         for d in g["dirs"]:
             src = jvm.org.apache.hadoop.fs.Path(d)
             name = src.getName()
+            # A third byte-identical generation can collide with BOTH
+            # the primary archive name and the suffixed one (the
+            # streaming face reuses small-int batch ids), and
+            # fs.rename reports that as False, not an exception —
+            # unchecked, the directory would be re-driven (sinks
+            # no-op) on every future run and the store never reaches
+            # 'noop' (ADVICE r7).  Uniquify with a generation counter
+            # until the rename lands, and raise on any other failure.
             dst = jvm.org.apache.hadoop.fs.Path(arch, name)
-            if fs.exists(dst):  # re-archived id: keep both generations
+            gen = 0
+            while fs.exists(dst):
+                gen += 1
                 dst = jvm.org.apache.hadoop.fs.Path(
-                    arch, f"{name}__rq_{sig:016x}"
+                    arch, f"{name}__rq{gen}"
                 )
-            fs.rename(src, dst)
+            if not fs.rename(src, dst):
+                raise IOError(
+                    f"quarantine archive rename failed: {d} -> {dst}"
+                )
     out = {
         "status": "failed" if failed_groups else "success",
         "file": label,
         "n_requeued": total,
-        "groups": len(groups),
+        "groups": len(ordered),
         "failed_groups": failed_groups,
+        "groups_deferred": deferred,
     }
     if first_error is not None:
         out["error"] = first_error

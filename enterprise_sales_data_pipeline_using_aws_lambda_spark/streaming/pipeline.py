@@ -73,8 +73,17 @@ def stream_sales_ingest(
     )
     if fmt == "csv":
         reader = reader.option("header", True)
-    stream = reader.load(raw_dir).withColumn(
-        "_source_file", F.input_file_name()
+    # _source_mtime rides along for the intra-batch keep-last: "the
+    # later file's row wins" must mean ARRIVAL order (the reference's
+    # sequential one-event-one-run loop), and the file's modification
+    # time is the arrival record — path strings only sort that way
+    # when feed filenames happen to be time-ordered (ADVICE r7).
+    stream = (
+        reader.load(raw_dir)
+        .withColumn("_source_file", F.input_file_name())
+        .withColumn(
+            "_source_mtime", F.col("_metadata.file_modification_time")
+        )
     )
 
     def process_batch(batch_df: DataFrame, batch_id: int) -> None:
@@ -99,7 +108,7 @@ def stream_sales_ingest(
             if not quarantined.isEmpty():
                 append_log_idempotent(
                     spark,
-                    quarantined.withColumn(
+                    quarantined.drop("_source_mtime").withColumn(
                         "_ingest_batch", F.lit(str(batch_id))
                     ),
                     cfg.quarantine_dir,
@@ -112,8 +121,8 @@ def stream_sales_ingest(
                     c, F.to_date(F.col(c).cast("string"), SALES_DATE_FORMAT)
                 )
             append_log_idempotent(
-                spark, casted.drop("_source_file"), cfg.lake_dir,
-                str(batch_id),
+                spark, casted.drop("_source_file", "_source_mtime"),
+                cfg.lake_dir, str(batch_id),
             )
 
             serving = casted
@@ -123,20 +132,26 @@ def stream_sales_ingest(
             if cfg.jdbc_url:
                 # JDBC append: at-least-once (module docstring)
                 write_serving_table(
-                    serving.drop("_source_file"), cfg.warehouse_dir,
+                    serving.drop("_source_file", "_source_mtime"),
+                    cfg.warehouse_dir,
                     "sales", "append", cfg.jdbc_url, cfg.jdbc_properties,
                 )
             else:
                 append_log_idempotent(
-                    spark, serving.drop("_source_file"),
+                    spark, serving.drop("_source_file", "_source_mtime"),
                     f"{cfg.warehouse_dir}/sales", str(batch_id),
                 )
             # Intra-batch keyed keep-last BEFORE the upsert: a
             # micro-batch drains up to 16 files, and the same key
             # arriving in two of them must resolve the way the
             # reference's sequential one-event-one-run loop would —
-            # the later file's row wins (``_source_file`` DESC; a
-            # content hash breaks same-file ties deterministically).
+            # the later-ARRIVING file's row wins.  Arrival order is the
+            # file's modification time (``_source_mtime`` DESC, from
+            # the scan's _metadata column — no extra I/O); the path
+            # string, the previous proxy, only matches arrival order
+            # when feed filenames happen to sort chronologically, so it
+            # is demoted to the same-mtime tiebreak, and a content hash
+            # breaks same-file ties deterministically.
             # The batch path gets this for free from validate_batch's
             # whole-file V4 uniqueness check; the row-level rules here
             # have no duplicate-key rule, so without this dedup BOTH
@@ -146,17 +161,19 @@ def stream_sales_ingest(
             # (the audit record, exactly what sequential reference
             # runs would have appended).
             data_cols = [
-                c for c in serving.columns if c != "_source_file"
+                c for c in serving.columns
+                if c not in ("_source_file", "_source_mtime")
             ]
             incoming = dedup_keep_last(
                 serving, [SALES_KEY_COLUMN],
                 [
+                    F.col("_source_mtime").desc(),
                     F.col("_source_file").desc(),
                     F.xxhash64(
                         *[F.col(c).cast("string") for c in data_cols]
                     ).desc(),
                 ],
-            ).drop("_source_file")
+            ).drop("_source_file", "_source_mtime")
             existing = read_serving_table(
                 spark, cfg.warehouse_dir, "sales_tgt",
                 cfg.jdbc_url, cfg.jdbc_properties,

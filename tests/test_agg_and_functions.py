@@ -323,6 +323,31 @@ def test_weighted_median_rejects_fractional_weights(spark):
         weighted_median(df, ["g"], "v", "w", 10.0, "wm")
 
 
+def test_weighted_median_decimal_weights(spark):
+    """Scale-0 decimals (money-typed integral counts) cast to long
+    exactly, so they are VALID weights; only fractional-capable
+    decimals (scale > 0) are rejected (ADVICE r7: the blanket decimal
+    rejection broke previously-valid integral-decimal callers)."""
+    import pytest as _pytest
+    from pyspark.sql import functions as _F
+
+    from enterprise_sales_data_pipeline_using_aws_lambda_spark.operators.agg import (
+        weighted_median,
+    )
+
+    base = spark.createDataFrame(
+        [("a", 1.0, 1), ("a", 3.0, 1), ("a", 9.0, 3)],
+        "g string, v double, w int",
+    )
+    ok = base.withColumn("w", _F.col("w").cast("decimal(10,0)"))
+    [r] = weighted_median(ok, ["g"], "v", "w", 10.0, "wm").collect()
+    # cumulative weights 1,2,5 of total 5: first 2*cum >= 5 at v=9.0
+    assert r["wm"] == 9.0
+    bad = base.withColumn("w", _F.col("w").cast("decimal(10,2)"))
+    with _pytest.raises(ValueError, match="integer weight"):
+        weighted_median(bad, ["g"], "v", "w", 10.0, "wm")
+
+
 def test_skyline_2d_matches_bruteforce(spark):
     """Two-phase skyline == brute-force non-dominated set on random
     points with duplicates and axis ties."""

@@ -511,3 +511,105 @@ def test_reprocess_recovery_crash_matrix_converges(spark, cfg, tmp_path):
     # and a final run on the clean store is a complete no-op
     r6 = pl.reprocess_quarantine(spark, cfg)
     assert r6["status"] == "noop"
+
+
+def _mini_rows(spark, uuids):
+    return spark.createDataFrame(
+        [
+            (
+                u, "Kenya", "Beverages", "Offline", "L",
+                "03/24/2016", "Asia", "04/05/2016",
+                2, 3.0, 1.0, 6.0, 2.0, 4.0,
+            )
+            for u in uuids
+        ],
+        "uuid long, Country string, ItemType string, "
+        "SalesChannel string, OrderPriority string, OrderDate string, "
+        "Region string, ShipDate string, UnitsSold long, "
+        "UnitPrice double, UnitCost double, TotalRevenue double, "
+        "TotalCost double, TotalProfit double",
+    )
+
+
+def test_reprocess_archive_uniquifies_repeat_generations(spark, cfg):
+    """THREE byte-identical generations of one failure arriving under
+    the SAME reused batch id (the streaming face reuses small-int ids)
+    must all leave the store: fs.rename reports an existing
+    destination as False, not an exception, so unchecked renames would
+    silently re-drive that directory forever and the store would never
+    reach 'noop' (ADVICE r7).  Each archive collision appends a
+    generation counter instead."""
+    import enterprise_sales_data_pipeline_using_aws_lambda_spark.pipeline as pl
+    from enterprise_sales_data_pipeline_using_aws_lambda_spark.sources.writers import (
+        write_quarantine,
+    )
+
+    qdir = cfg.quarantine_dir
+    for _ in range(3):
+        # same content, same id -> each run re-drives (sinks no-op
+        # after the first) and must ARCHIVE despite the name collision
+        write_quarantine(_mini_rows(spark, [1, 2, 3]), qdir, "f", "a", "b7")
+        r = pl.reprocess_quarantine(spark, cfg)
+        assert r["status"] == "success"
+    archived = sorted(os.listdir(f"{qdir}/_requeued"))
+    assert archived == [
+        "ingest_batch=b7", "ingest_batch=b7__rq1", "ingest_batch=b7__rq2",
+    ]
+    # exactly-once held across all three: one copy per sink
+    assert spark.read.parquet(cfg.lake_dir).count() == 3
+    assert spark.read.parquet(f"{cfg.warehouse_dir}/sales").count() == 3
+    # and the drained store is a clean noop
+    assert pl.reprocess_quarantine(spark, cfg)["status"] == "noop"
+
+
+def test_reprocess_flat_layout_store_raises(spark, cfg):
+    """Pre-ingest_batch= (flat) quarantine data at the store root must
+    fail the recovery job LOUDLY with migration guidance — the
+    partition walk would otherwise skip those rows forever while
+    reporting 'noop' (ADVICE r7)."""
+    from enterprise_sales_data_pipeline_using_aws_lambda_spark.pipeline import (
+        reprocess_quarantine,
+    )
+
+    # a legacy flat-layout store: data files directly at the root
+    _mini_rows(spark, [1, 2]).write.mode("overwrite").parquet(
+        cfg.quarantine_dir
+    )
+    with pytest.raises(ValueError, match="Migrate"):
+        reprocess_quarantine(spark, cfg)
+
+
+def test_reprocess_group_cap_bounds_fanout_and_converges(spark, cfg):
+    """max_groups_per_run bounds the per-run run_batch_frame fan-out
+    (oldest groups first); deferred groups are reported and picked up
+    by subsequent runs, converging to the same exactly-once state as
+    one uncapped run."""
+    import enterprise_sales_data_pipeline_using_aws_lambda_spark.pipeline as pl
+    from enterprise_sales_data_pipeline_using_aws_lambda_spark.sources.writers import (
+        write_quarantine,
+    )
+
+    qdir = cfg.quarantine_dir
+    # three DISTINCT-content groups, arrival order b1 < b2 < b3
+    write_quarantine(_mini_rows(spark, [1, 2]), qdir, "f", "a", "b1")
+    write_quarantine(_mini_rows(spark, [11, 12]), qdir, "f", "b", "b2")
+    write_quarantine(_mini_rows(spark, [21, 22]), qdir, "f", "c", "b3")
+
+    r1 = pl.reprocess_quarantine(spark, cfg, max_groups_per_run=2)
+    assert r1["status"] == "success"
+    assert r1["groups"] == 2 and r1["groups_deferred"] == 1
+    assert r1["n_requeued"] == 4
+    # oldest-first: b1 and b2 archived, b3 still pending
+    archived = sorted(os.listdir(f"{qdir}/_requeued"))
+    assert archived == ["ingest_batch=b1", "ingest_batch=b2"]
+    assert os.path.isdir(f"{qdir}/ingest_batch=b3")
+
+    # backlog contract: call again until groups_deferred == 0
+    r2 = pl.reprocess_quarantine(spark, cfg, max_groups_per_run=2)
+    assert r2["status"] == "success"
+    assert r2["groups"] == 1 and r2["groups_deferred"] == 0
+    lake = sorted(
+        r["uuid"] for r in spark.read.parquet(cfg.lake_dir).collect()
+    )
+    assert lake == [1, 2, 11, 12, 21, 22]
+    assert pl.reprocess_quarantine(spark, cfg)["status"] == "noop"

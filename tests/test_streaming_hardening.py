@@ -87,6 +87,43 @@ def test_stream_intra_batch_dup_key_keeps_last_file(spark, tmp_path):
     assert summary[0]["average_total_revenue"] == pytest.approx(22 / 3)
 
 
+def test_stream_keep_last_orders_by_arrival_not_path(spark, tmp_path):
+    """The intra-batch keep-last must resolve by ARRIVAL order (file
+    modification time), not path-string order: a later-arriving file
+    whose name sorts EARLIER must still win the key (ADVICE r7 — the
+    path proxy only matches arrival when feed names happen to sort
+    chronologically)."""
+    import time
+
+    from enterprise_sales_data_pipeline_using_aws_lambda_spark.streaming.pipeline import (  # noqa: E501
+        stream_sales_ingest,
+    )
+
+    raw = tmp_path / "raw"
+    raw.mkdir()
+    # z_... arrives FIRST, a_... arrives LATER but sorts earlier;
+    # pin mtimes explicitly so the ordering is deterministic even when
+    # both writes land in the same filesystem timestamp tick
+    now = time.time()
+    zf = raw / "z_arrives_first.csv"
+    zf.write_text("\n".join([HDR, _row(1, units=5)]) + "\n")
+    os.utime(zf, (now - 3600, now - 3600))
+    af = raw / "a_arrives_second.csv"
+    af.write_text("\n".join([HDR, _row(1, units=9)]) + "\n")
+    os.utime(af, (now, now))
+
+    cfg = _cfg(tmp_path)
+    q = stream_sales_ingest(
+        spark, str(raw), cfg, str(tmp_path / "ckpt"), available_now=True
+    )
+    q.awaitTermination(120)
+    tgt = spark.read.parquet(f"{cfg.warehouse_dir}/sales_tgt").collect()
+    assert len(tgt) == 1
+    assert tgt[0]["UnitsSold"] == 9  # the later ARRIVAL won
+    # audit log keeps both rows
+    assert spark.read.parquet(f"{cfg.warehouse_dir}/sales").count() == 2
+
+
 def test_rollup_merge_raises_on_unreadable_existing_table(
     spark, tmp_path,
 ):
