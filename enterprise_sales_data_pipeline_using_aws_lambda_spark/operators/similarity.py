@@ -734,6 +734,7 @@ def write_ivf_index(
     id_col: str = "vec_id",
     vec_col: str = "embedding",
     centroids=None,
+    version: int = 1,
 ) -> None:
     """Persist an IVF index for ``corpus`` — the ANN analog of the LSH
     signature store: codebook + list assignments on disk so repeated
@@ -755,7 +756,13 @@ def write_ivf_index(
     rebuild that dies between the data writes leaves an index with no
     meta — :func:`read_ivf_index` fails loudly instead of validating
     new assignments against a stale parameter pin.  Recovery is
-    re-running the write."""
+    re-running the write.
+
+    ``version`` is the codebook generation recorded in meta: fresh
+    builds are 1; :func:`retrain_ivf_index` bumps it on every swap so
+    a reader that pinned one generation's codebook can detect (via
+    :func:`assert_index_version`) that the index underneath it was
+    retrained."""
     import os
 
     import numpy as np
@@ -777,8 +784,12 @@ def write_ivf_index(
         "list_id int, centroid array<double>",
     ).write.mode("overwrite").parquet(os.path.join(path, "centroids"))
     spark.createDataFrame(
-        [(id_col, vec_col, int(cent.shape[0]), int(cent.shape[1]))],
-        "id_col string, vec_col string, n_lists int, dim int",
+        [(
+            id_col, vec_col, int(cent.shape[0]), int(cent.shape[1]),
+            int(version),
+        )],
+        "id_col string, vec_col string, n_lists int, dim int, "
+        "version int",
     ).write.mode("overwrite").parquet(os.path.join(path, "meta"))
 
 
@@ -802,9 +813,11 @@ def _read_index_meta(spark, path: str) -> dict:
         if "PATH_NOT_FOUND" in str(e):
             raise ValueError(
                 f"no IVF index at {path}: the meta table is missing — "
-                f"either nothing was built here, or a rebuild crashed "
-                f"mid-way (meta is written last).  Recover by "
-                f"re-running write_ivf_index"
+                f"either nothing was built here, a rebuild crashed "
+                f"mid-way (meta is written last), or a retrain crashed "
+                f"mid-swap.  Recover by re-running write_ivf_index, or "
+                f"retrain_ivf_index if a retrain was in flight (it "
+                f"restores the pre-swap index first)"
             ) from e
         raise
 
@@ -1015,6 +1028,184 @@ def compact_ivf_index(
             spark, sub, target_files, sort_col=id_col
         )
     return results
+
+
+#: Staging suffix for a whole-index retrain rebuild — distinct from the
+#: per-partition compaction suffix so debris is attributable.
+RETRAIN_STAGING_SUFFIX = "__retrain"
+
+
+def ivf_occupancy_skew(spark, path: str) -> dict:
+    """Drift probe for a persisted IVF index: appended batches are
+    assigned against the ORIGINAL codebook (parameter pinning), so as
+    the corpus drifts from the clustering sample, vectors pile into a
+    few lists — probed-list recall erodes and the biggest lists' scan
+    cost grows, silently.  List occupancy is the cheap observable: one
+    per-list count aggregate (≤ n_lists rows collected, never the
+    corpus).
+
+    Returns ``{"n_lists", "n_vectors", "max_list_rows", "skew",
+    "empty_frac"}`` where ``skew = max_list_rows / mean_rows_per_list``
+    (balanced index ≈ 1; drift pushes it up) and ``empty_frac`` is the
+    fraction of lists holding nothing.  Typical trigger:
+    ``skew > 4`` or ``empty_frac > 0.5`` → :func:`retrain_ivf_index`
+    (see :func:`retrain_if_drifted`)."""
+    import os
+
+    meta = _read_index_meta(spark, path)
+    counts = (
+        spark.read.parquet(os.path.join(path, "assignments"))
+        .groupBy("list_id")
+        .count()
+        .collect()
+    )
+    n_lists = int(meta["n_lists"])
+    n_vectors = int(sum(r["count"] for r in counts))
+    max_rows = int(max((r["count"] for r in counts), default=0))
+    mean = n_vectors / n_lists if n_lists else 0.0
+    return {
+        "n_lists": n_lists,
+        "n_vectors": n_vectors,
+        "max_list_rows": max_rows,
+        "skew": (max_rows / mean) if mean else 1.0,
+        "empty_frac": 1.0 - (len(counts) / n_lists) if n_lists else 0.0,
+    }
+
+
+def retrain_ivf_index(
+    spark,
+    path: str,
+    n_lists: int | None = None,
+    iters: int = 2,
+) -> dict:
+    """Re-train a persisted IVF index's codebook on its ACCUMULATED
+    vectors and re-assign everything — the maintenance path that heals
+    codebook staleness (appends pin to the original codebook forever;
+    as the corpus drifts, neighbors scatter across lists and probed
+    recall silently decays — the round-7 review's one unowned
+    staleness axis).
+
+    Shape: the full staged rebuild runs FIRST — a complete new index
+    (assignments, centroids, meta with ``version`` bumped) is built
+    under ``{path}__retrain`` by :func:`write_ivf_index`, reading the
+    live assignments (distributed k-means + one assignment pass; only
+    n_lists × dim floats touch the driver) — then the live directory
+    is swapped out with the compaction two-rename pattern.  Crash
+    states form the same closed class as
+    ``writers.compact_lake_partition`` and are recovered at entry:
+
+    - ``{path}__retrain`` alone → stale staging, deleted and rebuilt
+      (training is deterministic);
+    - ``{path}__old`` + live ``{path}`` → crashed after swap-in:
+      delete the backup;
+    - ``{path}__old`` without ``{path}`` → crashed between renames:
+      restore the backup (readers in that window fail LOUDLY — the
+      meta table is gone with the directory).
+
+    Single-writer contract (the store rule): run from a maintenance
+    window, not under live readers or concurrent appends — an append
+    landing between the staged rebuild and the swap would be lost with
+    the swapped-out directory.  Replay safety is preserved: ids are
+    carried through the re-assignment, so a redelivered
+    :func:`append_to_ivf_index` still no-ops on its id anti-join.
+
+    ``n_lists`` defaults to the index's current list count; pass a
+    larger value as the corpus outgrows it.  Returns ``{"n_vectors",
+    "n_lists", "version"}`` (the new generation)."""
+    sc = spark.sparkContext
+    jvm = sc._jvm
+    conf = sc._jsc.hadoopConfiguration()
+    live = jvm.org.apache.hadoop.fs.Path(path)
+    fs = live.getFileSystem(conf)
+    from ..sources.writers import COMPACT_BACKUP_SUFFIX
+
+    old = jvm.org.apache.hadoop.fs.Path(path + COMPACT_BACKUP_SUFFIX)
+    staging = jvm.org.apache.hadoop.fs.Path(path + RETRAIN_STAGING_SUFFIX)
+    # crash recovery from a previous run (closed class, see docstring)
+    if fs.exists(old):
+        if fs.exists(live):
+            fs.delete(old, True)
+        elif not fs.rename(old, live):
+            raise IOError(f"retrain recovery failed for {path}")
+    if fs.exists(staging):
+        fs.delete(staging, True)
+
+    idx = read_ivf_index(spark, path)
+    meta = idx["meta"]
+    id_col, vec_col = meta["id_col"], meta["vec_col"]
+    new_lists = int(n_lists or meta["n_lists"])
+    new_version = int(meta.get("version") or 1) + 1
+    corpus = idx["assignments"].select(id_col, vec_col)
+    # full staged rebuild: reads the live assignments, writes ONLY the
+    # staging directory — the live index stays intact and readable
+    # until the swap
+    write_ivf_index(
+        corpus,
+        path + RETRAIN_STAGING_SUFFIX,
+        n_lists=new_lists,
+        iters=iters,
+        id_col=id_col,
+        vec_col=vec_col,
+        version=new_version,
+    )
+    n_vectors = spark.read.parquet(
+        path + RETRAIN_STAGING_SUFFIX + "/assignments"
+    ).count()
+    if not fs.rename(live, old):
+        raise IOError(f"retrain swap-out failed for {path}")
+    if not fs.rename(staging, live):
+        fs.rename(old, live)  # roll back
+        raise IOError(f"retrain swap-in failed for {path}")
+    fs.delete(old, True)
+    return {
+        "n_vectors": int(n_vectors),
+        "n_lists": new_lists,
+        "version": new_version,
+    }
+
+
+def retrain_if_drifted(
+    spark,
+    path: str,
+    skew_threshold: float = 4.0,
+    empty_threshold: float = 0.5,
+    n_lists: int | None = None,
+    iters: int = 2,
+) -> dict | None:
+    """Probe-then-heal: run :func:`ivf_occupancy_skew` and retrain only
+    when occupancy shows drift (max-list skew past ``skew_threshold``
+    or more than ``empty_threshold`` of lists empty).  The shape a
+    maintenance loop wants — the probe is one ≤ n_lists-row aggregate,
+    so calling this every N batches costs nothing when the index is
+    healthy.  Returns :func:`retrain_ivf_index`'s result when a
+    retrain ran, else None."""
+    probe = ivf_occupancy_skew(spark, path)
+    if (
+        probe["skew"] <= skew_threshold
+        and probe["empty_frac"] <= empty_threshold
+    ):
+        return None
+    return retrain_ivf_index(spark, path, n_lists=n_lists, iters=iters)
+
+
+def assert_index_version(spark, path: str, meta: dict) -> None:
+    """Fail loudly if the index at ``path`` was retrained (or rebuilt)
+    since ``meta`` was read: a caller that pinned one generation's
+    codebook (``read_ivf_index`` → long-lived ``centroids``/
+    ``assignments``) and kept querying across a retrain would silently
+    mix the OLD codebook with the NEW on-disk assignments.  One 1-row
+    meta read; call it before reusing a pinned index across
+    maintenance windows."""
+    current = _read_index_meta(spark, path)
+    pinned = int(meta.get("version") or 1)
+    live = int(current.get("version") or 1)
+    if pinned != live:
+        raise ValueError(
+            f"IVF index at {path} is at codebook generation {live} but "
+            f"this reader pinned generation {pinned} — the index was "
+            f"retrained underneath it.  Re-read the index "
+            f"(read_ivf_index) and re-plan against the new codebook"
+        )
 
 
 def ingest_semantic_batch(

@@ -21,8 +21,8 @@ text loop — the reference's one-event-one-run model,
 so a replayed micro-batch admits nothing twice at either sink.  The
 index must exist before the stream starts (``write_ivf_index`` — train
 the codebook on a representative corpus or sample; the codebook stays
-fixed across appends, retrain offline when recall drifts).  The lake
-may start absent.
+fixed across appends, healed by ``retrain_if_drifted`` — in-loop via
+``retrain_on_skew=`` or offline).  The lake may start absent.
 """
 
 from __future__ import annotations
@@ -33,6 +33,7 @@ from ..operators.similarity import (
     append_to_ivf_index,
     compact_ivf_index,
     ingest_semantic_batch,
+    retrain_if_drifted,
 )
 from .dedup_ingest import guarded_idempotent_append
 
@@ -52,6 +53,7 @@ def stream_vectors_semantic_ingest(
     fmt: str = "parquet",
     compact_index_every: int | None = None,
     compact_index_target: int = 1,
+    retrain_on_skew: float | None = None,
 ):
     """Start the semantically-deduplicating vector ingest of
     ``raw_dir``.  Returns the started ``StreamingQuery``; with
@@ -68,7 +70,18 @@ def stream_vectors_semantic_ingest(
     before the batch is processed.  Recovery-first ordering: a crash
     inside a previous compaction's swap leaves ``list_id=N__old``
     debris that breaks partition discovery, and ``compact_ivf_index``
-    always revisits crashed partitions before the trigger applies."""
+    always revisits crashed partitions before the trigger applies.
+
+    ``retrain_on_skew`` (float) owns the OTHER staleness axis —
+    codebook drift: before each batch, the ≤ n_lists-row occupancy
+    probe runs, and when max-list skew passes the threshold the
+    codebook is retrained and every vector re-assigned
+    (``retrain_if_drifted`` — staged rebuild + atomic swap, meta
+    version bumped).  This loop is the index's single writer, so
+    retraining inside it is exactly the maintenance window the swap
+    requires.  Cost when healthy: one small aggregate job per
+    micro-batch; leave None to keep retraining a scheduled offline
+    concern."""
     stream = (
         spark.readStream.format(fmt)
         .schema(schema)
@@ -84,6 +97,13 @@ def stream_vectors_semantic_ingest(
                 spark, index_path,
                 target_files=compact_index_target,
                 min_files=compact_index_every,
+            )
+        if retrain_on_skew is not None:
+            # before the batch assigns: a healed codebook clusters this
+            # batch too, and the swap happens while no reader holds the
+            # old generation
+            retrain_if_drifted(
+                spark, index_path, skew_threshold=retrain_on_skew
             )
         clean, _dropped = ingest_semantic_batch(
             batch_df.select(id_col, vec_col),

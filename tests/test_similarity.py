@@ -399,7 +399,7 @@ def test_ivf_index_store_roundtrip_append_and_pruning(spark, sf_dir, tmp_path):
     dim = len(corpus.select("embedding").first()[0])
     assert idx["meta"] == {
         "id_col": "vec_id", "vec_col": "embedding",
-        "n_lists": 8, "dim": dim,
+        "n_lists": 8, "dim": dim, "version": 1,
     }
     assert idx["centroids"].shape == (8, dim)
 
@@ -533,3 +533,200 @@ def test_ingest_semantic_batch_against_index(spark, sf_dir, tmp_path):
         only_admitted, path, threshold=0.99
     )
     assert clean3.count() == 0 and dropped3.count() == 0
+
+
+def _clustered_vecs(spark, specs, dim=8, noise=0.05, seed=7):
+    """Rows of unit-ish vectors: specs = [(start_id, n, axis), ...] —
+    n vectors near basis vector `axis` with small gaussian noise."""
+    import numpy as np
+
+    rng = np.random.default_rng(seed)
+    rows = []
+    for start, n, axis in specs:
+        for i in range(n):
+            v = rng.normal(0.0, noise, dim)
+            v[axis] += 1.0
+            rows.append((start + i, [float(x) for x in v]))
+    return spark.createDataFrame(
+        rows, "vec_id long, embedding array<float>"
+    )
+
+
+def test_ivf_retrain_recovers_recall_after_drift(spark, tmp_path):
+    """The codebook-staleness heal (round-7 review item 1): appends
+    assign against the ORIGINAL codebook forever, so a drifted corpus
+    region scatters across lists and probed recall decays; retraining
+    on the accumulated vectors re-clusters it.  Plant the drift, show
+    the recall drop at n_probe=1, retrain, show recovery — with the
+    meta version bumped, replay-safety preserved, and the pinned-reader
+    guard firing."""
+    import pytest as _pytest
+    from pyspark.sql import functions as F
+
+    from enterprise_sales_data_pipeline_using_aws_lambda_spark.operators.similarity import (  # noqa: E501
+        append_to_ivf_index,
+        assert_index_version,
+        cosine_topk,
+        ivf_topk,
+        read_ivf_index,
+        retrain_ivf_index,
+        write_ivf_index,
+    )
+
+    # original corpus: four tight clusters on axes 0-3 -> the four
+    # original centroids are ~e0..e3
+    original = _clustered_vecs(
+        spark, [(0, 25, 0), (100, 25, 1), (200, 25, 2), (300, 25, 3)]
+    )
+    path = str(tmp_path / "ivf")
+    write_ivf_index(original, path, n_lists=4)
+    pinned_meta = dict(read_ivf_index(spark, path)["meta"])
+    assert pinned_meta["version"] == 1
+
+    # drift: three NEW clusters on axes 4/5/6, near-orthogonal to EVERY
+    # original centroid — each drifted vector's argmax over ~e0..e3 is
+    # its own dim-0..3 noise, so each drifted cluster SCATTERS roughly
+    # uniformly across the four lists
+    drifted = _clustered_vecs(
+        spark, [(1000, 100, 4), (2000, 100, 5), (3000, 100, 6)], seed=11
+    )
+    assert append_to_ivf_index(drifted, path) == 300
+
+    # queries from the drifted clusters (fresh ids, not in the corpus)
+    queries = _clustered_vecs(
+        spark, [(9000, 5, 4), (9100, 5, 5), (9200, 5, 6)], seed=23
+    )
+    corpus_all = original.unionByName(drifted)
+    truth = {
+        (r["qid"], r["vec_id"])
+        for r in cosine_topk(corpus_all, queries, k=10).collect()
+    }
+
+    def recall(idx):
+        got = {
+            (r["qid"], r["vec_id"])
+            for r in ivf_topk(
+                None, queries, k=10, n_probe=1,
+                centroids=idx["centroids"],
+                assigned=idx["assignments"],
+            ).collect()
+        }
+        return len(got & truth) / len(truth)
+
+    r_before = recall(read_ivf_index(spark, path))
+    out = retrain_ivf_index(spark, path)
+    assert out == {"n_vectors": 400, "n_lists": 4, "version": 2}
+    idx2 = read_ivf_index(spark, path)
+    assert idx2["meta"]["version"] == 2
+    r_after = recall(idx2)
+    assert r_before < 0.7, (r_before, r_after)
+    assert r_after > 0.9, (r_before, r_after)
+    assert r_after > r_before
+
+    # replay safety across the retrain: ids survived the re-assignment,
+    # so a redelivered append still no-ops
+    assert append_to_ivf_index(drifted, path) == 0
+    assert idx2["assignments"].count() == 400
+
+    # pinned-reader guard: the generation-1 reader fails loudly
+    with _pytest.raises(ValueError, match="generation 2"):
+        assert_index_version(spark, path, pinned_meta)
+    assert_index_version(spark, path, idx2["meta"])  # fresh pin passes
+
+
+def test_ivf_retrain_crash_windows_recover(spark, tmp_path):
+    """The whole-index swap's crash states form a closed class (the
+    compaction pattern): stale staging is cleared, a crash between the
+    two renames leaves the index LOUDLY unreadable and the next retrain
+    restores it, a crash after swap-in drops the backup.  Every window
+    converges to a readable, version-bumped index."""
+    import os
+    import shutil
+
+    import pytest as _pytest
+
+    from enterprise_sales_data_pipeline_using_aws_lambda_spark.operators.similarity import (  # noqa: E501
+        read_ivf_index,
+        retrain_ivf_index,
+        write_ivf_index,
+    )
+
+    corpus = _clustered_vecs(spark, [(0, 40, 0), (100, 40, 3)])
+    path = str(tmp_path / "ivf")
+    write_ivf_index(corpus, path, n_lists=4)
+
+    # window 1: stale staging debris from a crashed rebuild
+    os.makedirs(f"{path}__retrain/junk", exist_ok=True)
+    out1 = retrain_ivf_index(spark, path)
+    assert out1["version"] == 2
+    assert not os.path.exists(f"{path}__retrain")
+
+    # window 2: crash BETWEEN the renames (live dir gone) — readers
+    # fail loudly, the next retrain restores the backup first
+    shutil.move(path, f"{path}__old")
+    with _pytest.raises(ValueError, match="meta table is missing"):
+        read_ivf_index(spark, path)
+    out2 = retrain_ivf_index(spark, path)
+    assert out2["version"] == 3
+    assert not os.path.exists(f"{path}__old")
+    assert read_ivf_index(spark, path)["meta"]["version"] == 3
+
+    # window 3: crash AFTER swap-in, before the backup delete — both
+    # dirs exist; the live one wins and the backup is dropped
+    shutil.copytree(path, f"{path}__old")
+    out3 = retrain_ivf_index(spark, path)
+    assert out3["version"] == 4
+    assert not os.path.exists(f"{path}__old")
+    assert read_ivf_index(spark, path)["assignments"].count() == 80
+
+
+def test_ivf_drift_probe_and_conditional_retrain(spark, tmp_path):
+    """ivf_occupancy_skew reads ≤ n_lists aggregate rows and flags
+    pile-up drift; retrain_if_drifted is a no-op on a healthy index and
+    heals a skewed one (occupancy rebalances, version bumps)."""
+    from enterprise_sales_data_pipeline_using_aws_lambda_spark.operators.similarity import (  # noqa: E501
+        append_to_ivf_index,
+        ivf_occupancy_skew,
+        retrain_if_drifted,
+        read_ivf_index,
+    )
+    from enterprise_sales_data_pipeline_using_aws_lambda_spark.operators.similarity import (  # noqa: E501
+        write_ivf_index,
+    )
+
+    # healthy: four balanced clusters, one per list
+    corpus = _clustered_vecs(
+        spark, [(0, 30, 0), (100, 30, 1), (200, 30, 2), (300, 30, 3)]
+    )
+    path = str(tmp_path / "ivf")
+    write_ivf_index(corpus, path, n_lists=4)
+    probe0 = ivf_occupancy_skew(spark, path)
+    assert probe0["n_vectors"] == 120 and probe0["n_lists"] == 4
+    assert probe0["skew"] < 3.0 and probe0["empty_frac"] == 0.0
+    assert retrain_if_drifted(spark, path, skew_threshold=3.0) is None
+    assert read_ivf_index(spark, path)["meta"]["version"] == 1  # untouched
+
+    # drift: a big appended batch that piles into ONE list (new region
+    # with a consistent small lean toward cluster-0's centroid)
+    import numpy as np
+
+    rng = np.random.default_rng(3)
+    rows = []
+    for i in range(240):
+        v = rng.normal(0.0, 0.02, 8)
+        v[6] += 1.0   # new region the codebook never saw
+        v[0] += 0.2   # consistent lean -> argmax is cluster 0 for all
+        rows.append((5000 + i, [float(x) for x in v]))
+    batch = spark.createDataFrame(
+        rows, "vec_id long, embedding array<float>"
+    )
+    assert append_to_ivf_index(batch, path) == 240
+    probe1 = ivf_occupancy_skew(spark, path)
+    assert probe1["max_list_rows"] >= 240  # the pile-up
+    assert probe1["skew"] > 2.5
+
+    out = retrain_if_drifted(spark, path, skew_threshold=2.5)
+    assert out is not None and out["version"] == 2
+    probe2 = ivf_occupancy_skew(spark, path)
+    assert probe2["skew"] < probe1["skew"]
+    assert probe2["n_vectors"] == 360

@@ -343,6 +343,92 @@ def test_stream_semantic_ingest_self_maintains_index(spark, tmp_path):
         assert len(glob.glob(f"{d}/*.parquet")) < 5
 
 
+def test_stream_semantic_ingest_retrains_on_skew(spark, tmp_path):
+    """retrain_on_skew: the vector face's in-loop codebook heal — a
+    drained batch that piles into one list pushes occupancy skew past
+    the threshold, so the NEXT micro-batch's probe triggers a retrain
+    (staged rebuild + swap, meta version bump) before it assigns;
+    admitted vectors stay exactly-once across the swap."""
+    import shutil as _sh
+
+    from enterprise_sales_data_pipeline_using_aws_lambda_spark.operators.similarity import (  # noqa: E501
+        ivf_occupancy_skew,
+        read_ivf_index,
+        write_ivf_index,
+    )
+    from enterprise_sales_data_pipeline_using_aws_lambda_spark.streaming.semantic_ingest import (  # noqa: E501
+        stream_vectors_semantic_ingest,
+    )
+
+    raw = tmp_path / "raw"
+    raw.mkdir()
+    lake = str(tmp_path / "lake")
+    index = str(tmp_path / "ivf")
+    ckpt = str(tmp_path / "ckpt")
+    corpus = spark.createDataFrame(
+        [(i, [10.0 * (1 if i % 2 == 0 else -1), float(i % 3), 1.0, 0.5])
+         for i in range(20)],
+        "vec_id long, embedding array<float>",
+    )
+    write_ivf_index(corpus, index, n_lists=2)
+    assert read_ivf_index(spark, index)["meta"]["version"] == 1
+
+    def write_batch(rows, name):
+        staging = str(tmp_path / f"_stage_{name}")
+        spark.createDataFrame(
+            rows, "vec_id long, embedding array<float>"
+        ).coalesce(1).write.mode("overwrite").parquet(staging)
+        _sh.copy(glob.glob(f"{staging}/part-*.parquet")[0],
+                 raw / f"{name}.parquet")
+
+    # batch 0: 30 mutually-distinct vectors (a fan in dims 1-2, max
+    # pairwise cosine ~0.996 < threshold) that ALL lean positive on
+    # dim 0 -> every one assigns to the even-cluster list (pile-up)
+    import math
+
+    write_batch(
+        [
+            (
+                100 + i,
+                [
+                    50.0,
+                    100.0 * math.cos(0.1 * i),
+                    100.0 * math.sin(0.1 * i),
+                    7.0,
+                ],
+            )
+            for i in range(30)
+        ],
+        "b0",
+    )
+    # batch 1: one more novel vector — its PRE-batch probe sees the
+    # skew and retrains before assigning
+    write_batch([(900, [0.0, 0.0, -40.0, 40.0])], "b1")
+
+    q = stream_vectors_semantic_ingest(
+        spark, str(raw), lake, index, ckpt,
+        threshold=0.999, max_files_per_trigger=1,
+        retrain_on_skew=1.5,
+    )
+    q.awaitTermination(300)
+
+    idx = read_ivf_index(spark, index)
+    assert idx["meta"]["version"] >= 2  # the in-loop retrain ran
+    # exactly-once across the swap: every admitted id once, in both
+    # the lake and the (re-assigned) index
+    lake_ids = sorted(
+        r["vec_id"]
+        for r in spark.read.parquet(lake).select("vec_id").collect()
+    )
+    assert lake_ids == [100 + i for i in range(30)] + [900]
+    assert idx["assignments"].count() == 20 + 31
+    assert (
+        idx["assignments"].select("vec_id").distinct().count() == 51
+    )
+    # and the heal actually rebalanced: post-retrain skew is modest
+    assert ivf_occupancy_skew(spark, index)["skew"] < 1.5
+
+
 def test_overwrite_crash_leaves_store_unreadable(
     spark, tmp_path, monkeypatch
 ):
