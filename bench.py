@@ -211,6 +211,13 @@ def main() -> None:
 
     _ingest_dirs = tempfile.mkdtemp(prefix="bench_ingest_")
 
+    def _text(seed):
+        return F.concat_ws(" ", F.transform(
+            F.sequence(F.lit(0), F.lit(29)),
+            lambda p: F.concat(F.lit("w"), F.pmod(
+                F.xxhash64(seed, p), F.lit(10**15))),
+        ))
+
     def _ingest_setup(spark_):
         from enterprise_sales_data_pipeline_using_aws_lambda_spark.operators.text_dedup import (  # noqa: E501
             write_lsh_signature_store,
@@ -220,13 +227,6 @@ def main() -> None:
         )
 
         nd, nb = 100_000, 2_000
-
-        def _text(seed):
-            return F.concat_ws(" ", F.transform(
-                F.sequence(F.lit(0), F.lit(29)),
-                lambda p: F.concat(F.lit("w"), F.pmod(
-                    F.xxhash64(seed, p), F.lit(10**15))),
-            ))
 
         corpus = spark_.range(0, nd).select(
             F.col("id").alias("doc_id"), _text(F.col("id")).alias("text")
@@ -345,6 +345,44 @@ def main() -> None:
             aux[name], spreads[name], nruns[name] = _time(fn)
         except Exception as e:  # noqa: BLE001
             failed[name] = (str(e).splitlines() or ['<no message>'])[0][:200]
+
+    # Third AUX lane (round-8, VERDICT r7 item 5): store-compaction
+    # maintenance cost at the 100k class.  Runs AFTER the read-only
+    # ingest lane so it can mutate the same store: 20 per-batch
+    # signature appends fragment it (one file per table per batch —
+    # exactly what a daily loop accretes) OUTSIDE the clock, then ONE
+    # timed compact_lsh_signature_store run rewrites both tables
+    # id-clustered.  Single-sample by construction (compaction is
+    # one-shot; a second run would time the no-op path), so the
+    # reported spread is 0 and runs=1 — read its trend against that.
+    if "ingest_dedup_store_100k_2k" not in failed:
+        try:
+            from enterprise_sales_data_pipeline_using_aws_lambda_spark.operators.text_dedup import (  # noqa: E501
+                append_batch_signatures,
+                compact_lsh_signature_store,
+            )
+
+            nd = 100_000
+            for i in range(20):
+                frag = spark.range(
+                    nd + 10_000 + i * 500, nd + 10_000 + (i + 1) * 500
+                ).select(
+                    F.col("id").alias("doc_id"),
+                    _text(F.col("id")).alias("text"),
+                )
+                append_batch_signatures(frag, _ingest_state["store"])
+            release_checkpoints(spark)
+            t0 = time.perf_counter()
+            compact_lsh_signature_store(spark, _ingest_state["store"])
+            aux["lsh_store_compaction_110k_20appends"] = round(
+                time.perf_counter() - t0, 3
+            )
+            spreads["lsh_store_compaction_110k_20appends"] = 0.0
+            nruns["lsh_store_compaction_110k_20appends"] = 1
+        except Exception as e:  # noqa: BLE001
+            failed["lsh_store_compaction_110k_20appends"] = (
+                str(e).splitlines() or ['<no message>']
+            )[0][:200]
     shutil.rmtree(_ingest_dirs, ignore_errors=True)
 
     # sf parse must NOT be able to lose the whole JSON line after the

@@ -207,6 +207,68 @@ def test_materialize_mode_switch(spark, tmp_path):
         spark.conf.set(CHECKPOINT_MODE_KEY, "local")
 
 
+def test_reliable_mode_composed_pipelines_e2e(spark, tmp_path):
+    """The cluster-durability switch exercised END-TO-END (round-7
+    review item 4): a 1000-executor run would set
+    spark.graft.checkpoint.mode=reliable so iteration lineage cuts
+    survive executor loss — so the composed pipelines that lean on
+    materialize() (the 10-round pagerank gate and the store-backed
+    text-dedup ingest step) must produce IDENTICAL results under
+    reliable mode, with real checkpoint files landing in the
+    setCheckpointDir directory."""
+    import os
+
+    from enterprise_sales_data_pipeline_using_aws_lambda_spark.operators.materialize import (
+        CHECKPOINT_MODE_KEY,
+    )
+    from enterprise_sales_data_pipeline_using_aws_lambda_spark.operators.text_dedup import (
+        ingest_dedup_batch,
+        write_lsh_signature_store,
+    )
+    from enterprise_sales_data_pipeline_using_aws_lambda_spark.plans.queries import (
+        QUERIES,
+    )
+    from enterprise_sales_data_pipeline_using_aws_lambda_spark.sources.readers import (
+        read_table,
+    )
+
+    sf = "/root/testdata/sf0.001"
+    docs = read_table(spark, sf, "documents")
+
+    corpus = docs.filter("doc_id % 10 != 0")
+    batch = docs.filter("doc_id % 10 = 0")
+
+    def run_ingest(store):
+        write_lsh_signature_store(corpus, store)
+        clean, pairs = ingest_dedup_batch(corpus, batch, store)
+        return (
+            sorted(r["doc_id"] for r in clean.select("doc_id").collect()),
+            sorted(map(tuple, pairs.collect())),
+        )
+
+    # baseline under the default local mode
+    pr_local = sorted(map(tuple, QUERIES["pagerank_part_graph"](
+        spark, sf
+    ).collect()))
+    admitted_l, pairs_l = run_ingest(str(tmp_path / "store_local"))
+
+    ckdir = str(tmp_path / "reliable_ck")
+    spark.sparkContext.setCheckpointDir(ckdir)
+    spark.conf.set(CHECKPOINT_MODE_KEY, "reliable")
+    try:
+        pr_rel = sorted(map(tuple, QUERIES["pagerank_part_graph"](
+            spark, sf
+        ).collect()))
+        assert pr_rel == pr_local and len(pr_rel) > 0
+        admitted_r, pairs_r = run_ingest(str(tmp_path / "store_rel"))
+        assert admitted_r == admitted_l and len(admitted_r) > 0
+        assert pairs_r == pairs_l
+        # the reliable checkpoints actually landed on disk
+        assert any(os.scandir(ckdir))
+    finally:
+        spark.conf.set(CHECKPOINT_MODE_KEY, "local")
+
+
 def test_mad_spread_matches_naive(spark):
     """mad_spread == median/MAD computed naively per group (percentile_
     cont semantics), including even-count interpolation."""
