@@ -268,8 +268,9 @@ def reprocess_quarantine(
     poisoned upstream that quarantined thousands of DISTINCT batches
     would otherwise turn one recovery call into thousands of serial
     Spark jobs.  With the cap set, only the OLDEST ``max_groups_per_run``
-    groups (by earliest source directory name — ingest_batch ids sort
-    chronologically for both faces) run this call; the rest are
+    groups (by earliest source-directory modification time —
+    directory NAMES are not reliably chronological, the streaming
+    face's small-int ids sort "10" < "2") run this call; the rest are
     reported as ``groups_deferred`` and picked up by subsequent runs —
     the backlog contract is simply "call again until
     ``groups_deferred == 0``", safe because partial runs already
@@ -299,12 +300,15 @@ def reprocess_quarantine(
         else f"ingest_batch={quarantine_batch_id}"
     )
     dirs = []
+    mtimes = {}
     stray = []
     for st in fs.listStatus(root):
         name = st.getPath().getName()
         if st.isDirectory() and name.startswith("ingest_batch="):
             if want is None or name == want:
-                dirs.append(st.getPath().toString())
+                d = st.getPath().toString()
+                dirs.append(d)
+                mtimes[d] = st.getModificationTime()
         elif name.startswith(("_", ".")):
             continue  # bookkeeping (_requeued archive, _SUCCESS, ...)
         else:
@@ -367,11 +371,14 @@ def reprocess_quarantine(
     total = 0
     failed_groups = 0
     first_error = None
-    # Oldest-first by each group's earliest source directory (batch ids
-    # sort chronologically for both faces), so a capped run drains the
-    # backlog in arrival order.
+    # Oldest-first by each group's earliest source-directory
+    # modification time (directory names are NOT reliably
+    # chronological: the streaming face's small-int batch ids sort
+    # "10" < "2"), name-tiebroken, so a capped run drains the backlog
+    # in arrival order.
     ordered = sorted(
-        groups.items(), key=lambda kv: (min(kv[1]["dirs"]), kv[0])
+        groups.items(),
+        key=lambda kv: min((mtimes[d], d) for d in kv[1]["dirs"]),
     )
     deferred = 0
     if max_groups_per_run is not None and len(ordered) > max_groups_per_run:

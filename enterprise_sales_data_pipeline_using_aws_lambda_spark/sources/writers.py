@@ -26,9 +26,18 @@ from pyspark.sql import functions as F
 
 
 def batch_id_now() -> str:
-    """Wall-clock batch id, same shape as the reference's folder timestamp
-    ``%Y%m%d_%H%M%S`` (``lambda.py:52-56``)."""
-    return datetime.now(timezone.utc).strftime("%Y%m%d_%H%M%S")
+    """Wall-clock batch id — the reference's folder timestamp
+    (``%Y%m%d_%H%M%S``, ``lambda.py:52-56``) extended with
+    microseconds.  The reference's second-granularity id silently
+    MERGES two batches that arrive within one second; here the id keys
+    the idempotent append, so a same-second collision would make the
+    second batch look like a replay and silently drop it from the lake
+    and the sales log (surfaced by back-to-back run_batch calls on a
+    warm JVM).  Microseconds keep the id chronologically sortable
+    (equal-length strings, lexicographic == arrival) while making
+    same-process collisions practically impossible; the single-writer
+    contract covers the rest."""
+    return datetime.now(timezone.utc).strftime("%Y%m%d_%H%M%S_%f")
 
 
 def write_partitioned_parquet(

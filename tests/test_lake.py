@@ -738,3 +738,18 @@ def test_compact_swap_contract_under_concurrent_reader(spark, tmp_path):
     # the reader's plain retry then sees every row
     compact_lake_partition(spark, path, target_files=2)
     assert spark.read.parquet(path).count() == 100
+
+
+def test_batch_id_now_distinct_within_a_second():
+    """Back-to-back batches must never share an id: the id keys the
+    idempotent lake append, so a same-second collision makes the
+    second DISTINCT batch look like a replay and silently drops it
+    (the reference's second-granularity folder ts has exactly this
+    merge behavior; ours carries microseconds)."""
+    from enterprise_sales_data_pipeline_using_aws_lambda_spark.sources.writers import (
+        batch_id_now,
+    )
+
+    ids = [batch_id_now() for _ in range(200)]
+    assert len(set(ids)) == len(ids)
+    assert ids == sorted(ids)  # still chronologically sortable

@@ -1021,6 +1021,28 @@ def main() -> int:
             )
 
         run("semantic_ingest_1m_10k", nv + 10_000, _semantic_ingest)
+
+        # 22d) codebook retrain (round-8 maintenance): the full heal —
+        # occupancy probe, k-means re-train on ALL accumulated vectors,
+        # re-assign everything, staged rebuild + atomic swap, meta
+        # version bump.  The cost ceiling of the drift-triggered path
+        # (retrain_if_drifted); at 1M vectors it is dominated by the
+        # two Lloyd rounds' assignment passes.
+        from enterprise_sales_data_pipeline_using_aws_lambda_spark.operators.similarity import (  # noqa: E501
+            ivf_occupancy_skew,
+            retrain_ivf_index,
+        )
+
+        def _retrain():
+            probe = ivf_occupancy_skew(spark, ivf_dir)
+            out = retrain_ivf_index(spark, ivf_dir)
+            return (
+                f"v{out['version']}, {out['n_vectors']:,} vectors "
+                f"re-trained + re-assigned + swapped (pre-probe skew "
+                f"{probe['skew']:.2f})"
+            )
+
+        run("ivf_retrain_1m", nv + 9_000, _retrain)
     finally:
         shutil.rmtree(ivf_dir, ignore_errors=True)
 
