@@ -339,23 +339,30 @@ def weighted_median(
     loudly — casting 0.25 to long would silently zero the weight and
     EXCLUDE the row (the `_w > 0` filter), turning normalized-weight
     inputs into empty or wrong medians.  Scale-0 decimals (money-typed
-    integral counts) cast to long exactly, so they pass.  Pre-scale
-    fractional weights to integers (e.g. basis points) upstream.
-    NULL values and non-positive weights are excluded, matching
-    ``percentile_cont``'s null handling."""
+    integral counts) cast to long exactly, so they pass — but only up
+    to precision 18: decimal(19..38, 0) values can exceed the long
+    range, where the cast overflows to NULL under non-ANSI semantics
+    and the ``_w > 0`` filter silently drops the row — the same silent
+    exclusion this guard exists to reject.  Pre-scale fractional
+    weights to integers (e.g. basis points) upstream.  NULL values and
+    non-positive weights are excluded, matching ``percentile_cont``'s
+    null handling."""
     from pyspark.sql.types import DecimalType
 
     wdt = df.schema[weight_col].dataType
     wt = wdt.simpleString()
-    fractional = wt.startswith(("double", "float")) or (
-        isinstance(wdt, DecimalType) and wdt.scale > 0
+    bad_decimal = isinstance(wdt, DecimalType) and (
+        wdt.scale > 0 or wdt.precision > 18
     )
-    if fractional:
+    if wt.startswith(("double", "float")) or bad_decimal:
         raise ValueError(
-            f"weighted_median needs an integer weight column; "
-            f"{weight_col!r} is {wt}.  Casting fractional weights to "
-            f"long silently zeroes sub-1 weights and drops their rows "
-            f"— pre-scale to integers (e.g. round(w * 10000)) instead"
+            f"weighted_median needs an integer weight column that "
+            f"fits a long; {weight_col!r} is {wt}.  Casting "
+            f"fractional weights to long silently zeroes sub-1 "
+            f"weights, and decimals past precision 18 can overflow "
+            f"the cast to NULL — both silently DROP rows.  Pre-scale "
+            f"to integers (e.g. round(w * 10000)) or cast to "
+            f"decimal(18,0) upstream"
         )
     g = [F.col(c) for c in group_cols]
     v = F.col(value_col)

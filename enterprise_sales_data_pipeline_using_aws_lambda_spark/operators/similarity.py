@@ -734,7 +734,7 @@ def write_ivf_index(
     id_col: str = "vec_id",
     vec_col: str = "embedding",
     centroids=None,
-    version: int = 1,
+    version: int | None = None,
 ) -> None:
     """Persist an IVF index for ``corpus`` — the ANN analog of the LSH
     signature store: codebook + list assignments on disk so repeated
@@ -758,11 +758,16 @@ def write_ivf_index(
     new assignments against a stale parameter pin.  Recovery is
     re-running the write.
 
-    ``version`` is the codebook generation recorded in meta: fresh
-    builds are 1; :func:`retrain_ivf_index` bumps it on every swap so
-    a reader that pinned one generation's codebook can detect (via
+    ``version`` is the codebook generation recorded in meta:
+    :func:`retrain_ivf_index` bumps it on every swap so a reader that
+    pinned one generation's codebook can detect (via
     :func:`assert_index_version`) that the index underneath it was
-    retrained."""
+    retrained.  The default (None) makes a REBUILD at an existing path
+    bump the generation too — the existing meta's version + 1, read
+    before the delete — because a rebuild changes the codebook exactly
+    like a retrain does and a pinned reader must fail just as loudly;
+    only a genuinely fresh path starts at 1.  Pass an explicit int to
+    pin it (the staged-rebuild internals do)."""
     import os
 
     import numpy as np
@@ -770,6 +775,15 @@ def write_ivf_index(
     from ..sources.writers import delete_path
 
     spark = corpus.sparkSession
+    if version is None:
+        # rebuild-at-existing-path: bump the generation (read BEFORE
+        # the meta delete below) so pinned readers fail loudly
+        try:
+            version = (
+                int(_read_index_meta(spark, path).get("version") or 1) + 1
+            )
+        except ValueError:  # no meta here: a genuinely fresh build
+            version = 1
     if centroids is None:
         centroids = train_ivf_centroids(
             corpus, n_lists, iters=iters, id_col=id_col, vec_col=vec_col
@@ -1035,6 +1049,34 @@ def compact_ivf_index(
 RETRAIN_STAGING_SUFFIX = "__retrain"
 
 
+def _recover_retrain_swap(spark, path: str) -> None:
+    """Roll the index at ``path`` out of any crashed retrain-swap state
+    (the closed class :func:`retrain_ivf_index` documents): restore a
+    swapped-out backup when the live directory is gone, drop a
+    leftover backup when the live directory exists, clear stale
+    staging.  Idempotent and cheap (three FS existence probes) — runs
+    at the entry of BOTH :func:`retrain_ivf_index` and
+    :func:`retrain_if_drifted`, because the drift PROBE itself reads
+    meta and would otherwise fail forever on exactly the crash class
+    the retrain promises to self-heal."""
+    from ..sources.writers import COMPACT_BACKUP_SUFFIX
+
+    sc = spark.sparkContext
+    jvm = sc._jvm
+    conf = sc._jsc.hadoopConfiguration()
+    live = jvm.org.apache.hadoop.fs.Path(path)
+    fs = live.getFileSystem(conf)
+    old = jvm.org.apache.hadoop.fs.Path(path + COMPACT_BACKUP_SUFFIX)
+    staging = jvm.org.apache.hadoop.fs.Path(path + RETRAIN_STAGING_SUFFIX)
+    if fs.exists(old):
+        if fs.exists(live):
+            fs.delete(old, True)
+        elif not fs.rename(old, live):
+            raise IOError(f"retrain recovery failed for {path}")
+    if fs.exists(staging):
+        fs.delete(staging, True)
+
+
 def ivf_occupancy_skew(spark, path: str) -> dict:
     """Drift probe for a persisted IVF index: appended batches are
     assigned against the ORIGINAL codebook (parameter pinning), so as
@@ -1122,13 +1164,7 @@ def retrain_ivf_index(
     old = jvm.org.apache.hadoop.fs.Path(path + COMPACT_BACKUP_SUFFIX)
     staging = jvm.org.apache.hadoop.fs.Path(path + RETRAIN_STAGING_SUFFIX)
     # crash recovery from a previous run (closed class, see docstring)
-    if fs.exists(old):
-        if fs.exists(live):
-            fs.delete(old, True)
-        elif not fs.rename(old, live):
-            raise IOError(f"retrain recovery failed for {path}")
-    if fs.exists(staging):
-        fs.delete(staging, True)
+    _recover_retrain_swap(spark, path)
 
     idx = read_ivf_index(spark, path)
     meta = idx["meta"]
@@ -1168,7 +1204,7 @@ def retrain_if_drifted(
     spark,
     path: str,
     skew_threshold: float = 4.0,
-    empty_threshold: float = 0.5,
+    empty_threshold: float = 1.0,
     n_lists: int | None = None,
     iters: int = 2,
 ) -> dict | None:
@@ -1177,8 +1213,25 @@ def retrain_if_drifted(
     or more than ``empty_threshold`` of lists empty).  The shape a
     maintenance loop wants — the probe is one ≤ n_lists-row aggregate,
     so calling this every N batches costs nothing when the index is
-    healthy.  Returns :func:`retrain_ivf_index`'s result when a
-    retrain ran, else None."""
+    healthy.  Crashed-swap recovery runs FIRST: the probe itself reads
+    meta, and without the recovery a retrain that died between the two
+    swap renames would make every future probe-then-heal call fail on
+    exactly the state the heal exists to fix.  Returns
+    :func:`retrain_ivf_index`'s result when a retrain ran, else None.
+
+    ``empty_threshold`` defaults OFF (1.0): a mostly-empty codebook
+    usually means ``n_lists`` was over-provisioned for the corpus's
+    natural cluster count, which a same-n_lists retrain CANNOT heal —
+    seeds collapse onto the same clusters and the empty lists persist,
+    so an empty-frac trigger would re-run the full retrain on every
+    call forever.  Enable it only together with an ``n_lists``
+    override (the re-provision is the heal); skew, by contrast, is the
+    pile-up signal a retrain genuinely rebalances.  Callers on a tight
+    loop should still rate-limit (see the streaming face's
+    corpus-growth cooldown) because a sufficiently degenerate corpus —
+    e.g. 90% of vectors identical — re-trips the skew trigger
+    immediately after a correct retrain."""
+    _recover_retrain_swap(spark, path)
     probe = ivf_occupancy_skew(spark, path)
     if (
         probe["skew"] <= skew_threshold

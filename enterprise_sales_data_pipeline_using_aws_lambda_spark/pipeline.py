@@ -267,15 +267,22 @@ def reprocess_quarantine(
     group costs one driver-sequential ``run_batch_frame`` job, so a
     poisoned upstream that quarantined thousands of DISTINCT batches
     would otherwise turn one recovery call into thousands of serial
-    Spark jobs.  With the cap set, only the OLDEST ``max_groups_per_run``
-    groups (by earliest source-directory modification time —
-    directory NAMES are not reliably chronological, the streaming
-    face's small-int ids sort "10" < "2") run this call; the rest are
+    Spark jobs.  With the cap set, groups run oldest-first (by
+    earliest source-directory modification time — directory NAMES are
+    not reliably chronological, the streaming face's small-int ids
+    sort "10" < "2") starting AFTER the last group the previous capped
+    run attempted (a rotation cursor persisted as the empty marker
+    file ``_recovery_cursor_<sig>``, wrapping around); the rest are
     reported as ``groups_deferred`` and picked up by subsequent runs —
     the backlog contract is simply "call again until
     ``groups_deferred == 0``", safe because partial runs already
     converge by construction (archived groups leave the store, deferred
-    groups are untouched).
+    groups are untouched).  The cursor is what keeps that contract
+    LIVE under persistent failures: a still-broken group is never
+    archived, stays oldest forever, and without the rotation would
+    occupy the capped slots on every run and starve every younger
+    fixable group.  The cursor is advisory (deleting it only resets
+    the rotation to oldest-first) and is only written by capped runs.
 
     Returns an aggregate dict: ``status`` ("success" iff every group
     this run attempted succeeded, "failed" if any failed, "noop" for an
@@ -302,6 +309,7 @@ def reprocess_quarantine(
     dirs = []
     mtimes = {}
     stray = []
+    cursor_sig = None
     for st in fs.listStatus(root):
         name = st.getPath().getName()
         if st.isDirectory() and name.startswith("ingest_batch="):
@@ -309,6 +317,11 @@ def reprocess_quarantine(
                 d = st.getPath().toString()
                 dirs.append(d)
                 mtimes[d] = st.getModificationTime()
+        elif name.startswith("_recovery_cursor_"):
+            # rotation cursor from a previous capped run (the sig of
+            # the last group it attempted); stored as an empty marker
+            # file so reading it is this very listing
+            cursor_sig = name[len("_recovery_cursor_"):]
         elif name.startswith(("_", ".")):
             continue  # bookkeeping (_requeued archive, _SUCCESS, ...)
         else:
@@ -383,7 +396,34 @@ def reprocess_quarantine(
     deferred = 0
     if max_groups_per_run is not None and len(ordered) > max_groups_per_run:
         deferred = len(ordered) - max_groups_per_run
-        ordered = ordered[:max_groups_per_run]
+        # rotate past the previous capped run's last-attempted group
+        # (docstring: the anti-starvation contract — a persistently
+        # failing oldest group must not occupy the capped slots on
+        # every run)
+        start = 0
+        if cursor_sig is not None:
+            for i, ((sig, _n), _g) in enumerate(ordered):
+                if f"{sig:016x}" == cursor_sig:
+                    start = (i + 1) % len(ordered)
+                    break
+        ordered = (ordered + ordered)[start:start + max_groups_per_run]
+        # persist the new cursor before the expensive runs: a crash
+        # mid-run then resumes AFTER this window instead of re-pinning
+        # it (the re-drives themselves are idempotent either way)
+        last_sig = ordered[-1][0][0]
+        if cursor_sig is not None:
+            fs.delete(
+                jvm.org.apache.hadoop.fs.Path(
+                    cfg.quarantine_dir, f"_recovery_cursor_{cursor_sig}"
+                ),
+                False,
+            )
+        fs.create(
+            jvm.org.apache.hadoop.fs.Path(
+                cfg.quarantine_dir, f"_recovery_cursor_{last_sig:016x}"
+            ),
+            True,
+        ).close()
     for (sig, n_g), g in ordered:
         out_g = run_batch_frame(
             spark,

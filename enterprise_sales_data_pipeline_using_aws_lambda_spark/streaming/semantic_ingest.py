@@ -30,10 +30,12 @@ from __future__ import annotations
 from pyspark.sql import DataFrame, SparkSession
 
 from ..operators.similarity import (
+    _recover_retrain_swap,
     append_to_ivf_index,
     compact_ivf_index,
     ingest_semantic_batch,
-    retrain_if_drifted,
+    ivf_occupancy_skew,
+    retrain_ivf_index,
 )
 from .dedup_ingest import guarded_idempotent_append
 
@@ -77,11 +79,19 @@ def stream_vectors_semantic_ingest(
     probe runs, and when max-list skew passes the threshold the
     codebook is retrained and every vector re-assigned
     (``retrain_if_drifted`` — staged rebuild + atomic swap, meta
-    version bumped).  This loop is the index's single writer, so
-    retraining inside it is exactly the maintenance window the swap
-    requires.  Cost when healthy: one small aggregate job per
-    micro-batch; leave None to keep retraining a scheduled offline
-    concern."""
+    version bumped; its crashed-swap recovery runs first, so a stream
+    killed mid-swap self-heals on restart instead of failing every
+    replay).  This loop is the index's single writer, so retraining
+    inside it is exactly the maintenance window the swap requires.
+    Cost when healthy: one small aggregate job per micro-batch; leave
+    None to keep retraining a scheduled offline concern.  A
+    corpus-growth cooldown rate-limits the heal: after an in-loop
+    retrain, the trigger stays quiet until the index has grown ≥10%
+    past the retrained size — drift accrues with appends, so
+    re-training before meaningful growth cannot improve the codebook,
+    and a degenerate corpus (90% of vectors identical) would otherwise
+    re-trip the skew trigger and pay a full corpus retrain on EVERY
+    micro-batch."""
     stream = (
         spark.readStream.format(fmt)
         .schema(schema)
@@ -89,21 +99,34 @@ def stream_vectors_semantic_ingest(
         .load(raw_dir)
     )
 
+    # in-loop retrain cooldown (closure state, perf-only: lost on
+    # restart, re-learned from the first post-restart retrain)
+    _last_retrain_nv: dict = {"nv": None}
+
     def process_batch(batch_df: DataFrame, batch_id: int) -> None:
         if batch_df.isEmpty():
             return
+        if retrain_on_skew is not None:
+            # FIRST (before compaction's own meta read, and before the
+            # batch assigns): roll back any crashed retrain swap —
+            # without this, a stream killed mid-swap fails every
+            # replay on the probe's meta read — then probe, then heal
+            # unless cooled down (the index must grow ≥10% past the
+            # last in-loop retrain before another can help).
+            _recover_retrain_swap(spark, index_path)
+            probe = ivf_occupancy_skew(spark, index_path)
+            cooled = (
+                _last_retrain_nv["nv"] is not None
+                and probe["n_vectors"] < 1.1 * _last_retrain_nv["nv"]
+            )
+            if not cooled and probe["skew"] > retrain_on_skew:
+                out = retrain_ivf_index(spark, index_path)
+                _last_retrain_nv["nv"] = out["n_vectors"]
         if compact_index_every:
             compact_ivf_index(
                 spark, index_path,
                 target_files=compact_index_target,
                 min_files=compact_index_every,
-            )
-        if retrain_on_skew is not None:
-            # before the batch assigns: a healed codebook clusters this
-            # batch too, and the swap happens while no reader holds the
-            # old generation
-            retrain_if_drifted(
-                spark, index_path, skew_threshold=retrain_on_skew
             )
         clean, _dropped = ingest_semantic_batch(
             batch_df.select(id_col, vec_col),

@@ -408,6 +408,12 @@ def test_weighted_median_decimal_weights(spark):
     bad = base.withColumn("w", _F.col("w").cast("decimal(10,2)"))
     with _pytest.raises(ValueError, match="integer weight"):
         weighted_median(bad, ["g"], "v", "w", 10.0, "wm")
+    # precision past 18 can exceed the long range, where the cast
+    # NULLs under non-ANSI semantics and silently drops the row —
+    # rejected loudly like the fractional cases
+    wide = base.withColumn("w", _F.col("w").cast("decimal(38,0)"))
+    with _pytest.raises(ValueError, match="precision 18"):
+        weighted_median(wide, ["g"], "v", "w", 10.0, "wm")
 
 
 def test_skyline_2d_matches_bruteforce(spark):

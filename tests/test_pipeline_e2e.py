@@ -579,6 +579,51 @@ def test_reprocess_flat_layout_store_raises(spark, cfg):
         reprocess_quarantine(spark, cfg)
 
 
+def test_reprocess_group_cap_rotates_past_persistent_failures(spark, cfg):
+    """Anti-starvation contract of the capped recovery: groups that
+    FAIL every re-drive are never archived and stay oldest forever, so
+    without the rotation cursor they would occupy the capped slots on
+    every run and a younger FIXABLE group would never be attempted."""
+    import time
+
+    import enterprise_sales_data_pipeline_using_aws_lambda_spark.pipeline as pl
+    from enterprise_sales_data_pipeline_using_aws_lambda_spark.sources.writers import (
+        write_quarantine,
+    )
+
+    qdir = cfg.quarantine_dir
+
+    def poisoned(uuids):
+        # same uuid with DIFFERENT values -> fails V4 on every
+        # re-drive (an EXACT duplicate row would collapse in the
+        # group's dropDuplicates and pass)
+        dup = _mini_rows(spark, [uuids[0]]).withColumn(
+            "Country", F.lit("Oman")
+        )
+        return _mini_rows(spark, uuids).union(dup)
+
+    write_quarantine(poisoned([1, 2]), qdir, "f", "a", "b1")
+    time.sleep(0.05)  # distinct directory mtimes on coarse filesystems
+    write_quarantine(poisoned([11, 12]), qdir, "f", "b", "b2")
+    time.sleep(0.05)
+    write_quarantine(_mini_rows(spark, [21, 22]), qdir, "f", "c", "b3")
+
+    # run 1: attempts the oldest (poisoned) group only — fails
+    r1 = pl.reprocess_quarantine(spark, cfg, max_groups_per_run=1)
+    assert r1["status"] == "failed" and r1["groups"] == 1
+    # run 2: the cursor rotates past b1 — attempts b2 (also poisoned)
+    r2 = pl.reprocess_quarantine(spark, cfg, max_groups_per_run=1)
+    assert r2["status"] == "failed" and r2["groups"] == 1
+    # run 3: rotation reaches the FIXABLE group; it lands and archives
+    r3 = pl.reprocess_quarantine(spark, cfg, max_groups_per_run=1)
+    assert r3["status"] == "success" and r3["n_requeued"] == 2
+    lake = sorted(
+        r["uuid"] for r in spark.read.parquet(cfg.lake_dir).collect()
+    )
+    assert lake == [21, 22]
+    assert os.path.isdir(f"{qdir}/_requeued/ingest_batch=b3")
+
+
 def test_reprocess_group_cap_bounds_fanout_and_converges(spark, cfg):
     """max_groups_per_run bounds the per-run run_batch_frame fan-out
     (oldest groups first); deferred groups are reported and picked up

@@ -679,6 +679,50 @@ def test_ivf_retrain_crash_windows_recover(spark, tmp_path):
     assert not os.path.exists(f"{path}__old")
     assert read_ivf_index(spark, path)["assignments"].count() == 80
 
+    # window 2 through the PROBE path: the drift probe reads meta, so
+    # retrain_if_drifted must run the swap recovery FIRST or a stream
+    # killed mid-swap could never self-heal (review r8)
+    from enterprise_sales_data_pipeline_using_aws_lambda_spark.operators.similarity import (  # noqa: E501
+        ivf_occupancy_skew,
+        retrain_if_drifted,
+    )
+
+    shutil.move(path, f"{path}__old")
+    with _pytest.raises(ValueError, match="meta table is missing"):
+        ivf_occupancy_skew(spark, path)
+    # healthy occupancy after recovery -> probe passes, no retrain
+    assert retrain_if_drifted(spark, path, skew_threshold=1e9) is None
+    assert read_ivf_index(spark, path)["meta"]["version"] == 4
+    assert not os.path.exists(f"{path}__old")
+
+
+def test_ivf_rebuild_bumps_version_for_pinned_readers(spark, tmp_path):
+    """A full REBUILD at an existing path changes the codebook exactly
+    like a retrain does, so it must bump the meta generation too —
+    otherwise a pinned reader's assert_index_version compares 1 == 1
+    and silently mixes the OLD codebook with the NEW assignments
+    (review r8)."""
+    import pytest as _pytest
+
+    from enterprise_sales_data_pipeline_using_aws_lambda_spark.operators.similarity import (  # noqa: E501
+        assert_index_version,
+        read_ivf_index,
+        write_ivf_index,
+    )
+
+    corpus = _clustered_vecs(spark, [(0, 30, 0), (100, 30, 2)])
+    path = str(tmp_path / "ivf")
+    write_ivf_index(corpus, path, n_lists=4)
+    pinned = dict(read_ivf_index(spark, path)["meta"])
+    assert pinned["version"] == 1
+
+    # the recovery the missing-meta error message prescribes:
+    # re-running write_ivf_index at the same path
+    write_ivf_index(corpus, path, n_lists=4)
+    assert read_ivf_index(spark, path)["meta"]["version"] == 2
+    with _pytest.raises(ValueError, match="generation 2"):
+        assert_index_version(spark, path, pinned)
+
 
 def test_ivf_drift_probe_and_conditional_retrain(spark, tmp_path):
     """ivf_occupancy_skew reads ≤ n_lists aggregate rows and flags
