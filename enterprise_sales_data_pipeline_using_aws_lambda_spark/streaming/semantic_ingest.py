@@ -78,8 +78,8 @@ def stream_vectors_semantic_ingest(
     codebook drift: before each batch, the ≤ n_lists-row occupancy
     probe runs, and when max-list skew passes the threshold the
     codebook is retrained and every vector re-assigned
-    (``retrain_if_drifted`` — staged rebuild + atomic swap, meta
-    version bumped; its crashed-swap recovery runs first, so a stream
+    (``retrain_ivf_index`` — staged rebuild + atomic swap, meta
+    version bumped; the crashed-swap recovery runs first, so a stream
     killed mid-swap self-heals on restart instead of failing every
     replay).  This loop is the index's single writer, so retraining
     inside it is exactly the maintenance window the swap requires.
