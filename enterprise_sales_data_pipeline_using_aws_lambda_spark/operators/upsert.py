@@ -101,8 +101,13 @@ def partitioned_upsert(
         # permissions, a schema error later in the merge plan) must
         # propagate — swallowing it would dynamic-overwrite the
         # affected partitions with the batch alone, silently deleting
-        # every existing row in them.
-        cond = getattr(e, "getCondition", lambda: None)() or ""
+        # every existing row in them.  getCondition arrived in Spark
+        # 4.0; on the 3.5 floor (pyproject) fall back to
+        # getErrorClass, or the first-write path would never match.
+        probe = getattr(e, "getCondition", None) or getattr(
+            e, "getErrorClass", None
+        )
+        cond = (probe() if probe else None) or ""
         if cond not in ("PATH_NOT_FOUND", "UNABLE_TO_INFER_SCHEMA"):
             raise
         has_table = False

@@ -39,14 +39,26 @@ def _fs(spark: SparkSession, path: str):
 
 def list_partitions(spark: SparkSession, table_dir: str) -> list[str]:
     """Partition directory names (``ingest_batch=...``) under a lake
-    table — a pure listing, no data scan."""
+    table — a pure listing, no data scan.  Compaction crash debris
+    (``*__old`` backups, ``*__compacting`` staging) is EXCLUDED: those
+    names contain ``=`` too, and reporting one as a partition would
+    send a maintenance sweep compacting the backup in place under its
+    debris name — legitimizing exactly the state
+    ``compact_lake_partition``'s closed recovery machine needs to
+    recognize."""
+    from .writers import COMPACT_BACKUP_SUFFIX, COMPACT_STAGING_SUFFIX
+
     jvm, fs, hpath = _fs(spark, table_dir)
     if not fs.exists(hpath):
         return []
     return sorted(
         st.getPath().getName()
         for st in fs.listStatus(hpath)
-        if st.isDirectory() and "=" in st.getPath().getName()
+        if st.isDirectory()
+        and "=" in st.getPath().getName()
+        and not st.getPath().getName().endswith(
+            (COMPACT_BACKUP_SUFFIX, COMPACT_STAGING_SUFFIX)
+        )
     )
 
 
@@ -72,19 +84,34 @@ def compact_partition(
     Partition-column values are NOT re-read from data (the folder name
     carries them), so compaction preserves the layout contract
     exactly.
-    """
-    from .writers import compact_lake_partition
+
+    A MISSING partition directory still delegates when its
+    crash-debris siblings (``__old`` backup or staging) exist: a
+    compaction that died between swap-out and swap-in leaves the data
+    only in the backup, and ``compact_lake_partition``'s entry
+    recovery restores it — raising here would block the documented
+    "recovery is re-running it" path at the table-level entry point.
+    Only a partition with NO trace at all is an error."""
+    from .writers import (
+        COMPACT_BACKUP_SUFFIX,
+        COMPACT_STAGING_SUFFIX,
+        compact_lake_partition,
+        count_data_files,
+    )
 
     jvm, fs, _ = _fs(spark, table_dir)
-    src = jvm.org.apache.hadoop.fs.Path(f"{table_dir}/{partition}")
-    if not fs.exists(src):
-        raise FileNotFoundError(f"no partition {partition} in {table_dir}")
-    compact_lake_partition(spark, str(src), target_files)
-    return sum(
-        1
-        for st in fs.listStatus(src)
-        if st.getPath().getName().endswith(".parquet")
+    base = f"{table_dir}/{partition}"
+    src = jvm.org.apache.hadoop.fs.Path(base)
+    debris = any(
+        fs.exists(jvm.org.apache.hadoop.fs.Path(base + sfx))
+        for sfx in (COMPACT_BACKUP_SUFFIX, COMPACT_STAGING_SUFFIX)
     )
+    if not fs.exists(src) and not debris:
+        raise FileNotFoundError(f"no partition {partition} in {table_dir}")
+    compact_lake_partition(spark, base, target_files)
+    # same metric as the compaction trigger (count_data_files), so
+    # before/after numbers a maintenance job logs are comparable
+    return count_data_files(spark, base)
 
 
 def expire_batches(
@@ -128,7 +155,35 @@ def read_lake(spark: SparkSession, table_dir: str) -> DataFrame:
     """Read the lake table with additive schema evolution: columns
     added by later batches surface as NULL in earlier partitions
     (``mergeSchema`` unions the per-file footers — a metadata merge,
-    not a data rewrite)."""
+    not a data rewrite).
+
+    Fails LOUDLY if compaction crash debris (``*__old`` backup /
+    ``*__compacting`` staging directories) sits under the table:
+    partition discovery would parse those names as partition VALUES
+    and every row in them would surface a second time — a silently
+    double-counted read.  The check is one directory listing; recovery
+    is re-running the partition's compaction (its entry recovery rolls
+    the debris back)."""
+    from .writers import COMPACT_BACKUP_SUFFIX, COMPACT_STAGING_SUFFIX
+
+    jvm, fs, hpath = _fs(spark, table_dir)
+    if fs.exists(hpath):
+        debris = sorted(
+            st.getPath().getName()
+            for st in fs.listStatus(hpath)
+            if st.isDirectory()
+            and st.getPath().getName().endswith(
+                (COMPACT_BACKUP_SUFFIX, COMPACT_STAGING_SUFFIX)
+            )
+        )
+        if debris:
+            raise IOError(
+                f"lake table {table_dir} carries compaction crash "
+                f"debris {debris[:5]}: reading it would double-count "
+                f"those partitions' rows.  Re-run compact_partition "
+                f"for them (its entry recovery rolls the state back) "
+                f"before reading"
+            )
     return (
         spark.read.option("mergeSchema", "true")
         .option("basePath", table_dir)

@@ -65,7 +65,23 @@ def merge_rollup_batch(
     and data living in the same files makes each PARTITION exactly-once.
     A mid-write crash of the (non-atomic) multi-partition dynamic
     overwrite leaves some days updated and some not; the per-day marker
-    makes the replay finish exactly the unfinished days.
+    makes the replay finish exactly the unfinished days.  One window
+    the marker CANNOT cover (named so the guarantee reads honestly):
+    the dynamic overwrite's job commit deletes each matched day
+    directory and then moves the staged one in — a crash BETWEEN the
+    delete and the move leaves that day empty, and the replay, finding
+    no prior rows or marker for it, re-merges batch-only partials:
+    the day's PRIOR totals are lost.  That delete-to-move gap is
+    inherent to non-transactional parquet (the same caveat as
+    ``compact_lake_partition``'s two-rename swap); a table format with
+    a transaction log (Delta/Iceberg) removes it.
+
+    ``batch_id=None`` (a backfill merge outside any checkpoint) does
+    NOT reset the affected days' replay markers: each day keeps the
+    max ``last_batch_id`` it already carried, so a backfill run
+    between a stream's write and its checkpoint commit cannot disarm
+    the replay guard (stamping -1 would make the replayed batch
+    re-merge and double-count).
 
     Marker scope: the guard assumes batch ids from ONE stable
     checkpoint (Spark's epoch ids are monotone within it).  Pointing a
@@ -80,7 +96,12 @@ def merge_rollup_batch(
     plain inner join would drop the existing null-day row — the
     dynamic overwrite would then replace that partition with
     batch-only partials, silently erasing prior totals."""
-    inc = _batch_partials(batch_df)
+    # One evaluation of the batch aggregation: the partials feed THREE
+    # plan branches below (the affected-day probe, the replay
+    # anti-join, the union) and an unmaterialized subtree would
+    # re-scan the micro-batch's files per branch.  The frame is
+    # |days × types| — pinning it is one tiny job.
+    inc = materialize(_batch_partials(batch_df))
     bid = -1 if batch_id is None else int(batch_id)
     path = os.path.join(serving_dir, ROLLUP_TABLE)
     try:
@@ -95,8 +116,13 @@ def merge_rollup_batch(
         # overwrite the affected day partitions with batch-only
         # partials, silently erasing prior totals (the same
         # narrow-or-lose-data contract as partitioned_upsert and
-        # reprocess_quarantine).
-        cond = getattr(e, "getCondition", lambda: None)() or ""
+        # reprocess_quarantine).  getCondition arrived in Spark 4.0;
+        # on the 3.5 floor (pyproject) fall back to getErrorClass, or
+        # the first-batch path would never match and bootstrap fails.
+        probe = getattr(e, "getCondition", None) or getattr(
+            e, "getErrorClass", None
+        )
+        cond = (probe() if probe else None) or ""
         if cond not in ("PATH_NOT_FOUND", "UNABLE_TO_INFER_SCHEMA"):
             raise
         has_existing = False
@@ -125,7 +151,7 @@ def merge_rollup_batch(
                 relevant["day"].eqNullSafe(F.col("_dday")),
                 "left_anti",
             )
-        inc = (
+        merged = (
             relevant.select("day", "event_type", "n_events", "total_value")
             .unionByName(inc)
             .groupBy("day", "event_type")
@@ -134,9 +160,29 @@ def merge_rollup_batch(
                 F.sum("total_value").alias("total_value"),
             )
         )
-    writer = inc.withColumn("day", F.col("day").cast("string")).withColumn(
-        "last_batch_id", F.lit(bid)
-    )
+        if batch_id is None:
+            # backfill: each affected day KEEPS its stored replay
+            # marker (docstring — stamping -1 would disarm the
+            # stream's at-least-once guard for an in-flight batch)
+            keep = relevant.groupBy("day").agg(
+                F.max("last_batch_id").alias("_keep")
+            ).select(F.col("day").alias("_kday"), "_keep")
+            inc = (
+                merged.join(
+                    F.broadcast(keep),
+                    merged["day"].eqNullSafe(F.col("_kday")),
+                    "left",
+                )
+                .withColumn(
+                    "last_batch_id", F.coalesce(F.col("_keep"), F.lit(-1))
+                )
+                .drop("_kday", "_keep")
+            )
+        else:
+            inc = merged.withColumn("last_batch_id", F.lit(bid))
+    else:
+        inc = inc.withColumn("last_batch_id", F.lit(bid))
+    writer = inc.withColumn("day", F.col("day").cast("string"))
     # Materialize before writing: the merge plan READS the same files
     # the dynamic overwrite replaces.  Relying on the writer staging the
     # whole output before commit is version-sensitive; cutting the

@@ -608,6 +608,50 @@ def test_lake_schema_evolution_mergeschema(spark, tmp_path):
     assert merged.count() == 10
 
 
+def test_maintenance_handles_compaction_crash_debris(spark, tmp_path):
+    """Table-level maintenance must stay coherent around a crashed
+    partition compaction (review r8): list_partitions excludes the
+    debris names, read_lake fails LOUDLY instead of double-counting
+    the backup's rows as a second partition, and compact_partition
+    delegates (and recovers) when the partition survives only as its
+    __old backup instead of raising partition-not-found."""
+    import shutil
+
+    import pytest as _pytest
+
+    from enterprise_sales_data_pipeline_using_aws_lambda_spark.sources.maintenance import (
+        compact_partition,
+        list_partitions,
+        read_lake,
+    )
+    from enterprise_sales_data_pipeline_using_aws_lambda_spark.sources.writers import (
+        write_partitioned_parquet,
+    )
+
+    lake = str(tmp_path / "lake")
+    df = spark.range(100).select("id")
+    write_partitioned_parquet(df.repartition(4), lake, batch_id="b1")
+    write_partitioned_parquet(df, lake, batch_id="b2")
+
+    # crash between swap-out and swap-in: data lives ONLY in __old
+    shutil.move(
+        f"{lake}/ingest_batch=b1", f"{lake}/ingest_batch=b1__old"
+    )
+    assert list_partitions(spark, lake) == ["ingest_batch=b2"]
+    with _pytest.raises(IOError, match="double-count"):
+        read_lake(spark, lake)
+    # the table-level entry point performs the documented recovery
+    n = compact_partition(spark, lake, "ingest_batch=b1", target_files=1)
+    assert n == 1
+    assert list_partitions(spark, lake) == [
+        "ingest_batch=b1", "ingest_batch=b2",
+    ]
+    assert read_lake(spark, lake).count() == 200
+    # a partition with NO trace at all is still an error
+    with _pytest.raises(FileNotFoundError):
+        compact_partition(spark, lake, "ingest_batch=nope")
+
+
 def test_append_log_idempotent_recovers_partial_commit(spark, tmp_path):
     """A crash mid-write leaves only staging debris (never a partial
     partition): the retry clears it and commits the full batch."""

@@ -208,6 +208,52 @@ def test_streaming_quarantine_rows_reprocess_without_crash(
     assert again.select("_ingest_batch").distinct().count() == 2
 
 
+def test_rollup_backfill_preserves_replay_markers(spark, tmp_path):
+    """A batch_id=None (backfill) merge must KEEP the affected days'
+    stored replay markers (review r8): stamping -1 would disarm the
+    stream's at-least-once guard, so a batch replayed after the
+    backfill would re-merge and double-count its day."""
+    from enterprise_sales_data_pipeline_using_aws_lambda_spark.streaming.rollup import (  # noqa: E501
+        ROLLUP_TABLE,
+        merge_rollup_batch,
+    )
+
+    serving = str(tmp_path / "serving")
+
+    def events(eid, value):
+        return spark.createDataFrame(
+            [(eid, "click", "2024-01-01 10:00:00", value)],
+            "event_id long, event_type string, ts string, value double",
+        ).withColumn("ts", F.col("ts").cast("timestamp"))
+
+    # stream batch 7 lands on day D
+    merge_rollup_batch(spark, events(1, 5.0), serving, batch_id=7)
+    # operator backfill touching the same day, outside any checkpoint
+    merge_rollup_batch(spark, events(2, 3.0), serving, batch_id=None)
+    t = spark.read.parquet(f"{serving}/{ROLLUP_TABLE}")
+    [r] = t.collect()
+    assert r["n_events"] == 2 and r["total_value"] == 8.0
+    assert r["last_batch_id"] == 7  # marker preserved, not reset to -1
+
+    # the at-least-once window: batch 7 replays AFTER the backfill —
+    # the preserved marker makes it a no-op instead of a double-count
+    merge_rollup_batch(spark, events(1, 5.0), serving, batch_id=7)
+    [r2] = spark.read.parquet(f"{serving}/{ROLLUP_TABLE}").collect()
+    assert r2["n_events"] == 2 and r2["total_value"] == 8.0
+
+    # a NEW day introduced by a backfill starts at the -1 sentinel
+    other = spark.createDataFrame(
+        [(3, "view", "2024-02-02 09:00:00", 1.0)],
+        "event_id long, event_type string, ts string, value double",
+    ).withColumn("ts", F.col("ts").cast("timestamp"))
+    merge_rollup_batch(spark, other, serving, batch_id=None)
+    rows = {
+        str(r["day"]): r["last_batch_id"]
+        for r in spark.read.parquet(f"{serving}/{ROLLUP_TABLE}").collect()
+    }
+    assert rows["2024-01-01"] == 7 and rows["2024-02-02"] == -1
+
+
 def test_sales_feed_ignores_subdirectories(spark, tmp_path):
     """Subdirectories in the feed dir — an archive/ folder, even one
     named like a feed file — are not feed files: strict batch mode
