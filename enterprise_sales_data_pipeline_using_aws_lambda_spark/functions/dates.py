@@ -13,9 +13,15 @@ from ..schema import SALES_DATE_FORMAT
 
 
 def parse_mdY(col: Column | str, fmt: str = SALES_DATE_FORMAT) -> Column:
-    """String ``M/d/yyyy`` → DateType (reference F1, ``lambda.py:107``)."""
+    """String ``M/d/yyyy`` → DateType (reference F1, ``lambda.py:107``).
+
+    ``try_to_date``, not ``to_date``: under Spark 4's ANSI-on default a
+    single malformed value would otherwise throw and kill the job,
+    where this pipeline's posture is null-out-and-quarantine
+    (``operators.validate`` gates on the same try_ semantics before
+    any serving write, so a null here is never silent downstream)."""
     c = F.col(col) if isinstance(col, str) else col
-    return F.to_date(c.cast("string"), fmt)
+    return F.try_to_date(c.cast("string"), fmt)
 
 
 def format_date(col: Column | str, fmt: str = "yyyy-MM-dd") -> Column:

@@ -14,7 +14,15 @@ from pyspark.sql import functions as F
 
 def simple_word_count(col: Column | str) -> Column:
     """Whitespace word count via space counting — engine-portable
-    semantics: ``len(text) - len(remove(' ')) + 1`` for non-empty text."""
+    semantics: ``len(text) - len(remove(' ')) + 1`` for non-empty text.
+
+    DELIBERATELY not ``size(word_tokens(c))``: this exact formula is
+    what the DuckDB oracles replicate (the gate queries hash-match on
+    it), so on text with consecutive/leading/trailing spaces or tab
+    separators the count EXCEEDS the token count — both engines agree,
+    which is the property that matters.  Use
+    ``F.size(word_tokens(c))`` when a count must equal the tokenizer's
+    output."""
     c = F.col(col) if isinstance(col, str) else col
     return F.when(F.length(c) == 0, F.lit(0)).otherwise(
         F.length(c) - F.length(F.replace(c, F.lit(" "), F.lit(""))) + 1
@@ -49,5 +57,14 @@ def stable_hash64(col: Column, seed: int) -> Column:
     """Seeded 64-bit stable hash: xxhash64 with the seed mixed in via
     concat — deterministic across sessions/partitions (xxhash64 is a
     fixed algorithm, unlike ``F.hash``'s murmur3 which is also stable but
-    32-bit)."""
-    return F.xxhash64(F.concat(F.lit(f"s{seed}:"), col))
+    32-bit).
+
+    NULL inputs coalesce to a sentinel BEFORE the concat: concat
+    null-propagates, and ``xxhash64(NULL)`` is one constant regardless
+    of what the seed string would have been — a multi-seed caller
+    (minhash-style signatures) would otherwise see every null collapse
+    to the same value across ALL seeds instead of seed-distinct
+    hashes."""
+    return F.xxhash64(
+        F.concat(F.lit(f"s{seed}:"), F.coalesce(col, F.lit("\x00<null>")))
+    )

@@ -97,7 +97,15 @@ class SalesFeedReader(DataSourceReader):
                 f"{scheme!r}. Use sources.readers (Hadoop FS) for "
                 f"object-store/HDFS feeds, or mount the feed locally."
             )
-        self.path = path[len("file://"):] if scheme == "file" else path
+        path = path[len("file://"):] if scheme == "file" else path
+        # Canonical ABSOLUTE path: partition values (and therefore the
+        # streaming face's checkpointed offsets) embed this prefix, so
+        # respelling the option across a restart (trailing slash,
+        # relative vs absolute) must not change how offsets compare —
+        # a relative respelling would otherwise silently re-ingest the
+        # entire feed history (every name compares above the old
+        # absolute watermark).
+        self.path = os.path.abspath(path)
         self.schema = schema
         # strict=false skips unsupported suffixes instead of raising —
         # the pipeline's quarantine-not-crash posture, per file.
@@ -132,14 +140,26 @@ class SalesFeedReader(DataSourceReader):
         return [InputPartition(f) for f in good]
 
     def read(self, partition):
+        if partition is None:
+            # an empty feed (only bookkeeping files / skipped suffixes)
+            # yields zero partitions, and Spark's Python data-source
+            # worker substitutes [None] and still calls read —
+            # an empty frame, not an AttributeError, is the answer
+            return
         fname = partition.value
         names = [f.name for f in self.schema.fields]
 
         def num_cast(conv):
             # permissive-mode parity with the built-in readers: a
-            # malformed cell nulls out, it never fails the file
+            # malformed cell nulls out, it never fails the file.  A
+            # JSON float in an integer column nulls too — int(2.7)
+            # would silently fabricate 2 where Spark's permissive JSON
+            # reader nulls the cell (CSV is unaffected: its values
+            # arrive as strings and int('2.7') raises).
             def cast(v):
                 if v in (None, ""):
+                    return None
+                if conv is int and isinstance(v, float):
                     return None
                 try:
                     return conv(v)
@@ -165,14 +185,18 @@ class SalesFeedReader(DataSourceReader):
 
         with open(fname, "rb") as fh:
             payload = fh.read()
+        # utf-8-sig: identical to utf-8 for BOM-less files, and strips
+        # the BOM Windows/Excel exports prepend — under plain utf-8 the
+        # BOM becomes part of the first CSV header ('\\ufeffuuid', so
+        # the key column silently nulls) and fails JSON array dispatch.
         if fname.lower().endswith(".csv"):
-            rdr = csv.DictReader(io.StringIO(payload.decode("utf-8")))
+            rdr = csv.DictReader(io.StringIO(payload.decode("utf-8-sig")))
             for rec in rdr:
                 yield row_of(rec)
             return
         # JSON: array-of-objects or NDJSON, probed by first byte —
         # the same head-byte dispatch as sources.readers.read_json.
-        text = payload.decode("utf-8")
+        text = payload.decode("utf-8-sig")
         stripped = text.lstrip()
         if stripped.startswith("["):
             for rec in json.loads(stripped):
@@ -233,13 +257,20 @@ class SalesFeedStreamReader(DataSourceStreamReader):
     Replay contracts differ by mode.  Full-list offsets freeze the
     exact file set; a file deleted between processing and a replay
     makes the replay fail on open (the data is gone — failure is the
-    honest outcome).  Monotonic mode derives a committed range's file
-    set by re-listing ``(lo, hi]`` — deterministic ONLY under its
-    naming contract (names are assigned monotonically and files
-    persist until processed; a late file named inside an
-    already-committed range, or a deletion before replay, changes the
-    replayed batch — the same caveat as any watermark-based file
-    source).
+    honest outcome).  The same freeze means a file LISTED by
+    latestOffset but deleted before its batch ever processed wedges
+    the stream deliberately: every retry and restart replays the
+    frozen set and fails on the missing file — silently skipping it
+    would let a misconfigured rotation job eat feed data forever with
+    no signal.  Operator recovery: restore the file from its source,
+    or (accepting the loss) start a fresh checkpoint.  Feeds whose
+    files legitimately expire should run monotonic mode, which derives
+    a committed range's file set by re-listing ``(lo, hi]`` —
+    deterministic ONLY under its naming contract (names are assigned
+    monotonically and files persist until processed; a late file named
+    inside an already-committed range, or a deletion before replay,
+    changes the replayed batch — the same caveat as any
+    watermark-based file source).
 
     Unsupported-suffix files are ALWAYS skipped here regardless of
     ``strict``: a planning-time error inside ``latestOffset`` would

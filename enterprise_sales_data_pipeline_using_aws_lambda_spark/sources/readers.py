@@ -107,9 +107,12 @@ def read_csv(
     path: str,
     schema: T.StructType | None = None,
     infer: bool = False,
+    sep: str = ",",
 ) -> DataFrame:
-    """CSV source (reference S2, ``lambda.py:64-65``)."""
-    reader = spark.read.option("header", True)
+    """CSV source (reference S2, ``lambda.py:64-65``).  ``sep`` serves
+    the TSV dispatch too — ONE reader construction, so a future read
+    option lands in every delimited format at once."""
+    reader = spark.read.option("header", True).option("sep", sep)
     if schema is not None and not infer:
         reader = reader.schema(schema)
     else:
@@ -154,18 +157,23 @@ def read_any(
     if lower.endswith(".csv"):
         return read_csv(spark, path, schema, infer)
     if lower.endswith((".tsv", ".tab")):
-        reader = spark.read.option("header", True).option("sep", "\t")
-        if schema is not None and not infer:
-            reader = reader.schema(schema)
-        else:
-            reader = reader.option("inferSchema", True)
-        return reader.csv(path)
+        return read_csv(spark, path, schema, infer, sep="\t")
     if lower.endswith(".json"):
         return read_json(spark, path, schema, infer)
+    # Columnar formats HONOR a caller-provided schema too (by-name
+    # projection + type enforcement): silently ignoring it would hand
+    # back differently-typed columns than the schema promised — the
+    # same silent-divergence the .txt branch rejects loudly.
     if lower.endswith(".parquet"):
-        return spark.read.parquet(path)
+        reader = spark.read
+        if schema is not None and not infer:
+            reader = reader.schema(schema)
+        return reader.parquet(path)
     if lower.endswith(".orc"):
-        return spark.read.orc(path)
+        reader = spark.read
+        if schema is not None and not infer:
+            reader = reader.schema(schema)
+        return reader.orc(path)
     if lower.endswith(".txt"):
         # one row per line, single `value` string column (Spark-native
         # text source).  A caller-provided schema cannot be honored —

@@ -337,3 +337,99 @@ def test_rollup_stream_starts_on_empty_events_dir(spark, tmp_path):
     q2.awaitTermination(60)
     roll = spark.read.parquet(f"{serving}/{ROLLUP_TABLE}")
     assert roll.count() == 1
+
+
+def test_feed_connector_edge_inputs(spark, tmp_path):
+    """Connector hardening (review r8): an EMPTY feed directory reads
+    as an empty frame (Spark hands read(None) when partitions() is
+    empty), a UTF-8 BOM does not null the key column or break JSON
+    array dispatch, a JSON float in an integer column nulls out
+    (permissive parity) instead of silently truncating, and a
+    trailing-slash respelling of the path option yields identical
+    partition values (offsets embed the canonical absolute path)."""
+    import json as _json
+
+    from enterprise_sales_data_pipeline_using_aws_lambda_spark.sources.pysource import (  # noqa: E501
+        SalesFeedDataSource,
+        SalesFeedReader,
+    )
+    from enterprise_sales_data_pipeline_using_aws_lambda_spark.schema import (
+        sales_ingest_schema,
+    )
+
+    spark.dataSource.register(SalesFeedDataSource)
+
+    # empty feed dir (only bookkeeping) -> empty frame, not a crash
+    empty = tmp_path / "empty_feed"
+    empty.mkdir()
+    (empty / "_SUCCESS").write_text("")
+    got = (
+        spark.read.format("sales_feed")
+        .option("path", str(empty))
+        .load()
+    )
+    assert got.count() == 0
+
+    feed = tmp_path / "feed"
+    feed.mkdir()
+    # BOM'd CSV: header must not become '﻿uuid'
+    (feed / "a.csv").write_bytes(
+        "﻿".encode("utf-8")
+        + (HDR + "\n" + _row(1, units=5) + "\n").encode("utf-8")
+    )
+    # BOM'd JSON array: dispatch must still see '['
+    rec = {
+        "uuid": 2, "Country": "FR", "ItemType": "Meat",
+        "SalesChannel": "Offline", "OrderPriority": "L",
+        "OrderDate": "2/3/2024", "Region": "Europe",
+        "ShipDate": "2/9/2024", "UnitsSold": 2.7, "UnitPrice": 10.0,
+        "UnitCost": 6.0, "TotalRevenue": 40.0, "TotalCost": 24.0,
+        "TotalProfit": 16.0,
+    }
+    (feed / "b.json").write_bytes(
+        "﻿".encode("utf-8") + _json.dumps([rec]).encode("utf-8")
+    )
+    rows = {
+        r["uuid"]: (r["Country"], r["UnitsSold"])
+        for r in spark.read.format("sales_feed")
+        .option("path", str(feed))
+        .load()
+        .collect()
+    }
+    assert rows[1] == ("Kenya", 5)
+    # float 2.7 in the long UnitsSold column nulls (never becomes 2)
+    assert rows[2] == ("FR", None)
+
+    # trailing-slash respelling -> identical partition values
+    plain = SalesFeedReader({"path": str(feed)}, sales_ingest_schema())
+    slashed = SalesFeedReader(
+        {"path": str(feed) + "/"}, sales_ingest_schema()
+    )
+    assert sorted(p.value for p in plain.partitions()) == sorted(
+        p.value for p in slashed.partitions()
+    )
+
+
+def test_scalar_helper_edge_semantics(spark):
+    """parse_mdY nulls malformed dates instead of throwing under
+    ANSI-on (the quarantine-not-crash posture), and stable_hash64
+    keeps the SEED effective on NULL inputs (concat null-propagation
+    previously collapsed every null to one constant across all
+    seeds)."""
+    from enterprise_sales_data_pipeline_using_aws_lambda_spark.functions import (
+        parse_mdY,
+        stable_hash64,
+    )
+
+    df = spark.createDataFrame(
+        [("1/2/2024",), ("13/45/2020",), ("N/A",), (None,)], "d string"
+    )
+    parsed = [r[0] for r in df.select(parse_mdY("d")).collect()]
+    assert str(parsed[0]) == "2024-01-02"
+    assert parsed[1] is None and parsed[2] is None and parsed[3] is None
+
+    h = spark.createDataFrame([(None,)], "t string").select(
+        stable_hash64(F.col("t"), 1).alias("h1"),
+        stable_hash64(F.col("t"), 2).alias("h2"),
+    ).first()
+    assert h["h1"] is not None and h["h1"] != h["h2"]
