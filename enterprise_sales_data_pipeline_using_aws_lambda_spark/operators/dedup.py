@@ -42,18 +42,34 @@ def dedup_keep_last(
 
 
 def content_fingerprint(content_cols: list[str]):
-    """Canonical content encoding for exact dedup: md5 over the
-    \\x01-joined columns with a per-column NULL sentinel.
+    """Canonical content encoding for exact dedup.
 
-    ``concat_ws`` alone SKIPS nulls, so (NULL,'x'), ('x',NULL) and
-    ('x','') would all encode identically and genuinely different rows
-    would be "deduplicated"; coalescing each column to the sentinel
-    ``\\x00N`` (distinct from the empty string) first removes that
-    class.  The \\x01 separator keeps column boundaries unambiguous.
-    For a single non-null column this reduces to plain ``md5(col)`` —
-    the engine-portable form oracles recompute."""
+    Single column (the oracle-facing form): plain ``md5(col)`` with a
+    NULL sentinel — exactly what the DuckDB oracles recompute (the
+    ``dedup_exact_docs`` gate hash-matches on it).  Residual there: a
+    value literally equal to the sentinel collides with NULL —
+    irrelevant for text corpora, and the multi-column form below does
+    not have it.
+
+    Multiple columns: md5 over \\x01-joined per-column TAGGED DIGESTS
+    (``N`` for NULL, ``V`` + md5(value) otherwise).  Joining raw
+    values would leave column boundaries ambiguous — ('a\\x01b','c')
+    and ('a','b\\x01c') would encode identically and dedup_exact would
+    silently DELETE a non-duplicate row — and ``concat_ws`` alone
+    additionally skips nulls, conflating (NULL,'x')/('x',NULL)/('x','').
+    Fixed-width digests over a \\x01-free alphabet make every boundary
+    unambiguous, and the N/V tag separates NULL from any real value
+    with no sentinel to collide with."""
+    if len(content_cols) == 1:
+        return F.md5(
+            F.coalesce(
+                F.col(content_cols[0]).cast("string"), F.lit("\x00N")
+            )
+        )
     enc = [
-        F.coalesce(F.col(c).cast("string"), F.lit("\x00N"))
+        F.when(F.col(c).isNull(), F.lit("N")).otherwise(
+            F.concat(F.lit("V"), F.md5(F.col(c).cast("string")))
+        )
         for c in content_cols
     ]
     return F.md5(F.concat_ws("\x01", *enc))
@@ -309,8 +325,12 @@ def mixture_resample(
     resampling with zero coordination, no RNG state, and stability
     across runs/retries/engines (the md5 spec).  ``rate`` is a Column
     (derive it from the source/domain column); output adds ``n_copies``
-    — expand with ``explode(sequence(1, n_copies))`` when materializing
-    shards, or keep it as a weight for weighted training."""
+    — expand with ``explode(array_repeat(lit(1), n_copies))`` when
+    materializing shards (NOT ``sequence(1, n_copies)``: Spark's
+    sequence steps -1 when start > stop, so n_copies=0 — the
+    downsample case — would yield [1, 0] and DUPLICATE the very rows
+    the rate meant to drop; array_repeat with 0 explodes to nothing),
+    or keep it as a weight for weighted training."""
     r = rate.cast("double")
     whole = F.floor(r).cast("long")
     frac_th = F.round((r - F.floor(r)) * buckets).cast("long")

@@ -63,7 +63,27 @@ def salted_join(
     fact rows that are IDENTICAL in every column share one salt, so a
     hot key whose rows are exact duplicates still lands on one reducer
     — add a stable per-row discriminator column (an id) upstream if
-    your duplicates are genuine, or dedup first."""
+    your duplicates are genuine, or dedup first.
+
+    ``how`` must not preserve unmatched DIM rows (right/full outer):
+    the dim side is replicated once per salt, so every dim row whose
+    replicas find no fact partner would surface up to ``salt_buckets``
+    times — silent row inflation.  Fact-preserving flavors (inner,
+    left, left_semi, left_anti) are safe: the fact side is never
+    replicated, and a dim key's replica exists at EVERY salt by
+    construction, so semi/anti verdicts match the unsalted join."""
+    allowed = {
+        "inner", "left", "leftouter", "left_outer",
+        "semi", "left_semi", "leftsemi",
+        "anti", "left_anti", "leftanti",
+    }
+    if how.lower().replace(" ", "") not in allowed:
+        raise ValueError(
+            f"salted_join(how={how!r}): joins that preserve unmatched "
+            f"dim rows would emit one row per salt replica "
+            f"(salt_buckets={salt_buckets} duplicates).  Use "
+            f"{sorted(allowed)}, or salt with fact/dim swapped"
+        )
     # Deterministic "salt": hash the whole fact row's key + a uniformifier
     # column if present; monotonically_increasing_id is NOT retry-stable,
     # so derive from data: xxhash64 over all columns.
@@ -107,6 +127,27 @@ def asof_join(
     if direction not in ("backward", "forward"):
         raise ValueError(f"direction must be backward|forward: {direction}")
     lcols = left.columns
+    # name-collision guard: the output carries every left column plus
+    # right_cols plus matched_ts — an overlap would emit duplicate
+    # column names and every downstream reference would fail with
+    # AMBIGUOUS_REFERENCE far from the cause
+    clash = sorted(set(right_cols) & set(lcols))
+    if clash:
+        raise ValueError(
+            f"asof_join right_cols {clash} collide with left columns; "
+            f"rename one side before joining"
+        )
+    if "matched_ts" in lcols:
+        raise ValueError(
+            "asof_join emits a 'matched_ts' column; rename the left "
+            "side's existing one first"
+        )
+    # NULL join keys never match (SQL join semantics): drop null-keyed
+    # RIGHT rows up front — the window's partitionBy would otherwise
+    # group null keys together and a null-keyed left row would inherit
+    # attributes from an unrelated null-keyed right row
+    for k in on:
+        right = right.filter(F.col(k).isNotNull())
     marked = [f"_r_{c}" for c in right_cols]
     l2 = left.select(
         *lcols,
@@ -127,11 +168,21 @@ def asof_join(
 
     # Backward: ascending ts, right rows (0) sort before left rows (1) at
     # equal ts, so an equal-timestamp right row IS visible to the left
-    # row (inclusive match).  Forward: mirror by descending ts.
+    # row (inclusive match).  Forward: mirror by descending ts.  The
+    # payload-hash tiebreak makes TIED right rows (same key, same ts)
+    # resolve deterministically — last() over an underspecified order
+    # would otherwise pick whichever tied row the shuffle happened to
+    # place later, and a task retry could emit a different answer (the
+    # winner among ties is arbitrary-but-stable: max payload hash).
+    tie = F.asc(F.xxhash64(*[F.col(m) for m in marked]))
     if direction == "backward":
-        w = Window.partitionBy(*on).orderBy(F.asc("_evt_ts"), F.asc("_is_left"))
+        w = Window.partitionBy(*on).orderBy(
+            F.asc("_evt_ts"), F.asc("_is_left"), tie
+        )
     else:
-        w = Window.partitionBy(*on).orderBy(F.desc("_evt_ts"), F.asc("_is_left"))
+        w = Window.partitionBy(*on).orderBy(
+            F.desc("_evt_ts"), F.asc("_is_left"), tie
+        )
     w = w.rowsBetween(Window.unboundedPreceding, Window.currentRow)
 
     # Carry the matched right row as ONE struct, not per-column lasts:
@@ -213,12 +264,19 @@ def interval_join(
         "_bucket",
         F.floor(F.unix_timestamp(F.col(point_ts)) / width).cast("long"),
     )
+    sb = F.floor(F.unix_timestamp(F.col(start_col)) / width).cast("long")
+    eb = F.floor(F.unix_timestamp(F.col(end_col)) / width).cast("long")
+    # INVERTED intervals (start > end — a corrupt row) explode to zero
+    # buckets: Spark's sequence would otherwise step -1 and emit the
+    # FULL descending bucket range (one swapped 1970 bound ≈ 473k rows
+    # per bad row through the shuffle, all discarded by the residual
+    # filter) — the "cost scales with interval span" contract must
+    # hold for malformed spans too.
     i = intervals.withColumn(
         "_bucket",
         F.explode(
-            F.sequence(
-                F.floor(F.unix_timestamp(F.col(start_col)) / width).cast("long"),
-                F.floor(F.unix_timestamp(F.col(end_col)) / width).cast("long"),
+            F.when(sb <= eb, F.sequence(sb, eb)).otherwise(
+                F.array().cast("array<long>")
             )
         ),
     )

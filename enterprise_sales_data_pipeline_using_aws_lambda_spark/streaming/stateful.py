@@ -51,7 +51,13 @@ def _update_user_totals(
         # SQL semantics, matching the batch-parity oracle exactly:
         # count(*) counts every row, sum/max skip NULL values (pandas
         # skipna would otherwise silently fold NaN into max and let
-        # count and sum disagree about what an event is)
+        # count and sum disagree about what an event is).  Known
+        # divergence: Arrow hands BOTH SQL NULL and a genuine NaN
+        # double to pandas as NaN, so a real NaN value (0.0/0.0
+        # upstream) is treated as NULL here, where Spark's batch
+        # sum/max would propagate/rank it — indistinguishable at this
+        # API; keep NaN out of value columns upstream (the engine's
+        # own operators never produce it).
         n += len(pdf)
         vals = pdf["value"].dropna().astype("float64")
         if len(vals):

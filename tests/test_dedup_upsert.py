@@ -386,6 +386,28 @@ def test_content_fingerprint_distinguishes_null_empty_and_order(spark):
     assert {g["dup_count"] for g in groups} == {1, 1, 1, 2}
 
 
+def test_content_fingerprint_separator_and_sentinel_unambiguous(spark):
+    """Multi-column fingerprints must not collapse rows whose VALUES
+    contain the \\x01 separator at different boundaries, nor a literal
+    sentinel string with NULL (review r8: joining raw values left both
+    ambiguities, and dedup_exact would silently delete a non-duplicate
+    row)."""
+    from enterprise_sales_data_pipeline_using_aws_lambda_spark.operators.dedup import (
+        dedup_exact,
+    )
+
+    rows = [
+        (1, "a\x01b", "c"),   # boundary shifted left
+        (2, "a", "b\x01c"),   # boundary shifted right
+        (3, "\x00N", "x"),    # literal sentinel value
+        (4, None, "x"),       # genuine NULL
+        (5, "a\x01b", "c"),   # true duplicate of row 1
+    ]
+    df = spark.createDataFrame(rows, "id long, a string, b string")
+    out = dedup_exact(df, ["a", "b"], "id")
+    assert sorted(r["id"] for r in out.collect()) == [1, 2, 3, 4]
+
+
 def test_null_key_rows_bucket_deterministically(spark):
     """NULL split keys land in a real split (hash of the sentinel), not
     silently in the last split / dropped from resampling."""

@@ -605,3 +605,74 @@ def test_asof_join_carries_null_fields_from_matched_row(spark):
         left, right, ["k"], "lts", "rts", ["v"], tolerance="60 minutes"
     ).collect()[0]
     assert out2["matched_ts"] == t(2024, 1, 1, 12, 0) and out2["v"] is None
+
+
+def test_join_operator_edge_guards(spark):
+    """Review-r8 join hardening: salted_join rejects dim-preserving
+    outer flavors (each unmatched dim row would surface once per salt
+    replica), asof_join rejects output-name collisions loudly, never
+    matches NULL keys to each other (SQL join semantics), and resolves
+    equal-(key, ts) right-row ties deterministically; interval_join
+    explodes an INVERTED interval to zero rows instead of a full
+    descending bucket range."""
+    import pytest as _pytest
+
+    from enterprise_sales_data_pipeline_using_aws_lambda_spark.operators.joins import (
+        asof_join,
+        interval_join,
+        salted_join,
+    )
+
+    fact = spark.createDataFrame([(1, "f")], "k long, fv string")
+    dim = spark.createDataFrame([(1, "d"), (2, "e")], "k long, dv string")
+    with _pytest.raises(ValueError, match="salt replica"):
+        salted_join(fact, dim, "k", how="full")
+    # semi/anti verdicts match the unsalted join
+    semi = salted_join(fact, dim, "k", how="left_semi")
+    assert [r["k"] for r in semi.collect()] == [1]
+
+    left = spark.createDataFrame(
+        [(1, "2024-01-01 10:30:00"), (None, "2024-01-01 10:30:00")],
+        "k long, lts string",
+    ).withColumn("lts", F.col("lts").cast("timestamp"))
+    # two right rows TIED on (key, ts) with different payloads, plus a
+    # null-keyed right row that must never match anything
+    right = spark.createDataFrame(
+        [
+            (1, "2024-01-01 10:00:00", 10.0),
+            (1, "2024-01-01 10:00:00", 20.0),
+            (None, "2024-01-01 09:00:00", 99.0),
+        ],
+        "k long, rts string, v double",
+    ).withColumn("rts", F.col("rts").cast("timestamp"))
+
+    with _pytest.raises(ValueError, match="collide"):
+        asof_join(
+            left.withColumn("v", F.lit(0.0)), right, ["k"],
+            "lts", "rts", ["v"],
+        )
+
+    winners = set()
+    for n_parts in (1, 3, 7):  # physical layout must not pick the winner
+        out = {
+            r["k"]: r["v"]
+            for r in asof_join(
+                left, right.repartition(n_parts), ["k"],
+                "lts", "rts", ["v"],
+            ).collect()
+        }
+        winners.add(out[1])
+        assert out[None] is None  # NULL keys never match
+    assert len(winners) == 1  # deterministic tie resolution
+
+    points = spark.createDataFrame(
+        [("2024-01-01 10:00:00",)], "ts string"
+    ).withColumn("ts", F.col("ts").cast("timestamp"))
+    inverted = spark.createDataFrame(
+        [("2024-01-01 12:00:00", "1970-01-01 00:00:00")],
+        "s string, e string",
+    ).withColumn("s", F.col("s").cast("timestamp")).withColumn(
+        "e", F.col("e").cast("timestamp")
+    )
+    out = interval_join(points, inverted, "ts", "s", "e", bucket="1 hour")
+    assert out.count() == 0  # zero rows, zero exploded bucket blowup
