@@ -79,7 +79,19 @@ def probe_bloom(
     plain equi-join would leave ``out_col`` NULL for NULL-key rows,
     breaking the True/False dichotomy (and contradicting the build
     side, which does hash NULL keys into the bitmap: ``xxhash64``
-    treats NULL as a defined value)."""
+    treats NULL as a defined value).
+
+    ``bloom_words`` is bit_or-folded per word BEFORE probing: a raw
+    UNION of two build_bloom outputs (handed over without
+    merge_bloom_words) carries duplicate word_idx rows, and the probe
+    join's fan-out would then let ``sum(_hit)`` overshoot k_hashes —
+    a FALSE NEGATIVE on a genuinely inserted key, the one verdict a
+    Bloom filter must never emit.  The fold IS the correct Bloom union
+    (bitmaps OR), costs one ≤ m/64-row aggregate, and is a no-op on an
+    already-merged relation."""
+    bloom_words = bloom_words.groupBy("word_idx").agg(
+        F.bit_or("word_bits").alias("word_bits")
+    )
     key = F.col(key_col)
     probes = df.select(key.alias("_k")).distinct().select(
         "_k",

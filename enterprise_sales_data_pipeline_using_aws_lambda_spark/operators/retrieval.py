@@ -18,7 +18,7 @@ from __future__ import annotations
 from pyspark.sql import DataFrame, Window
 from pyspark.sql import functions as F
 
-from .text_analysis import _word_tokens
+from ..functions.text import word_tokens
 
 
 def term_postings(
@@ -27,10 +27,16 @@ def term_postings(
     """(term, doc_id, tf) posting rows plus each document's word length
     ``dl`` — the relational inverted index.  One explode + one hash
     aggregate with map-side combine: the shuffle carries one row per
-    distinct (term, doc) pair."""
+    distinct (term, doc) pair.  The token array is projected ONCE and
+    reused for both dl and the explode — inlining word_tokens twice
+    would tokenize every document two times in the index-build scan
+    (the corpus-scale hot path)."""
     toks = df.select(
-        F.col(id_col), F.size(_word_tokens(text_col)).alias("dl"),
-        F.explode(_word_tokens(text_col)).alias("term"),
+        F.col(id_col), word_tokens(text_col).alias("_t")
+    ).select(
+        id_col,
+        F.size("_t").alias("dl"),
+        F.explode("_t").alias("term"),
     )
     return toks.groupBy("term", id_col).agg(
         F.count("*").cast("long").alias("tf"),
@@ -96,7 +102,7 @@ def bm25_scores(
     )
     stats = df.agg(
         F.count("*").cast("double").alias("n_docs"),
-        F.avg(F.size(_word_tokens(text_col))).alias("avgdl"),
+        F.avg(F.size(word_tokens(text_col))).alias("avgdl"),
     )
     scored = (
         posts.join(F.broadcast(dfreq), "term")

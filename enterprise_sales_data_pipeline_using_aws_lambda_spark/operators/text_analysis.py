@@ -130,7 +130,10 @@ def language_id(
     markers = markers or LANG_MARKERS
     t = F.lower(F.col(text_col))
     scores = {lang: _marker_score(t, ms) for lang, ms in markers.items()}
-    best = F.greatest(*scores.values())
+    # greatest() requires >= 2 columns; a single-language marker table
+    # is its own max
+    vals = list(scores.values())
+    best = vals[0] if len(vals) == 1 else F.greatest(*vals)
     pred = F.lit("und")
     # Build the CASE chain in reverse so earlier languages win ties.
     for lang in reversed(list(markers)):
@@ -576,6 +579,7 @@ def benchmark_overlap(
     text_col: str = "text",
     id_col: str = "doc_id",
     bench_id_col: str = "bench_id",
+    exclude_self_matches: bool = True,
 ) -> DataFrame:
     """Benchmark decontamination: flag training documents sharing any
     word n-gram with an eval-suite document — the n-gram-overlap rule
@@ -587,9 +591,19 @@ def benchmark_overlap(
     corpus side streams through a broadcast hash join with no text
     shuffle — the only shuffle is the per-doc match aggregate, which
     carries (doc_id, matched-gram) pairs.  Output: one row per
-    CONTAMINATED doc (n_shared_ngrams ≥ 1, self-matches excluded)."""
+    CONTAMINATED doc (n_shared_ngrams ≥ 1).
 
-    def grams(frame: DataFrame, out_id: str) -> DataFrame:
+    ``bench``'s id column: ``bench_id_col`` when bench carries a column
+    of that name, else ``id_col`` (the subset-style bench the in-repo
+    gate uses — a filtered view of the corpus itself); either way the
+    output aliases it to ``bench_id_col``.  ``exclude_self_matches``
+    (default True) drops gram matches where the two ids are EQUAL —
+    correct exactly when bench ids live in the corpus id space
+    (subset-style); pass False for an independent eval table, where an
+    id collision is meaningless and excluding it would silently ship a
+    contaminated document to training."""
+
+    def grams(frame: DataFrame, in_id: str, out_id: str) -> DataFrame:
         # Gram identity = xxhash64 OVER THE TOKEN-ARRAY SLICE: the
         # n-gram string is never materialized (no concat_ws, no
         # ~8-word string per position through distinct/join/agg — the
@@ -610,7 +624,7 @@ def benchmark_overlap(
             ).otherwise(F.array().cast("array<bigint>"))
         )
         return (
-            frame.select(F.col(id_col).alias(out_id), toks.alias("_t"))
+            frame.select(F.col(in_id).alias(out_id), toks.alias("_t"))
             .select(out_id, gs.alias("_gs"))
             .select(
                 out_id,
@@ -621,11 +635,14 @@ def benchmark_overlap(
 
     # Only the corpus side rebalances: bench is broadcast-small by
     # contract, and its gram stage is a rounding error.
-    corpus = grams(ensure_min_parallelism(df), id_col)
-    bench_g = grams(bench, bench_id_col).select(bench_id_col, "_g")
-    joined = corpus.join(F.broadcast(bench_g), "_g").filter(
-        F.col(id_col) != F.col(bench_id_col)
+    corpus = grams(ensure_min_parallelism(df), id_col, id_col)
+    bench_in = bench_id_col if bench_id_col in bench.columns else id_col
+    bench_g = grams(bench, bench_in, bench_id_col).select(
+        bench_id_col, "_g"
     )
+    joined = corpus.join(F.broadcast(bench_g), "_g")
+    if exclude_self_matches:
+        joined = joined.filter(F.col(id_col) != F.col(bench_id_col))
     return joined.groupBy(id_col).agg(
         F.countDistinct("_g").cast("long").alias("n_shared_ngrams"),
         F.countDistinct(bench_id_col).cast("long").alias("n_bench_docs"),

@@ -92,12 +92,27 @@ def validate_batch(
             errors.append(f"Column {c} must be numeric")
 
     # One aggregate pass for date-parse failures + key duplicates.
+    # Already-temporal date columns (DateType/Timestamp — e.g. a lake
+    # frame re-driven through the gate, or validate_batch's own output)
+    # are trivially valid: casting them to string yields ISO
+    # 'yyyy-MM-dd', which FAILS the M/d/yyyy parse — without the type
+    # branch, re-validating an already-validated frame quarantined
+    # every row (the pandas reference's to_datetime succeeds on
+    # datetime64 regardless of format, so validation is idempotent
+    # there).
+    from pyspark.sql.types import DateType, TimestampNTZType, TimestampType
+
+    _TEMPORAL = (DateType, TimestampType, TimestampNTZType)
     aggs: list[Column] = []
     date_checks: list[str] = []
+    temporal_dates: set[str] = set()
     for c in dates:
         if c not in cols:
             continue
         date_checks.append(c)
+        if isinstance(dtypes[c], _TEMPORAL):
+            temporal_dates.add(c)
+            continue
         parsed = F.try_to_date(F.col(c).cast("string"), date_format)
         bad = F.col(c).isNotNull() & parsed.isNull()
         aggs.append(F.sum(bad.cast("long")).alias(f"_bad_{c}"))
@@ -117,6 +132,8 @@ def validate_batch(
     if aggs:
         row = df.agg(*aggs).collect()[0]
         for c in date_checks:
+            if c in temporal_dates:
+                continue
             if (row[f"_bad_{c}"] or 0) > 0:
                 errors.append(f"Invalid date format in column {c}")
         if check_key and (
@@ -128,10 +145,15 @@ def validate_batch(
     out = df
     if not errors:
         # Successful validation casts date columns in place, matching the
-        # reference's mutate-on-success (lambda.py:107).
+        # reference's mutate-on-success (lambda.py:107).  Temporal
+        # columns truncate straight to DateType — re-parsing their ISO
+        # string form with the M/d/yyyy format would null them.
         for c in date_checks:
             out = out.withColumn(
-                c, F.to_date(F.col(c).cast("string"), date_format)
+                c,
+                F.to_date(F.col(c))
+                if c in temporal_dates
+                else F.to_date(F.col(c).cast("string"), date_format),
             )
     return ValidationResult(df=out, errors=errors)
 
@@ -191,11 +213,21 @@ def rule_violation_counts(df: DataFrame, rules: dict[str, Column]) -> DataFrame:
     the given order-insensitive set.  Used as the oracle-checkable face of
     row-level validation.
     """
+    # coalesce: sum over ZERO rows is NULL, and an empty batch must
+    # report 0 violations per rule, not NULL (a gate asserting == 0
+    # would misread a clean empty batch as failing)
     aggs = [
-        F.sum(pred.cast("long")).alias(name) for name, pred in rules.items()
+        F.coalesce(F.sum(pred.cast("long")), F.lit(0)).alias(name)
+        for name, pred in rules.items()
     ]
     wide = df.agg(*aggs)
-    stack_expr = ", ".join(f"'{n}', `{n}`" for n in rules)
+    # rule names are caller-supplied and land inside generated SQL:
+    # escape quote characters so a name like "bad 'price'" cannot
+    # break the stack() parse
+    stack_expr = ", ".join(
+        "'{}', `{}`".format(n.replace("'", "''"), n.replace("`", "``"))
+        for n in rules
+    )
     return wide.selectExpr(
         f"stack({len(rules)}, {stack_expr}) as (rule, violations)"
     )

@@ -494,3 +494,26 @@ def test_scd2_preserves_open_row_with_null_valid_from(spark):
     got = {r["k"]: r for r in merged.collect()}
     assert set(got) == {"k1", "k2"}       # k1 NOT dropped
     assert got["k1"]["is_current"] is True
+
+
+def test_probe_bloom_tolerates_unmerged_union(spark):
+    """probe_bloom against a raw UNION of two build_bloom outputs
+    (duplicate word_idx rows) must still report zero false negatives:
+    the probe folds the words bit_or-first, so the join fan-out cannot
+    make sum(_hit) overshoot k_hashes (review r8)."""
+    from enterprise_sales_data_pipeline_using_aws_lambda_spark.operators.bloom import (
+        build_bloom,
+        probe_bloom,
+    )
+
+    m, k = 4096, 7
+    b1 = spark.range(0, 500).select(F.col("id").alias("k"))
+    b2 = spark.range(500, 1000).select(F.col("id").alias("k"))
+    raw_union = build_bloom(b1, "k", m, k).unionByName(
+        build_bloom(b2, "k", m, k)
+    )
+    probe = spark.range(0, 1000).select(F.col("id").alias("k"))
+    out = probe_bloom(probe, raw_union, "k", m, k)
+    # every probed key WAS inserted in one of the two blooms: zero
+    # false negatives allowed
+    assert out.filter(~F.col("possibly_seen")).count() == 0

@@ -982,3 +982,47 @@ def test_ingest_dedup_batch_daily_loop_convergence(spark, tmp_path):
     )
     with _pytest.raises(ValueError, match="DIFFERENT text"):
         ingest_dedup_batch(lake_docs(), conflicted, store)
+
+
+def test_benchmark_overlap_independent_bench_table(spark):
+    """An eval suite with its OWN id column (named bench_id_col) and an
+    id space unrelated to the corpus must work as-is, and with
+    exclude_self_matches=False a coincidental id equality must NOT
+    silently drop the contamination evidence (review r8)."""
+    from enterprise_sales_data_pipeline_using_aws_lambda_spark.operators.text_analysis import (  # noqa: E501
+        benchmark_overlap,
+    )
+
+    shared = "alpha beta gamma delta epsilon zeta eta theta"
+    docs = spark.createDataFrame(
+        [(7, shared + " tail words here"),
+         (8, "completely unrelated text with no overlap at all")],
+        "doc_id long, text string",
+    )
+    # bench doc id 7 COINCIDES with corpus doc_id 7 but is unrelated
+    bench = spark.createDataFrame(
+        [(7, shared)], "bench_id long, text string"
+    )
+    out = benchmark_overlap(
+        docs, bench, n=8, exclude_self_matches=False
+    ).collect()
+    assert len(out) == 1
+    assert out[0]["doc_id"] == 7 and out[0]["n_shared_ngrams"] >= 1
+
+
+def test_language_id_single_language_markers(spark):
+    """A one-language marker table must score, not crash on
+    F.greatest's two-column minimum (review r8)."""
+    from enterprise_sales_data_pipeline_using_aws_lambda_spark.operators.text_analysis import (  # noqa: E501
+        language_id,
+    )
+
+    docs = spark.createDataFrame(
+        [(1, "the cat and the hat"), (2, "xyzzy plugh")],
+        "doc_id long, text string",
+    )
+    out = {
+        r["doc_id"]: r["pred_lang"]
+        for r in language_id(docs, markers={"en": ["the", "and"]}).collect()
+    }
+    assert out == {1: "en", 2: "und"}

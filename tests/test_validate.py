@@ -146,3 +146,48 @@ def test_row_rules_accept_null_dates(spark):
     assert {r["uuid"] for r in valid.collect()} == {"a"}
     bad = quarantined.collect()
     assert len(bad) == 1 and bad[0]["uuid"] == "b"
+
+
+def test_validate_batch_is_idempotent_on_typed_dates(spark, sales_rows):
+    """Re-validating validate_batch's own output (dates already
+    DateType) must PASS — the pandas reference's to_datetime succeeds
+    on datetime64 regardless of format, and before the type branch the
+    ISO string form failed the M/d/yyyy parse and quarantined a fully
+    valid batch (review r8)."""
+    from enterprise_sales_data_pipeline_using_aws_lambda_spark.operators.validate import (  # noqa: E501
+        validate_batch,
+    )
+
+    df = spark.createDataFrame(sales_rows)
+    first = validate_batch(df)
+    assert first.errors == []
+    assert dict(first.df.dtypes)["OrderDate"] == "date"
+    second = validate_batch(first.df)
+    assert second.errors == []
+    assert dict(second.df.dtypes)["OrderDate"] == "date"
+    assert second.df.count() == df.count()
+
+
+def test_rule_violation_counts_empty_and_quoted_names(spark):
+    """An EMPTY batch reports 0 violations per rule (sum over zero rows
+    is NULL without the coalesce), and caller-supplied rule names with
+    quote characters cannot break the generated stack() SQL."""
+    from pyspark.sql import functions as F
+
+    from enterprise_sales_data_pipeline_using_aws_lambda_spark.operators.validate import (  # noqa: E501
+        rule_violation_counts,
+    )
+
+    empty = spark.createDataFrame([], "v double")
+    rules = {"bad 'price'": F.col("v") < 0, "tick`rule": F.col("v") > 9}
+    out = {
+        r["rule"]: r["violations"]
+        for r in rule_violation_counts(empty, rules).collect()
+    }
+    assert out == {"bad 'price'": 0, "tick`rule": 0}
+    some = spark.createDataFrame([(-1.0,), (10.0,), (5.0,)], "v double")
+    out2 = {
+        r["rule"]: r["violations"]
+        for r in rule_violation_counts(some, rules).collect()
+    }
+    assert out2 == {"bad 'price'": 1, "tick`rule": 1}
