@@ -28,22 +28,25 @@ SMOKE_SF_DIR = "/root/testdata/sf0.001"
 # The driver checks exactly 50 entries per round, in dict order
 # (CORRECTNESS_r01-r07 evidence).  Round-8 rotation (VERDICT r07 item
 # 2): CORRECTNESS_r07 was 50/50 green with zero reds, so this round's
-# budget goes to (1) the five queries whose gate code or PLAN changed
+# budget goes to (1) the nine queries whose gate code or PLAN changed
 # this round (weighted_median_price's weight-type check; the
 # tokenize-once term_postings rewrite under both retrieval gates; the
 # inverted-interval guard under range_join_error_burst; the
-# empty-input coalesce under ref_validate_counts), (2) ALL 33 queries
-# whose latest driver check is round 4 — fronted by the three fillers
-# the round-7 re-proofs displaced (sequence_packing,
-# embedding_gram_matrix, snapshot_diff) — then (3) 12 round-5-checked
+# empty-input coalesce under ref_validate_counts; the null-safe
+# selection rejoins under percentile_summary / mad_robust_spread /
+# conversion_latency_percentiles; the null-safe scd2 merge), (2) ALL
+# 33 queries whose latest driver check is round 4 — fronted by the
+# three fillers the round-7 re-proofs displaced (sequence_packing,
+# embedding_gram_matrix, snapshot_diff) — then (3) 8 round-5-checked
 # fillers, fronted by the two whose plans ALSO changed this round
 # (dedup_exact_docs — single-column fingerprint branch;
-# asof_click_purchase — as-of tie/null-key hardening).  5+33+12 = 50,
+# asof_click_purchase — as-of tie/null-key hardening).  9+33+8 = 50,
 # so after this round no registered query's latest driver check is
-# older than round 5 except the four r5 fillers the plan-changed
-# re-proofs displaced (q6_revenue_forecast, event_sessionize,
-# peak_concurrent_sessions — plans untouched for rounds — front them
-# in round 9).  No new queries this round — registered stays at 174
+# older than round 5 except the r5 fillers the plan-changed re-proofs
+# displaced (q6_revenue_forecast, event_sessionize,
+# peak_concurrent_sessions, text_fingerprint, text_lang_id,
+# q3_shipping_priority, q5_local_supplier_volume — plans untouched
+# for rounds — front them in round 9).  No new queries this round — registered stays at 174
 # (VERDICT item 6: the round-8 work — IVF retrain, recovery caps,
 # reliable-mode e2e, the compaction bench lane — is test-covered
 # maintenance, not new gate surface).
@@ -65,8 +68,9 @@ R07_RED: list[str] = []
 # code they exercised no longer exists, so they must be re-proven.
 CHANGED_THIS_ROUND = [
     # round-8 ADVICE fix: weighted_median's weight-type check now
-    # admits scale-0 decimals (exact long cast, precision <= 18) and
-    # rejects only fractional-capable types
+    # admits scale-0 decimals (exact long cast, precision <= 18),
+    # rejects only fractional-capable types, and guards bucket_width;
+    # its rejoins are null-safe now too
     "weighted_median_price",
     # round-8 review fixes that changed these gates' PLANS:
     # term_postings now projects the token array once (tokenize-once
@@ -78,6 +82,15 @@ CHANGED_THIS_ROUND = [
     "range_join_error_burst",
     # rule_violation_counts coalesces empty-input sums to 0
     "ref_validate_counts",
+    # the selection operators' internal rejoins are NULL-SAFE (a NULL
+    # group no longer vanishes) — every gate over
+    # exact_percentiles/mad_spread re-proves
+    "percentile_summary",
+    "mad_robust_spread",
+    "conversion_latency_percentiles",
+    # scd2_merge's key join is null-safe and NULL is_current rows pass
+    # through as history
+    "scd2_customer_segments",
 ]
 
 # No additions this round — registered stays at 174 and the 50-slot
@@ -106,31 +119,30 @@ OLDEST_R4 = [
     "zscore_outlier_events",
 ]
 
-# Remaining budget: 12 round-5-checked fillers — dedup_exact_docs and
+# Remaining budget: 8 round-5-checked fillers — dedup_exact_docs and
 # asof_click_purchase first (their gate plans changed this round:
 # the single-column fingerprint branch and the as-of tie/null-key
 # hardening), then similarity_topk_ivf (similarity.py gained the
 # retrain/version machinery; its inline gate path is untouched but
-# adjacent), then text / dedup / TPC-H representatives.
+# adjacent), then representatives.
 OLDEST_R5_FILLERS = [
     "dedup_exact_docs", "asof_click_purchase",
     "similarity_topk_ivf", "similarity_topk_bruteforce",
     "dedup_embedding_cosine", "dedup_repeated_spans",
-    "text_quality", "text_tokens", "text_fingerprint",
-    "text_lang_id", "q3_shipping_priority",
-    "q5_local_supplier_volume",
+    "text_quality", "text_tokens",
 ]
 
 
 # ROUND-9 ROTATION PLAN (for the next context): this round's 50 slots
-# are R07_RED(0) + CHANGED(5) + OLDEST_R4(33) + 12 r5 fillers.  If
+# are R07_RED(0) + CHANGED(9) + OLDEST_R4(33) + 8 r5 fillers.  If
 # CORRECTNESS_r08 comes back green, no query's latest check is older
-# than round 5 except the three displaced r5 fillers
-# (q6_revenue_forecast, event_sessionize, peak_concurrent_sessions —
-# front them in round 9).  Next round: front any r8 reds, then r9
-# plan-changed queries, then those three, then the REMAINING
-# round-5-checked queries (recompute from CORRECTNESS_r01-r08), then
-# round-6-checked queries as they age.  Keep must-check <= 50
+# than round 5 except the seven displaced r5 fillers
+# (q6_revenue_forecast, event_sessionize, peak_concurrent_sessions,
+# text_fingerprint, text_lang_id, q3_shipping_priority,
+# q5_local_supplier_volume — front them in round 9).  Next round:
+# front any r8 reds, then r9 plan-changed queries, then those seven,
+# then the REMAINING round-5-checked queries (recompute from
+# CORRECTNESS_r01-r08), then round-6-checked queries as they age.  Keep must-check <= 50
 # (tests/test_plans.py asserts it).
 
 
@@ -139,9 +151,9 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
 
     Ordered so the driver's budgeted (50-entry, dict-ordered)
     verification spends its budget where it matters: (1) round-7 red
-    rows (none), (2) the five queries whose gate code or plan changed
+    rows (none), (2) the nine queries whose gate code or plan changed
     this round, (3) the 33 queries last driver-checked in round 4,
-    (4) round-5 fillers.  0+5+33+12 = 50 exactly, so every red,
+    (4) round-5 fillers.  0+9+33+8 = 50 exactly, so every red,
     changed, or stale-since-r4 gate is inside this round's budget
     (asserted by tests/test_plans.py's rotation guard).
     """

@@ -138,10 +138,38 @@ def _ranked_partitions(
         .repartitionByRange(num_partitions, *g, v)
         .withColumn("_pid", F.spark_partition_id())
     )
-    spark = df.sparkSession
     if spark.conf.get("spark.sql.exchange.reuse", "true") == "false":
         part = materialize(part)
     return part
+
+
+def _ns_broadcast_join(
+    left: DataFrame, right: DataFrame, cols: list[str]
+) -> DataFrame:
+    """Inner broadcast join on ``cols`` with NULL-SAFE key equality,
+    keeping one copy of the join columns (the left's).
+
+    The selection operators group by caller columns that may be
+    nullable, and every internal rejoin below rides this helper: a
+    plain name-based equi-join never matches NULL keys, so a NULL
+    group's rows silently VANISHED from the output — where the
+    documented ``percentile_cont``-via-groupBy semantics return a row
+    for the NULL group.  The right side's keys are renamed before the
+    join (no self-join ambiguity: every right frame here derives from
+    the left's plan), and null-safe equality is a valid hash-join key,
+    so the plan stays a broadcast hash join."""
+    from functools import reduce
+
+    tags = {c: f"_ns_{c}" for c in cols}
+    r = right.select(
+        *[F.col(c).alias(tags[c]) for c in cols],
+        *[c for c in right.columns if c not in cols],
+    )
+    cond = reduce(
+        Column.__and__,
+        [F.col(c).eqNullSafe(F.col(tags[c])) for c in cols],
+    )
+    return left.join(F.broadcast(r), cond).drop(*tags.values())
 
 
 def _selection_percentiles(
@@ -183,7 +211,7 @@ def _selection_percentiles(
     # (one filter, no explode/distinct round-trips), with _n folded in
     # so ONE broadcast serves the slice filter, the rank offsets, and
     # the interpolation math.
-    offn = off.join(F.broadcast(n), group_cols)
+    offn = _ns_broadcast_join(off, n, group_cols)
     hit = F.lit(False)
     for p in ps:
         h = (F.col("_n") - 1) * F.lit(float(p))
@@ -196,7 +224,7 @@ def _selection_percentiles(
 
     w_local = Window.partitionBy("_pid", *group_cols).orderBy(v)
     ranked = (
-        part.join(F.broadcast(sel), ["_pid", *group_cols])
+        _ns_broadcast_join(part, sel, ["_pid", *group_cols])
         .withColumn("_lrn", F.row_number().over(w_local))
         .withColumn("_rn", F.col("_off") + F.col("_lrn"))
     )
@@ -241,7 +269,7 @@ def mad_spread(
         part1, group_cols, value_col, [0.5], [med_alias]
     )
     dev = (
-        part1.join(F.broadcast(med), group_cols)
+        _ns_broadcast_join(part1, med, group_cols)
         .select(
             *group_cols,
             F.abs(F.col(value_col) - F.col(med_alias)).alias("_dev"),
@@ -249,7 +277,7 @@ def mad_spread(
     )
     part2 = _ranked_partitions(dev, group_cols, "_dev", num_partitions)
     mad = _selection_percentiles(part2, group_cols, "_dev", [0.5], [mad_alias])
-    return med.join(mad, group_cols)
+    return _ns_broadcast_join(med, mad, group_cols)
 
 
 def global_cumsum(
@@ -351,6 +379,15 @@ def weighted_median(
 
     wdt = df.schema[weight_col].dataType
     wt = wdt.simpleString()
+    if not (bucket_width > 0):
+        # 0 divides every value to a NULL bucket (silently EMPTY
+        # output: the bucket rejoin never matches), and a negative
+        # width makes the cumulative-weight ordering DECREASING in
+        # value (silently wrong median) — reject both as loudly as the
+        # weight-type contract below.
+        raise ValueError(
+            f"weighted_median needs bucket_width > 0, got {bucket_width}"
+        )
     bad_decimal = isinstance(wdt, DecimalType) and (
         wdt.scale > 0 or wdt.precision > 18
     )
@@ -399,8 +436,11 @@ def weighted_median(
         .rowsBetween(Window.unboundedPreceding, Window.currentRow)
     )
     hit = (
-        w.withColumn("_b", F.floor(F.col("_v") / F.lit(bucket_width)))
-        .join(F.broadcast(sel), [*group_cols, "_b"])
+        _ns_broadcast_join(
+            w.withColumn("_b", F.floor(F.col("_v") / F.lit(bucket_width))),
+            sel,
+            [*group_cols, "_b"],
+        )
         .withColumn("_c", F.col("_prev") + F.sum("_w").over(w_in))
         .filter(2 * F.col("_c") >= F.col("_tot"))
     )

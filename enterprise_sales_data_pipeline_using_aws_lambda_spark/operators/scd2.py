@@ -31,7 +31,7 @@ open files — same pruning argument as the upsert (SURVEY §7.5.2).
 
 from __future__ import annotations
 
-from pyspark.sql import DataFrame
+from pyspark.sql import Column, DataFrame
 from pyspark.sql import functions as F
 
 
@@ -67,16 +67,44 @@ def scd2_merge(
             F.lit(True).alias(is_current),
         )
 
-    hist = current.filter(~F.col(is_current))
-    open_rows = current.filter(F.col(is_current))
+    # NULL flags route to HISTORY (pass-through), never to the void: a
+    # row whose is_current was never stamped (schema-evolved or
+    # hand-backfilled table) fails BOTH a `flag` filter and a `~flag`
+    # filter — it would silently vanish from the merged table, against
+    # the "closed history rows pass through untouched" contract.
+    hist = current.filter(~F.coalesce(F.col(is_current), F.lit(False)))
+    open_rows = current.filter(F.coalesce(F.col(is_current), F.lit(False)))
 
     # Explicit presence markers: using valid_from/_eff IS NOT NULL as
     # the sentinel would silently DROP an open row whose valid_from is
     # NULL (bootstrap from a batch with a NULL effective timestamp) —
     # the full-outer join can't distinguish "no row" from "row with
-    # NULL sentinel column".
-    j = open_rows.withColumn("_has_old", F.lit(True)).join(
-        b.withColumn("_has_new", F.lit(True)), keys, "full_outer"
+    # NULL sentinel column".  The key join is NULL-SAFE: a plain
+    # equi-join never matches NULL keys, so a NULL-keyed open row and
+    # every NULL-keyed batch row would land UNMATCHED — each batch
+    # inserting one more simultaneously-open row for the key and never
+    # closing the old one.
+    left = open_rows.withColumn("_has_old", F.lit(True))
+    right = b.withColumn("_has_new", F.lit(True)).select(
+        *[F.col(k).alias(f"_bk_{k}") for k in keys],
+        *[c for c in b.columns if c not in keys],
+        "_has_new",
+    )
+    from functools import reduce
+
+    cond = reduce(
+        Column.__and__,
+        [F.col(k).eqNullSafe(F.col(f"_bk_{k}")) for k in keys],
+    )
+    j = left.join(right, cond, "full_outer").select(
+        # coalesce the two key copies: an unmatched batch row carries
+        # its key only in the _bk_ columns
+        *[
+            F.coalesce(F.col(k), F.col(f"_bk_{k}")).alias(k)
+            for k in keys
+        ],
+        *[c for c in left.columns if c not in keys],
+        *[c for c in right.columns if not c.startswith("_bk_")],
     )
     old_struct = F.struct(*[F.col(a) for a in attrs])
     new_struct = F.struct(*[F.col(f"_new_{a}").alias(a) for a in attrs])

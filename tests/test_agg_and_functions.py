@@ -496,3 +496,57 @@ def test_percentile_aliases_fractional_and_collisions(spark):
     assert set(out.columns) == {"g", "p29", "p99_5"}
     with pytest.raises(ValueError, match="duplicate"):
         exact_percentiles(df, ["g"], "v", [0.99, 0.99])
+
+
+def test_selection_operators_keep_null_groups(spark):
+    """A NULL-valued group column must produce an output row, exactly
+    like percentile_cont via groupBy (review r8: the internal rejoins
+    used plain equi-joins, so the NULL group silently vanished)."""
+    from enterprise_sales_data_pipeline_using_aws_lambda_spark.operators.agg import (
+        exact_percentiles,
+        mad_spread,
+        weighted_median,
+    )
+
+    rows = [("a", float(v), 1) for v in range(1, 6)] + [
+        (None, float(v), 1) for v in (10, 20, 30)
+    ]
+    df = spark.createDataFrame(rows, "g string, v double, w int")
+
+    pct = {
+        r["g"]: r["p50"]
+        for r in exact_percentiles(df, ["g"], "v", [0.5]).collect()
+    }
+    want = {
+        r["g"]: r["p50"]
+        for r in df.groupBy("g")
+        .agg(F.expr("percentile_cont(0.5) WITHIN GROUP (ORDER BY v)")
+             .alias("p50"))
+        .collect()
+    }
+    assert pct == want and None in pct and pct[None] == 20.0
+
+    mad = {
+        r["g"]: (r["med"], r["mad"])
+        for r in mad_spread(df, ["g"], "v").collect()
+    }
+    assert mad[None] == (20.0, 10.0) and mad["a"] == (3.0, 1.0)
+
+    wm = {
+        r["g"]: r["wm"]
+        for r in weighted_median(df, ["g"], "v", "w", 10.0, "wm").collect()
+    }
+    assert wm[None] == 20.0 and wm["a"] == 3.0
+
+
+def test_weighted_median_rejects_nonpositive_bucket_width(spark):
+    import pytest as _pytest
+
+    from enterprise_sales_data_pipeline_using_aws_lambda_spark.operators.agg import (
+        weighted_median,
+    )
+
+    df = spark.createDataFrame([("a", 1.0, 1)], "g string, v double, w int")
+    for bad in (0.0, -5.0):
+        with _pytest.raises(ValueError, match="bucket_width"):
+            weighted_median(df, ["g"], "v", "w", bad, "wm")

@@ -517,3 +517,42 @@ def test_probe_bloom_tolerates_unmerged_union(spark):
     # every probed key WAS inserted in one of the two blooms: zero
     # false negatives allowed
     assert out.filter(~F.col("possibly_seen")).count() == 0
+
+
+def test_scd2_null_keys_and_null_flags(spark):
+    """SCD2 must treat a NULL key as ONE key (null-safe join — a plain
+    equi-join left the old open row unclosed and inserted a new open
+    row per batch), and a row whose is_current flag is NULL must pass
+    through as history instead of vanishing (review r8)."""
+    from enterprise_sales_data_pipeline_using_aws_lambda_spark.operators.scd2 import (
+        scd2_merge,
+    )
+
+    def batch(rows, eff):
+        return spark.createDataFrame(
+            [(k, v, eff) for k, v in rows], "k string, seg string, eff string"
+        ).withColumn("eff", F.col("eff").cast("date"))
+
+    t0 = scd2_merge(None, batch([(None, "A")], "2020-01-01"),
+                    ["k"], ["seg"], "eff")
+    t1 = scd2_merge(t0, batch([(None, "B")], "2021-01-01"),
+                    ["k"], ["seg"], "eff")
+    rows = sorted(
+        (r["seg"], str(r["valid_to"]), r["is_current"])
+        for r in t1.collect()
+    )
+    # exactly one open row; the old NULL-key row was CLOSED
+    assert rows == [("A", "2021-01-01", False), ("B", "None", True)]
+
+    # a NULL is_current row passes through as history, never vanishes
+    broken = t1.unionByName(
+        spark.createDataFrame(
+            [("x", "Z", "2019-01-01", "2019-06-01", None)],
+            "k string, seg string, valid_from string, valid_to string, "
+            "is_current boolean",
+        ).withColumn("valid_from", F.col("valid_from").cast("date"))
+        .withColumn("valid_to", F.col("valid_to").cast("date"))
+    )
+    t2 = scd2_merge(broken, batch([("y", "C")], "2022-01-01"),
+                    ["k"], ["seg"], "eff")
+    assert t2.filter("seg = 'Z'").count() == 1
