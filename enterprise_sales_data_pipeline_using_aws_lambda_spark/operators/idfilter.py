@@ -30,9 +30,10 @@ from __future__ import annotations
 from pyspark.sql import DataFrame
 from pyspark.sql import functions as F
 
-#: Ceiling on batch ids collected for the pushed-filter fast path —
-#: same order as text_dedup.MAX_VERIFY_ID_PUSHDOWN: a 10k-long collect
-#: is trivial driver work, and typical ingest batches sit well under.
+#: Ceiling on batch ids collected for the pushed-filter fast path — THE
+#: one definition (text_dedup.MAX_VERIFY_ID_PUSHDOWN aliases it): a
+#: 10k-long collect is trivial driver work, and typical ingest batches
+#: sit well under.
 MAX_ID_PUSHDOWN = 10_000
 
 
@@ -68,7 +69,19 @@ def anti_join_ids(
     the id list is pushed into the store scan as a literal In filter
     (row-group-pruned on an id-clustered store) and the anti-join runs
     against the broadcast, batch-bounded hit set instead of the full
-    id column."""
+    id column.
+
+    PRECONDITION: ``batch`` must be deterministic across re-evaluation
+    (materialized, or derived from immutable input).  The fast path
+    collects the batch's ids in one job and returns a LAZY plan over
+    the same frame; a batch whose contents can shift between the
+    collect and execution (e.g. an unpinned read of a live arrival
+    directory) could surface an id at execution time that missed the
+    collected In list — that id would bypass the store probe and pass
+    the anti-join even when present in the store.  Every in-package
+    caller materializes the batch first (the ingest entrances pin it
+    for their hygiene probes); external callers must do the same or
+    use the plain anti-join."""
     ids = collect_ids_bounded(batch, id_col, max_pushdown)
     if ids is None:  # over the bound: plain anti-join fallback
         return batch.join(store.select(id_col), id_col, "left_anti")

@@ -824,7 +824,9 @@ def _read_index_meta(spark, path: str) -> dict:
             .first().asDict()
         )
     except AnalysisException as e:
-        if "PATH_NOT_FOUND" in str(e):
+        from ..errors import table_error_condition
+
+        if table_error_condition(e) == "PATH_NOT_FOUND":
             raise ValueError(
                 f"no IVF index at {path}: the meta table is missing — "
                 f"either nothing was built here, a rebuild crashed "
@@ -1325,6 +1327,15 @@ def ingest_semantic_batch(
             f"batch carries the same {id_col} with DIFFERENT vectors "
             f"(e.g. {sample}): ids must identify one embedding (the "
             f"keyed contract); fix the upstream delivery"
+        )
+    # NULL ids break every keyed mechanism downstream (pass every
+    # anti-join, wedge streaming replays at the divergence probe) —
+    # fail at the entrance, same as the text face.
+    if not batch.filter(F.col(id_col).isNull()).isEmpty():
+        raise ValueError(
+            f"batch carries rows with NULL {id_col}: the keyed "
+            f"exactly-once contract needs every row identified — "
+            f"filter or assign ids upstream"
         )
     # id-level exactly-once (guarded pushed-filter anti-join — see
     # operators.idfilter), then one assignment pass over the batch

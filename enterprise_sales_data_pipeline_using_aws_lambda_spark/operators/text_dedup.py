@@ -59,7 +59,10 @@ MAX_STORE_BATCH_BANDED = 4_000_000
 #: filter (see _minhash_against_stored).  10k longs is a trivial
 #: driver collect; past it the verify falls back to the semi-join,
 #: which never collects but cannot prune parquet row groups.
-MAX_VERIFY_ID_PUSHDOWN = 10_000
+# One lock with idfilter.MAX_ID_PUSHDOWN (structural alias, not a
+# second literal): the est/verify pushdowns and the exactly-once id
+# probes share the same driver-collect ceiling by design.
+from .idfilter import MAX_ID_PUSHDOWN as MAX_VERIFY_ID_PUSHDOWN
 
 
 def _hash_family(num_hashes: int) -> list[tuple[int, int]]:
@@ -904,7 +907,9 @@ def _read_store_meta(spark, path: str) -> dict:
             .first().asDict()
         )
     except AnalysisException as e:
-        if "PATH_NOT_FOUND" in str(e):
+        from ..errors import table_error_condition
+
+        if table_error_condition(e) == "PATH_NOT_FOUND":
             raise ValueError(
                 f"no LSH signature store at {path}: the meta table is "
                 f"missing — either nothing was built here, or an "
@@ -1034,6 +1039,17 @@ def ingest_dedup_batch(
             f"batch carries the same {id_col} with DIFFERENT text "
             f"(e.g. {sample}): ids must identify one document "
             f"(the keyed contract); fix the upstream delivery"
+        )
+    # A NULL id breaks every keyed mechanism downstream: it passes
+    # every anti-join (NULL never equals a store id), never forms
+    # dedup pairs, lands in the lake — and then WEDGES a streaming
+    # replay, whose divergence probe can never match the NULL id in
+    # the committed partition.  Fail at the entrance instead.
+    if not batch.filter(F.col(id_col).isNull()).isEmpty():
+        raise ValueError(
+            f"batch carries rows with NULL {id_col}: the keyed "
+            f"exactly-once contract needs every row identified — "
+            f"filter or assign ids upstream"
         )
     # exactly-once by id: ids already in the store are a replayed
     # delivery — the guarded pushed-filter anti-join bounds the store

@@ -101,14 +101,11 @@ def partitioned_upsert(
         # permissions, a schema error later in the merge plan) must
         # propagate — swallowing it would dynamic-overwrite the
         # affected partitions with the batch alone, silently deleting
-        # every existing row in them.  getCondition arrived in Spark
-        # 4.0; on the 3.5 floor (pyproject) fall back to
-        # getErrorClass, or the first-write path would never match.
-        probe = getattr(e, "getCondition", None) or getattr(
-            e, "getErrorClass", None
-        )
-        cond = (probe() if probe else None) or ""
-        if cond not in ("PATH_NOT_FOUND", "UNABLE_TO_INFER_SCHEMA"):
+        # every existing row in them.  One shared, error-class-based
+        # narrowing (errors.is_missing_or_empty_table).
+        from ..errors import is_missing_or_empty_table
+
+        if not is_missing_or_empty_table(e):
             raise
         has_table = False
     if has_table:

@@ -62,10 +62,12 @@ def _lake_docs(
     except set as ``pipeline.reprocess_quarantine``)."""
     from pyspark.errors import AnalysisException
 
+    from ..errors import is_missing_or_empty_table
+
     try:
         return spark.read.parquet(lake_dir).select(id_col, text_col)
     except AnalysisException as e:
-        if "PATH_NOT_FOUND" in str(e) or "UNABLE_TO_INFER_SCHEMA" in str(e):
+        if is_missing_or_empty_table(e):
             return spark.createDataFrame([], schema)
         raise
 
@@ -86,13 +88,24 @@ def guarded_idempotent_append(
     silently swallow NEW rows while their dedup-state append still
     landed — rows marked ingested that are in no corpus.  On a true
     replay (crash between the doc write and the state append) the
-    partition already holds every admitted id, so the anti-join below
-    is empty; anything else raises with recovery guidance.
+    partition holds EXACTLY this batch's admitted ids — the partition
+    was written FROM ``clean`` under this id — so the check is
+    two-directional: ids the partition LACKS mean new rows would be
+    swallowed, and EXTRA ids mean an old-era partition that happens to
+    cover the batch (a one-directional subset test would skip the doc
+    write while the state append still landed — the very failure the
+    guard exists to stop).  An unreadable/footerless partition (never
+    produced by the atomic-rename append — foreign debris) raises the
+    same guided error instead of a raw schema exception.
 
     ``sort_files`` (int) gives the partition an id-clustered layout —
     ``append_log_idempotent(sort_col=id_col)`` — so the dedup verify
     stage's pushed id filter prunes row groups instead of scanning the
     lake's text column; None keeps the batch's own layout."""
+    from pyspark.errors import AnalysisException
+
+    from ..errors import is_missing_or_empty_table
+
     if clean.isEmpty():
         return
     if append_log_idempotent(
@@ -101,20 +114,33 @@ def guarded_idempotent_append(
         sort_files=sort_files,
     ):
         return
-    committed = spark.read.parquet(
-        f"{lake_dir}/ingest_batch={batch_id}"
-    ).select(id_col)
-    missing = clean.select(id_col).join(committed, id_col, "left_anti")
-    if not missing.isEmpty():
+    diverged = None
+    try:
+        committed = spark.read.parquet(
+            f"{lake_dir}/ingest_batch={batch_id}"
+        ).select(id_col)
+        ids = clean.select(id_col)
+        if not ids.join(committed, id_col, "left_anti").isEmpty():
+            diverged = "lacks ids this micro-batch admits"
+        elif not committed.join(ids, id_col, "left_anti").isEmpty():
+            diverged = (
+                "holds ids this micro-batch never admitted (an "
+                "old-era partition that happens to cover the batch)"
+            )
+    except AnalysisException as e:
+        if not is_missing_or_empty_table(e):
+            raise
+        diverged = "exists but holds no readable parquet (debris)"
+    if diverged is not None:
         raise RuntimeError(
-            f"lake partition ingest_batch={batch_id} exists but lacks "
-            f"ids this micro-batch admits: batch ids are "
-            f"checkpoint-scoped, so this stream's checkpoint does not "
-            f"match the lake at {lake_dir} (checkpoint discarded while "
-            f"the lake was kept?).  Refusing to mark these rows "
-            f"ingested without landing them.  Recover by restoring the "
-            f"original checkpoint, or by pointing the stream at fresh "
-            f"lake+state+checkpoint and reprocessing from scratch."
+            f"lake partition ingest_batch={batch_id} {diverged}: "
+            f"batch ids are checkpoint-scoped, so this stream's "
+            f"checkpoint does not match the lake at {lake_dir} "
+            f"(checkpoint discarded while the lake was kept?).  "
+            f"Refusing to mark these rows ingested without landing "
+            f"them.  Recover by restoring the original checkpoint, or "
+            f"by pointing the stream at fresh lake+state+checkpoint "
+            f"and reprocessing from scratch."
         )
 
 

@@ -116,14 +116,12 @@ def merge_rollup_batch(
         # overwrite the affected day partitions with batch-only
         # partials, silently erasing prior totals (the same
         # narrow-or-lose-data contract as partitioned_upsert and
-        # reprocess_quarantine).  getCondition arrived in Spark 4.0;
-        # on the 3.5 floor (pyproject) fall back to getErrorClass, or
-        # the first-batch path would never match and bootstrap fails.
-        probe = getattr(e, "getCondition", None) or getattr(
-            e, "getErrorClass", None
-        )
-        cond = (probe() if probe else None) or ""
-        if cond not in ("PATH_NOT_FOUND", "UNABLE_TO_INFER_SCHEMA"):
+        # reprocess_quarantine).  One shared, error-class-based
+        # narrowing (errors.is_missing_or_empty_table) — Spark 3.5/4.0
+        # portable, never a message-substring match.
+        from ..errors import is_missing_or_empty_table
+
+        if not is_missing_or_empty_table(e):
             raise
         has_existing = False
     if has_existing:

@@ -1083,3 +1083,80 @@ def test_store_verify_pushes_id_filter_on_sorted_lake(spark, tmp_path):
         } == pushed
         plan_sj = out_sj._jdf.queryExecution().executedPlan().toString()
         assert "In(doc_id" not in plan_sj
+
+
+def test_ingest_entrances_reject_null_ids(spark, tmp_path):
+    """Both ingest faces fail LOUDLY on a NULL-id row at the entrance
+    (review r8): a NULL id passes every keyed anti-join (NULL never
+    equals a store id), lands in the lake — and then permanently wedges
+    a streaming replay whose divergence probe can never match it."""
+    from enterprise_sales_data_pipeline_using_aws_lambda_spark.operators.similarity import (  # noqa: E501
+        ingest_semantic_batch,
+        write_ivf_index,
+    )
+    from enterprise_sales_data_pipeline_using_aws_lambda_spark.operators.text_dedup import (  # noqa: E501
+        ingest_dedup_batch,
+        write_lsh_signature_store,
+    )
+
+    docs = spark.createDataFrame(
+        [(1, X), (2, Y)], "doc_id long, text string"
+    )
+    store = str(tmp_path / "store")
+    write_lsh_signature_store(docs, store)
+    bad_docs = spark.createDataFrame(
+        [(None, "brand new text here")], "doc_id long, text string"
+    )
+    with pytest.raises(ValueError, match="NULL doc_id"):
+        ingest_dedup_batch(docs, bad_docs, store)
+
+    vecs = spark.createDataFrame(
+        [(i, [float(i), 1.0]) for i in range(10)],
+        "vec_id long, embedding array<float>",
+    )
+    index = str(tmp_path / "ivf")
+    write_ivf_index(vecs, index, n_lists=2)
+    bad_vecs = spark.createDataFrame(
+        [(None, [9.0, 9.0])], "vec_id long, embedding array<float>"
+    )
+    with pytest.raises(ValueError, match="NULL vec_id"):
+        ingest_semantic_batch(bad_vecs, index)
+
+
+def test_guarded_append_rejects_superset_and_debris_partitions(
+    spark, tmp_path
+):
+    """The streaming divergence guard is TWO-directional (review r8):
+    an old-era partition that happens to be a SUPERSET of the batch's
+    ids must raise — a subset-only test would skip the doc write while
+    the state append still landed (rows marked ingested that are in no
+    corpus) — and a footerless debris partition raises the guided
+    error, not a raw schema exception."""
+    import os
+
+    from enterprise_sales_data_pipeline_using_aws_lambda_spark.streaming.dedup_ingest import (  # noqa: E501
+        guarded_idempotent_append,
+    )
+
+    lake = str(tmp_path / "lake")
+    old_era = spark.createDataFrame(
+        [(i, f"old text {i}") for i in range(1, 6)],
+        "doc_id long, text string",
+    )
+    guarded_idempotent_append(spark, old_era, lake, 0, "doc_id")
+
+    # true replay: the SAME frame under the same id no-ops cleanly
+    guarded_idempotent_append(spark, old_era, lake, 0, "doc_id")
+
+    # new-era batch whose ids are a strict SUBSET of the old partition
+    new_era = spark.createDataFrame(
+        [(1, "new text 1"), (2, "new text 2")], "doc_id long, text string"
+    )
+    with pytest.raises(RuntimeError, match="never admitted"):
+        guarded_idempotent_append(spark, new_era, lake, 0, "doc_id")
+
+    # debris: a partition directory with no parquet footers
+    os.makedirs(f"{lake}/ingest_batch=9")
+    open(f"{lake}/ingest_batch=9/_SUCCESS", "w").close()
+    with pytest.raises(RuntimeError, match="debris"):
+        guarded_idempotent_append(spark, new_era, lake, 9, "doc_id")
