@@ -767,7 +767,19 @@ def write_ivf_index(
     before the delete — because a rebuild changes the codebook exactly
     like a retrain does and a pinned reader must fail just as loudly;
     only a genuinely fresh path starts at 1.  Pass an explicit int to
-    pin it (the staged-rebuild internals do)."""
+    pin it (the staged-rebuild internals do).
+
+    The bumped generation is durable across the crash window: the
+    intended version is persisted to ``{path}/_version_intent`` BEFORE
+    the meta delete and cleared after the final meta write, so a
+    rebuild that dies mid-way and is re-run (the documented recovery)
+    resumes the INTENDED generation instead of resetting to 1 — a
+    reset would let a reader pinned at generation 1 silently pass
+    :func:`assert_index_version` against the new codebook.  Missing
+    meta with existing assignments and no intent marker (a pre-marker
+    crash, or a half-copied index) is an UNKNOWN generation: the
+    default-version rebuild refuses it and demands an explicit
+    ``version=``."""
     import os
 
     import numpy as np
@@ -775,6 +787,7 @@ def write_ivf_index(
     from ..sources.writers import delete_path
 
     spark = corpus.sparkSession
+    intent_path = os.path.join(path, "_version_intent")
     if version is None:
         # rebuild-at-existing-path: bump the generation (read BEFORE
         # the meta delete below) so pinned readers fail loudly
@@ -782,13 +795,25 @@ def write_ivf_index(
             version = (
                 int(_read_index_meta(spark, path).get("version") or 1) + 1
             )
-        except ValueError:  # no meta here: a genuinely fresh build
-            version = 1
+        except ValueError:
+            # No meta: a fresh build, a rebuild that crashed between
+            # the meta delete and the final meta write, or debris.
+            # The intent marker disambiguates — without it, existing
+            # assignments mean the generation is unknowable and a
+            # silent version=1 reset would defeat assert_index_version
+            # for every pinned reader (round-8 ADVICE).
+            version = _intended_version(spark, path, intent_path)
     if centroids is None:
         centroids = train_ivf_centroids(
             corpus, n_lists, iters=iters, id_col=id_col, vec_col=vec_col
         )
     cent = np.asarray(centroids, dtype=np.float64)
+    # persist the intended generation FIRST: from here to the final
+    # meta write the index has no meta, and a re-run of this function
+    # must resume THIS version, not restart at 1
+    spark.createDataFrame(
+        [(int(version),)], "version int"
+    ).write.mode("overwrite").parquet(intent_path)
     delete_path(spark, os.path.join(path, "meta"))
     assign_ivf_lists(corpus, cent, id_col, vec_col).write.mode(
         "overwrite"
@@ -805,6 +830,46 @@ def write_ivf_index(
         "id_col string, vec_col string, n_lists int, dim int, "
         "version int",
     ).write.mode("overwrite").parquet(os.path.join(path, "meta"))
+    # meta is durable: the intent marker has served its purpose
+    delete_path(spark, intent_path)
+
+
+def _intended_version(spark, path: str, intent_path: str) -> int:
+    """Resolve the generation for a default-``version`` build at a
+    path with NO meta: the persisted ``_version_intent`` of a crashed
+    rebuild if present, 1 for a genuinely fresh path, and a loud
+    error when assignments exist with neither (unknown generation —
+    guessing 1 would silently un-bump the codebook generation under
+    pinned readers, round-8 ADVICE `similarity.py:786`)."""
+    import os
+
+    from pyspark.errors import AnalysisException
+
+    from ..errors import table_error_condition
+
+    try:
+        row = spark.read.parquet(intent_path).first()
+        if row is not None:
+            return int(row["version"])
+    except AnalysisException as e:
+        if table_error_condition(e) != "PATH_NOT_FOUND":
+            raise
+    # no intent marker: fresh iff no data tables exist yet
+    sc = spark.sparkContext
+    jvm = sc._jvm
+    apath = jvm.org.apache.hadoop.fs.Path(os.path.join(path, "assignments"))
+    fs = apath.getFileSystem(sc._jsc.hadoopConfiguration())
+    if fs.exists(apath):
+        raise ValueError(
+            f"IVF index at {path} has assignments but no meta and no "
+            f"_version_intent marker: its codebook generation is "
+            f"unknown (meta is written last, so a rebuild crashed here "
+            f"before this version introduced the intent marker, or the "
+            f"index was partially copied).  Re-run write_ivf_index "
+            f"with an explicit version= strictly greater than any "
+            f"generation a reader may have pinned"
+        )
+    return 1
 
 
 def _read_index_meta(spark, path: str) -> dict:
@@ -927,6 +992,7 @@ def append_to_ivf_index(
     import os
 
     spark = batch.sparkSession
+    _fence_ivf_append(spark, path)
     idx = read_ivf_index(spark, path)
     _check_index_compat(batch, idx["meta"], path, id_col, vec_col)
     # Within-batch id hygiene (the ingest_semantic_batch entrance
@@ -956,6 +1022,14 @@ def append_to_ivf_index(
     )
     n_new = fresh.count()  # batch-bounded: one cheap job
     if n_new:
+        # re-check at the write: the assign/anti-join work above takes
+        # real time, and a retrain that STARTED during it would
+        # otherwise swap this append out silently.  (A retrain whose
+        # staging appears between this check and the parquet commit
+        # can still lose the race — the fence narrows the silent-loss
+        # window from the whole append to one write; the single-writer
+        # contract remains the rule, the fence makes violating it loud.)
+        _fence_ivf_append(spark, path)
         fresh.write.mode("append").partitionBy("list_id").parquet(
             os.path.join(path, "assignments")
         )
@@ -1049,6 +1123,47 @@ def compact_ivf_index(
 #: Staging suffix for a whole-index retrain rebuild — distinct from the
 #: per-partition compaction suffix so debris is attributable.
 RETRAIN_STAGING_SUFFIX = "__retrain"
+
+
+def _fence_ivf_append(spark, path: str) -> None:
+    """Writer fence for :func:`append_to_ivf_index` (round-8 VERDICT
+    item 3): the retrain's single-writer contract was documentation-
+    only for offline use — an append landing between
+    :func:`retrain_ivf_index`'s staged rebuild and its swap is lost
+    WITH the swapped-out directory, silently.  The retrain's own
+    staging directory (``{path}__retrain``, created at rebuild start)
+    doubles as the lease marker: an append that sees it — or the
+    ``{path}__old`` backup of a swap in flight / crashed mid-way —
+    fails loudly instead of racing.  Recovery guidance in the error;
+    appends never delete the debris themselves (deleting staging from
+    here would corrupt a LIVE retrain's rebuild — only
+    ``_recover_retrain_swap`` / the retrain entry points, which own
+    the swap, may)."""
+    from ..sources.writers import COMPACT_BACKUP_SUFFIX
+
+    sc = spark.sparkContext
+    jvm = sc._jvm
+    conf = sc._jsc.hadoopConfiguration()
+    staging = jvm.org.apache.hadoop.fs.Path(path + RETRAIN_STAGING_SUFFIX)
+    fs = staging.getFileSystem(conf)
+    if fs.exists(staging):
+        raise ValueError(
+            f"IVF index at {path} has a retrain in flight (or a "
+            f"crashed one): staging directory {path}"
+            f"{RETRAIN_STAGING_SUFFIX} exists.  An append now would be "
+            f"lost with the pre-retrain directory at the swap.  Wait "
+            f"for the maintenance window to finish, or if the retrain "
+            f"crashed, re-run retrain_ivf_index (it recovers the swap "
+            f"and rebuilds) before appending"
+        )
+    if fs.exists(jvm.org.apache.hadoop.fs.Path(path + COMPACT_BACKUP_SUFFIX)):
+        raise ValueError(
+            f"IVF index at {path} is mid-swap (retrain backup {path}"
+            f"{COMPACT_BACKUP_SUFFIX} exists): a retrain crashed "
+            f"during or just after its directory swap.  Run "
+            f"retrain_ivf_index (or retrain_if_drifted) to recover, "
+            f"then append"
+        )
 
 
 def _recover_retrain_swap(spark, path: str) -> None:

@@ -658,3 +658,85 @@ def test_reprocess_group_cap_bounds_fanout_and_converges(spark, cfg):
     )
     assert lake == [1, 2, 11, 12, 21, 22]
     assert pl.reprocess_quarantine(spark, cfg)["status"] == "noop"
+
+
+def test_reprocess_discovery_is_constant_jobs(spark, cfg):
+    """Discovery is O(#distinct schemas) Spark jobs, never O(#dirs)
+    (round-8 VERDICT item 2): quadrupling the number of quarantined
+    directories must not grow the job count of a discovery-only call
+    (max_groups_per_run=0 defers every group, so the measured jobs are
+    discovery's alone).  The old per-directory probe loop made 12 dirs
+    cost 12 driver-sequential agg jobs before the cap even applied."""
+    import enterprise_sales_data_pipeline_using_aws_lambda_spark.pipeline as pl
+    from enterprise_sales_data_pipeline_using_aws_lambda_spark.sources.writers import (  # noqa: E501
+        write_quarantine,
+    )
+
+    sc = spark.sparkContext
+    qdir = cfg.quarantine_dir
+
+    def discovery_jobs(tag):
+        sc.setJobGroup(tag, "quarantine discovery job count")
+        try:
+            r = pl.reprocess_quarantine(spark, cfg, max_groups_per_run=0)
+        finally:
+            sc.setJobGroup(None, None)
+        assert r["groups"] == 0 and r["groups_deferred"] > 0
+        return len(sc.statusTracker().getJobIdsForGroup(tag))
+
+    for i in range(3):
+        write_quarantine(
+            _mini_rows(spark, [10 * i + 1, 10 * i + 2]), qdir, "f", "a",
+            f"b{i}",
+        )
+    j3 = discovery_jobs("qdisc3")
+    for i in range(3, 12):
+        write_quarantine(
+            _mini_rows(spark, [10 * i + 1, 10 * i + 2]), qdir, "f", "a",
+            f"b{i}",
+        )
+    j12 = discovery_jobs("qdisc12")
+    assert j12 <= j3 <= 5, (j3, j12)
+
+    # the deferred backlog then drains normally, exactly-once
+    while True:
+        r = pl.reprocess_quarantine(spark, cfg, max_groups_per_run=6)
+        assert r["status"] == "success"
+        if r["groups_deferred"] == 0:
+            break
+    assert spark.read.parquet(cfg.lake_dir).count() == 24
+    assert pl.reprocess_quarantine(spark, cfg)["status"] == "noop"
+
+
+def test_reprocess_heterogeneous_schema_store(spark, cfg):
+    """A store whose directories carry DIFFERENT parquet schemas (here:
+    the same columns in a different physical order — the schema-hotfix
+    population the recovery path exists for) is discovered per schema
+    bucket and every group still re-drives exactly-once.  Column order
+    is part of a directory's hash identity (as it always was: the
+    per-dir hash runs over the dir's own column order), so the two
+    dirs form two groups even where a merged-schema read would have
+    collapsed or shifted them."""
+    import enterprise_sales_data_pipeline_using_aws_lambda_spark.pipeline as pl
+    from enterprise_sales_data_pipeline_using_aws_lambda_spark.sources.writers import (  # noqa: E501
+        write_quarantine,
+    )
+
+    qdir = cfg.quarantine_dir
+    a = _mini_rows(spark, [1, 2])
+    b = _mini_rows(spark, [11, 12]).select(
+        *reversed(_mini_rows(spark, [0]).columns)
+    )
+    write_quarantine(a, qdir, "f", "a", "b1")
+    write_quarantine(b, qdir, "f", "b", "b2")
+
+    r = pl.reprocess_quarantine(spark, cfg)
+    assert r["status"] == "success" and r["groups"] == 2
+    assert r["n_requeued"] == 4
+    lake = sorted(
+        row["uuid"] for row in spark.read.parquet(cfg.lake_dir).collect()
+    )
+    assert lake == [1, 2, 11, 12]
+    archived = sorted(os.listdir(f"{qdir}/_requeued"))
+    assert archived == ["ingest_batch=b1", "ingest_batch=b2"]
+    assert pl.reprocess_quarantine(spark, cfg)["status"] == "noop"

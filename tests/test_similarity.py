@@ -774,3 +774,112 @@ def test_ivf_drift_probe_and_conditional_retrain(spark, tmp_path):
     probe2 = ivf_occupancy_skew(spark, path)
     assert probe2["skew"] < probe1["skew"]
     assert probe2["n_vectors"] == 360
+
+
+def test_ivf_rebuild_version_survives_meta_crash_window(spark, tmp_path):
+    """The rebuild generation bump is durable across its own crash
+    window (round-8 ADVICE): write_ivf_index persists the INTENDED
+    version to _version_intent before deleting meta, so a rebuild that
+    dies between the meta delete and the final meta write resumes the
+    intended generation on re-run instead of resetting to 1 — a reset
+    would let a reader pinned at generation 1 silently pass
+    assert_index_version against the NEW codebook."""
+    import os
+    import shutil
+
+    from enterprise_sales_data_pipeline_using_aws_lambda_spark.operators.similarity import (  # noqa: E501
+        assert_index_version,
+        read_ivf_index,
+        write_ivf_index,
+    )
+
+    corpus = _clustered_vecs(spark, [(0, 30, 0), (100, 30, 2)])
+    path = str(tmp_path / "ivf")
+    write_ivf_index(corpus, path, n_lists=4)
+    pinned = read_ivf_index(spark, path)["meta"]
+    assert pinned["version"] == 1
+
+    # Simulate the crash state a default-version rebuild leaves when it
+    # dies right after its meta delete: the intent marker (version 2,
+    # written first) is on disk, meta is gone.
+    spark.createDataFrame([(2,)], "version int").write.mode(
+        "overwrite"
+    ).parquet(os.path.join(path, "_version_intent"))
+    shutil.rmtree(os.path.join(path, "meta"))
+
+    # The documented recovery — re-run the write — must resume v2.
+    write_ivf_index(corpus, path, n_lists=4)
+    meta = read_ivf_index(spark, path)["meta"]
+    assert meta["version"] == 2
+    # marker cleared once meta is durable
+    assert not os.path.exists(os.path.join(path, "_version_intent"))
+    # the gen-1 pinned reader fails loudly, as the bump promises
+    with pytest.raises(ValueError, match="generation"):
+        assert_index_version(spark, path, pinned)
+
+    # ...and a subsequent HEALTHY rebuild keeps bumping from there
+    write_ivf_index(corpus, path, n_lists=4)
+    assert read_ivf_index(spark, path)["meta"]["version"] == 3
+
+
+def test_ivf_unknown_generation_requires_explicit_version(spark, tmp_path):
+    """Missing meta + existing assignments + NO intent marker is an
+    unknown generation (pre-marker crash or half-copied index): the
+    default-version rebuild refuses loudly instead of guessing 1, and
+    an explicit version= is honored."""
+    import os
+    import shutil
+
+    from enterprise_sales_data_pipeline_using_aws_lambda_spark.operators.similarity import (  # noqa: E501
+        read_ivf_index,
+        write_ivf_index,
+    )
+
+    corpus = _clustered_vecs(spark, [(0, 30, 0), (100, 30, 2)])
+    path = str(tmp_path / "ivf")
+    write_ivf_index(corpus, path, n_lists=4)
+    shutil.rmtree(os.path.join(path, "meta"))
+
+    with pytest.raises(ValueError, match="explicit version="):
+        write_ivf_index(corpus, path, n_lists=4)
+    write_ivf_index(corpus, path, n_lists=4, version=5)
+    assert read_ivf_index(spark, path)["meta"]["version"] == 5
+
+
+def test_ivf_append_fenced_against_inflight_retrain(spark, tmp_path):
+    """Writer fence (round-8 VERDICT item 3): an append that would race
+    a retrain's staged rebuild or swap fails LOUDLY — the retrain's
+    staging directory doubles as the lease marker — instead of landing
+    rows that the swap silently discards.  The fence never deletes the
+    debris (that would corrupt a LIVE retrain); the retrain entry
+    points own recovery, after which the append succeeds."""
+    import os
+    import shutil
+
+    from enterprise_sales_data_pipeline_using_aws_lambda_spark.operators.similarity import (  # noqa: E501
+        append_to_ivf_index,
+        read_ivf_index,
+        retrain_ivf_index,
+        write_ivf_index,
+    )
+
+    corpus = _clustered_vecs(spark, [(0, 30, 0), (100, 30, 2)])
+    path = str(tmp_path / "ivf")
+    write_ivf_index(corpus, path, n_lists=4)
+    batch = _clustered_vecs(spark, [(500, 5, 1)])
+
+    # retrain staged rebuild in flight -> loud, nothing lands
+    os.makedirs(f"{path}__retrain/junk", exist_ok=True)
+    with pytest.raises(ValueError, match="retrain in flight"):
+        append_to_ivf_index(batch, path)
+    assert read_ivf_index(spark, path)["assignments"].count() == 60
+    shutil.rmtree(f"{path}__retrain")
+
+    # crashed mid-swap (backup dir present) -> loud, recovery guidance
+    shutil.copytree(path, f"{path}__old")
+    with pytest.raises(ValueError, match="mid-swap"):
+        append_to_ivf_index(batch, path)
+    # the retrain entry point recovers the swap; the append then lands
+    retrain_ivf_index(spark, path)
+    assert append_to_ivf_index(batch, path) == 5
+    assert read_ivf_index(spark, path)["assignments"].count() == 65
