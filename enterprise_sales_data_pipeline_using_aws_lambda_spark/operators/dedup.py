@@ -59,7 +59,18 @@ def content_fingerprint(content_cols: list[str]):
     additionally skips nulls, conflating (NULL,'x')/('x',NULL)/('x','').
     Fixed-width digests over a \\x01-free alphabet make every boundary
     unambiguous, and the N/V tag separates NULL from any real value
-    with no sentinel to collide with."""
+    with no sentinel to collide with.
+
+    BREAKING (round 8) for multi-column callers: the encoding changed
+    from \\x01-joined coalesced raw values to the tagged per-column
+    digests above, so multi-column fingerprints computed under the old
+    scheme no longer match ones computed now.  Verified at the change:
+    nothing in this repo persists multi-column fingerprints (the
+    single-column form, which the ``dedup_exact_docs`` oracle
+    recomputes as plain ``md5(col)``, is unchanged) and no oracle SQL
+    replays the old concat_ws form.  External callers comparing
+    against STORED multi-column fingerprints must recompute them once
+    with this version."""
     if len(content_cols) == 1:
         return F.md5(
             F.coalesce(

@@ -105,6 +105,17 @@ class SalesFeedReader(DataSourceReader):
         # a relative respelling would otherwise silently re-ingest the
         # entire feed history (every name compares above the old
         # absolute watermark).
+        #
+        # UPGRADE NOTE (the canonicalization itself moved the goalposts
+        # once): feeds whose checkpoints were written by a PRE-
+        # canonicalization version under a non-canonical spelling
+        # (trailing slash, relative path) have offsets embedding the
+        # OLD prefix — the first restart under this version compares
+        # against the canonical prefix and can re-ingest or skip the
+        # feed history once.  Such feeds must either start a fresh
+        # checkpoint on upgrade or keep the old option spelling AND the
+        # old version; all checkpoints written by this version are
+        # spelling-independent from then on.
         self.path = os.path.abspath(path)
         self.schema = schema
         # strict=false skips unsupported suffixes instead of raising —
