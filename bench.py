@@ -278,14 +278,24 @@ def main() -> None:
         release_checkpoints,
     )
 
-    def _time(fn) -> tuple[float, float, int]:
+    # The two lanes whose run-to-run spread repeatedly dominated the
+    # total-wall noise (round-8 adjudication: pagerank spread 2.6 s on
+    # a 6.9 s min, minhash 1.6 s) get FIVE runs, with the first run
+    # excluded from BOTH min and spread as codegen/JIT warm-up — the
+    # reported number is the steady state over 4 warm samples, so a
+    # real regression has to clear a much lower noise floor
+    # (VERDICT r08 item 4).
+    MIN_OF_5 = {"pagerank_part_graph", "dedup_minhash_lsh"}
+
+    def _time(fn, name: str | None = None) -> tuple[float, float, int]:
         """(min, spread, runs).  Two timed runs; if the best exceeds 2 s
         a THIRD run is taken: same-code box drift measures ±15-20%, so
         min-of-2 cannot resolve real sub-20% regressions on the
-        expensive tail (pagerank, decontamination, minhash, triangles)
-        — the >2s club gets one more sample.  Spread = max−min across
-        the runs, reported so round-over-round comparisons can be read
-        against the measured noise."""
+        expensive tail (decontamination, triangles) — the >2s club gets
+        one more sample.  MIN_OF_5 lanes take five runs and drop the
+        first (warm-up) from min AND spread.  Spread = max−min across
+        the counted runs, reported so round-over-round comparisons can
+        be read against the measured noise."""
         runs = []
 
         def one_run():
@@ -308,14 +318,23 @@ def main() -> None:
         # already collected — the first run failing is the real signal.
         one_run()
         try:
-            one_run()
-            if min(runs) > 2.0:
+            if name in MIN_OF_5:
+                for _ in range(4):
+                    one_run()
+            else:
                 one_run()
+                if min(runs) > 2.0:
+                    one_run()
         except Exception:  # noqa: BLE001 - keep the good sample(s)
             pass
+        # warm-up exclusion only when enough warm samples survived a
+        # mid-sequence failure to stand on their own
+        counted = (
+            runs[1:] if name in MIN_OF_5 and len(runs) >= 3 else runs
+        )
         return (
-            round(min(runs), 3),
-            round(max(runs) - min(runs), 3),
+            round(min(counted), 3),
+            round(max(counted) - min(counted), 3),
             len(runs),
         )
 
@@ -325,7 +344,9 @@ def main() -> None:
     timings, spreads, nruns, failed = {}, {}, {}, {}
     for name in HEADLINE:
         try:
-            timings[name], spreads[name], nruns[name] = _time(QUERIES[name])
+            timings[name], spreads[name], nruns[name] = _time(
+                QUERIES[name], name
+            )
         except Exception as e:  # noqa: BLE001 - report, don't die
             failed[name] = (str(e).splitlines() or ['<no message>'])[0][:200]
     aux = {}
@@ -410,7 +431,11 @@ def main() -> None:
         "spread": spreads,
         "runs_per_query": nruns,
         "aux": aux,
-        "timing": "min-of-2; min-of-3 when min > 2s (steady state)",
+        "timing": (
+            "min-of-2; min-of-3 when min > 2s; pagerank_part_graph and "
+            "dedup_minhash_lsh min-of-5 with run 1 dropped as warm-up "
+            "(steady state)"
+        ),
         "metric": "headline_queries_total_wall_seconds",
         "unit": "sec",
         "n_queries": len(timings),

@@ -1022,27 +1022,139 @@ def main() -> int:
 
         run("semantic_ingest_1m_10k", nv + 10_000, _semantic_ingest)
 
-        # 22d) codebook retrain (round-8 maintenance): the full heal —
-        # occupancy probe, k-means re-train on ALL accumulated vectors,
-        # re-assign everything, staged rebuild + atomic swap, meta
-        # version bump.  The cost ceiling of the drift-triggered path
-        # (retrain_if_drifted); at 1M vectors it is dominated by the
-        # two Lloyd rounds' assignment passes.
+        # 22d) codebook retrain under PLANTED drift (round-9, VERDICT
+        # r08 item 5): the unit-scale recall-recovery proof
+        # (tests/test_similarity.py::test_ivf_retrain_recovers_recall
+        # _after_drift) re-run at 1M+.  60 drifted clusters (2k vectors
+        # each) are planted at pairwise midpoints of the LIVE codebook's
+        # normalized centroids — <a/|a|+b/|b|, a/|a|> = 1 + cos(a,b) =
+        # <a/|a|+b/|b|, b/|b|>, so each midpoint is EXACTLY
+        # cosine-equidistant from its two parents and per-vector noise
+        # tips every cluster member to one side at random: under the
+        # stale codebook each planted cluster straddles a cell boundary
+        # by construction and probed recall at n_probe=1 decays.  The
+        # retrain re-clusters the accumulated corpus (the dense planted
+        # clusters earn interior cells), and recall recovers.  Only the
+        # retrain itself is the timed heal; plant / truth / recall run
+        # as their own lanes.
+        import numpy as _np2
+
         from enterprise_sales_data_pipeline_using_aws_lambda_spark.operators.similarity import (  # noqa: E501
             ivf_occupancy_skew,
             retrain_ivf_index,
         )
 
-        def _retrain():
+        n_drift_clusters, drift_per_cluster = 60, 2_000
+        n_drift = n_drift_clusters * drift_per_cluster
+        cent_live = read_ivf_index(spark, ivf_dir)["centroids"]
+        cn = cent_live / _np2.maximum(
+            _np2.linalg.norm(cent_live, axis=1, keepdims=True), 1e-12
+        )
+        mids = [
+            cn[c % len(cn)] + cn[(c + 1) % len(cn)]
+            for c in range(n_drift_clusters)
+        ]
+        mids_lit = F.array(*[
+            F.array(*[F.lit(float(v)) for v in m]) for m in mids
+        ])
+
+        def _drift_vec(seed, noise_salt):
+            ctr = F.element_at(
+                mids_lit, (F.pmod(seed, F.lit(n_drift_clusters)) + 1)
+                .cast("int"),
+            )
+            noise = F.transform(
+                F.sequence(F.lit(0), F.lit(dim_ann - 1)),
+                lambda d: 0.1 * (
+                    F.pmod(F.xxhash64(seed, d + noise_salt), F.lit(1000))
+                    .cast("double") / 1000.0 - 0.5
+                ),
+            )
+            return F.zip_with(
+                ctr, noise, lambda c, z: (c + z).cast("float")
+            )
+
+        drift_base = 2 * nv  # clear of corpus [0, nv) and batch ids
+        drift = spark.range(drift_base, drift_base + n_drift).select(
+            F.col("id").alias("vec_id"),
+            _drift_vec(F.col("id"), 77).alias("embedding"),
+        )
+        run(
+            "ivf_drift_plant_120k",
+            n_drift,
+            lambda: str(append_to_ivf_index(drift, ivf_dir))
+            + f" drifted vectors appended (expect {n_drift:,}; "
+            "assigned against the stale codebook)",
+        )
+
+        # 20 fresh queries, one per planted cluster, truth = exact
+        # brute force over the ACCUMULATED corpus
+        drift_q = spark.range(
+            90_000_000, 90_000_000 + 20
+        ).select(
+            F.col("id").alias("vec_id"),
+            _drift_vec(F.col("id"), 555_000).alias("embedding"),
+        )
+        drift_truth: set = set()
+        n_total = nv + 9_000 + n_drift
+
+        def _drift_truth():
+            corpus_all = read_ivf_index(spark, ivf_dir)[
+                "assignments"
+            ].select("vec_id", "embedding")
+            drift_truth.update(
+                (r["qid"], r["vec_id"])
+                for r in cosine_topk(corpus_all, drift_q, k=10).collect()
+            )
+            return f"{len(drift_truth)} truth pairs over the live index"
+
+        run("ivf_drift_truth_20q", n_total, _drift_truth)
+
+        def _drift_recall():
+            idx = read_ivf_index(spark, ivf_dir)
+            got = {
+                (r["qid"], r["vec_id"])
+                for r in ivf_topk(
+                    None, drift_q, k=10, n_probe=1,
+                    centroids=idx["centroids"],
+                    assigned=idx["assignments"],
+                ).collect()
+            }
+            return len(got & drift_truth) / max(len(drift_truth), 1)
+
+        def _recall_before():
             probe = ivf_occupancy_skew(spark, ivf_dir)
-            out = retrain_ivf_index(spark, ivf_dir)
             return (
-                f"v{out['version']}, {out['n_vectors']:,} vectors "
-                f"re-trained + re-assigned + swapped (pre-probe skew "
+                f"recall {_drift_recall():.2f} @ n_probe=1 under the "
+                f"stale codebook (expect ~0.5-0.7: boundary-planted "
+                f"clusters split ~50/50, and a query's top-10 tilts "
+                f"toward its own side of the split; occupancy skew "
                 f"{probe['skew']:.2f})"
             )
 
-        run("ivf_retrain_1m", nv + 9_000, _retrain)
+        run("ivf_drift_recall_stale", n_total, _recall_before)
+
+        # the timed heal: occupancy probe excluded (measured above),
+        # recall re-check excluded (below) — this is the wall of
+        # k-means re-train on ALL accumulated vectors + full re-assign
+        # + staged rebuild + two-rename swap + meta version bump
+        def _retrain():
+            out = retrain_ivf_index(spark, ivf_dir)
+            return (
+                f"v{out['version']}, {out['n_vectors']:,} vectors "
+                "re-trained + re-assigned + swapped"
+            )
+
+        run("ivf_retrain_drift_1m", n_total, _retrain)
+        run(
+            "ivf_drift_recall_healed",
+            n_total,
+            lambda: (
+                f"recall {_drift_recall():.2f} @ n_probe=1 after the "
+                "retrain (expect ~1.0: planted clusters re-clustered "
+                "into interior cells)"
+            ),
+        )
     finally:
         shutil.rmtree(ivf_dir, ignore_errors=True)
 
