@@ -113,11 +113,27 @@ OLDEST_R5_FILLERS = [
 # slots are CHANGED(1: the displaced bloom re-proof) + the full
 # 34-query round-5 cohort + 15 round-6 fillers.  If CORRECTNESS_r09
 # comes back green, no query's latest check is older than round 6
-# (32 remaining r6-checked + the r7/r8 cohorts).  Next round: front
-# any r9 reds, then r10 plan-changed queries, then the REMAINING
-# round-6-checked queries (recompute from CORRECTNESS_r01-r09; ~32 of
-# them, they all fit), then round-7-checked as they age.  Keep
-# must-check <= 50 (tests/test_plans.py asserts it).
+# (32 remaining r6-checked + 42 r7 + 50 r8 + 50 r9 = 174).  Next
+# round: front any r9 reds, then r10 plan-changed queries, then the
+# REMAINING 32 round-6-checked queries (precomputed from
+# CORRECTNESS_r01-r08 + this round's front list; re-verify against
+# CORRECTNESS_r09 when it lands):
+#   approx_distinct_users_daily, approx_percentile_summary,
+#   bounded_rows_moving_avg, cohort_retention, daily_revenue_dense,
+#   disjunctive_promo_revenue, event_seasonality_profile,
+#   funnel_stages, global_row_numbering, higher_moments_profile,
+#   histogram_order_values, key_skew_profile, monthly_revenue_growth,
+#   nth_order_values, nullsafe_join_segments, order_history_features,
+#   order_interarrival_stats, order_reconciliation,
+#   pareto_abc_customers, pmi_bigrams, price_quartile_stats,
+#   profile_lineitem_stats, ratio_to_report_lang_share,
+#   referential_integrity_audit, regression_per_flag,
+#   rfm_segmentation, shipping_delay_stats, shuffle_export_shards,
+#   try_functions_safety, unpivot_status_totals, variant_props_banded,
+#   weighted_sample_docs
+# then round-7-checked fillers (42 of them; heaviest composites
+# first) up to the 50-slot budget.  Keep must-check <= 50
+# (tests/test_plans.py asserts it).
 
 
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:

