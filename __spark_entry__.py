@@ -133,7 +133,11 @@ OLDEST_R5_FILLERS = [
 #   weighted_sample_docs
 # then round-7-checked fillers (42 of them; heaviest composites
 # first) up to the 50-slot budget.  Keep must-check <= 50
-# (tests/test_plans.py asserts it).
+# (tests/test_plans.py asserts it).  To compute CHANGED_THIS_ROUND
+# mechanically: `python tools/explain_audit.py --all` and diff
+# against the committed PLANS_DIGEST.txt baseline (round-9 tree) —
+# any moved digest line is a plan change that must be fronted;
+# update the baseline in the same commit as the plan change.
 
 
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:

@@ -40,6 +40,12 @@ def main() -> int:
     import bench
 
     names = sys.argv[1:] or bench.HEADLINE
+    if names == ["--all"]:
+        # full-registry digest, one line per query: regenerate
+        # PLANS_DIGEST.txt with this and diff against the committed
+        # baseline to compute a round's CHANGED_THIS_ROUND list
+        # mechanically instead of adjudicating plan changes by hand
+        names = sorted(QUERIES)
     spark = get_spark("explain-audit")
     verbose = os.environ.get("AUDIT_VERBOSE", "") == "1"
     for name in names:
