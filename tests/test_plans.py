@@ -226,3 +226,58 @@ def test_no_inferred_filter_duplicates_shingling(spark, sf_dir):
                 "shingle expression duplicated into an inferred filter:\n"
                 + line
             )
+
+
+def test_plan_digest_baseline_tripwire(spark):
+    """PLANS_DIGEST.txt is the committed per-query physical-plan
+    digest baseline the rotation's plan-change detection diffs
+    against (``tools/explain_audit.py --all``).  A representative
+    cross-section — aggregation, broadcast dim joins, heap top-k,
+    fused windows, JSON extraction, the single-shuffle as-of join, a
+    subquery, and a documents-table hash dedup — is pinned here so an
+    UNINTENTIONAL plan change fails the suite loudly.  On an
+    intentional change: regenerate the baseline in the same commit
+    and front the query in the driver rotation
+    (``__spark_entry__.py``'s CHANGED_THIS_ROUND).  Digests are
+    computed at the baseline's sf0.01 (plan shape at other SFs may
+    legitimately differ) and are core-count-invariant (verified at
+    8 and 32 cores)."""
+    import importlib.util
+    import os
+
+    root = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
+    spec = importlib.util.spec_from_file_location(
+        "explain_audit", os.path.join(root, "tools", "explain_audit.py")
+    )
+    ea = importlib.util.module_from_spec(spec)
+    spec.loader.exec_module(ea)
+
+    baseline = {}
+    with open(os.path.join(root, "PLANS_DIGEST.txt")) as fh:
+        for line in fh:
+            if line.startswith("#") or "\t" not in line:
+                continue
+            name, dig = line.rstrip("\n").split("\t", 1)
+            baseline[name] = dig
+
+    assert len(baseline) == len(QUERIES), (
+        "PLANS_DIGEST.txt is stale: it must carry one digest line per "
+        "registered query (regenerate with tools/explain_audit.py --all)"
+    )
+
+    representative = [
+        "q1_pricing_summary", "q5_local_supplier_volume",
+        "global_topk_orders", "window_rank_suite", "json_props_stats",
+        "asof_click_purchase", "in_subquery_big_orders",
+        "dedup_exact_docs",
+    ]
+    moved = []
+    for name in representative:
+        got = ea.digest(plan_of(QUERIES[name](spark, "/root/testdata/sf0.01")))
+        if got != baseline[name]:
+            moved.append(f"{name}\n  baseline: {baseline[name]}\n  now:      {got}")
+    assert not moved, (
+        "physical-plan digest moved vs the committed baseline — if "
+        "intentional, regenerate PLANS_DIGEST.txt in this commit and "
+        "front the query in the rotation:\n" + "\n".join(moved)
+    )
