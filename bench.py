@@ -278,9 +278,12 @@ def main() -> None:
         release_checkpoints,
     )
 
-    # The two lanes whose run-to-run spread repeatedly dominated the
+    # The lanes whose run-to-run spread repeatedly dominated the
     # total-wall noise (round-8 adjudication: pagerank spread 2.6 s on
-    # a 6.9 s min, minhash 1.6 s) get FIVE runs: the first is excluded
+    # a 6.9 s min, minhash 1.6 s; the round-9 solo runs then showed
+    # the same pathology next on mad_robust_spread / percentile_summary
+    # / triangle_count_parts — 1.2-1.4 s spreads on ~2 s mins, run-1
+    # JIT plus GC debt) get FIVE runs: the first is excluded
     # as codegen/JIT warm-up, and the reported spread is max−min over
     # the three FASTEST of the four warm runs — these lanes' noise is
     # heavy-tailed (one GC-hit warm run out of four is common and
@@ -295,7 +298,11 @@ def main() -> None:
     # garbage, which is exactly the cross-lane contamination a
     # per-lane number should exclude (the same isolation
     # scale_smoke.py's section_break applies between sections).
-    MIN_OF_5 = {"pagerank_part_graph", "dedup_minhash_lsh"}
+    MIN_OF_5 = {
+        "pagerank_part_graph", "dedup_minhash_lsh",
+        "mad_robust_spread", "percentile_summary",
+        "triangle_count_parts",
+    }
 
     def _time(fn, name: str | None = None) -> tuple[float, float, int]:
         """(min, spread, runs).  Two timed runs; if the best exceeds 2 s
@@ -449,10 +456,11 @@ def main() -> None:
         "runs_per_query": nruns,
         "aux": aux,
         "timing": (
-            "min-of-2; min-of-3 when min > 2s; pagerank_part_graph and "
-            "dedup_minhash_lsh min-of-5 with run 1 dropped as warm-up "
-            "and spread trimmed to the 3 fastest warm runs "
-            "(steady state)"
+            "min-of-2; min-of-3 when min > 2s; pagerank_part_graph, "
+            "dedup_minhash_lsh, mad_robust_spread, percentile_summary "
+            "and triangle_count_parts min-of-5 with run 1 dropped as "
+            "warm-up, a pre-run GC, and spread trimmed to the 3 "
+            "fastest warm runs (steady state)"
         ),
         "metric": "headline_queries_total_wall_seconds",
         "unit": "sec",
