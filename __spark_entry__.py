@@ -131,8 +131,17 @@ OLDEST_R5_FILLERS = [
 #   rfm_segmentation, shipping_delay_stats, shuffle_export_shards,
 #   try_functions_safety, unpivot_status_totals, variant_props_banded,
 #   weighted_sample_docs
-# then round-7-checked fillers (42 of them; heaviest composites
-# first) up to the 50-slot budget.  Keep must-check <= 50
+# then round-7-checked fillers up to the 50-slot budget (42 r7
+# candidates; with zero reds and zero plan changes there is room for
+# 18 — suggested order, heaviest/most-composite first:
+#   benchmark_decontamination, document_pipeline,
+#   dedup_lsh_incremental, semantic_dedup_embeddings,
+#   similarity_topk_lsh, dedup_simhash, dedup_edit_distance_blocked,
+#   dedup_token_sort_fingerprint, pagerank_part_graph,
+#   triangle_count_parts, lm_perplexity_scores, pii_scrub_contacts,
+#   mixture_resample_docs, stateful_user_totals, hll_sketch_rollup,
+#   topk_sketch_rollup, bpe_pair_top, tfidf_top_terms).
+# Keep must-check <= 50
 # (tests/test_plans.py asserts it).  To compute CHANGED_THIS_ROUND
 # mechanically: `python tools/explain_audit.py --all` and diff
 # against the committed PLANS_DIGEST.txt baseline (round-9 tree) —
