@@ -298,10 +298,16 @@ def main() -> None:
     # garbage, which is exactly the cross-lane contamination a
     # per-lane number should exclude (the same isolation
     # scale_smoke.py's section_break applies between sections).
+    # Round-10 additions (VERDICT r09 item 4): peak_concurrent_sessions
+    # (12.7 s spread on a 2.8 s min in the round-9 judge run) and
+    # dedup_repeated_spans (15.8 s on 3.1 s; README documents
+    # 13.9/38.1/28.5 s cold swings) were the two remaining
+    # single-shot noise-dominated lanes.
     MIN_OF_5 = {
         "pagerank_part_graph", "dedup_minhash_lsh",
         "mad_robust_spread", "percentile_summary",
-        "triangle_count_parts",
+        "triangle_count_parts", "peak_concurrent_sessions",
+        "dedup_repeated_spans",
     }
 
     def _time(fn, name: str | None = None) -> tuple[float, float, int]:
@@ -349,13 +355,27 @@ def main() -> None:
                     one_run()
         except Exception:  # noqa: BLE001 - keep the good sample(s)
             pass
-        # warm-up exclusion + tail trim only when enough warm samples
-        # survived a mid-sequence failure to stand on their own
-        counted = (
-            sorted(runs[1:])[:3]
-            if name in MIN_OF_5 and len(runs) >= 3
-            else runs
-        )
+        # Warm-up exclusion + tail trim.  A mid-sequence failure that
+        # leaves only two runs STILL drops the cold run 1 (degrading
+        # to min-of-1-warm), and any MIN_OF_5 lane that completed
+        # fewer than its five runs is flagged in `degraded` — without
+        # the flag a cold-inclusive number would be read against the
+        # steady-state rule the JSON timing string advertises
+        # (round-9 ADVICE, bench.py:354).
+        if name in MIN_OF_5:
+            if len(runs) >= 3:
+                counted = sorted(runs[1:])[:3]
+            elif len(runs) == 2:
+                counted = runs[1:]
+            else:
+                counted = runs
+            if len(runs) < 5:
+                degraded[name] = (
+                    f"min-of-5 lane completed {len(runs)}/5 runs"
+                    + ("" if len(runs) >= 2 else " (cold run only)")
+                )
+        else:
+            counted = runs
         return (
             round(min(counted), 3),
             round(max(counted) - min(counted), 3),
@@ -365,7 +385,7 @@ def main() -> None:
     # Per-query isolation: one broken lane must not cost the round its
     # entire bench line — failures are reported by name and excluded
     # from the total rather than crashing the run.
-    timings, spreads, nruns, failed = {}, {}, {}, {}
+    timings, spreads, nruns, failed, degraded = {}, {}, {}, {}, {}
     for name in HEADLINE:
         try:
             timings[name], spreads[name], nruns[name] = _time(
@@ -457,10 +477,12 @@ def main() -> None:
         "aux": aux,
         "timing": (
             "min-of-2; min-of-3 when min > 2s; pagerank_part_graph, "
-            "dedup_minhash_lsh, mad_robust_spread, percentile_summary "
-            "and triangle_count_parts min-of-5 with run 1 dropped as "
+            "dedup_minhash_lsh, mad_robust_spread, percentile_summary, "
+            "triangle_count_parts, peak_concurrent_sessions and "
+            "dedup_repeated_spans min-of-5 with run 1 dropped as "
             "warm-up, a pre-run GC, and spread trimmed to the 3 "
-            "fastest warm runs (steady state)"
+            "fastest warm runs (steady state); lanes that completed "
+            "fewer runs are listed under 'degraded'"
         ),
         "metric": "headline_queries_total_wall_seconds",
         "unit": "sec",
@@ -471,6 +493,8 @@ def main() -> None:
     }
     if failed:
         result["failed"] = failed
+    if degraded:
+        result["degraded"] = degraded
     print(json.dumps(result))
     spark.stop()
 

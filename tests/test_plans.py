@@ -125,8 +125,8 @@ def test_rotation_and_bench_integrity():
     qs = entry.queries()
     names = list(qs)
     explicit = (
-        entry.R07_RED + entry.CHANGED_THIS_ROUND + entry.NEW_THIS_ROUND
-        + entry.OLDEST_R4 + entry.OLDEST_R5_FILLERS
+        entry.R09_RED + entry.CHANGED_THIS_ROUND + entry.NEW_THIS_ROUND
+        + entry.OLDEST_R6 + entry.OLDEST_R7_FILLERS
     )
     assert len(explicit) == len(set(explicit)), "duplicate rotation entry"
     missing = [n for n in explicit if n not in qs]
@@ -134,11 +134,11 @@ def test_rotation_and_bench_integrity():
     assert names[: len(explicit)] == explicit, (
         "explicit rotation block must lead queries() exactly"
     )
-    # Red/changed/new/r4-stale must fit the 50-slot budget; the r5
+    # Red/changed/new/r6-stale must fit the 50-slot budget; the r7
     # fillers then top the block up to exactly the driver's 50 slots.
     must_check = (
-        entry.R07_RED + entry.CHANGED_THIS_ROUND + entry.NEW_THIS_ROUND
-        + entry.OLDEST_R4
+        entry.R09_RED + entry.CHANGED_THIS_ROUND + entry.NEW_THIS_ROUND
+        + entry.OLDEST_R6
     )
     assert len(must_check) <= 50, "must-check block exceeds driver budget"
     assert len(explicit) == 50, "rotation block must fill all 50 slots"
@@ -260,9 +260,15 @@ def test_plan_digest_baseline_tripwire(spark):
             name, dig = line.rstrip("\n").split("\t", 1)
             baseline[name] = dig
 
-    assert len(baseline) == len(QUERIES), (
-        "PLANS_DIGEST.txt is stale: it must carry one digest line per "
-        "registered query (regenerate with tools/explain_audit.py --all)"
+    # Set equality, not just count: a rename (one added, one removed)
+    # keeps the count while leaving a stale line AND a missing line —
+    # report the symmetric difference instead of surfacing later as a
+    # raw KeyError (round-9 ADVICE, tests/test_plans.py:251).
+    assert set(baseline) == set(QUERIES), (
+        "PLANS_DIGEST.txt is stale (regenerate with "
+        "tools/explain_audit.py --all): "
+        f"missing={sorted(set(QUERIES) - set(baseline))} "
+        f"extra={sorted(set(baseline) - set(QUERIES))}"
     )
 
     representative = [
@@ -273,7 +279,10 @@ def test_plan_digest_baseline_tripwire(spark):
     ]
     moved = []
     for name in representative:
-        got = ea.digest(plan_of(QUERIES[name](spark, "/root/testdata/sf0.01")))
+        # ea.BASELINE_SF_DIR, not a literal: the --all regeneration
+        # path and this tripwire must digest at the SAME SF by
+        # construction (round-9 ADVICE, tests/test_plans.py:263)
+        got = ea.digest(plan_of(QUERIES[name](spark, ea.BASELINE_SF_DIR)))
         if got != baseline[name]:
             moved.append(f"{name}\n  baseline: {baseline[name]}\n  now:      {got}")
     assert not moved, (

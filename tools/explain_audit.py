@@ -19,6 +19,15 @@ sys.path.insert(0, "/root/repo")
 
 SF_DIR = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.01")
 
+#: PLANS_DIGEST.txt is ALWAYS computed at this SF: plan shape at other
+#: SFs may legitimately differ (broadcast thresholds, AQE coalescing),
+#: so the `--all` baseline-regeneration path ignores SPARK_GRAFT_SF_DIR
+#: — otherwise a regeneration under that env var would silently pin
+#: the tripwire test (tests/test_plans.py, which digests at this same
+#: constant) against a baseline computed at a different SF
+#: (round-9 ADVICE, tests/test_plans.py:263).
+BASELINE_SF_DIR = "/root/testdata/sf0.01"
+
 
 def digest(plan: str) -> str:
     exchanges = len(re.findall(r"Exchange (hash|range|single)partitioning", plan))
@@ -40,12 +49,16 @@ def main() -> int:
     import bench
 
     names = sys.argv[1:] or bench.HEADLINE
+    sf_dir = SF_DIR
     if names == ["--all"]:
         # full-registry digest, one line per query: regenerate
         # PLANS_DIGEST.txt with this and diff against the committed
         # baseline to compute a round's CHANGED_THIS_ROUND list
-        # mechanically instead of adjudicating plan changes by hand
+        # mechanically instead of adjudicating plan changes by hand.
+        # The baseline SF is pinned (see BASELINE_SF_DIR) — env must
+        # not move it out from under the tripwire test.
         names = sorted(QUERIES)
+        sf_dir = BASELINE_SF_DIR
     spark = get_spark("explain-audit")
     verbose = os.environ.get("AUDIT_VERBOSE", "") == "1"
     for name in names:
@@ -53,7 +66,7 @@ def main() -> int:
             print(f"{name}: UNKNOWN")
             continue
         try:
-            df = QUERIES[name](spark, SF_DIR)
+            df = QUERIES[name](spark, sf_dir)
             plan = df._jdf.queryExecution().executedPlan().toString()
             print(f"{name}\t{digest(plan)}")
             if verbose:

@@ -1122,8 +1122,13 @@ def main() -> int:
             }
             return len(got & drift_truth) / max(len(drift_truth), 1)
 
+        # the occupancy-skew probe (~2 s at round 8) runs OUTSIDE the
+        # stale-recall clock — the lane measures recall cost only, and
+        # the probe result is just formatted into the message
+        # (round-9 ADVICE, tools/scale_smoke.py:1105)
+        probe = ivf_occupancy_skew(spark, ivf_dir)
+
         def _recall_before():
-            probe = ivf_occupancy_skew(spark, ivf_dir)
             return (
                 f"recall {_drift_recall():.2f} @ n_probe=1 under the "
                 f"stale codebook (expect ~0.5-0.7: boundary-planted "
