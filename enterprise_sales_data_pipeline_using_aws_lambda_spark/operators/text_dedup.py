@@ -1112,11 +1112,44 @@ def ingest_dedup_batch(
     return fresh.join(dropped, id_col, "left_anti"), pairs
 
 
+def _fence_lsh_append(spark, store_path: str) -> None:
+    """Writer fence for :func:`append_batch_signatures` (round-9
+    VERDICT item 2), mirroring ``similarity._fence_ivf_append``: an
+    append landing between :func:`compact_lsh_signature_store`'s
+    staged rewrite of a table and its swap is lost WITH the swapped-out
+    directory, silently — the exact race class the IVF index closed in
+    round 9 while this store's single-writer contract stayed
+    documentation-only.  The compaction's own staging/backup
+    directories (``<table>__compacting`` / ``<table>__old``) double as
+    the lease marker: an append that sees either on ``signatures`` or
+    ``buckets`` fails loudly instead of racing.  The fence never
+    deletes the debris — deleting staging from here would corrupt a
+    LIVE compaction; only :func:`compact_lsh_signature_store` (whose
+    ``compact_lake_partition`` recovery owns the swap) may."""
+    import os
+
+    from ..sources.writers import has_crash_debris
+
+    for table in ("signatures", "buckets"):
+        if has_crash_debris(spark, os.path.join(store_path, table)):
+            raise ValueError(
+                f"LSH store at {store_path} has a compaction in "
+                f"flight (or a crashed one): {table}__compacting / "
+                f"{table}__old debris exists next to the {table} "
+                f"table.  An append now would land in a directory the "
+                f"swap discards.  Wait for the maintenance window to "
+                f"finish, or if the compaction crashed, re-run "
+                f"compact_lsh_signature_store (its recovery rolls the "
+                f"table back) before appending"
+            )
+
+
 def append_batch_signatures(
     clean: DataFrame,
     store_path: str,
     text_col: str = "text",
     id_col: str = "doc_id",
+    lease_token: str = "append",
 ) -> int:
     """Fold an admitted batch into the LSH store (the "state last" step
     of :func:`ingest_dedup_batch`'s ingest order), idempotently: ids
@@ -1139,32 +1172,51 @@ def append_batch_signatures(
     same path in one plan lets Spark canonicalize the fresh scan away —
     measured: a stale frame re-appended every row until the checkpoint
     cut its file-scan lineage.  The frame is batch-bounded, so the
-    checkpoint is cheap."""
-    spark = clean.sparkSession
-    clean = materialize(clean)
-    store = read_lsh_signature_store(spark, store_path)
-    meta = store["meta"]
-    if meta["id_col"] != id_col:
-        raise ValueError(
-            f"LSH store at {store_path} is keyed on "
-            f"{meta['id_col']!r}, not {id_col!r}"
-        )
-    from .idfilter import anti_join_ids
+    checkpoint is cheap.
 
-    fresh = anti_join_ids(clean, store["signatures"], id_col)
-    n_new = fresh.count()  # batch-bounded: one cheap job
-    if n_new:
-        write_lsh_signature_store(
-            fresh,
-            store_path,
-            text_col=text_col,
-            id_col=id_col,
-            n=meta["n"],
-            num_hashes=meta["num_hashes"],
-            bands=meta["bands"],
-            mode="append",
-        )
-    return n_new
+    The whole append runs under the store's writer lease
+    (``writers.writer_lease``, token ``lease_token``): on
+    atomic-create filesystems a concurrent compaction is EXCLUDED, not
+    just detected.  The default token makes a re-driven crashed append
+    self-break its own stale lease (at most one live attempt per
+    logical batch — the ingest loop's exactly-once contract); pass a
+    per-batch token to distinguish batches."""
+    from ..sources.writers import writer_lease
+
+    spark = clean.sparkSession
+    with writer_lease(spark, store_path, lease_token):
+        _fence_lsh_append(spark, store_path)
+        clean = materialize(clean)
+        store = read_lsh_signature_store(spark, store_path)
+        meta = store["meta"]
+        if meta["id_col"] != id_col:
+            raise ValueError(
+                f"LSH store at {store_path} is keyed on "
+                f"{meta['id_col']!r}, not {id_col!r}"
+            )
+        from .idfilter import anti_join_ids
+
+        fresh = anti_join_ids(clean, store["signatures"], id_col)
+        n_new = fresh.count()  # batch-bounded: one cheap job
+        if n_new:
+            # re-check at the write (the _fence_ivf_append treatment):
+            # the anti-join above takes real time.  Under the lease
+            # this is defense in depth — it catches CRASH DEBRIS from
+            # a compaction whose stale lease was broken, and it keeps
+            # violations loud on object stores where the lease's
+            # atomic create degrades to advisory.
+            _fence_lsh_append(spark, store_path)
+            write_lsh_signature_store(
+                fresh,
+                store_path,
+                text_col=text_col,
+                id_col=id_col,
+                n=meta["n"],
+                num_hashes=meta["num_hashes"],
+                bands=meta["bands"],
+                mode="append",
+            )
+        return n_new
 
 
 def compact_lsh_signature_store(
@@ -1191,8 +1243,11 @@ def compact_lsh_signature_store(
     ``compact_lake_partition``'s recovery restores it; a min_files
     skip there would leave the store unreadable forever (the table
     itself may be mid-swap and list zero files).  Run from a
-    maintenance window — the swap is not safe under concurrent
-    readers or appends (the store's single-writer contract).  Returns
+    maintenance window; the whole run holds the store's writer lease
+    (token ``"compact"``) so a concurrent append is EXCLUDED on
+    atomic-create filesystems, not just fenced — a re-run after a
+    crash self-breaks its own stale lease and its recovery rolls the
+    tables back.  Readers are still the caller's contract.  Returns
     ``{table: files_before}`` with 0 for skipped tables."""
     import os
 
@@ -1200,42 +1255,45 @@ def compact_lsh_signature_store(
         compact_lake_partition,
         count_data_files,
         has_crash_debris,
+        writer_lease,
     )
 
-    # meta is the one table maintenance never touches, so it is
-    # readable even while a crashed swap has a data table mid-rename —
-    # read it DIRECTLY (read_lsh_signature_store also plans the
-    # signature/bucket reads, which would throw on a mid-swap table)
-    id_col = _read_store_meta(spark, store_path)["id_col"]
-    results = {}
-    for table, transform, sort_col in (
-        # signatures re-cluster globally on id: per-append file sets
-        # are only per-batch clustered, and the est stage's pushed
-        # candidate-id filter prunes best against a globally sorted
-        # table
-        ("signatures", None, id_col),
-        # exact-duplicate rows only: orphan rows (ids absent from
-        # signatures) are left for the next append's self-heal
-        ("buckets",
-         lambda df: df.dropDuplicates(["band", "bucket", id_col]),
-         None),
-    ):
-        p = os.path.join(store_path, table)
-        # crash debris bypasses the min_files gate (the table may be
-        # mid-swap and list zero files) and gets the SAME transform +
-        # sort as a normal rewrite — recovery that re-clustered
-        # round-robin would silently strip the sorted layout the
-        # pushed-id probes prune against
-        if not has_crash_debris(spark, p) and min_files and (
-            count_data_files(spark, p) < min_files
+    with writer_lease(spark, store_path, "compact"):
+        # meta is the one table maintenance never touches, so it is
+        # readable even while a crashed swap has a data table
+        # mid-rename — read it DIRECTLY (read_lsh_signature_store also
+        # plans the signature/bucket reads, which would throw on a
+        # mid-swap table)
+        id_col = _read_store_meta(spark, store_path)["id_col"]
+        results = {}
+        for table, transform, sort_col in (
+            # signatures re-cluster globally on id: per-append file
+            # sets are only per-batch clustered, and the est stage's
+            # pushed candidate-id filter prunes best against a
+            # globally sorted table
+            ("signatures", None, id_col),
+            # exact-duplicate rows only: orphan rows (ids absent from
+            # signatures) are left for the next append's self-heal
+            ("buckets",
+             lambda df: df.dropDuplicates(["band", "bucket", id_col]),
+             None),
         ):
-            results[table] = 0
-            continue
-        results[table] = compact_lake_partition(
-            spark, p, target_files, transform=transform,
-            sort_col=sort_col,
-        )
-    return results
+            p = os.path.join(store_path, table)
+            # crash debris bypasses the min_files gate (the table may
+            # be mid-swap and list zero files) and gets the SAME
+            # transform + sort as a normal rewrite — recovery that
+            # re-clustered round-robin would silently strip the sorted
+            # layout the pushed-id probes prune against
+            if not has_crash_debris(spark, p) and min_files and (
+                count_data_files(spark, p) < min_files
+            ):
+                results[table] = 0
+                continue
+            results[table] = compact_lake_partition(
+                spark, p, target_files, transform=transform,
+                sort_col=sort_col,
+            )
+        return results
 
 
 # ---------------------------------------------------------------------------

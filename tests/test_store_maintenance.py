@@ -1160,3 +1160,116 @@ def test_guarded_append_rejects_superset_and_debris_partitions(
     open(f"{lake}/ingest_batch=9/_SUCCESS", "w").close()
     with pytest.raises(RuntimeError, match="debris"):
         guarded_idempotent_append(spark, new_era, lake, 9, "doc_id")
+
+
+def test_lsh_append_fenced_against_inflight_compaction(spark, tmp_path):
+    """Writer fence (round-9 VERDICT item 2, mirroring the round-9 IVF
+    fence): an append that would race compact_lsh_signature_store's
+    staged rewrite/swap of either data table fails LOUDLY — the
+    compaction's staging/backup directories double as the lease marker
+    — instead of landing rows the swap silently discards.  The fence
+    never deletes the debris (that would corrupt a LIVE compaction);
+    the compaction entry point owns recovery, after which the append
+    succeeds."""
+    import shutil
+
+    from enterprise_sales_data_pipeline_using_aws_lambda_spark.operators.text_dedup import (  # noqa: E501
+        append_batch_signatures,
+        compact_lsh_signature_store,
+        write_lsh_signature_store,
+    )
+
+    store = str(tmp_path / "store")
+    corpus = spark.createDataFrame(
+        [(101, X), (102, Y)], "doc_id long, text string"
+    )
+    write_lsh_signature_store(corpus, store, num_hashes=16, bands=4)
+    batch = spark.createDataFrame([(5, U)], "doc_id long, text string")
+
+    # staged rewrite in flight on signatures -> loud, nothing lands
+    os.makedirs(os.path.join(store, "signatures__compacting"))
+    with pytest.raises(ValueError, match="compaction in flight"):
+        append_batch_signatures(batch, store)
+    assert _store_ids(spark, store) == {101, 102}
+    shutil.rmtree(os.path.join(store, "signatures__compacting"))
+
+    # crashed mid-swap on buckets (backup dir present) -> loud too,
+    # and the append's own lease must have been RELEASED on the way
+    # out (the compaction below takes it)
+    shutil.copytree(
+        os.path.join(store, "buckets"), os.path.join(store, "buckets__old")
+    )
+    with pytest.raises(ValueError, match="compaction in flight"):
+        append_batch_signatures(batch, store)
+    assert not os.path.exists(store + "__lease")
+    # the compaction entry point recovers the swap; the append lands
+    compact_lsh_signature_store(spark, store, target_files=1)
+    assert append_batch_signatures(batch, store) == 1
+    assert _store_ids(spark, store) == {101, 102, 5}
+
+
+def test_writer_lease_excludes_appends_and_self_heals(spark, tmp_path):
+    """The writer lease (round-9 VERDICT item 5) upgrades the advisory
+    fences to mutual exclusion on atomic-create filesystems: an append
+    arriving while a maintenance run HOLDS the lease is excluded even
+    before any staging directory exists — exactly the
+    fence-TOCTOU window (staging appearing between the append's
+    re-check and its parquet commit) the round-9 fence could not
+    close.  Crash re-drives stay self-healing: a stale lease whose
+    token matches the caller's own is broken and re-claimed, while a
+    DIFFERENT writer's stale lease blocks loudly until that operation
+    is re-run (its entry point releases cleanly) or an operator breaks
+    it."""
+    from contextlib import ExitStack
+
+    from enterprise_sales_data_pipeline_using_aws_lambda_spark.operators.text_dedup import (  # noqa: E501
+        append_batch_signatures,
+        compact_lsh_signature_store,
+        read_lsh_signature_store,
+        write_lsh_signature_store,
+    )
+    from enterprise_sales_data_pipeline_using_aws_lambda_spark.sources.writers import (  # noqa: E501
+        WriterLeaseHeld,
+        break_writer_lease,
+        writer_lease,
+    )
+
+    store = str(tmp_path / "store")
+    corpus = spark.createDataFrame(
+        [(101, X), (102, Y)], "doc_id long, text string"
+    )
+    write_lsh_signature_store(corpus, store, num_hashes=16, bands=4)
+    batch = spark.createDataFrame([(5, U)], "doc_id long, text string")
+
+    # maintenance holds the lease, NO staging exists yet (the TOCTOU
+    # state) -> the append is excluded loudly, nothing lands
+    with ExitStack() as stack:
+        stack.enter_context(writer_lease(spark, store, "compact"))
+        with pytest.raises(WriterLeaseHeld, match="compact"):
+            append_batch_signatures(batch, store)
+        assert _store_ids(spark, store) == {101, 102}
+    # lease released -> the append lands
+    assert append_batch_signatures(batch, store) == 1
+
+    # hard-crashed append left its stale lease: maintenance is blocked
+    # loudly (different token)...
+    with open(store + "__lease", "w") as fh:
+        fh.write("append")
+    with pytest.raises(WriterLeaseHeld, match="append"):
+        compact_lsh_signature_store(spark, store, target_files=1)
+    # ...the re-driven append self-breaks its own token, no-ops on the
+    # id anti-join, and releases cleanly...
+    assert append_batch_signatures(batch, store) == 0
+    assert not os.path.exists(store + "__lease")
+    # ...after which maintenance proceeds
+    res = compact_lsh_signature_store(spark, store, target_files=1)
+    assert res["signatures"] >= 1
+    assert _store_ids(spark, store) == {101, 102, 5}
+
+    # the operator escape hatch also clears a stale lease
+    with open(store + "__lease", "w") as fh:
+        fh.write("compact")
+    assert break_writer_lease(spark, store)
+    assert append_batch_signatures(batch, store) == 0
+    # store stays fully readable throughout
+    assert read_lsh_signature_store(spark, store)["signatures"].count() == 3
