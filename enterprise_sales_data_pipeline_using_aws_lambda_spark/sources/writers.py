@@ -506,7 +506,7 @@ class WriterLeaseHeld(RuntimeError):
     left behind) the store's lease — see :func:`writer_lease`."""
 
 
-def _read_lease_token(jvm, fs, lease) -> str:
+def _read_lease_payload(jvm, fs, lease) -> str:
     """Best-effort payload read.  An unreadable or empty lease (the
     holder crashed between the atomic claim and the payload write, or
     the payload write is in flight) reads as '' — which never equals a
@@ -556,8 +556,11 @@ def writer_lease(spark: SparkSession, root: str, token: str):
     own stale lease and releases cleanly), or
     :func:`break_writer_lease` after confirming no writer is live.
 
-    Cost: two FS metadata RPCs to claim + one delete to release —
-    noise next to the job the lease protects."""
+    Cost: two FS metadata RPCs to claim + a nonce-guarded
+    read-then-delete to release (release deletes only a lease whose
+    full payload is its own, so a breached holder never deletes its
+    breaker's live lease) — noise next to the job the lease
+    protects."""
     sc = spark.sparkContext
     jvm = sc._jvm
     conf = sc._jsc.hadoopConfiguration()
@@ -565,6 +568,17 @@ def writer_lease(spark: SparkSession, root: str, token: str):
         root.rstrip("/") + WRITER_LEASE_SUFFIX
     )
     fs = lease.getFileSystem(conf)
+
+    # payload = token + a per-acquisition nonce: the TOKEN drives the
+    # same-logical-operation self-break rule; the NONCE makes release
+    # safe when that rule is (wrongly) exercised against a LIVE holder
+    # — if a same-token re-drive broke our lease and re-claimed it,
+    # our exit must NOT delete THEIR lease file (which would re-open
+    # the store to a third writer), so release deletes only a lease
+    # whose full payload is ours.
+    import os as _os
+
+    payload = token + "\n" + _os.urandom(8).hex()
 
     def _claim() -> bool:
         # the CLAIM is the atomic create; the payload write after it
@@ -575,17 +589,19 @@ def writer_lease(spark: SparkSession, root: str, token: str):
             return False
         out = fs.create(lease, True)
         try:
-            out.write(bytearray(token.encode("utf-8")))
+            out.write(bytearray(payload.encode("utf-8")))
         finally:
             out.close()
         return True
 
     if not _claim():
-        holder = _read_lease_token(jvm, fs, lease)
+        held = _read_lease_payload(jvm, fs, lease)
+        holder = held.split("\n", 1)[0]
         if holder == token:
             fs.delete(lease, False)
             if not _claim():
-                holder = _read_lease_token(jvm, fs, lease)
+                held = _read_lease_payload(jvm, fs, lease)
+                holder = held.split("\n", 1)[0]
                 raise WriterLeaseHeld(
                     f"{root} writer lease was re-claimed by "
                     f"{holder!r} while breaking our own stale lease "
@@ -603,7 +619,13 @@ def writer_lease(spark: SparkSession, root: str, token: str):
     try:
         yield
     finally:
-        fs.delete(lease, False)
+        # nonce-guarded release: delete only OUR lease.  A lease file
+        # carrying someone else's payload means ours was broken by a
+        # same-token re-drive mid-flight (already a contract breach);
+        # leaving theirs in place keeps the store single-writer
+        # instead of compounding the breach.
+        if _read_lease_payload(jvm, fs, lease) == payload:
+            fs.delete(lease, False)
 
 
 def break_writer_lease(spark: SparkSession, root: str) -> bool:

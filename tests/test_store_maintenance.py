@@ -1273,3 +1273,32 @@ def test_writer_lease_excludes_appends_and_self_heals(spark, tmp_path):
     assert append_batch_signatures(batch, store) == 0
     # store stays fully readable throughout
     assert read_lsh_signature_store(spark, store)["signatures"].count() == 3
+
+
+def test_writer_lease_release_is_nonce_guarded(spark, tmp_path):
+    """Release safety: the lease payload carries a per-acquisition
+    nonce, and exit deletes the lease file only when the full payload
+    is still its own.  Without the guard, a same-token re-drive that
+    (wrongly) broke a LIVE holder's lease would then have ITS lease
+    deleted by the victim's exit — re-opening the store to a third
+    writer and compounding the original contract breach."""
+    from enterprise_sales_data_pipeline_using_aws_lambda_spark.sources.writers import (  # noqa: E501
+        writer_lease,
+    )
+
+    root = str(tmp_path / "store")
+    os.makedirs(root)
+    breaker = "append\n0123456789abcdef"
+    with writer_lease(spark, root, "append"):
+        ours = open(root + "__lease").read()
+        assert ours.split("\n")[0] == "append" and ours != breaker
+        # simulate the breaker: overwrite with a different nonce
+        with open(root + "__lease", "w") as fh:
+            fh.write(breaker)
+    # the victim exited without deleting the breaker's lease
+    assert open(root + "__lease").read() == breaker
+    # normal own-lease release still deletes
+    os.remove(root + "__lease")
+    with writer_lease(spark, root, "append"):
+        pass
+    assert not os.path.exists(root + "__lease")
