@@ -26,23 +26,24 @@ from enterprise_sales_data_pipeline_using_aws_lambda_spark.plans.queries import 
 SMOKE_SF_DIR = "/root/testdata/sf0.001"
 
 # The driver checks exactly 50 entries per round, in dict order
-# (CORRECTNESS_r01-r09 evidence).  Round-10 rotation (VERDICT r09
-# item 1): CORRECTNESS_r09 was 50/50 green with zero reds, so this
-# round's budget retires the WHOLE remaining round-6 staleness
-# cohort — ALL 32 queries whose latest driver check is round 6
-# (recomputed this session from CORRECTNESS_r01-r09; matches the
-# VERDICT's precomputed list exactly) — then 18 round-7-checked
-# fillers, heaviest/most-composite first (the decontamination /
-# document / incremental-LSH / semantic-dedup pipeline stack, the
-# graph lanes, then the text-analysis rollups).  32+18 = 50, so
-# after this round no registered query's latest driver check is
-# older than round 7.  The round-10 code changes (the LSH-store and
-# IVF per-partition append fences, the writer lease, bench min-of-5
-# lanes) touch maintenance/measurement paths only — no gate query's
-# PLAN changed, verified mechanically: `tools/explain_audit.py
-# --all` re-run this round diffs clean against the committed
+# (CORRECTNESS_r01-r10 evidence).  Round-11 rotation (VERDICT r10
+# item 1): CORRECTNESS_r10 was 50/50 green with zero reds, so this
+# round's budget retires the WHOLE remaining round-7 staleness
+# cohort — ALL 24 queries whose latest driver check is round 7
+# (recomputed this session from CORRECTNESS_r01-r10; matches the
+# VERDICT's precomputed list exactly) — then 26 round-8-checked
+# fillers, heaviest/most-composite first (the retrieval /
+# similarity / dedup pipeline stack, the sequence/linkage/graph
+# lanes, then the text-analysis and layout rollups).  24+26 = 50,
+# so after this round no registered query's latest driver check is
+# older than round 8.  The round-11 code changes (age-gated lease
+# self-break, per-batch lease tokens at the ingest call sites,
+# lease-guarded in-loop retrain recovery, bench auto-promotion)
+# touch maintenance/measurement paths only — no gate query's PLAN
+# changed, verified mechanically: `tools/explain_audit.py --all`
+# re-run this round diffs clean against the committed
 # PLANS_DIGEST.txt.  No new queries this round — registered stays at
-# 174 (VERDICT item 6).
+# 174 (VERDICT item 5).
 
 
 def entry(spark: SparkSession) -> DataFrame:
@@ -54,70 +55,69 @@ def entry(spark: SparkSession) -> DataFrame:
     return QUERIES["ref_sales_summary"](spark, SMOKE_SF_DIR)
 
 
-# Round-9 red rows: NONE (CORRECTNESS_r09 was 50/50 green).
-R09_RED: list[str] = []
+# Round-10 red rows: NONE (CORRECTNESS_r10 was 50/50 green).
+R10_RED: list[str] = []
 
 # Queries whose gate PLAN changed this round: NONE — verified
 # mechanically by `python tools/explain_audit.py --all` diffed
-# against the committed PLANS_DIGEST.txt (the round-10 changes are
-# writer fences, the writer lease, and bench/tooling, none on a gate
-# query's plan path).
+# against the committed PLANS_DIGEST.txt (the round-11 changes are
+# lease hardening, per-batch lease tokens, and bench/tooling, none
+# on a gate query's plan path).
 CHANGED_THIS_ROUND: list[str] = []
 
 # No additions this round — registered stays at 174 and the 50-slot
-# budget goes to rotation (VERDICT r09 item 6).
+# budget goes to rotation (VERDICT r10 item 5).
 NEW_THIS_ROUND: list[str] = []
 
-# ALL 32 queries whose latest driver check is round 6 (recomputed
-# from CORRECTNESS_r01-r09 this session; matches VERDICT r09's
+# ALL 24 queries whose latest driver check is round 7 (recomputed
+# from CORRECTNESS_r01-r10 this session; matches VERDICT r10's
 # precomputed list exactly) — the whole remaining staleness cohort
-# fits this round's budget (VERDICT r09 item 1).
-OLDEST_R6 = [
-    "approx_distinct_users_daily", "approx_percentile_summary",
-    "bounded_rows_moving_avg", "cohort_retention",
-    "daily_revenue_dense", "disjunctive_promo_revenue",
-    "event_seasonality_profile", "funnel_stages",
-    "global_row_numbering", "higher_moments_profile",
-    "histogram_order_values", "key_skew_profile",
-    "monthly_revenue_growth", "nth_order_values",
-    "nullsafe_join_segments", "order_history_features",
-    "order_interarrival_stats", "order_reconciliation",
-    "pareto_abc_customers", "pmi_bigrams", "price_quartile_stats",
-    "profile_lineitem_stats", "ratio_to_report_lang_share",
-    "referential_integrity_audit", "regression_per_flag",
-    "rfm_segmentation", "shipping_delay_stats",
-    "shuffle_export_shards", "try_functions_safety",
-    "unpivot_status_totals", "variant_props_banded",
-    "weighted_sample_docs",
+# fits this round's budget (VERDICT r10 item 1).
+OLDEST_R7 = [
+    "basket_part_pairs_lift", "chunk_documents_boundary",
+    "collect_order_arrays", "crosstab_status_priority",
+    "cube_with_grouping_id", "decimal_money_totals",
+    "deterministic_split_docs", "doc_repetition_stats",
+    "dup_cluster_size_profile", "embedding_preprocess",
+    "event_transition_matrix", "ewma_monthly_revenue",
+    "feature_hash_vectors", "map_status_counts",
+    "q1_pricing_summary", "ref_date_format", "ref_dedup_keep_last",
+    "ref_sales_summary", "ref_union", "ref_upsert",
+    "skyline_price_quantity", "stratified_split_quotas",
+    "token_entropy_quality", "udtf_keyvalue_explode",
 ]
 
-# Remaining budget: 18 round-7-checked fillers, heaviest/most-
-# composite first — the decontamination/document/incremental-LSH/
-# semantic-dedup pipeline stack (each composes many operators, so
-# one green re-proof covers the most code), the sketch-dedup lanes,
-# the graph lanes, then the text-analysis rollups.
-OLDEST_R7_FILLERS = [
-    "benchmark_decontamination", "document_pipeline",
-    "dedup_lsh_incremental", "semantic_dedup_embeddings",
-    "similarity_topk_lsh", "dedup_simhash",
-    "dedup_edit_distance_blocked", "dedup_token_sort_fingerprint",
-    "pagerank_part_graph", "triangle_count_parts",
-    "lm_perplexity_scores", "pii_scrub_contacts",
-    "mixture_resample_docs", "stateful_user_totals",
-    "hll_sketch_rollup", "topk_sketch_rollup", "bpe_pair_top",
-    "tfidf_top_terms",
+# Remaining budget: 26 round-8-checked fillers, heaviest/most-
+# composite first — the retrieval/similarity/dedup pipeline stack
+# (each composes many operators, so one green re-proof covers the
+# most code), the sequence/linkage/recursive lanes, the heavy join
+# and sessionization lanes, then the text-analysis and layout
+# rollups.
+OLDEST_R8_FILLERS = [
+    "bm25_retrieval", "inverted_index_topk",
+    "similarity_topk_bruteforce", "similarity_topk_ivf",
+    "dedup_embedding_cosine", "dedup_exact_docs",
+    "dedup_repeated_spans", "passage_dedup_stats",
+    "sequence_packing", "record_linkage_scores",
+    "recursive_reachability_bfs", "scd2_customer_segments",
+    "asof_click_purchase", "range_join_error_burst",
+    "sessionized_funnel_rates", "conversion_latency_percentiles",
+    "top_event_paths", "incremental_agg_maintenance",
+    "text_quality", "text_tokens", "boilerplate_ngram_stats",
+    "oov_rate_by_source", "quality_percentile_filter",
+    "zorder_layout_profile", "snapshot_diff", "dq_expectation_suite",
 ]
 
 
-# ROUND-11 ROTATION PLAN (for the next context): this round's 50
-# slots are the full 32-query round-6 cohort + 18 round-7 fillers.
-# If CORRECTNESS_r10 comes back green, no query's latest check is
-# older than round 7 (24 remaining r7-checked + 50 r8 + 50 r9 + 50
-# r10 = 174).  Next round: front any r10 reds, then r11 plan-changed
-# queries, then the REMAINING 24 round-7-checked queries (recompute
-# mechanically from CORRECTNESS_r01-r10: queries whose latest check
-# is round 7, i.e. the 42-query r7 cohort minus this round's 18
-# OLDEST_R7_FILLERS), then round-8-checked fillers up to the 50-slot
+# ROUND-12 ROTATION PLAN (for the next context): this round's 50
+# slots are the full 24-query round-7 cohort + 26 round-8 fillers.
+# If CORRECTNESS_r11 comes back green, no query's latest check is
+# older than round 8 (24 remaining r8-checked + 50 r9 + 50 r10 + 50
+# r11 = 174).  Next round: front any r11 reds, then r12 plan-changed
+# queries, then the REMAINING 24 round-8-checked queries (recompute
+# mechanically from CORRECTNESS_r01-r11: queries whose latest check
+# is round 8, i.e. the 50-query r8 cohort minus this round's 26
+# OLDEST_R8_FILLERS), then round-9-checked fillers up to the 50-slot
 # budget (room for 26 with zero reds and zero plan changes —
 # heaviest/most-composite first, same rule as this round).  Keep
 # must-check <= 50 (tests/test_plans.py asserts it).  To compute
@@ -131,16 +131,16 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     """One entry per implemented operator from SURVEY.md §2.
 
     Ordered so the driver's budgeted (50-entry, dict-ordered)
-    verification spends its budget where it matters: (1) round-9 red
+    verification spends its budget where it matters: (1) round-10 red
     rows (none), (2) plan-changed queries (none — digest-diff clean),
-    (3) the full 32-query round-6-checked staleness cohort, (4) 18
-    round-7-checked fillers.  0+0+32+18 = 50 exactly, so every red,
-    plan-changed, or stale-since-r6 gate is inside this round's
+    (3) the full 24-query round-7-checked staleness cohort, (4) 26
+    round-8-checked fillers.  0+0+24+26 = 50 exactly, so every red,
+    plan-changed, or stale-since-r7 gate is inside this round's
     budget (asserted by tests/test_plans.py's rotation guard).
     """
     explicit = (
-        R09_RED + CHANGED_THIS_ROUND + NEW_THIS_ROUND + OLDEST_R6
-        + OLDEST_R7_FILLERS
+        R10_RED + CHANGED_THIS_ROUND + NEW_THIS_ROUND + OLDEST_R7
+        + OLDEST_R8_FILLERS
     )
 
     def bucket(name: str) -> tuple:

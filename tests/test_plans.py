@@ -125,8 +125,8 @@ def test_rotation_and_bench_integrity():
     qs = entry.queries()
     names = list(qs)
     explicit = (
-        entry.R09_RED + entry.CHANGED_THIS_ROUND + entry.NEW_THIS_ROUND
-        + entry.OLDEST_R6 + entry.OLDEST_R7_FILLERS
+        entry.R10_RED + entry.CHANGED_THIS_ROUND + entry.NEW_THIS_ROUND
+        + entry.OLDEST_R7 + entry.OLDEST_R8_FILLERS
     )
     assert len(explicit) == len(set(explicit)), "duplicate rotation entry"
     missing = [n for n in explicit if n not in qs]
@@ -134,11 +134,11 @@ def test_rotation_and_bench_integrity():
     assert names[: len(explicit)] == explicit, (
         "explicit rotation block must lead queries() exactly"
     )
-    # Red/changed/new/r6-stale must fit the 50-slot budget; the r7
+    # Red/changed/new/r7-stale must fit the 50-slot budget; the r8
     # fillers then top the block up to exactly the driver's 50 slots.
     must_check = (
-        entry.R09_RED + entry.CHANGED_THIS_ROUND + entry.NEW_THIS_ROUND
-        + entry.OLDEST_R6
+        entry.R10_RED + entry.CHANGED_THIS_ROUND + entry.NEW_THIS_ROUND
+        + entry.OLDEST_R7
     )
     assert len(must_check) <= 50, "must-check block exceeds driver budget"
     assert len(explicit) == 50, "rotation block must fill all 50 slots"
