@@ -302,13 +302,53 @@ def main() -> None:
     # (12.7 s spread on a 2.8 s min in the round-9 judge run) and
     # dedup_repeated_spans (15.8 s on 3.1 s; README documents
     # 13.9/38.1/28.5 s cold swings) were the two remaining
-    # single-shot noise-dominated lanes.
+    # single-shot noise-dominated lanes.  Round-11 additions (VERDICT
+    # r10 item 4): winsorized_stats (6.9 s spread in the judge's solo
+    # run, 0.95 s on a 2.2 s min driver-side),
+    # conversion_latency_percentiles (9.6 s judge-side) and
+    # audio_energy_fingerprints (2.86 s spread on a 1.7 s min in the
+    # driver run) — the next three cold-lane-lottery candidates.
     MIN_OF_5 = {
         "pagerank_part_graph", "dedup_minhash_lsh",
         "mad_robust_spread", "percentile_summary",
         "triangle_count_parts", "peak_concurrent_sessions",
-        "dedup_repeated_spans",
+        "dedup_repeated_spans", "winsorized_stats",
+        "conversion_latency_percentiles", "audio_energy_fingerprints",
     }
+
+    # Auto-promotion (VERDICT r10 item 4): the hand-list above grew
+    # one verdict at a time — one noisy lane cured per round while the
+    # next one waited.  Generalize it into a RULE with the hand-list
+    # as the floor: any HEADLINE lane whose PREVIOUS run reported a
+    # spread exceeding 100% of its min (noise bigger than the signal)
+    # is promoted to min-of-5 for THIS run.  The previous run's full
+    # per-lane record comes from BENCH_LAST.json, written by every
+    # bench run (the driver's own BENCH_r{N}.json archive keeps only
+    # the last 2000 chars of stdout, so it cannot feed this).  Capped
+    # at 5 promotions per run (worst spread/min first) so one
+    # pathological box day cannot triple the suite's wall clock.
+    auto_promoted: list[str] = []
+    try:
+        with open(
+            os.path.join(os.path.dirname(__file__), "BENCH_LAST.json")
+        ) as fh:
+            _prev = json.load(fh)
+        _cands = sorted(
+            (
+                n
+                for n, s in _prev.get("spread", {}).items()
+                if n in QUERIES
+                and n not in MIN_OF_5
+                and n in _prev.get("queries", {})
+                and s > _prev["queries"][n] > 0
+            ),
+            key=lambda n: _prev["spread"][n] / _prev["queries"][n],
+            reverse=True,
+        )
+        auto_promoted = _cands[:5]
+        MIN_OF_5 |= set(auto_promoted)
+    except Exception:  # noqa: BLE001 - first run / missing archive
+        pass
 
     def _time(fn, name: str | None = None) -> tuple[float, float, int]:
         """(min, spread, runs).  Two timed runs; if the best exceeds 2 s
@@ -476,14 +516,16 @@ def main() -> None:
         "runs_per_query": nruns,
         "aux": aux,
         "timing": (
-            "min-of-2; min-of-3 when min > 2s; pagerank_part_graph, "
-            "dedup_minhash_lsh, mad_robust_spread, percentile_summary, "
-            "triangle_count_parts, peak_concurrent_sessions and "
-            "dedup_repeated_spans min-of-5 with run 1 dropped as "
-            "warm-up, a pre-run GC, and spread trimmed to the 3 "
-            "fastest warm runs (steady state); lanes that completed "
-            "fewer runs are listed under 'degraded'"
+            "min-of-2; min-of-3 when min > 2s; the 'min_of_5' lanes "
+            "(hand floor + lanes auto-promoted because last run's "
+            "spread exceeded its min, see 'auto_promoted') take 5 "
+            "runs with run 1 dropped as warm-up, a pre-run GC, and "
+            "spread trimmed to the 3 fastest warm runs (steady "
+            "state); lanes that completed fewer runs are listed "
+            "under 'degraded'"
         ),
+        "min_of_5": sorted(MIN_OF_5),
+        "auto_promoted": auto_promoted,
         "metric": "headline_queries_total_wall_seconds",
         "unit": "sec",
         "n_queries": len(timings),
@@ -495,6 +537,20 @@ def main() -> None:
         result["failed"] = failed
     if degraded:
         result["degraded"] = degraded
+    # Full-fidelity archive for the NEXT run's auto-promotion rule
+    # (and for humans: the driver's BENCH_r{N}.json tail truncates).
+    # Written before the print so a broken pipe cannot lose it.
+    try:
+        with open(
+            os.path.join(
+                os.path.dirname(__file__), "BENCH_LAST.json"
+            ),
+            "w",
+        ) as fh:
+            json.dump(result, fh, indent=1)
+            fh.write("\n")
+    except Exception:  # noqa: BLE001 - archive is best-effort
+        pass
     print(json.dumps(result))
     spark.stop()
 

@@ -994,10 +994,14 @@ def append_to_ivf_index(
     The whole append runs under the index's writer lease
     (``writers.writer_lease``, token ``lease_token``): on
     atomic-create filesystems a concurrent retrain/compaction is
-    EXCLUDED, not just fenced.  The default token makes a re-driven
-    crashed append self-break its own stale lease (at most one live
-    attempt per logical batch — the ingest loop's exactly-once
-    contract); pass a per-batch token to distinguish batches."""
+    EXCLUDED, not just fenced.  Pass a PER-BATCH token (the streaming
+    face passes ``f"append:{batch_id}"``) so distinct batches never
+    share one — a re-driven crashed attempt of the SAME batch still
+    self-breaks its own stale lease (age-gated:
+    ``writers.WRITER_LEASE_STALE_AFTER_S``), while two different live
+    batches exclude each other loudly instead of silently breaking
+    each other's lease.  The default shared token is safe only for a
+    caller that is provably the index's sole appender."""
     import os
 
     from ..sources.writers import writer_lease

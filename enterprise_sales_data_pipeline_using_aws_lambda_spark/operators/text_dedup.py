@@ -976,7 +976,10 @@ def ingest_dedup_batch(
             spark, clean, lake, batch_id,               # id-clustered,
             sort_col=id_col, sort_files=4,              # so the verify
         )                                               # prunes (below)
-        append_batch_signatures(clean, store)           # state last
+        append_batch_signatures(                        # state last —
+            clean, store,                               # per-batch
+            lease_token=f"append:{batch_id}",           # lease token
+        )
 
     Crash before the doc write: nothing persisted, re-run redoes all.
     Crash between doc write and the state append: re-run re-derives
@@ -1177,10 +1180,15 @@ def append_batch_signatures(
     The whole append runs under the store's writer lease
     (``writers.writer_lease``, token ``lease_token``): on
     atomic-create filesystems a concurrent compaction is EXCLUDED, not
-    just detected.  The default token makes a re-driven crashed append
-    self-break its own stale lease (at most one live attempt per
-    logical batch — the ingest loop's exactly-once contract); pass a
-    per-batch token to distinguish batches."""
+    just detected.  Pass a PER-BATCH token (the streaming face passes
+    ``f"append:{batch_id}"``) so distinct batches never share one — a
+    re-driven crashed attempt of the SAME batch still self-breaks its
+    own stale lease (age-gated: only once the lease is presumed
+    crashed, ``writers.WRITER_LEASE_STALE_AFTER_S``), while two
+    different live batches on one store exclude each other loudly
+    instead of silently breaking each other's lease.  The default
+    shared token is safe only for a caller that is provably the
+    store's sole appender."""
     from ..sources.writers import writer_lease
 
     spark = clean.sparkSession

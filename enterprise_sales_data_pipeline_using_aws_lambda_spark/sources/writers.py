@@ -500,6 +500,20 @@ def append_log_idempotent(
 #: root directory, and a lease inside would be swapped out with it).
 WRITER_LEASE_SUFFIX = "__lease"
 
+#: Default staleness window for the lease's presumed-crash breaks
+#: (same-token self-break and the empty-payload claim-crash break).
+#: A lease file YOUNGER than this is presumed LIVE — a same-token
+#: claim raises instead of breaking it, because two live attempts of
+#: one logical operation is a contract breach the old unconditional
+#: self-break would silently compound (each breaks the other's live
+#: lease and both enter the critical section).  Older than this, the
+#: holder is PRESUMED crashed.  The payload is written once at claim
+#: time and never touched again, so a live holder's lease ages while
+#: its job runs — callers whose critical section can exceed this
+#: window must pass a larger ``stale_after_s`` (and the presumption
+#: also needs FS-vs-driver clock skew to be small next to it).
+WRITER_LEASE_STALE_AFTER_S = 60.0
+
 
 class WriterLeaseHeld(RuntimeError):
     """Another writer holds (or a crashed writer of a DIFFERENT kind
@@ -526,8 +540,42 @@ def _read_lease_payload(jvm, fs, lease) -> str:
         return ""
 
 
+def _lease_age_s(fs, lease) -> float | None:
+    """Seconds since the lease file's last modification (the claim's
+    payload write — never touched again), or None if the file is gone
+    (the holder released between the caller's claim attempt and now).
+    Uses the FILESYSTEM's modification time against the driver clock,
+    so the staleness presumption built on it needs clock skew to be
+    small next to the window — true for local/HDFS deployments; on
+    skewed clocks the gate degrades toward always-young (the safe,
+    loud direction) or always-stale (the old unconditional-break
+    behavior), never a new failure mode."""
+    import time
+
+    try:
+        mtime_ms = fs.getFileStatus(lease).getModificationTime()
+    except Exception:  # noqa: BLE001 - FileNotFound via Py4J
+        return None
+    return max(0.0, time.time() - mtime_ms / 1000.0)
+
+
+def _write_lease_payload(fs, lease, payload: str) -> None:
+    """Write the claimed lease's token+nonce payload (module-level so
+    tests can inject a failure into the claim-crash window)."""
+    out = fs.create(lease, True)
+    try:
+        out.write(bytearray(payload.encode("utf-8")))
+    finally:
+        out.close()
+
+
 @contextmanager
-def writer_lease(spark: SparkSession, root: str, token: str):
+def writer_lease(
+    spark: SparkSession,
+    root: str,
+    token: str,
+    stale_after_s: float | None = None,
+):
     """Mutual exclusion for store writers (round-9 VERDICT item 5):
     the append/retrain/compaction fences (``has_crash_debris``-based)
     make single-writer violations LOUD but leave a TOCTOU window — a
@@ -546,21 +594,37 @@ def writer_lease(spark: SparkSession, root: str, token: str):
     lease left behind by a hard crash whose payload equals ``token``
     is broken and re-claimed, so a re-driven ingest step or a re-run
     maintenance window self-heals without operator action (the repo's
-    crash-recovery direction).  Safety rests on the callers' existing
-    contracts: at most one live attempt per batch id (the
-    exactly-once cursor) and one maintenance window at a time — two
-    CONCURRENT writers with the same token are already a contract
-    violation.  A lease with a DIFFERENT token (or an unreadable
-    payload) raises :class:`WriterLeaseHeld` with the holder named:
-    re-drive/re-run that operation (its entry point self-breaks its
-    own stale lease and releases cleanly), or
-    :func:`break_writer_lease` after confirming no writer is live.
+    crash-recovery direction).  The self-break is AGE-GATED
+    (round-10 ADVICE): a same-token lease younger than
+    ``stale_after_s`` (default :data:`WRITER_LEASE_STALE_AFTER_S`) is
+    presumed LIVE and raises :class:`WriterLeaseHeld` instead — the
+    unconditional break let a re-drive racing a slow live attempt of
+    the same operation break ITS lease (and vice versa), putting both
+    inside the critical section, exactly the silent-loss race the
+    lease exists to close.  Pass a larger window when the critical
+    section can outlive the default (the payload is written once at
+    claim, so a live lease ages while its job runs).  An EMPTY or
+    unreadable payload older than the window is broken the same way —
+    that is the claim-crash debris (a writer that died between the
+    atomic create and the payload write), which previously wedged
+    every writer until a manual :func:`break_writer_lease`; younger,
+    it is presumed to be a payload write in flight and raises.
+    Callers' existing contracts still carry the rest: at most one
+    live attempt per batch id (the exactly-once cursor — and the
+    ingest loops pass per-batch tokens so distinct batches NEVER
+    share a token) and one maintenance window at a time.  A young
+    lease with a DIFFERENT token raises :class:`WriterLeaseHeld` with
+    the holder named: re-drive/re-run that operation (its entry point
+    self-breaks its own stale lease and releases cleanly), wait out
+    the staleness window, or :func:`break_writer_lease` after
+    confirming no writer is live.
 
     Cost: two FS metadata RPCs to claim + a nonce-guarded
     read-then-delete to release (release deletes only a lease whose
     full payload is its own, so a breached holder never deletes its
-    breaker's live lease) — noise next to the job the lease
-    protects."""
+    breaker's live lease); a CONTENDED claim adds one payload read and
+    one getFileStatus (the age probe).  All noise next to the job the
+    lease protects."""
     sc = spark.sparkContext
     jvm = sc._jvm
     conf = sc._jsc.hadoopConfiguration()
@@ -584,37 +648,84 @@ def writer_lease(spark: SparkSession, root: str, token: str):
         # the CLAIM is the atomic create; the payload write after it
         # is single-writer by construction (only the claimant got
         # True), so its non-atomicity can only yield an empty payload
-        # to a concurrent reader — handled as unknown-holder above
+        # to a concurrent reader — handled as unknown-holder above.
+        # An in-process FAILURE of the payload write must not leave
+        # the just-claimed empty lease behind (it would wedge every
+        # writer for the whole staleness window), so it is dropped
+        # before the failure propagates — round-10 ADVICE.
         if not fs.createNewFile(lease):
             return False
-        out = fs.create(lease, True)
         try:
-            out.write(bytearray(payload.encode("utf-8")))
-        finally:
-            out.close()
+            _write_lease_payload(fs, lease, payload)
+        except BaseException:
+            try:
+                fs.delete(lease, False)
+            except Exception:  # noqa: BLE001 - best-effort cleanup
+                pass
+            raise
         return True
 
+    stale = (
+        WRITER_LEASE_STALE_AFTER_S
+        if stale_after_s is None
+        else stale_after_s
+    )
     if not _claim():
         held = _read_lease_payload(jvm, fs, lease)
         holder = held.split("\n", 1)[0]
-        if holder == token:
+        age = _lease_age_s(fs, lease)
+        if age is None:
+            # holder released between our claim attempt and now
+            if not _claim():
+                held = _read_lease_payload(jvm, fs, lease)
+                raise WriterLeaseHeld(
+                    f"{root} writer lease was re-claimed by "
+                    f"{held.split(chr(10), 1)[0]!r} while we retried "
+                    f"a released lease — a concurrent writer is "
+                    f"live; retry"
+                )
+        elif (holder == token or held == "") and age >= stale:
+            # presumed crashed: our own logical operation's stale
+            # lease (a re-drive), or claim-crash debris (empty
+            # payload, no live payload write would be this old)
+            import logging
+
+            logging.getLogger(__name__).warning(
+                "breaking presumed-crashed writer lease on %s "
+                "(holder=%r, age=%.1fs >= stale_after_s=%.1fs)",
+                root, holder or "<unknown>", age, stale,
+            )
             fs.delete(lease, False)
             if not _claim():
                 held = _read_lease_payload(jvm, fs, lease)
                 holder = held.split("\n", 1)[0]
                 raise WriterLeaseHeld(
                     f"{root} writer lease was re-claimed by "
-                    f"{holder!r} while breaking our own stale lease "
-                    f"— a concurrent writer is live; retry"
+                    f"{holder!r} while breaking a presumed-crashed "
+                    f"lease — a concurrent writer is live; retry"
                 )
+        elif holder == token:
+            raise WriterLeaseHeld(
+                f"{root} writer lease is held by our own token "
+                f"{holder!r} but is only {age:.1f}s old (< "
+                f"stale_after_s={stale:.1f}s) — presumed LIVE: a "
+                f"concurrent attempt of the same logical operation "
+                f"(a contract breach: at most one live attempt per "
+                f"batch/window), or a crash within the last "
+                f"{stale:.0f}s.  Retry after the window, or "
+                f"break_writer_lease() after confirming no writer "
+                f"is active"
+            )
         else:
             raise WriterLeaseHeld(
                 f"{root} is locked by writer {holder or '<unknown>'!r} "
-                f"(lease file {root}{WRITER_LEASE_SUFFIX}).  If that "
-                f"operation is live, wait for it; if it crashed, "
-                f"re-drive/re-run it (its entry point breaks its own "
-                f"stale lease and recovers), or break_writer_lease() "
-                f"after confirming no writer is active"
+                f"(lease file {root}{WRITER_LEASE_SUFFIX}, age "
+                f"{age:.1f}s).  If that operation is live, wait for "
+                f"it; if it crashed, re-drive/re-run it (its entry "
+                f"point breaks its own stale lease and recovers); an "
+                f"unreadable/empty payload self-clears once it is "
+                f"{stale:.0f}s old; or break_writer_lease() after "
+                f"confirming no writer is active"
             )
     try:
         yield

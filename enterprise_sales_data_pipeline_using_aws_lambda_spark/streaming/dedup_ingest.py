@@ -213,8 +213,16 @@ def stream_docs_dedup_ingest(
         guarded_idempotent_append(
             spark, clean, lake_dir, batch_id, id_col, sort_files=4
         )
+        # per-batch lease token (round-10 ADVICE): micro-batches of
+        # ONE query serialize, but a batch ingest racing this stream
+        # on the same store — or a second query — must never share
+        # the token, or each presumed-stale break would hit the
+        # OTHER's live lease.  A checkpoint replay of this batch
+        # reuses its batch_id, so the crashed attempt's stale lease
+        # still self-breaks (after the age window).
         append_batch_signatures(
-            clean, store_path, text_col=text_col, id_col=id_col
+            clean, store_path, text_col=text_col, id_col=id_col,
+            lease_token=f"append:{batch_id}",
         )
 
     writer = (

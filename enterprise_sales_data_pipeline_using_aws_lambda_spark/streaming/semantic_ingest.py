@@ -112,16 +112,28 @@ def stream_vectors_semantic_ingest(
             # without this, a stream killed mid-swap fails every
             # replay on the probe's meta read — then probe, then heal
             # unless cooled down (the index must grow ≥10% past the
-            # last in-loop retrain before another can help).
-            _recover_retrain_swap(spark, index_path)
-            probe = ivf_occupancy_skew(spark, index_path)
-            cooled = (
-                _last_retrain_nv["nv"] is not None
-                and probe["n_vectors"] < 1.1 * _last_retrain_nv["nv"]
-            )
-            if not cooled and probe["skew"] > retrain_on_skew:
-                out = retrain_ivf_index(spark, index_path)
-                _last_retrain_nv["nv"] = out["n_vectors"]
+            # last in-loop retrain before another can help).  The
+            # whole recover+probe+retrain block holds the writer
+            # lease (round-10 ADVICE): the recovery MUTATES (deletes
+            # staging, restores backups), and a bare in-loop recovery
+            # racing a live offline retrain would delete the
+            # retrain's active staging directory — the same
+            # must-not-race rationale retrain_if_drifted documents.
+            from ..sources.writers import writer_lease
+
+            with writer_lease(spark, index_path, "retrain"):
+                _recover_retrain_swap(spark, index_path)
+                probe = ivf_occupancy_skew(spark, index_path)
+                cooled = (
+                    _last_retrain_nv["nv"] is not None
+                    and probe["n_vectors"]
+                    < 1.1 * _last_retrain_nv["nv"]
+                )
+                if not cooled and probe["skew"] > retrain_on_skew:
+                    out = retrain_ivf_index(
+                        spark, index_path, _lease=False
+                    )
+                    _last_retrain_nv["nv"] = out["n_vectors"]
         if compact_index_every:
             compact_ivf_index(
                 spark, index_path,
@@ -139,7 +151,13 @@ def stream_vectors_semantic_ingest(
         # order; the guarded append skips empty batches and fails
         # loudly on checkpoint/lake divergence
         guarded_idempotent_append(spark, clean, lake_dir, batch_id, id_col)
-        append_to_ivf_index(clean, index_path, id_col=id_col, vec_col=vec_col)
+        # per-batch lease token (round-10 ADVICE): see dedup_ingest —
+        # distinct batches must never share a token; a checkpoint
+        # replay reuses its batch_id, so crash self-heal is kept.
+        append_to_ivf_index(
+            clean, index_path, id_col=id_col, vec_col=vec_col,
+            lease_token=f"append:{batch_id}",
+        )
 
     writer = (
         stream.writeStream.foreachBatch(process_batch)

@@ -968,6 +968,14 @@ def test_ivf_lease_excludes_append_during_retrain_window(spark, tmp_path):
     os.makedirs(f"{path}__retrain/junk", exist_ok=True)
     with pytest.raises(WriterLeaseHeld, match="retrain"):
         append_to_ivf_index(batch, path)
+    # a YOUNG same-token lease is presumed LIVE (the age-gated
+    # self-break, round-10 ADVICE) — a re-run retrain racing a slow
+    # live one is excluded loudly instead of breaking its lease...
+    with pytest.raises(WriterLeaseHeld, match="presumed LIVE"):
+        retrain_ivf_index(spark, path)
+    # ...and self-breaks only once the lease has aged past the window
+    old = os.path.getmtime(path + "__lease") - 3600.0
+    os.utime(path + "__lease", (old, old))
     # re-run retrain: self-breaks its own stale lease, clears debris,
     # bumps the generation, releases
     out = retrain_ivf_index(spark, path)

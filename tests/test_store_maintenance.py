@@ -31,6 +31,13 @@ U = "completely unrelated content about distributed query engines"
 W = "a fresh document on columnar storage formats and encodings"
 
 
+def _backdate(lease_path, by_s=3600.0):
+    """Age a lease file past the presumed-crashed window (the lease's
+    self-break is mtime-gated — round-10 ADVICE)."""
+    old = os.path.getmtime(lease_path) - by_s
+    os.utime(lease_path, (old, old))
+
+
 def _store_ids(spark, store, table="signatures"):
     from enterprise_sales_data_pipeline_using_aws_lambda_spark.operators.text_dedup import (  # noqa: E501
         read_lsh_signature_store,
@@ -1257,8 +1264,17 @@ def test_writer_lease_excludes_appends_and_self_heals(spark, tmp_path):
         fh.write("append")
     with pytest.raises(WriterLeaseHeld, match="append"):
         compact_lsh_signature_store(spark, store, target_files=1)
-    # ...the re-driven append self-breaks its own token, no-ops on the
-    # id anti-join, and releases cleanly...
+    # ...a YOUNG same-token lease is presumed LIVE (round-10 ADVICE:
+    # the unconditional self-break let a re-drive racing a slow live
+    # attempt break ITS lease, putting both inside the critical
+    # section) — the re-drive is excluded loudly too...
+    with pytest.raises(WriterLeaseHeld, match="presumed LIVE"):
+        append_batch_signatures(batch, store)
+    # ...until the lease AGES past the staleness window (simulated by
+    # backdating the file's mtime): then the re-driven append
+    # self-breaks its own token, no-ops on the id anti-join, and
+    # releases cleanly...
+    _backdate(store + "__lease")
     assert append_batch_signatures(batch, store) == 0
     assert not os.path.exists(store + "__lease")
     # ...after which maintenance proceeds
@@ -1302,3 +1318,168 @@ def test_writer_lease_release_is_nonce_guarded(spark, tmp_path):
     with writer_lease(spark, root, "append"):
         pass
     assert not os.path.exists(root + "__lease")
+
+
+def test_writer_lease_distinct_batch_tokens_never_self_break(
+    spark, tmp_path
+):
+    """Round-10 ADVICE (medium): with the shared default token, a
+    re-drive of batch B self-broke live batch A's lease and both
+    entered the critical section.  The ingest loops now pass per-batch
+    tokens (``append:{batch_id}``), and a DIFFERENT-token lease is
+    never self-broken — young or stale — so two live batches on one
+    store exclude each other loudly; only the SAME batch's own
+    crashed lease self-heals (age-gated)."""
+    from contextlib import ExitStack
+
+    from enterprise_sales_data_pipeline_using_aws_lambda_spark.operators.text_dedup import (  # noqa: E501
+        append_batch_signatures,
+        write_lsh_signature_store,
+    )
+    from enterprise_sales_data_pipeline_using_aws_lambda_spark.sources.writers import (  # noqa: E501
+        WriterLeaseHeld,
+        writer_lease,
+    )
+
+    store = str(tmp_path / "store")
+    corpus = spark.createDataFrame(
+        [(101, X)], "doc_id long, text string"
+    )
+    write_lsh_signature_store(corpus, store, num_hashes=16, bands=4)
+    batch = spark.createDataFrame([(5, U)], "doc_id long, text string")
+
+    # live batch A holds append:1 -> batch B (append:2) is excluded
+    # loudly, no self-break, nothing lands
+    with ExitStack() as stack:
+        stack.enter_context(writer_lease(spark, store, "append:1"))
+        with pytest.raises(WriterLeaseHeld, match="append:1"):
+            append_batch_signatures(
+                batch, store, lease_token="append:2"
+            )
+        assert _store_ids(spark, store) == {101}
+    # a CRASHED batch A lease (even stale) still never self-breaks
+    # for batch B — recovery belongs to A's own re-drive
+    with open(store + "__lease", "w") as fh:
+        fh.write("append:1")
+    _backdate(store + "__lease")
+    with pytest.raises(WriterLeaseHeld, match="append:1"):
+        append_batch_signatures(batch, store, lease_token="append:2")
+    # ...while A's own re-drive self-breaks it and lands
+    assert append_batch_signatures(
+        batch, store, lease_token="append:1"
+    ) == 1
+    assert not os.path.exists(store + "__lease")
+    assert _store_ids(spark, store) == {101, 5}
+
+
+def test_writer_lease_empty_payload_self_clears_after_window(
+    spark, tmp_path
+):
+    """Round-10 VERDICT item 3 (the claim-crash story): a writer that
+    died between the atomic create and the payload write leaves an
+    EMPTY lease no token can match.  Young, it is presumed to be a
+    payload write in flight — every writer raises with guidance; once
+    it ages past the staleness window, the next writer (ANY token)
+    breaks it and proceeds, so the window no longer needs a manual
+    break_writer_lease."""
+    from enterprise_sales_data_pipeline_using_aws_lambda_spark.sources.writers import (  # noqa: E501
+        WriterLeaseHeld,
+        writer_lease,
+    )
+
+    root = str(tmp_path / "store")
+    os.makedirs(root)
+    open(root + "__lease", "w").close()  # claim-crash debris
+    with pytest.raises(WriterLeaseHeld, match="self-clears"):
+        with writer_lease(spark, root, "append:7"):
+            pass
+    _backdate(root + "__lease")
+    with writer_lease(spark, root, "append:7"):
+        assert open(root + "__lease").read().startswith("append:7\n")
+    assert not os.path.exists(root + "__lease")
+
+
+def test_writer_lease_claim_crash_cleanup_in_process(
+    spark, tmp_path, monkeypatch
+):
+    """Round-10 ADVICE (low): an IN-PROCESS failure of the payload
+    write (between createNewFile and the write) must drop the
+    just-claimed lease before propagating — otherwise the process is
+    alive but its empty lease wedges every writer (including itself)
+    for the whole staleness window."""
+    from enterprise_sales_data_pipeline_using_aws_lambda_spark.sources import (
+        writers,
+    )
+
+    root = str(tmp_path / "store")
+    os.makedirs(root)
+
+    def boom(fs, lease, payload):
+        raise OSError("disk full")
+
+    monkeypatch.setattr(writers, "_write_lease_payload", boom)
+    with pytest.raises(OSError, match="disk full"):
+        with writers.writer_lease(spark, root, "append:1"):
+            pass
+    assert not os.path.exists(root + "__lease")
+    monkeypatch.undo()
+    # the store is immediately claimable again
+    with writers.writer_lease(spark, root, "append:1"):
+        assert os.path.exists(root + "__lease")
+    assert not os.path.exists(root + "__lease")
+
+
+def test_stream_semantic_retrain_recovery_is_lease_guarded(
+    spark, tmp_path
+):
+    """Round-10 ADVICE (low): the in-loop ``_recover_retrain_swap``
+    MUTATES (deletes staging, restores backups), so it must not run
+    while another writer is live — a bare recovery racing an offline
+    retrain would delete the retrain's active staging directory.  The
+    recover+probe+retrain block now holds the writer lease: a
+    micro-batch arriving while a (young) foreign lease is held fails
+    loudly instead of mutating."""
+    import shutil as _sh
+
+    from pyspark.errors import StreamingQueryException
+
+    from enterprise_sales_data_pipeline_using_aws_lambda_spark.operators.similarity import (  # noqa: E501
+        read_ivf_index,
+        write_ivf_index,
+    )
+    from enterprise_sales_data_pipeline_using_aws_lambda_spark.streaming.semantic_ingest import (  # noqa: E501
+        stream_vectors_semantic_ingest,
+    )
+
+    raw = tmp_path / "raw"
+    raw.mkdir()
+    lake = str(tmp_path / "lake")
+    index = str(tmp_path / "ivf")
+    ckpt = str(tmp_path / "ckpt")
+    corpus = spark.createDataFrame(
+        [(i, [float(i % 3), 1.0]) for i in range(6)],
+        "vec_id long, embedding array<float>",
+    )
+    write_ivf_index(corpus, index, n_lists=2)
+
+    staging = str(tmp_path / "_stage")
+    spark.createDataFrame(
+        [(100, [2.0, -1.0])], "vec_id long, embedding array<float>"
+    ).coalesce(1).write.mode("overwrite").parquet(staging)
+    _sh.copy(glob.glob(f"{staging}/part-*.parquet")[0],
+             raw / "b0.parquet")
+
+    # a live offline retrain holds the lease (young, foreign nonce)
+    with open(index + "__lease", "w") as fh:
+        fh.write("retrain\nffffffffffffffff")
+    q = stream_vectors_semantic_ingest(
+        spark, str(raw), lake, index, ckpt,
+        threshold=0.999, max_files_per_trigger=1,
+        retrain_on_skew=100.0,  # probe path runs, trigger never fires
+    )
+    with pytest.raises(StreamingQueryException, match="retrain"):
+        q.awaitTermination(300)
+    # nothing mutated: index intact, nothing admitted to the lake
+    assert read_ivf_index(spark, index)["assignments"].count() == 6
+    assert not os.path.exists(lake)
+    os.remove(index + "__lease")
