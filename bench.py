@@ -326,7 +326,9 @@ def main() -> None:
     # bench run (the driver's own BENCH_r{N}.json archive keeps only
     # the last 2000 chars of stdout, so it cannot feed this).  Capped
     # at 5 promotions per run (worst spread/min first) so one
-    # pathological box day cannot triple the suite's wall clock.
+    # pathological box day cannot triple the suite's wall clock, and
+    # floored at 0.5 s absolute spread so the slots go to lanes whose
+    # noise actually moves the total, not micro-lane jitter.
     auto_promoted: list[str] = []
     try:
         with open(
@@ -341,6 +343,7 @@ def main() -> None:
                 and n not in MIN_OF_5
                 and n in _prev.get("queries", {})
                 and s > _prev["queries"][n] > 0
+                and s > 0.5
             ),
             key=lambda n: _prev["spread"][n] / _prev["queries"][n],
             reverse=True,
