@@ -1059,6 +1059,7 @@ def compact_ivf_index(
     path: str,
     target_files: int = 1,
     min_files: int = 2,
+    lease_stale_after_s: float | None = None,
 ) -> dict:
     """Small-file maintenance for a persisted IVF index: rewrite each
     ``list_id=`` partition of the assignments table down to
@@ -1081,7 +1082,12 @@ def compact_ivf_index(
     Run from a maintenance window; the whole run holds the index's
     writer lease (token ``"compact"``) so a concurrent append is
     EXCLUDED on atomic-create filesystems, not just fenced — a re-run
-    after a crash self-breaks its own stale lease and its recovery
+    after a crash self-breaks its own stale lease (age-gated:
+    ``lease_stale_after_s``, default
+    ``writers.WRITER_LEASE_STALE_AFTER_S`` — RAISE it when this run
+    can exceed the 60 s default at your scale, so an impatient
+    same-token re-run is excluded rather than breaking the LIVE
+    lease) and its recovery
     rolls the partitions back.  Returns {list_id: files_before} for
     rewritten partitions."""
     import os
@@ -1094,7 +1100,9 @@ def compact_ivf_index(
         writer_lease,
     )
 
-    with writer_lease(spark, path, "compact"):
+    with writer_lease(
+        spark, path, "compact", stale_after_s=lease_stale_after_s
+    ):
         # meta must exist (loud, with recovery guidance, on a
         # half-built index); its id_col drives the rewrite's
         # clustering — meta is the one table maintenance never
@@ -1297,6 +1305,7 @@ def retrain_ivf_index(
     n_lists: int | None = None,
     iters: int = 2,
     _lease: bool = True,
+    lease_stale_after_s: float | None = None,
 ) -> dict:
     """Re-train a persisted IVF index's codebook on its ACCUMULATED
     vectors and re-assign everything — the maintenance path that heals
@@ -1338,14 +1347,20 @@ def retrain_ivf_index(
     is EXCLUDED on atomic-create filesystems, closing the
     fence-TOCTOU residual (round-9 VERDICT item 5): an append can no
     longer commit between the staging's appearance and the swap.  A
-    re-run after a crash self-breaks its own stale lease; an append's
-    stale lease blocks this loudly (re-drive the append first).
-    ``_lease=False`` is for :func:`retrain_if_drifted`, which already
-    holds the same lease around its probe."""
+    re-run after a crash self-breaks its own stale lease (age-gated:
+    ``lease_stale_after_s``, default
+    ``writers.WRITER_LEASE_STALE_AFTER_S`` — RAISE it when a retrain
+    at your scale can exceed the 60 s default, so an impatient
+    same-token re-run is excluded rather than breaking the LIVE
+    lease); an append's stale lease blocks this loudly (re-drive the
+    append first).  ``_lease=False`` is for :func:`retrain_if_drifted`
+    and the streaming loop, which already hold the same lease."""
     from ..sources.writers import writer_lease
 
     if _lease:
-        with writer_lease(spark, path, "retrain"):
+        with writer_lease(
+            spark, path, "retrain", stale_after_s=lease_stale_after_s
+        ):
             return retrain_ivf_index(
                 spark, path, n_lists=n_lists, iters=iters, _lease=False
             )
@@ -1402,6 +1417,7 @@ def retrain_if_drifted(
     empty_threshold: float = 1.0,
     n_lists: int | None = None,
     iters: int = 2,
+    lease_stale_after_s: float | None = None,
 ) -> dict | None:
     """Probe-then-heal: run :func:`ivf_occupancy_skew` and retrain only
     when occupancy shows drift (max-list skew past ``skew_threshold``
@@ -1432,7 +1448,9 @@ def retrain_if_drifted(
     # entry MUTATES (deletes stale staging, restores backups), so it
     # must not run while another writer is live; the inner retrain
     # skips re-taking the same lease (_lease=False)
-    with writer_lease(spark, path, "retrain"):
+    with writer_lease(
+        spark, path, "retrain", stale_after_s=lease_stale_after_s
+    ):
         _recover_retrain_swap(spark, path)
         probe = ivf_occupancy_skew(spark, path)
         if (

@@ -1232,6 +1232,7 @@ def compact_lsh_signature_store(
     store_path: str,
     target_files: int = 8,
     min_files: int = 0,
+    lease_stale_after_s: float | None = None,
 ) -> dict:
     """Small-file maintenance for a persisted LSH store: rewrite the
     ``signatures`` and ``buckets`` tables down to ``target_files``
@@ -1254,9 +1255,14 @@ def compact_lsh_signature_store(
     maintenance window; the whole run holds the store's writer lease
     (token ``"compact"``) so a concurrent append is EXCLUDED on
     atomic-create filesystems, not just fenced — a re-run after a
-    crash self-breaks its own stale lease and its recovery rolls the
-    tables back.  Readers are still the caller's contract.  Returns
-    ``{table: files_before}`` with 0 for skipped tables."""
+    crash self-breaks its own stale lease (age-gated:
+    ``lease_stale_after_s``, default
+    ``writers.WRITER_LEASE_STALE_AFTER_S`` — RAISE it when this run
+    can exceed the 60 s default at your scale, so an impatient
+    same-token re-run is excluded rather than breaking the LIVE
+    lease) and its recovery rolls the tables back.  Readers are still
+    the caller's contract.  Returns ``{table: files_before}`` with 0
+    for skipped tables."""
     import os
 
     from ..sources.writers import (
@@ -1266,7 +1272,10 @@ def compact_lsh_signature_store(
         writer_lease,
     )
 
-    with writer_lease(spark, store_path, "compact"):
+    with writer_lease(
+        spark, store_path, "compact",
+        stale_after_s=lease_stale_after_s,
+    ):
         # meta is the one table maintenance never touches, so it is
         # readable even while a crashed swap has a data table
         # mid-rename — read it DIRECTLY (read_lsh_signature_store also

@@ -1483,3 +1483,37 @@ def test_stream_semantic_retrain_recovery_is_lease_guarded(
     assert read_ivf_index(spark, index)["assignments"].count() == 6
     assert not os.path.exists(lake)
     os.remove(index + "__lease")
+
+
+def test_maintenance_lease_staleness_knob_passes_through(
+    spark, tmp_path
+):
+    """Maintenance runs can outlive the 60 s default window at scale
+    (a full-corpus retrain or compaction is minutes at 100 TB), so the
+    entry points expose ``lease_stale_after_s`` and thread it into the
+    writer lease: sized small, a same-token crashed lease self-breaks
+    immediately; left at default, a fresh same-token lease is
+    presumed LIVE and the re-run is excluded loudly."""
+    from enterprise_sales_data_pipeline_using_aws_lambda_spark.operators.text_dedup import (  # noqa: E501
+        compact_lsh_signature_store,
+        write_lsh_signature_store,
+    )
+    from enterprise_sales_data_pipeline_using_aws_lambda_spark.sources.writers import (  # noqa: E501
+        WriterLeaseHeld,
+    )
+
+    store = str(tmp_path / "store")
+    corpus = spark.createDataFrame(
+        [(101, X), (102, Y)], "doc_id long, text string"
+    )
+    write_lsh_signature_store(corpus, store, num_hashes=16, bands=4)
+
+    with open(store + "__lease", "w") as fh:
+        fh.write("compact")
+    with pytest.raises(WriterLeaseHeld, match="presumed LIVE"):
+        compact_lsh_signature_store(spark, store, target_files=1)
+    res = compact_lsh_signature_store(
+        spark, store, target_files=1, lease_stale_after_s=0.0
+    )
+    assert res["signatures"] >= 1
+    assert not os.path.exists(store + "__lease")
