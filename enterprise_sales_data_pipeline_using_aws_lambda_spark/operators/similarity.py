@@ -977,6 +977,7 @@ def append_to_ivf_index(
     id_col: str = "vec_id",
     vec_col: str = "embedding",
     lease_token: str = "append",
+    lease_stale_after_s: float | None = None,
 ) -> int:
     """Fold new vectors into a persisted IVF index, idempotently: the
     batch is assigned with the index's OWN codebook (centroids stay
@@ -1001,13 +1002,21 @@ def append_to_ivf_index(
     ``writers.WRITER_LEASE_STALE_AFTER_S``), while two different live
     batches exclude each other loudly instead of silently breaking
     each other's lease.  The default shared token is safe only for a
-    caller that is provably the index's sole appender."""
+    caller that is provably the index's sole appender.  The lease
+    heartbeats while held, so the staleness window
+    (``lease_stale_after_s``, default
+    ``writers.WRITER_LEASE_STALE_AFTER_S``) gates crash RECOVERY
+    latency, not the append's duration — pass a smaller window when a
+    re-driven batch must reclaim its crashed predecessor's lease
+    sooner."""
     import os
 
     from ..sources.writers import writer_lease
 
     spark = batch.sparkSession
-    with writer_lease(spark, path, lease_token):
+    with writer_lease(
+        spark, path, lease_token, stale_after_s=lease_stale_after_s
+    ):
         _fence_ivf_append(spark, path)
         idx = read_ivf_index(spark, path)
         _check_index_compat(batch, idx["meta"], path, id_col, vec_col)

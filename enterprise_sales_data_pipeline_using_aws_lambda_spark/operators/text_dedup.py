@@ -1153,6 +1153,7 @@ def append_batch_signatures(
     text_col: str = "text",
     id_col: str = "doc_id",
     lease_token: str = "append",
+    lease_stale_after_s: float | None = None,
 ) -> int:
     """Fold an admitted batch into the LSH store (the "state last" step
     of :func:`ingest_dedup_batch`'s ingest order), idempotently: ids
@@ -1188,11 +1189,17 @@ def append_batch_signatures(
     different live batches on one store exclude each other loudly
     instead of silently breaking each other's lease.  The default
     shared token is safe only for a caller that is provably the
-    store's sole appender."""
+    store's sole appender.  The lease heartbeats while held, so the
+    staleness window (``lease_stale_after_s``, default
+    ``writers.WRITER_LEASE_STALE_AFTER_S``) gates crash RECOVERY
+    latency, not the append's duration."""
     from ..sources.writers import writer_lease
 
     spark = clean.sparkSession
-    with writer_lease(spark, store_path, lease_token):
+    with writer_lease(
+        spark, store_path, lease_token,
+        stale_after_s=lease_stale_after_s,
+    ):
         _fence_lsh_append(spark, store_path)
         clean = materialize(clean)
         store = read_lsh_signature_store(spark, store_path)

