@@ -24,6 +24,71 @@ from enterprise_sales_data_pipeline_using_aws_lambda_spark.session import (  # n
     get_spark,
 )
 
+
+def _git_head() -> str:
+    """Short commit id of the tree this run measured (provenance for
+    BENCH_LAST.json — VERDICT r11 item 3); 'unknown' outside git."""
+    import subprocess
+
+    try:
+        out = subprocess.run(
+            ["git", "rev-parse", "--short", "HEAD"],
+            cwd=os.path.dirname(os.path.abspath(__file__)),
+            capture_output=True, text=True, timeout=10,
+        )
+        return out.stdout.strip() or "unknown"
+    except Exception:  # noqa: BLE001 - provenance is best-effort
+        return "unknown"
+
+
+def _utc_now_iso() -> str:
+    import datetime
+
+    return datetime.datetime.now(datetime.timezone.utc).isoformat(
+        timespec="seconds"
+    )
+
+
+def promotion_candidates(
+    prev: dict, registered, already_min_of_5, this_host: str
+) -> tuple[list[str], dict]:
+    """Which lanes the previous run's archive promotes to min-of-5,
+    plus a provenance/skip note for the output JSON (module-level so
+    tests can drive it without a SparkSession — see main() for the
+    rationale comments).  Warm-run spread only, same-host archives
+    only, ≥2 warm runs required, capped at 5."""
+    host = prev.get("host")
+    runs_s = prev.get("runs_s")
+    if host != this_host:
+        return [], {
+            "skipped": (
+                f"archive host {host!r} is not this host — another "
+                f"machine's noise must not drive promotion"
+            )
+        }
+    if not isinstance(runs_s, dict):
+        return [], {
+            "skipped": "archive has no per-lane run lists "
+                       "(pre-round-12 format)"
+        }
+    cands = []
+    for n, rs in runs_s.items():
+        if n not in registered or n in already_min_of_5:
+            continue
+        warm = rs[1:]
+        if len(warm) < 2:
+            continue
+        wmin, wspread = min(warm), max(warm) - min(warm)
+        if wmin > 0 and wspread > wmin and wspread > 0.5:
+            cands.append((wspread / wmin, n))
+    cands.sort(reverse=True)
+    return [n for _, n in cands[:5]], {
+        "git_head": prev.get("git_head"),
+        "timestamp": prev.get("timestamp"),
+        "host": host,
+        "runner": prev.get("runner"),
+    }
+
 #: The queries that define this engine's headline cost profile: the
 #: reference surface (summary, dedup, upsert, validation), the TPC-H-ish
 #: analytics, and the LLM-pipeline extensions.
@@ -319,39 +384,38 @@ def main() -> None:
     # Auto-promotion (VERDICT r10 item 4): the hand-list above grew
     # one verdict at a time — one noisy lane cured per round while the
     # next one waited.  Generalize it into a RULE with the hand-list
-    # as the floor: any HEADLINE lane whose PREVIOUS run reported a
-    # spread exceeding 100% of its min (noise bigger than the signal)
-    # is promoted to min-of-5 for THIS run.  The previous run's full
-    # per-lane record comes from BENCH_LAST.json, written by every
-    # bench run (the driver's own BENCH_r{N}.json archive keeps only
-    # the last 2000 chars of stdout, so it cannot feed this).  Capped
-    # at 5 promotions per run (worst spread/min first) so one
-    # pathological box day cannot triple the suite's wall clock, and
-    # floored at 0.5 s absolute spread so the slots go to lanes whose
-    # noise actually moves the total, not micro-lane jitter.
+    # as the floor.  Round-12 hardening (VERDICT r11 item 3 + ADVICE):
+    # the rule now reads WARM-run spread only — the old whole-spread
+    # test mostly measured run-1 cold-start (e.g. ref_upsert's 1.374 s
+    # "spread" was cold−warm on a 1.195 s min), which min-of-5 drops
+    # anyway, so those promotions burned slots without reducing noise.
+    # A lane promotes only when it has ≥2 WARM runs (the >2 s
+    # min-of-3 club and existing min-of-5 lanes do; min-of-2 lanes
+    # have one warm run and carry no warm-noise evidence) whose
+    # max−min exceeds both the warm min (noise bigger than signal)
+    # and 0.5 s absolute.  The archive is also PROVENANCE-GUARDED:
+    # BENCH_LAST.json is stamped with git_head/timestamp/host/runner,
+    # and promotion is skipped entirely when the archive's host is
+    # not this machine — a fresh checkout must not promote lanes from
+    # another box's archived noise.  Capped at 5 promotions per run
+    # (worst warm spread/min first) so one pathological box day
+    # cannot triple the suite's wall clock.  The consumed archive's
+    # identity is echoed in the output as 'auto_promoted_from'.
+    import socket
+
     auto_promoted: list[str] = []
+    promo_src: dict = {}
     try:
         with open(
             os.path.join(os.path.dirname(__file__), "BENCH_LAST.json")
         ) as fh:
             _prev = json.load(fh)
-        _cands = sorted(
-            (
-                n
-                for n, s in _prev.get("spread", {}).items()
-                if n in QUERIES
-                and n not in MIN_OF_5
-                and n in _prev.get("queries", {})
-                and s > _prev["queries"][n] > 0
-                and s > 0.5
-            ),
-            key=lambda n: _prev["spread"][n] / _prev["queries"][n],
-            reverse=True,
+        auto_promoted, promo_src = promotion_candidates(
+            _prev, QUERIES, MIN_OF_5, socket.gethostname()
         )
-        auto_promoted = _cands[:5]
         MIN_OF_5 |= set(auto_promoted)
     except Exception:  # noqa: BLE001 - first run / missing archive
-        pass
+        promo_src = {"skipped": "no readable BENCH_LAST.json archive"}
 
     def _time(fn, name: str | None = None) -> tuple[float, float, int]:
         """(min, spread, runs).  Two timed runs; if the best exceeds 2 s
@@ -362,8 +426,13 @@ def main() -> None:
         first (warm-up), and report spread over the three fastest warm
         runs (trimmed — see MIN_OF_5 comment).  Spread = max−min
         across the counted runs, reported so round-over-round
-        comparisons can be read against the measured noise."""
+        comparisons can be read against the measured noise.  The raw
+        per-run times land in ``all_runs`` (archived as 'runs_s') so
+        the next run's auto-promotion can read WARM-run spread instead
+        of the cold-inclusive summary spread."""
         runs = []
+        if name is not None:
+            all_runs[name] = runs
 
         def one_run():
             if name in MIN_OF_5:
@@ -429,6 +498,7 @@ def main() -> None:
     # entire bench line — failures are reported by name and excluded
     # from the total rather than crashing the run.
     timings, spreads, nruns, failed, degraded = {}, {}, {}, {}, {}
+    all_runs: dict[str, list[float]] = {}
     for name in HEADLINE:
         try:
             timings[name], spreads[name], nruns[name] = _time(
@@ -450,7 +520,7 @@ def main() -> None:
         AUX.pop("ingest_dedup_store_100k_2k", None)
     for name, fn in AUX.items():
         try:
-            aux[name], spreads[name], nruns[name] = _time(fn)
+            aux[name], spreads[name], nruns[name] = _time(fn, name)
         except Exception as e:  # noqa: BLE001
             failed[name] = (str(e).splitlines() or ['<no message>'])[0][:200]
 
@@ -521,18 +591,35 @@ def main() -> None:
         "timing": (
             "min-of-2; min-of-3 when min > 2s; the 'min_of_5' lanes "
             "(hand floor + lanes auto-promoted because last run's "
-            "spread exceeded its min, see 'auto_promoted') take 5 "
+            "WARM-run spread exceeded its warm min, same-host archive "
+            "only — see 'auto_promoted'/'auto_promoted_from') take 5 "
             "runs with run 1 dropped as warm-up, a pre-run GC, and "
             "spread trimmed to the 3 fastest warm runs (steady "
             "state); lanes that completed fewer runs are listed "
-            "under 'degraded'"
+            "under 'degraded'; raw per-run times in 'runs_s'"
         ),
         "min_of_5": sorted(MIN_OF_5),
         "auto_promoted": auto_promoted,
+        # which archive fed the promotion rule (VERDICT r11 item 3:
+        # a judge run once silently overwrote the driver's archive —
+        # provenance makes the feed auditable), or why it was skipped
+        "auto_promoted_from": promo_src,
+        # raw per-run times per lane (run 1 = cold): feeds the NEXT
+        # run's warm-spread promotion rule and lets humans separate
+        # cold-start from steady-state noise without re-running
+        "runs_s": {
+            n: [round(r, 3) for r in rs] for n, rs in all_runs.items()
+        },
         "metric": "headline_queries_total_wall_seconds",
         "unit": "sec",
         "n_queries": len(timings),
         "slowest": slowest,
+        # run provenance (VERDICT r11 item 3): stamped on every run so
+        # the archive identifies which tree/box/actor produced it
+        "git_head": _git_head(),
+        "timestamp": _utc_now_iso(),
+        "host": socket.gethostname(),
+        "runner": os.environ.get("SPARK_GRAFT_BENCH_RUNNER", "unspecified"),
         "value": round(sum(timings.values()), 3),
         "sf": sf,
     }

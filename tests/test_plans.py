@@ -125,8 +125,8 @@ def test_rotation_and_bench_integrity():
     qs = entry.queries()
     names = list(qs)
     explicit = (
-        entry.R10_RED + entry.CHANGED_THIS_ROUND + entry.NEW_THIS_ROUND
-        + entry.OLDEST_R7 + entry.OLDEST_R8_FILLERS
+        entry.R11_RED + entry.CHANGED_THIS_ROUND + entry.NEW_THIS_ROUND
+        + entry.OLDEST_R8 + entry.OLDEST_R9_FILLERS
     )
     assert len(explicit) == len(set(explicit)), "duplicate rotation entry"
     missing = [n for n in explicit if n not in qs]
@@ -134,11 +134,11 @@ def test_rotation_and_bench_integrity():
     assert names[: len(explicit)] == explicit, (
         "explicit rotation block must lead queries() exactly"
     )
-    # Red/changed/new/r7-stale must fit the 50-slot budget; the r8
+    # Red/changed/new/r8-stale must fit the 50-slot budget; the r9
     # fillers then top the block up to exactly the driver's 50 slots.
     must_check = (
-        entry.R10_RED + entry.CHANGED_THIS_ROUND + entry.NEW_THIS_ROUND
-        + entry.OLDEST_R7
+        entry.R11_RED + entry.CHANGED_THIS_ROUND + entry.NEW_THIS_ROUND
+        + entry.OLDEST_R8
     )
     assert len(must_check) <= 50, "must-check block exceeds driver budget"
     assert len(explicit) == 50, "rotation block must fill all 50 slots"
@@ -290,3 +290,61 @@ def test_plan_digest_baseline_tripwire(spark):
         "intentional, regenerate PLANS_DIGEST.txt in this commit and "
         "front the query in the rotation:\n" + "\n".join(moved)
     )
+
+
+def test_bench_promotion_warm_spread_and_provenance_guards():
+    """Round-11 VERDICT item 3 + ADVICE (low): the min-of-5
+    auto-promotion must (a) never consume another machine's archived
+    noise (a fresh checkout carries the committed BENCH_LAST.json from
+    whatever box wrote it), and (b) read WARM-run spread only — the
+    old cold-inclusive spread promoted lanes whose only 'noise' was
+    run-1 cold-start, which min-of-5 drops anyway."""
+    import socket
+
+    import bench
+
+    host = socket.gethostname()
+    registered = {"lane_coldstart", "lane_noisy", "lane_two_runs",
+                  "lane_small"}
+
+    # cross-host archive: promotion skipped entirely, reason recorded
+    prev = {"host": "some-other-box", "runs_s": {
+        "lane_noisy": [9.0, 3.0, 8.0, 3.1, 7.9]}}
+    promoted, src = bench.promotion_candidates(
+        prev, registered, set(), host)
+    assert promoted == [] and "not this host" in src["skipped"]
+
+    # pre-round-12 archive (no runs_s): skipped, not guessed from the
+    # cold-inclusive summary spread
+    promoted, src = bench.promotion_candidates(
+        {"host": host, "spread": {"lane_noisy": 9.9},
+         "queries": {"lane_noisy": 1.0}}, registered, set(), host)
+    assert promoted == [] and "per-lane run lists" in src["skipped"]
+
+    prev = {
+        "host": host, "git_head": "abc1234", "timestamp": "t",
+        "runner": "tester",
+        "runs_s": {
+            # pure cold-start artifact (the ref_upsert shape in the
+            # round-11 archive): cold 2.6 s then one warm run — no
+            # warm-noise evidence, must NOT promote
+            "lane_coldstart": [2.569, 1.195],
+            # genuinely noisy warm runs: 4.0 vs 0.9 warm spread > min
+            "lane_noisy": [5.0, 1.0, 5.0, 0.9, 4.9],
+            # min>2s 3-run lane with quiet warm runs: no promotion
+            "lane_two_runs": [6.0, 3.0, 3.2],
+            # noisy but sub-0.5s absolute: micro-jitter, no promotion
+            "lane_small": [0.9, 0.1, 0.4],
+            # noisy but not registered: ineligible
+            "lane_unregistered": [9.0, 1.0, 9.0],
+        },
+    }
+    promoted, src = bench.promotion_candidates(
+        prev, registered, set(), host)
+    assert promoted == ["lane_noisy"]
+    assert src["git_head"] == "abc1234" and src["host"] == host
+
+    # already min-of-5 lanes are never re-promoted
+    promoted, _ = bench.promotion_candidates(
+        prev, registered, {"lane_noisy"}, host)
+    assert promoted == []
