@@ -580,6 +580,89 @@ def _write_lease_payload(fs, lease, payload: str) -> None:
         out.close()
 
 
+def _atomic_claim(jvm, fs, lease, payload: str) -> bool:
+    """Create-if-absent WITH the payload, as atomically as the scheme
+    allows.  Two real races found by
+    ``test_writer_lease_mutual_exclusion_under_real_contention`` (8
+    genuinely concurrent threads) drive the design:
+
+    1. ``FileSystem.createNewFile`` on the LOCAL filesystem is
+       exists-check-then-create — two racing claimants can BOTH
+       return true (observed: 2 writers inside the critical section).
+    2. Even with an atomic create, a create-empty-THEN-write-payload
+       claim is observable EMPTY in between, and a breaker acting on
+       a pre-handoff staleness probe can rename-capture the in-flight
+       claim; its restore then collides with the claimant's payload
+       write (observed: ``chmod: No such file`` out of
+       ``RawLocalFileSystem.create``).
+
+    So for ``file://`` the payload is written to a UNIQUE sibling temp
+    file and hard-linked into place — ``link(2)`` fails with EEXIST
+    and is kernel-arbitrated, so the claim is one atomic step and the
+    lease file NEVER exists without its payload.  Other schemes keep
+    the two-step claim: HDFS-like filesystems arbitrate
+    ``create(overwrite=false)`` server-side (one NameNode decision),
+    and their rename refuses an existing destination, so the
+    capture-steal interleaving above cannot clobber an in-flight
+    claim the way POSIX rename can.  An in-process payload-write
+    failure must not leave a claimed-but-empty lease behind (it would
+    wedge every writer for the staleness window) — both paths clean
+    up before propagating (round-10 ADVICE)."""
+    try:
+        scheme = fs.getUri().getScheme()
+    except Exception:  # noqa: BLE001 - unknown scheme: use the FS API
+        scheme = None
+    if scheme == "file":
+        import os
+
+        lease_io = jvm.java.io.File(lease.toUri().getPath())
+        tmp = jvm.org.apache.hadoop.fs.Path(
+            lease.toString() + ".claim." + os.urandom(8).hex()
+        )
+        tmp_io = jvm.java.io.File(tmp.toUri().getPath())
+        try:
+            _write_lease_payload(fs, tmp, payload)
+        except BaseException:
+            try:
+                fs.delete(tmp, False)
+            except Exception:  # noqa: BLE001 - best-effort cleanup
+                pass
+            raise
+        try:
+            jvm.java.nio.file.Files.createLink(
+                lease_io.toPath(), tmp_io.toPath()
+            )
+            return True
+        except Exception as e:  # noqa: BLE001 - EEXIST == lost the race
+            # identify EEXIST by TYPE: a probe-after-the-fact races the
+            # winner's release (measured — the path can be gone again
+            # by the time we look), so existence cannot distinguish
+            # "lost the race" from "link unsupported"
+            jexc = getattr(e, "java_exception", None)
+            name = jexc.getClass().getName() if jexc is not None else ""
+            if "FileAlreadyExists" in name:
+                return False
+            if fs.exists(lease):
+                return False
+            raise  # link() genuinely unsupported: loud, not silent
+        finally:
+            try:
+                fs.delete(tmp, False)
+            except Exception:  # noqa: BLE001 - best-effort cleanup
+                pass
+    if not fs.createNewFile(lease):
+        return False
+    try:
+        _write_lease_payload(fs, lease, payload)
+    except BaseException:
+        try:
+            fs.delete(lease, False)
+        except Exception:  # noqa: BLE001 - best-effort cleanup
+            pass
+        raise
+    return True
+
+
 def _touch_lease(fs, lease) -> None:
     """Refresh the lease file's mtime (the heartbeat) without touching
     its content — ``FileSystem.setTimes`` is a metadata-only call, so
@@ -624,8 +707,19 @@ def _capture_stale_lease(jvm, fs, lease, held: str, stale: float) -> bool:
     if cap_held == held and cap_age is not None and cap_age >= stale:
         fs.delete(capture, False)
         return True
-    # the lease changed under us — a live holder after all; restore it
-    if fs.rename(capture, lease):
+    # The lease changed under us — a live holder after all; restore
+    # it.  NOT via rename: POSIX rename REPLACES an existing dest, so
+    # a fresh claim that landed at the path while we held the capture
+    # would be silently clobbered with the old payload (a second
+    # two-writers path on local filesystems).  Atomic
+    # create-with-payload instead — only if WE re-create the path does
+    # the captured payload go back (the restored file's mtime is
+    # fresh, which merely delays a justified break by one window: the
+    # safe direction).
+    if _atomic_claim(
+        jvm, fs, lease, cap_held if cap_held is not None else held
+    ):
+        fs.delete(capture, False)
         raise WriterLeaseHeld(
             f"writer lease {lease} changed between the staleness probe "
             f"and the break (holder heartbeat or a fresh claim) — "
@@ -661,9 +755,11 @@ def writer_lease(
     re-check and its parquet commit still loses the append silently.
     This closes it: every writer entry point holds
     ``{root}__lease`` for its whole critical section, claimed with an
-    atomic create-if-absent (``FileSystem.createNewFile``), so on
-    HDFS-semantics filesystems (HDFS, local, ABFS) at most one writer
-    is ever inside.  On S3-like object stores without atomic
+    atomic create-if-absent (scheme-aware — see :func:`_atomic_claim`:
+    a kernel-arbitrated hard link carrying the payload on ``file://``,
+    the NameNode-arbitrated ``create(overwrite=false)`` elsewhere), so
+    on HDFS-semantics filesystems (HDFS, local, ABFS) at most one
+    writer is ever inside.  On S3-like object stores without atomic
     create-if-absent the lease degrades to best-effort advisory — the
     same guarantee the fences give — and the documented single-writer
     contract remains the rule.
@@ -720,7 +816,17 @@ def writer_lease(
     breaker's live lease); a CONTENDED claim adds one payload read and
     one getFileStatus (the age probe); the heartbeat adds one read +
     one setTimes per ``stale/3`` (default: every 20 s).  All noise
-    next to the job the lease protects."""
+    next to the job the lease protects.
+
+    Honest limits (shared with every lease protocol that lacks a
+    storage-layer fencing token): a DRIVER pause longer than the full
+    window — a stop-the-world GC or VM freeze spanning ≥3 missed
+    beats — is indistinguishable from a crash, so a same-token
+    re-drive may break the paused holder's lease; and driver-vs-FS
+    clock skew must stay small next to the window (see
+    :func:`_lease_age_s`).  Both degrade toward the OLD behavior
+    (claim-age gating), never a new failure mode, and the nonce
+    guard keeps even that breach from cascading to a third writer."""
     sc = spark.sparkContext
     jvm = sc._jvm
     conf = sc._jsc.hadoopConfiguration()
@@ -741,25 +847,11 @@ def writer_lease(
     payload = token + "\n" + _os.urandom(8).hex()
 
     def _claim() -> bool:
-        # the CLAIM is the atomic create; the payload write after it
-        # is single-writer by construction (only the claimant got
-        # True), so its non-atomicity can only yield an empty payload
-        # to a concurrent reader — handled as unknown-holder above.
-        # An in-process FAILURE of the payload write must not leave
-        # the just-claimed empty lease behind (it would wedge every
-        # writer for the whole staleness window), so it is dropped
-        # before the failure propagates — round-10 ADVICE.
-        if not fs.createNewFile(lease):
-            return False
-        try:
-            _write_lease_payload(fs, lease, payload)
-        except BaseException:
-            try:
-                fs.delete(lease, False)
-            except Exception:  # noqa: BLE001 - best-effort cleanup
-                pass
-            raise
-        return True
+        # scheme-aware atomic create-with-payload — see _atomic_claim
+        # for the two real races (both found by the real-contention
+        # stress test) that make Hadoop's local createNewFile and the
+        # create-empty-then-write-payload sequence unsafe here.
+        return _atomic_claim(jvm, fs, lease, payload)
 
     stale = (
         WRITER_LEASE_STALE_AFTER_S

@@ -1599,9 +1599,13 @@ def test_writer_lease_break_is_atomic_and_reverifies(
             pass
     monkeypatch.undo()
     # the break was aborted and the lease RESTORED byte-identically;
-    # no capture debris left behind
+    # no capture debris left behind.  (The restore re-creates the
+    # file — POSIX rename-back would clobber a fresh claim — so its
+    # mtime is fresh: a justified break is delayed by one window, the
+    # safe direction; re-backdate to continue the scenario.)
     assert open(lease_file).read() == "append:1\n0123456789abcdef"
     assert not glob.glob(lease_file + ".breaking.*")
+    _backdate(lease_file)
     # without the simulated heartbeat the same stale lease breaks
     # atomically and the re-drive proceeds
     with writers.writer_lease(spark, root, "append:1"):
@@ -1753,3 +1757,74 @@ def test_stream_semantic_ingest_lease_staleness_knob(spark, tmp_path):
     assert read_ivf_index(spark, index)["assignments"].count() == 7
     assert spark.read.parquet(lake).count() == 1
     assert not os.path.exists(index + "__lease")
+
+
+def test_writer_lease_mutual_exclusion_under_real_contention(
+    spark, tmp_path
+):
+    """Stress the lease with REAL concurrency (the prior race tests
+    simulate interleavings via monkeypatch; this one lets 8 driver
+    threads genuinely race): seeded stale same-token debris makes the
+    first wave exercise the atomic rename break concurrently (exactly
+    one breaker may win), and every subsequent hand-off races claim
+    against release.  Invariants: never two holders inside at once,
+    all 8 workers eventually complete, and the store ends clean — no
+    lease file, no `.breaking.` capture debris."""
+    import threading
+    import time
+
+    from enterprise_sales_data_pipeline_using_aws_lambda_spark.sources.writers import (  # noqa: E501
+        WriterLeaseHeld,
+        writer_lease,
+    )
+
+    root = str(tmp_path / "store")
+    os.makedirs(root)
+    with open(root + "__lease", "w") as fh:
+        fh.write("append:0")  # crashed predecessor, same token
+    _backdate(root + "__lease")
+
+    lock = threading.Lock()
+    inside: list[int] = []
+    max_inside = [0]
+    done: list[int] = []
+    errors: list = []
+
+    def worker(i: int) -> None:
+        deadline = time.time() + 90
+        while True:
+            try:
+                with writer_lease(
+                    spark, root, "append:0", stale_after_s=30.0
+                ):
+                    with lock:
+                        inside.append(i)
+                        max_inside[0] = max(max_inside[0], len(inside))
+                    time.sleep(0.05)
+                    with lock:
+                        inside.remove(i)
+                done.append(i)
+                return
+            except WriterLeaseHeld:
+                if time.time() > deadline:
+                    errors.append((i, "timed out contending"))
+                    return
+                time.sleep(0.02)
+            except Exception as e:  # noqa: BLE001 - fail the test loudly
+                errors.append((i, repr(e)))
+                return
+
+    threads = [
+        threading.Thread(target=worker, args=(i,)) for i in range(8)
+    ]
+    for t in threads:
+        t.start()
+    for t in threads:
+        t.join(180)
+    assert not errors, errors
+    assert sorted(done) == list(range(8))
+    assert max_inside[0] == 1, (
+        f"{max_inside[0]} writers inside the critical section at once"
+    )
+    assert not os.path.exists(root + "__lease")
+    assert not glob.glob(root + "__lease.breaking.*")
