@@ -1828,3 +1828,114 @@ def test_writer_lease_mutual_exclusion_under_real_contention(
     )
     assert not os.path.exists(root + "__lease")
     assert not glob.glob(root + "__lease.breaking.*")
+
+
+def test_writer_lease_break_parks_capture_when_path_reclaimed(
+    spark, tmp_path, monkeypatch
+):
+    """The last break branch: a breaker captures a lease, the
+    re-verify says it is LIVE (not the judged debris), and a THIRD
+    writer claims the original path before the restore — re-creating
+    the path would now clobber that fresh claim, so the breaker must
+    park the capture and raise naming both, never silently proceed."""
+    from enterprise_sales_data_pipeline_using_aws_lambda_spark.sources import (
+        writers,
+    )
+
+    root = str(tmp_path / "store")
+    os.makedirs(root)
+    lease_file = root + "__lease"
+    debris = "append:1\n0123456789abcdef"
+    with open(lease_file, "w") as fh:
+        fh.write(debris)
+    _backdate(lease_file)
+
+    # the capture re-verify reads FRESH (a heartbeat landed) so the
+    # restore path runs...
+    real_age = writers._lease_age_s
+
+    def staggered_age(fs, lease):
+        if ".breaking." in lease.toString():
+            return 0.1
+        return real_age(fs, lease)
+
+    # ...and the restore's atomic claim loses: a third writer owns the
+    # path (only the RESTORE payload — the captured debris — is
+    # refused; the contender's own claim payloads carry fresh nonces)
+    real_claim = writers._atomic_claim
+
+    def third_writer_owns_path(jvm, fs, lease, payload):
+        if payload == debris:
+            return False
+        return real_claim(jvm, fs, lease, payload)
+
+    monkeypatch.setattr(writers, "_lease_age_s", staggered_age)
+    monkeypatch.setattr(writers, "_atomic_claim", third_writer_owns_path)
+    with pytest.raises(writers.WriterLeaseHeld, match="parked at"):
+        with writers.writer_lease(spark, root, "append:1"):
+            pass
+    monkeypatch.undo()
+    # the captured lease is parked (payload intact) for the operator;
+    # the original path stays free for the (simulated) third writer
+    parked = glob.glob(lease_file + ".breaking.*")
+    assert len(parked) == 1
+    assert open(parked[0]).read() == debris
+    os.remove(parked[0])
+
+
+def test_writer_lease_heartbeat_never_refreshes_usurper(spark, tmp_path):
+    """The beat reads the payload before touching: if our lease was
+    (wrongly) usurped mid-hold, the beat must NOT refresh the
+    usurper's mtime — keeping a foreign lease alive would extend the
+    very breach it suffered."""
+    import time
+
+    from enterprise_sales_data_pipeline_using_aws_lambda_spark.sources.writers import (  # noqa: E501
+        writer_lease,
+    )
+
+    root = str(tmp_path / "store")
+    os.makedirs(root)
+    lease_file = root + "__lease"
+    with writer_lease(spark, root, "append:1", stale_after_s=1.5):
+        # usurp: overwrite with a foreign payload and backdate it
+        with open(lease_file, "w") as fh:
+            fh.write("append:1\nffffffffffffffff")
+        old = os.path.getmtime(lease_file) - 50.0
+        os.utime(lease_file, (old, old))
+        time.sleep(1.3)  # >= 2 beat intervals (0.5 s each)
+        # the beats saw a foreign payload and never touched the file
+        assert abs(os.path.getmtime(lease_file) - old) < 0.5
+    # nonce-guarded release left the usurper's file in place
+    assert open(lease_file).read() == "append:1\nffffffffffffffff"
+
+
+def test_writer_lease_degrades_to_claim_age_without_settimes(
+    spark, tmp_path, monkeypatch
+):
+    """Documented degradation: on a filesystem without ``setTimes``
+    the beat logs once and stops, the lease ages as claim age (the
+    pre-round-12 behavior), and the age-gated self-break still
+    recovers a crashed same-token lease — degraded, never wedged."""
+    import time
+
+    from enterprise_sales_data_pipeline_using_aws_lambda_spark.sources import (
+        writers,
+    )
+
+    def no_settimes(fs, lease):
+        raise OSError("setTimes not supported")
+
+    monkeypatch.setattr(writers, "_touch_lease", no_settimes)
+    root = str(tmp_path / "store")
+    os.makedirs(root)
+    with writers.writer_lease(spark, root, "append:1", stale_after_s=1.0):
+        time.sleep(1.4)  # outlives the window; beats all fail
+        # claim-age fallback: the same-token contender CAN break the
+        # aged lease (old semantics) — both inside is the documented
+        # cost of no setTimes + an undersized window, loud in the log
+        with writers.writer_lease(
+            spark, root, "append:1", stale_after_s=1.0
+        ):
+            pass
+    assert not os.path.exists(root + "__lease")
