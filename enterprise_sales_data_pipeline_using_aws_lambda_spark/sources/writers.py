@@ -1019,13 +1019,29 @@ def writer_lease(
 
 
 def break_writer_lease(spark: SparkSession, root: str) -> bool:
-    """Operator escape hatch: drop ``{root}__lease`` unconditionally.
-    Only after confirming no writer is live — breaking a LIVE writer's
-    lease re-opens the silent-loss race the lease exists to close.
-    Returns True if a lease file was removed."""
+    """Operator escape hatch: drop ``{root}__lease`` unconditionally,
+    along with any claim/capture sibling debris a hard-killed writer
+    left behind (``{lease}.claim.*`` from a claimant that died between
+    its temp write and the link, ``{lease}.breaking.*`` from a breaker
+    that died holding a capture, or a parked live-looking capture the
+    operator has finished inspecting).  Only after confirming no
+    writer is live — breaking a LIVE writer's lease re-opens the
+    silent-loss race the lease exists to close.  Returns True if a
+    lease file was removed."""
     sc = spark.sparkContext
-    lease = sc._jvm.org.apache.hadoop.fs.Path(
+    jvm = sc._jvm
+    lease = jvm.org.apache.hadoop.fs.Path(
         root.rstrip("/") + WRITER_LEASE_SUFFIX
     )
     fs = lease.getFileSystem(sc._jsc.hadoopConfiguration())
+    for pattern in (".claim.*", ".breaking.*"):
+        try:
+            for st in fs.globStatus(
+                jvm.org.apache.hadoop.fs.Path(
+                    lease.toString() + pattern
+                )
+            ):
+                fs.delete(st.getPath(), False)
+        except Exception:  # noqa: BLE001 - debris sweep is best-effort
+            pass
     return bool(fs.delete(lease, False))

@@ -1939,3 +1939,30 @@ def test_writer_lease_degrades_to_claim_age_without_settimes(
         ):
             pass
     assert not os.path.exists(root + "__lease")
+
+
+def test_break_writer_lease_sweeps_claim_and_capture_debris(
+    spark, tmp_path
+):
+    """The operator escape hatch resets EVERYTHING a hard-killed
+    writer can leave: the lease itself, a dead claimant's `.claim.`
+    temp, and a dead breaker's (or parked) `.breaking.` capture —
+    after the sweep the store claims cleanly."""
+    from enterprise_sales_data_pipeline_using_aws_lambda_spark.sources.writers import (  # noqa: E501
+        break_writer_lease,
+        writer_lease,
+    )
+
+    root = str(tmp_path / "store")
+    os.makedirs(root)
+    with open(root + "__lease", "w") as fh:
+        fh.write("append:1\nffffffffffffffff")
+    open(root + "__lease.claim.deadbeef00000000", "w").close()
+    with open(root + "__lease.breaking.feedface00000000", "w") as fh:
+        fh.write("compact\n1111111111111111")
+
+    assert break_writer_lease(spark, root)
+    assert not glob.glob(root + "__lease*")
+    with writer_lease(spark, root, "append:1"):
+        pass
+    assert not glob.glob(root + "__lease*")
