@@ -1536,17 +1536,19 @@ def test_writer_lease_heartbeat_keeps_long_holder_live(spark, tmp_path):
 
     root = str(tmp_path / "store")
     os.makedirs(root)
-    with writer_lease(spark, root, "append:1", stale_after_s=2.0):
-        time.sleep(3.0)  # critical section outlives the window
-        # ~4 beats (interval 0.667s) refreshed the mtime: a same-token
-        # contender sees a LIVE lease, never the old age-out break
+    # window 4s / beat 1.33s / hold 5s: the contender only breaks if
+    # EVERY beat slips >4s — generous margins for slow-box days
+    with writer_lease(spark, root, "append:1", stale_after_s=4.0):
+        time.sleep(5.0)  # critical section outlives the window
+        # ~3 beats refreshed the mtime: a same-token contender sees a
+        # LIVE lease, never the old age-out break
         with pytest.raises(WriterLeaseHeld, match="presumed LIVE"):
             with writer_lease(
-                spark, root, "append:1", stale_after_s=2.0
+                spark, root, "append:1", stale_after_s=4.0
             ):
                 pass
         # mtime really is fresh (the beat, not FS accident)
-        assert time.time() - os.path.getmtime(root + "__lease") < 2.0
+        assert time.time() - os.path.getmtime(root + "__lease") < 4.0
     assert not os.path.exists(root + "__lease")
     # opt-out restores the documented aging semantics: with the beat
     # off, the same long holder's lease ages out and IS self-broken
