@@ -1291,33 +1291,55 @@ def test_writer_lease_excludes_appends_and_self_heals(spark, tmp_path):
     assert read_lsh_signature_store(spark, store)["signatures"].count() == 3
 
 
-def test_writer_lease_release_is_nonce_guarded(spark, tmp_path):
+def test_writer_lease_release_is_nonce_guarded(spark, tmp_path, caplog):
     """Release safety: the lease payload carries a per-acquisition
     nonce, and exit deletes the lease file only when the full payload
     is still its own.  Without the guard, a same-token re-drive that
     (wrongly) broke a LIVE holder's lease would then have ITS lease
     deleted by the victim's exit — re-opening the store to a third
-    writer and compounding the original contract breach."""
+    writer and compounding the original contract breach.  Round-12
+    VERDICT item 2: the skip used to be SILENT; the victim's exit now
+    sets the yielded handle's ``breached`` event and logs an ERROR
+    naming both payloads."""
+    import logging
+
     from enterprise_sales_data_pipeline_using_aws_lambda_spark.sources.writers import (  # noqa: E501
         writer_lease,
     )
 
+    caplog.set_level(
+        logging.INFO,
+        logger="enterprise_sales_data_pipeline_using_aws_lambda_spark"
+               ".sources.writers",
+    )
     root = str(tmp_path / "store")
     os.makedirs(root)
     breaker = "append\n0123456789abcdef"
-    with writer_lease(spark, root, "append"):
+    with writer_lease(spark, root, "append", heartbeat=False) as h:
         ours = open(root + "__lease").read()
         assert ours.split("\n")[0] == "append" and ours != breaker
         # simulate the breaker: overwrite with a different nonce
         with open(root + "__lease", "w") as fh:
             fh.write(breaker)
-    # the victim exited without deleting the breaker's lease
+        assert not h.breached.is_set()
+    # the victim exited without deleting the breaker's lease — and
+    # LOUDLY: handle flagged, ERROR naming both payloads
     assert open(root + "__lease").read() == breaker
-    # normal own-lease release still deletes
+    assert h.breached.is_set()
+    breach_logs = [
+        r for r in caplog.records
+        if r.levelno >= logging.ERROR
+        and "NOT ours at release" in r.getMessage()
+    ]
+    assert breach_logs
+    assert ours.split("\n")[1] in breach_logs[0].getMessage()
+    assert "0123456789abcdef" in breach_logs[0].getMessage()
+    # normal own-lease release still deletes, silently and unflagged
     os.remove(root + "__lease")
-    with writer_lease(spark, root, "append"):
+    with writer_lease(spark, root, "append") as h2:
         pass
     assert not os.path.exists(root + "__lease")
+    assert not h2.breached.is_set()
 
 
 def test_writer_lease_distinct_batch_tokens_never_self_break(
@@ -1885,40 +1907,70 @@ def test_writer_lease_break_parks_capture_when_path_reclaimed(
     os.remove(parked[0])
 
 
-def test_writer_lease_heartbeat_never_refreshes_usurper(spark, tmp_path):
+def test_writer_lease_heartbeat_never_refreshes_usurper(
+    spark, tmp_path, caplog
+):
     """The beat reads the payload before touching: if our lease was
     (wrongly) usurped mid-hold, the beat must NOT refresh the
     usurper's mtime — keeping a foreign lease alive would extend the
-    very breach it suffered."""
+    very breach it suffered.  Round-12 VERDICT item 2: the beat used
+    to detect the usurpation and silently stop; it now sets the
+    yielded handle's ``breached`` event and logs an ERROR naming both
+    payloads, so an actual single-writer breach is visible to the
+    holder and in the logs."""
+    import logging
     import time
 
     from enterprise_sales_data_pipeline_using_aws_lambda_spark.sources.writers import (  # noqa: E501
         writer_lease,
     )
 
+    caplog.set_level(
+        logging.INFO,
+        logger="enterprise_sales_data_pipeline_using_aws_lambda_spark"
+               ".sources.writers",
+    )
     root = str(tmp_path / "store")
     os.makedirs(root)
     lease_file = root + "__lease"
-    with writer_lease(spark, root, "append:1", stale_after_s=1.5):
+    usurper = "append:1\nffffffffffffffff"
+    with writer_lease(spark, root, "append:1", stale_after_s=1.5) as h:
+        ours = open(lease_file).read()
+        assert not h.breached.is_set()
         # usurp: overwrite with a foreign payload and backdate it
         with open(lease_file, "w") as fh:
-            fh.write("append:1\nffffffffffffffff")
+            fh.write(usurper)
         old = os.path.getmtime(lease_file) - 50.0
         os.utime(lease_file, (old, old))
         time.sleep(1.3)  # >= 2 beat intervals (0.5 s each)
         # the beats saw a foreign payload and never touched the file
         assert abs(os.path.getmtime(lease_file) - old) < 0.5
+        # ...and the breach is LOUD: handle flagged, ERROR logged
+        # naming both payloads (wait out beat scheduling jitter)
+        assert h.breached.wait(5.0)
     # nonce-guarded release left the usurper's file in place
-    assert open(lease_file).read() == "append:1\nffffffffffffffff"
+    assert open(lease_file).read() == usurper
+    breach_logs = [
+        r for r in caplog.records
+        if r.levelno >= logging.ERROR and "USURPED" in r.getMessage()
+    ]
+    assert breach_logs, "usurpation must log at ERROR"
+    assert ours.split("\n")[1] in breach_logs[0].getMessage()
+    assert "ffffffffffffffff" in breach_logs[0].getMessage()
 
 
 def test_writer_lease_degrades_to_claim_age_without_settimes(
     spark, tmp_path, monkeypatch
 ):
-    """Documented degradation: on a filesystem without ``setTimes``
-    the beat logs once and stops, the lease ages as claim age (the
-    pre-round-12 behavior), and the age-gated self-break still
-    recovers a crashed same-token lease — degraded, never wedged."""
+    """Documented degradation: when every ``setTimes`` fails (here a
+    plain Python exception — no ``java_exception`` type, so the beat
+    classifies it TRANSIENT and keeps retrying rather than stopping,
+    round-12 ADVICE), the mtime is never refreshed, the lease ages as
+    claim age (the pre-round-12 behavior), and the age-gated
+    self-break still recovers a crashed same-token lease — degraded,
+    never wedged.  The permanent-stop path needs the Java
+    ``UnsupportedOperationException`` type — see
+    test_writer_lease_heartbeat_stops_once_on_unsupported_settimes."""
     import time
 
     from enterprise_sales_data_pipeline_using_aws_lambda_spark.sources import (
@@ -1968,3 +2020,370 @@ def test_break_writer_lease_sweeps_claim_and_capture_debris(
     with writer_lease(spark, root, "append:1"):
         pass
     assert not glob.glob(root + "__lease*")
+
+
+def test_writer_lease_heartbeat_survives_transient_touch_failures(
+    spark, tmp_path, monkeypatch
+):
+    """Round-12 ADVICE (medium): the beat used to exit permanently on
+    the FIRST ``setTimes`` exception of any kind, so one transient IO
+    failure silently degraded a live long-running holder to claim-age
+    staleness — the race the heartbeat exists to close.  A transient
+    failure now skips that beat and retries: after two injected
+    failures the next beats succeed and the mtime is fresh again, so
+    a same-token contender still sees a LIVE lease."""
+    import time
+
+    from enterprise_sales_data_pipeline_using_aws_lambda_spark.sources import (
+        writers,
+    )
+
+    real_touch = writers._touch_lease
+    calls = {"n": 0}
+
+    def flaky_touch(fs, lease):
+        calls["n"] += 1
+        if calls["n"] <= 2:
+            raise OSError("transient IO failure")
+        real_touch(fs, lease)
+
+    monkeypatch.setattr(writers, "_touch_lease", flaky_touch)
+    root = str(tmp_path / "store")
+    os.makedirs(root)
+    lease_file = root + "__lease"
+    with writers.writer_lease(
+        spark, root, "append:1", stale_after_s=1.5
+    ) as h:
+        # interval 0.5s: beats 1-2 fail (skipped), beat 3+ succeeds
+        deadline = time.time() + 10.0
+        while calls["n"] < 3 and time.time() < deadline:
+            time.sleep(0.1)
+        assert calls["n"] >= 3, "beat thread stopped after a transient"
+        time.sleep(0.6)  # let a post-recovery beat land
+        # the beat recovered: mtime is fresh despite the two failures
+        assert time.time() - os.path.getmtime(lease_file) < 1.5
+        # and a same-token contender is still excluded as LIVE
+        with pytest.raises(
+            writers.WriterLeaseHeld, match="presumed LIVE"
+        ):
+            with writers.writer_lease(
+                spark, root, "append:1", stale_after_s=1.5
+            ):
+                pass
+    assert not h.breached.is_set()
+    assert not os.path.exists(lease_file)
+
+
+def test_writer_lease_heartbeat_gives_up_loudly_after_misses(
+    spark, tmp_path, monkeypatch, caplog
+):
+    """Round-12 ADVICE (medium), the give-up bound: persistent
+    transient failures must not retry forever — after
+    WRITER_LEASE_BEAT_GIVE_UP consecutive missed beats (two full
+    staleness windows) the beat gives up with an ERROR log so the
+    degradation to claim-age staleness is visible, not silent."""
+    import logging
+    import time
+
+    from enterprise_sales_data_pipeline_using_aws_lambda_spark.sources import (
+        writers,
+    )
+
+    caplog.set_level(
+        logging.INFO,
+        logger="enterprise_sales_data_pipeline_using_aws_lambda_spark"
+               ".sources.writers",
+    )
+    calls = {"n": 0}
+
+    def always_fails(fs, lease):
+        calls["n"] += 1
+        raise OSError("persistent transient-looking failure")
+
+    monkeypatch.setattr(writers, "_touch_lease", always_fails)
+    root = str(tmp_path / "store")
+    os.makedirs(root)
+    with writers.writer_lease(
+        spark, root, "append:1", stale_after_s=1.5
+    ) as h:
+        # interval 0.5s x 6 misses = ~3s to the give-up; generous
+        # deadline for slow-box scheduling
+        deadline = time.time() + 20.0
+        while time.time() < deadline:
+            if any(
+                r.levelno >= logging.ERROR
+                and "giving up" in r.getMessage()
+                for r in caplog.records
+            ):
+                break
+            time.sleep(0.2)
+        giveups = [
+            r for r in caplog.records
+            if r.levelno >= logging.ERROR
+            and "giving up" in r.getMessage()
+        ]
+        assert giveups, "beat must give up LOUDLY after the bound"
+        n_at_giveup = calls["n"]
+        assert n_at_giveup >= writers.WRITER_LEASE_BEAT_GIVE_UP
+        time.sleep(1.2)  # two more would-be intervals
+        assert calls["n"] == n_at_giveup, "beat kept running past give-up"
+    # give-up is a degradation, not a breach: the flag stays clear and
+    # the holder's own release still deletes its (aged) lease
+    assert not h.breached.is_set()
+    assert not os.path.exists(root + "__lease")
+
+
+def test_writer_lease_heartbeat_stops_once_on_unsupported_settimes(
+    spark, tmp_path, monkeypatch, caplog
+):
+    """The PERMANENT beat stop is reserved for a filesystem that
+    genuinely lacks ``setTimes`` — identified by the Java exception
+    TYPE (``UnsupportedOperationException``), the same technique
+    ``_atomic_claim`` uses for EEXIST — because retrying an
+    unsupported call can never succeed.  One attempt, one WARNING,
+    done."""
+    import logging
+    import time
+
+    from enterprise_sales_data_pipeline_using_aws_lambda_spark.sources import (
+        writers,
+    )
+
+    caplog.set_level(
+        logging.INFO,
+        logger="enterprise_sales_data_pipeline_using_aws_lambda_spark"
+               ".sources.writers",
+    )
+
+    class _JClass:
+        def getName(self):
+            return "java.lang.UnsupportedOperationException"
+
+    class _JExc:
+        def getClass(self):
+            return _JClass()
+
+    calls = {"n": 0}
+
+    def unsupported(fs, lease):
+        calls["n"] += 1
+        e = OSError("setTimes not supported by this FileSystem")
+        e.java_exception = _JExc()
+        raise e
+
+    monkeypatch.setattr(writers, "_touch_lease", unsupported)
+    root = str(tmp_path / "store")
+    os.makedirs(root)
+    with writers.writer_lease(
+        spark, root, "append:1", stale_after_s=1.5
+    ) as h:
+        deadline = time.time() + 10.0
+        while calls["n"] < 1 and time.time() < deadline:
+            time.sleep(0.1)
+        assert calls["n"] == 1
+        time.sleep(1.2)  # two more would-be intervals
+        assert calls["n"] == 1, "unsupported setTimes must stop the beat"
+    assert not h.breached.is_set()  # degradation, not a breach
+    warns = [
+        r for r in caplog.records
+        if r.levelno == logging.WARNING
+        and "without setTimes" in r.getMessage()
+    ]
+    assert len(warns) == 1
+    assert not os.path.exists(root + "__lease")
+
+
+def test_writer_lease_release_unreadable_payload_warns_no_delete(
+    spark, tmp_path, monkeypatch, caplog
+):
+    """Round-12 ADVICE (low): release used to retry a transient
+    payload read exactly once (0.2 s) and then SILENTLY skip the
+    delete — the orphaned lease then blocked every different-token
+    writer for a full stale window with nothing in the logs.  Release
+    now retries with backoff and, when it still cannot identify the
+    payload, exits without deleting but logs a WARNING pointing at
+    the WriterLeaseHeld window to expect."""
+    import logging
+
+    from enterprise_sales_data_pipeline_using_aws_lambda_spark.sources import (
+        writers,
+    )
+
+    caplog.set_level(
+        logging.INFO,
+        logger="enterprise_sales_data_pipeline_using_aws_lambda_spark"
+               ".sources.writers",
+    )
+    root = str(tmp_path / "store")
+    os.makedirs(root)
+    lease_file = root + "__lease"
+    with writers.writer_lease(
+        spark, root, "append:1", heartbeat=False
+    ) as h:
+        payload = open(lease_file).read()
+        monkeypatch.setattr(
+            writers, "_read_lease_payload",
+            lambda jvm, fs, lease: None,
+        )
+    monkeypatch.undo()
+    # not deleted (could be someone else's), not flagged as a breach
+    # (unknown is not evidence of usurpation), but LOUD
+    assert open(lease_file).read() == payload
+    assert not h.breached.is_set()
+    warns = [
+        r for r in caplog.records
+        if r.levelno == logging.WARNING
+        and "WITHOUT deleting" in r.getMessage()
+    ]
+    assert warns
+    os.remove(lease_file)
+
+
+def test_writer_lease_release_vanished_lease_is_loud(
+    spark, tmp_path, caplog
+):
+    """A lease file GONE at exit means someone captured-and-discarded
+    it (or ran break_writer_lease) while we were inside the critical
+    section — mutual exclusion may have been violated, so the exit
+    sets ``breached`` and logs an ERROR instead of silently noticing
+    nothing."""
+    import logging
+
+    from enterprise_sales_data_pipeline_using_aws_lambda_spark.sources.writers import (  # noqa: E501
+        writer_lease,
+    )
+
+    caplog.set_level(
+        logging.INFO,
+        logger="enterprise_sales_data_pipeline_using_aws_lambda_spark"
+               ".sources.writers",
+    )
+    root = str(tmp_path / "store")
+    os.makedirs(root)
+    with writer_lease(spark, root, "append:1", heartbeat=False) as h:
+        os.remove(root + "__lease")  # simulated mid-hold manual break
+    assert h.breached.is_set()
+    errs = [
+        r for r in caplog.records
+        if r.levelno >= logging.ERROR and "VANISHED" in r.getMessage()
+    ]
+    assert errs
+
+
+def test_writer_lease_capture_racing_live_beat_aborts_and_recovers(
+    spark, tmp_path, monkeypatch
+):
+    """Deterministic beat-vs-break interleaving (round-12 VERDICT item
+    7): a contender whose staleness PROBE misfires (here: forced to
+    read the original path as ancient) rename-captures a LIVE beating
+    holder's lease.  The capture's re-verify reads the REAL mtime —
+    fresh, thanks to the beats — so the break aborts and restores, the
+    contender raises, and the holder's beat, which may have seen the
+    lease vanish during the capture window, recovers on the restored
+    file: no breach flag, fresh mtime, clean release."""
+    import time
+
+    from enterprise_sales_data_pipeline_using_aws_lambda_spark.sources import (
+        writers,
+    )
+
+    root = str(tmp_path / "store")
+    os.makedirs(root)
+    lease_file = root + "__lease"
+
+    real_age = writers._lease_age_s
+
+    def probe_misfires(fs, lease):
+        if ".breaking." in lease.toString():
+            return real_age(fs, lease)  # the re-verify reads REALITY
+        return 9999.0  # the probe wrongly judges the lease stale
+
+    with writers.writer_lease(
+        spark, root, "append:1", stale_after_s=2.0
+    ) as h:
+        with monkeypatch.context() as mp:
+            mp.setattr(writers, "_lease_age_s", probe_misfires)
+            with pytest.raises(
+                writers.WriterLeaseHeld,
+                match="between the staleness probe",
+            ):
+                with writers.writer_lease(
+                    spark, root, "append:1", stale_after_s=2.0
+                ):
+                    pass
+        # the holder's lease survived the capture/restore round-trip
+        assert os.path.exists(lease_file)
+        assert not glob.glob(lease_file + ".breaking.*")
+        time.sleep(1.5)  # >= 2 beat intervals (0.667 s each)
+        # the beat recovered on the restored file: mtime fresh, no
+        # breach (the restored payload is OURS, not a usurper's)
+        assert time.time() - os.path.getmtime(lease_file) < 2.0
+        assert not h.breached.is_set()
+    assert not h.breached.is_set()
+    assert not os.path.exists(lease_file)
+    assert not glob.glob(lease_file + ".breaking.*")
+
+
+def test_writer_lease_beat_vs_breakers_real_contention(spark, tmp_path):
+    """Round-12 VERDICT item 7: the 8-thread stress test used a 30 s
+    window with ~50 ms holds, so the heartbeat never actually raced a
+    breaker.  Here the ratio flips: ONE holder with a multi-second
+    critical section under a window it outlives (4 s window, ~1.33 s
+    beats, 5 s hold) while four contender threads hammer same-token
+    claims the whole time — hundreds of genuinely concurrent
+    probe/claim/break attempts against a live beating holder.
+    Invariants: no contender ever gets inside (every attempt raises
+    WriterLeaseHeld), the holder is never breached, and the store
+    ends clean with no capture debris."""
+    import threading
+    import time
+
+    from enterprise_sales_data_pipeline_using_aws_lambda_spark.sources.writers import (  # noqa: E501
+        WriterLeaseHeld,
+        writer_lease,
+    )
+
+    root = str(tmp_path / "store")
+    os.makedirs(root)
+    stop = threading.Event()
+    attempts = [0] * 4
+    violations: list = []
+    errors: list = []
+
+    def contender(i: int) -> None:
+        while not stop.is_set():
+            try:
+                with writer_lease(
+                    spark, root, "append:0", stale_after_s=4.0
+                ):
+                    violations.append(i)
+                    return
+            except WriterLeaseHeld:
+                attempts[i] += 1
+                time.sleep(0.01)
+            except Exception as e:  # noqa: BLE001 - fail loudly
+                errors.append((i, repr(e)))
+                return
+
+    with writer_lease(spark, root, "append:0", stale_after_s=4.0) as h:
+        threads = [
+            threading.Thread(target=contender, args=(i,))
+            for i in range(4)
+        ]
+        for t in threads:
+            t.start()
+        time.sleep(5.0)  # the critical section outlives the window
+        stop.set()  # BEFORE release: post-release claims would be legal
+        for t in threads:
+            t.join(60)
+        assert not errors, errors
+        assert not violations, (
+            f"contenders {violations} entered a live holder's section"
+        )
+        assert sum(attempts) >= 20, (
+            f"only {sum(attempts)} contention trials — not a stress"
+        )
+        assert not h.breached.is_set()
+    assert not h.breached.is_set()
+    assert not os.path.exists(root + "__lease")
+    assert not glob.glob(root + "__lease.breaking.*")
