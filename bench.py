@@ -41,6 +41,21 @@ def _git_head() -> str:
         return "unknown"
 
 
+def _default_runner() -> str:
+    """Attributable fallback for the runner stamp (round-12 VERDICT
+    item 4: the driver's archives all read 'unspecified' because only
+    the builder/judge export SPARK_GRAFT_BENCH_RUNNER) — user@host:pid
+    from public stdlib APIs, so every archive names SOME actor."""
+    import getpass
+    import socket
+
+    try:
+        user = getpass.getuser()
+    except Exception:  # noqa: BLE001 - no passwd entry / env
+        user = "unknown"
+    return f"{user}@{socket.gethostname()}:{os.getpid()}"
+
+
 def _utc_now_iso() -> str:
     import datetime
 
@@ -56,9 +71,16 @@ def promotion_candidates(
     plus a provenance/skip note for the output JSON (module-level so
     tests can drive it without a SparkSession — see main() for the
     rationale comments).  Warm-run spread only, same-host archives
-    only, ≥2 warm runs required, capped at 5."""
+    only, ≥2 warm runs required, capped at 5.  Lanes the archive
+    marks 'failed' are skipped (round-12 ADVICE: runs_s used to be
+    registered before the lane ran, so a mid-sequence failure
+    archived partial runs that the next round could consume as
+    promotion evidence) — main() also quarantines those runs under
+    'failed_runs_s', so this guard covers archives written by older
+    code."""
     host = prev.get("host")
     runs_s = prev.get("runs_s")
+    prev_failed = prev.get("failed") or {}
     if host != this_host:
         return [], {
             "skipped": (
@@ -75,6 +97,8 @@ def promotion_candidates(
     for n, rs in runs_s.items():
         if n not in registered or n in already_min_of_5:
             continue
+        if n in prev_failed:
+            continue  # partial samples from a failed lane: not evidence
         warm = rs[1:]
         if len(warm) < 2:
             continue
@@ -373,12 +397,22 @@ def main() -> None:
     # conversion_latency_percentiles (9.6 s judge-side) and
     # audio_energy_fingerprints (2.86 s spread on a 1.7 s min in the
     # driver run) — the next three cold-lane-lottery candidates.
+    # Round-13 addition (VERDICT r12 item 3): basket_part_pairs_lift
+    # read 4.4-5.1 s on all three round-12 driver runs and 3.48 s min
+    # on the judge's solo run vs 1.74-1.80 s same-day afternoon
+    # anchors on byte-identical plan digests — the same
+    # evening-box/JIT-convergence class pinned for mad_robust_spread
+    # (a min-of-3 join-heavy plan with many codegen modules).  The
+    # min-of-5 treatment (pre-run GC + drop run 1 + trimmed spread)
+    # is the adjudication that settled mad/minhash; its steady-state
+    # min, not its totals-window samples, is the graded quantity.
     MIN_OF_5 = {
         "pagerank_part_graph", "dedup_minhash_lsh",
         "mad_robust_spread", "percentile_summary",
         "triangle_count_parts", "peak_concurrent_sessions",
         "dedup_repeated_spans", "winsorized_stats",
         "conversion_latency_percentiles", "audio_energy_fingerprints",
+        "basket_part_pairs_lift",
     }
 
     # Auto-promotion (VERDICT r10 item 4): the hand-list above grew
@@ -606,9 +640,19 @@ def main() -> None:
         "auto_promoted_from": promo_src,
         # raw per-run times per lane (run 1 = cold): feeds the NEXT
         # run's warm-spread promotion rule and lets humans separate
-        # cold-start from steady-state noise without re-running
+        # cold-start from steady-state noise without re-running.
+        # Lanes that FAILED are quarantined under 'failed_runs_s'
+        # (round-12 ADVICE: all_runs registers the list before the
+        # lane runs, so a mid-sequence failure used to archive
+        # partial samples under 'runs_s' where the next round's
+        # promotion rule could consume them as warm evidence).
         "runs_s": {
-            n: [round(r, 3) for r in rs] for n, rs in all_runs.items()
+            n: [round(r, 3) for r in rs]
+            for n, rs in all_runs.items() if n not in failed
+        },
+        "failed_runs_s": {
+            n: [round(r, 3) for r in rs]
+            for n, rs in all_runs.items() if n in failed
         },
         "metric": "headline_queries_total_wall_seconds",
         "unit": "sec",
@@ -619,7 +663,10 @@ def main() -> None:
         "git_head": _git_head(),
         "timestamp": _utc_now_iso(),
         "host": socket.gethostname(),
-        "runner": os.environ.get("SPARK_GRAFT_BENCH_RUNNER", "unspecified"),
+        "runner": (
+            os.environ.get("SPARK_GRAFT_BENCH_RUNNER")
+            or _default_runner()
+        ),
         "value": round(sum(timings.values()), 3),
         "sf": sf,
     }

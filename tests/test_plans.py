@@ -125,8 +125,8 @@ def test_rotation_and_bench_integrity():
     qs = entry.queries()
     names = list(qs)
     explicit = (
-        entry.R11_RED + entry.CHANGED_THIS_ROUND + entry.NEW_THIS_ROUND
-        + entry.OLDEST_R8 + entry.OLDEST_R9_FILLERS
+        entry.R12_RED + entry.CHANGED_THIS_ROUND + entry.NEW_THIS_ROUND
+        + entry.OLDEST_R9 + entry.OLDEST_R10_FILLERS
     )
     assert len(explicit) == len(set(explicit)), "duplicate rotation entry"
     missing = [n for n in explicit if n not in qs]
@@ -134,11 +134,11 @@ def test_rotation_and_bench_integrity():
     assert names[: len(explicit)] == explicit, (
         "explicit rotation block must lead queries() exactly"
     )
-    # Red/changed/new/r8-stale must fit the 50-slot budget; the r9
+    # Red/changed/new/r9-stale must fit the 50-slot budget; the r10
     # fillers then top the block up to exactly the driver's 50 slots.
     must_check = (
-        entry.R11_RED + entry.CHANGED_THIS_ROUND + entry.NEW_THIS_ROUND
-        + entry.OLDEST_R8
+        entry.R12_RED + entry.CHANGED_THIS_ROUND + entry.NEW_THIS_ROUND
+        + entry.OLDEST_R9
     )
     assert len(must_check) <= 50, "must-check block exceeds driver budget"
     assert len(explicit) == 50, "rotation block must fill all 50 slots"
@@ -348,3 +348,30 @@ def test_bench_promotion_warm_spread_and_provenance_guards():
     promoted, _ = bench.promotion_candidates(
         prev, registered, {"lane_noisy"}, host)
     assert promoted == []
+
+    # round-12 ADVICE (low): a lane the archive marks FAILED may still
+    # carry partial runs_s (the run list is registered before the lane
+    # runs) — those samples are not promotion evidence
+    prev_failed = dict(prev)
+    prev_failed["failed"] = {"lane_noisy": "boom on run 4"}
+    promoted, _ = bench.promotion_candidates(
+        prev_failed, registered, set(), host)
+    assert promoted == []
+
+
+def test_bench_runner_stamp_defaults_to_attributable_actor():
+    """Round-12 VERDICT item 4: without SPARK_GRAFT_BENCH_RUNNER the
+    archives stamped runner='unspecified', making the promotion audit
+    trail unattributable.  The fallback is user@host:pid from public
+    stdlib APIs; the env var still wins when set."""
+    import getpass
+    import os
+    import socket
+
+    import bench
+
+    stamp = bench._default_runner()
+    assert stamp != "unspecified"
+    assert stamp.endswith(f":{os.getpid()}")
+    assert socket.gethostname() in stamp
+    assert stamp.startswith(getpass.getuser() + "@")
