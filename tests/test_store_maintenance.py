@@ -2387,3 +2387,56 @@ def test_writer_lease_beat_vs_breakers_real_contention(spark, tmp_path):
     assert not h.breached.is_set()
     assert not os.path.exists(root + "__lease")
     assert not glob.glob(root + "__lease.breaking.*")
+
+
+def test_writer_lease_heartbeat_gives_up_loudly_on_read_misses(
+    spark, tmp_path, monkeypatch, caplog
+):
+    """The give-up bound's OTHER input: consecutive payload-read
+    misses (transient IO, or the lease held off-path far longer than
+    a capture/restore round-trip should take).  The beat skips each
+    missed read and, after WRITER_LEASE_BEAT_GIVE_UP in a row, stops
+    with the same loud ERROR as the touch-failure path — and read
+    misses are not breach evidence, so the flag stays clear."""
+    import logging
+    import time
+
+    from enterprise_sales_data_pipeline_using_aws_lambda_spark.sources import (
+        writers,
+    )
+
+    caplog.set_level(
+        logging.INFO,
+        logger="enterprise_sales_data_pipeline_using_aws_lambda_spark"
+               ".sources.writers",
+    )
+    root = str(tmp_path / "store")
+    os.makedirs(root)
+    with writers.writer_lease(
+        spark, root, "append:1", stale_after_s=1.5
+    ) as h:
+        # from here every beat read returns None (the claim already
+        # happened; release undoes the patch before its own read)
+        monkeypatch.setattr(
+            writers, "_read_lease_payload",
+            lambda jvm, fs, lease: None,
+        )
+        deadline = time.time() + 20.0
+        while time.time() < deadline:
+            if any(
+                r.levelno >= logging.ERROR
+                and "giving up" in r.getMessage()
+                for r in caplog.records
+            ):
+                break
+            time.sleep(0.2)
+        giveups = [
+            r for r in caplog.records
+            if r.levelno >= logging.ERROR
+            and "giving up" in r.getMessage()
+        ]
+        assert giveups, "read-miss path must reach the loud give-up"
+        assert "unreadable" in giveups[0].getMessage()
+        monkeypatch.undo()
+    assert not h.breached.is_set()
+    assert not os.path.exists(root + "__lease")
