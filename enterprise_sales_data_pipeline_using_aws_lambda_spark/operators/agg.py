@@ -307,7 +307,16 @@ def global_cumsum(
     )
     # same branch-consistency requirement as exact_percentiles: the
     # offset branch and the cumsum branch must agree on _pid (eager
-    # checkpoint, not persist — see exact_percentiles)
+    # checkpoint, not persist — see exact_percentiles).  Round-13
+    # counterfactual: replacing this with the lazy shared-exchange
+    # trick _ranked_partitions uses measured STRICTLY SLOWER on every
+    # caller (peak_concurrent_sessions 1.8 s -> 2.1 s steady-state,
+    # same-session A/B) — unlike the percentile operator, whose input
+    # is a bare projected scan, global_cumsum's callers feed it
+    # already-windowed/sessionized frames, and the range exchange's
+    # boundary-sampling pass re-executes that whole upstream a second
+    # time when the frame is left lazy.  The checkpoint pays one
+    # write; the sampling pass then reads pinned blocks.
     part = materialize(part)
     w_local = (
         Window.partitionBy("_pid")

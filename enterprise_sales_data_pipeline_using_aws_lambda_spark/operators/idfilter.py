@@ -89,3 +89,33 @@ def anti_join_ids(
         return batch
     present = store.filter(F.col(id_col).isin(ids)).select(id_col)
     return batch.join(F.broadcast(present), id_col, "left_anti")
+
+
+def semi_join_ids(
+    left: DataFrame,
+    ids: DataFrame,
+    id_col: str,
+    max_pushdown: int = MAX_ID_PUSHDOWN,
+) -> DataFrame:
+    """``left`` rows whose ``id_col`` appears in ``ids`` — exactly
+    ``left.join(ids, id_col, "left_semi")``, with the same guarded
+    fast path as :func:`anti_join_ids`: when ``ids`` holds ≤
+    ``max_pushdown`` distinct values they are collected and pushed
+    into ``left``'s scan as a literal In filter (two-tier parquet
+    pushdown, row-group-pruned on an id-clustered table) instead of
+    shuffling + sorting ``left`` for a sort-merge semi-join.  Past the
+    bound the plain semi-join takes over unchanged.  An In probe
+    selects exactly the rows the semi-join would (NULL ids match
+    neither), so this is scan-bound optimization, never a semantics
+    change.
+
+    PRECONDITION (same as :func:`anti_join_ids`): ``ids`` must be
+    deterministic across re-evaluation — materialized, or derived
+    from immutable input — because the fast path collects it in one
+    job and filters lazily."""
+    vals = collect_ids_bounded(ids, id_col, max_pushdown)
+    if vals is None:  # over the bound: plain semi-join fallback
+        return left.join(ids.select(id_col), id_col, "left_semi")
+    if not vals:  # empty id set selects nothing — no scan at all
+        return left.filter(F.lit(False))
+    return left.filter(F.col(id_col).isin(vals))

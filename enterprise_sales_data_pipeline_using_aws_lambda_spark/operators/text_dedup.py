@@ -63,6 +63,7 @@ MAX_STORE_BATCH_BANDED = 4_000_000
 # second literal): the est/verify pushdowns and the exactly-once id
 # probes share the same driver-collect ceiling by design.
 from .idfilter import MAX_ID_PUSHDOWN as MAX_VERIFY_ID_PUSHDOWN
+from .idfilter import semi_join_ids
 
 
 def _hash_family(num_hashes: int) -> list[tuple[int, int]]:
@@ -433,12 +434,15 @@ def minhash_near_duplicates(
         .unionByName(pairs.select(F.col("id_b").alias(id_col)))
         .distinct()
     )
-    # No broadcast hint: pair-named ids are usually tiny, but on a
-    # pervasively-duplicated corpus they approach |docs| and a FORCED
-    # broadcast dies at the driver.  pairs is checkpointed, so AQE sees
-    # the real post-shuffle size and converts to broadcast exactly when
-    # it is safe.
-    needed = df.join(pair_ids, id_col, "left_semi")
+    # Guarded literal-IN pushdown instead of a semi-join (round-13
+    # optimization; same rationale and bound as the store-backed
+    # verify in _minhash_against_stored): pair-named ids are usually
+    # tiny, and a collected isin() reaches the parquet scan as a
+    # pushed filter while a semi-join pays a full shuffle + sort of
+    # the corpus.  pairs is checkpointed, so the bounded collect is
+    # deterministic; past the bound the plain semi-join takes over
+    # (AQE broadcasts when the pair set is actually small).
+    needed = semi_join_ids(df, pair_ids, id_col, MAX_VERIFY_ID_PUSHDOWN)
     return jaccard_on_pairs(
         pairs, shingle_sets(needed, text_col, id_col, n), id_col,
         threshold=threshold,
@@ -554,9 +558,9 @@ def minhash_near_duplicates_against(
         .unionByName(pairs.select(F.col("id_b").alias(id_col)))
         .distinct()
     )
-    # unhinted semi-join: AQE broadcasts when the checkpointed pair set
-    # is actually small (see minhash_near_duplicates)
-    needed = both.join(pair_ids, id_col, "left_semi")
+    # guarded literal-IN pushdown, semi-join fallback past the bound —
+    # same round-13 rework as minhash_near_duplicates' verify
+    needed = semi_join_ids(both, pair_ids, id_col, MAX_VERIFY_ID_PUSHDOWN)
     return jaccard_on_pairs(
         pairs, shingle_sets(needed, text_col, id_col, n), id_col,
         threshold=threshold,
