@@ -1490,9 +1490,15 @@ def edit_distance_candidates(
             *names,
             "id_a",
             "id_b",
-            F.levenshtein("_pa", "_pb").alias("dist"),
+            # Thresholded form (Spark 3.5+): banded O(prefix·max_dist)
+            # instead of the full O(prefix²) DP — pairs past max_dist
+            # return -1 and are dropped by the >= 0 arm below; kept
+            # pairs carry the exact distance, so output is identical
+            # to the unthresholded filter (round-13 optimization).
+            # (threshold is a plain int — PySpark 4.1 rejects a Column)
+            F.levenshtein("_pa", "_pb", max_dist).alias("dist"),
         )
-        .filter(F.col("dist") <= max_dist)
+        .filter((F.col("dist") >= 0) & (F.col("dist") <= max_dist))
     )
 
 
