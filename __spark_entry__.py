@@ -26,28 +26,24 @@ from enterprise_sales_data_pipeline_using_aws_lambda_spark.plans.queries import 
 SMOKE_SF_DIR = "/root/testdata/sf0.001"
 
 # The driver checks exactly 50 entries per round, in dict order
-# (CORRECTNESS_r01-r12 evidence).  Round-13 rotation (VERDICT r12
-# item 1): CORRECTNESS_r12 was 50/50 green with zero reds, so this
-# round's budget retires the WHOLE remaining round-9 staleness
-# cohort — ALL 24 queries whose latest driver check is round 9
-# (recomputed this session from CORRECTNESS_r01-r12; matches the
-# VERDICT's precomputed list exactly, and the judge independently
-# re-proved all 24 against the DuckDB oracle last round) — then 26
-# round-10-checked fillers, heaviest/most-composite first (the
-# document/decontamination pipeline composites, the incremental-LSH /
-# simhash / edit-distance / token-sort dedup stack, semantic
-# embedding dedup and LSH top-k, the LM-scoring / resampling /
-# PII-scrub curation lanes, the n-gram statistics and sketch
-# rollups, the iterative graph lanes, export sharding and sampling,
-# then the heavy behavioral rollups).  24+26 = 50, so after this
-# round no registered query's latest driver check is older than
-# round 10.  The round-13 code changes (loud lease breach
-# observability + heartbeat fault-tolerance, bench runner stamp and
-# failed-lane promotion guards) touch maintenance/measurement paths
-# only — no gate query's PLAN changed, verified mechanically:
-# `tools/explain_audit.py --all` re-run this round diffs clean
-# against the committed PLANS_DIGEST.txt.  No new queries this
-# round — registered stays at 174 (VERDICT item 5).
+# (CORRECTNESS_r01-r12 evidence).  Round 13 became the FIRST
+# OPTIMIZATION round, so the budget now fronts the four queries whose
+# gate plans the optimization work changed (CHANGED_THIS_ROUND below
+# — digest-diff against the pre-round PLANS_DIGEST.txt, plus the one
+# expression-only change the digest is too coarse to see), then the
+# WHOLE remaining round-9 staleness cohort — ALL 24 queries whose
+# latest driver check is round 9 (recomputed from CORRECTNESS_r01-r12;
+# matches VERDICT r12's precomputed list exactly) — then 22
+# round-10-checked fillers, heaviest/most-composite first.
+# 4+24+22 = 50, so after this round no registered query's latest
+# driver check is older than round 10 except the two fillers the
+# plan-changed block displaced (stateful_user_totals,
+# key_skew_profile — they front round 14).  The build-phase round-13
+# changes (lease heartbeat fault-tolerance, bench runner stamp,
+# failed-lane promotion guards) touched no gate plan; the
+# OPTIMIZATION changes are enumerated in CHANGED_THIS_ROUND and
+# OPTIMIZATION_r13.md, each re-proved against the DuckDB oracle this
+# session.  No new queries this round — registered stays at 174.
 
 
 def entry(spark: SparkSession) -> DataFrame:
@@ -62,12 +58,24 @@ def entry(spark: SparkSession) -> DataFrame:
 # Round-12 red rows: NONE (CORRECTNESS_r12 was 50/50 green).
 R12_RED: list[str] = []
 
-# Queries whose gate PLAN changed this round: NONE — verified
-# mechanically by `python tools/explain_audit.py --all` diffed
-# against the committed PLANS_DIGEST.txt (the round-13 changes are
-# lease breach observability/heartbeat fault-tolerance and bench
-# stamping/promotion guards, none on a gate query's plan path).
-CHANGED_THIS_ROUND: list[str] = []
+# Queries whose gate PLAN changed this round — round 13 became the
+# first OPTIMIZATION round, and three digests moved (verified
+# mechanically: `python tools/explain_audit.py --all` diffed against
+# the pre-round PLANS_DIGEST.txt, regenerated in the same commits):
+# pagerank_part_graph (broadcast-loop rework: per-iteration SMJ+BNLJ
+# -> BHJ, 9 exchanges -> 2), dedup_minhash_lsh and
+# cross_split_contamination (verify-stage SortMergeJoin LeftSemi ->
+# pushed literal-In corpus scan).  dedup_edit_distance_blocked's
+# digest line did NOT move (same joins/exchanges) but its scoring
+# expression changed (levenshtein -> thresholded levenshtein), so it
+# is fronted too.  All four re-proved against the DuckDB oracle this
+# round (PASS at sf0.01; pagerank additionally at sf0.001 and sf0.1).
+CHANGED_THIS_ROUND: list[str] = [
+    "pagerank_part_graph",
+    "dedup_minhash_lsh",
+    "cross_split_contamination",
+    "dedup_edit_distance_blocked",
+]
 
 # No additions this round — registered stays at 174 and the 50-slot
 # budget goes to rotation (VERDICT r12 item 5).
@@ -103,34 +111,42 @@ OLDEST_R9 = [
 # n-gram statistics and sketch rollups, the iterative graph lanes,
 # export sharding and weighted sampling, then the heavy behavioral
 # rollups (funnel/cohort/RFM/reconciliation/skew/stateful totals).
+# (Round-13 optimization adjustment: dedup_edit_distance_blocked and
+# pagerank_part_graph moved UP into CHANGED_THIS_ROUND, and
+# dedup_minhash_lsh + cross_split_contamination joined it from
+# outside this list, so the filler block shrinks to 22 —
+# stateful_user_totals and key_skew_profile, the two lightest
+# entries under the heaviest-first rule, rotate out to keep the
+# explicit block at exactly 50.  Both stay r10-checked and front
+# round 14's filler list.)
 OLDEST_R10_FILLERS = [
     "document_pipeline", "benchmark_decontamination",
     "dedup_lsh_incremental", "semantic_dedup_embeddings",
-    "dedup_simhash", "dedup_edit_distance_blocked",
+    "dedup_simhash",
     "dedup_token_sort_fingerprint", "similarity_topk_lsh",
     "mixture_resample_docs", "lm_perplexity_scores",
     "pii_scrub_contacts", "pmi_bigrams", "bpe_pair_top",
     "tfidf_top_terms", "hll_sketch_rollup", "topk_sketch_rollup",
-    "pagerank_part_graph", "triangle_count_parts",
+    "triangle_count_parts",
     "shuffle_export_shards", "weighted_sample_docs",
     "funnel_stages", "cohort_retention", "rfm_segmentation",
-    "order_reconciliation", "key_skew_profile",
-    "stateful_user_totals",
+    "order_reconciliation",
 ]
 
 
 # ROUND-14 ROTATION PLAN (for the next context): this round's 50
-# slots are the full 24-query round-9 cohort + 26 round-10 fillers.
-# If CORRECTNESS_r13 comes back green, no query's latest check is
-# older than round 10 (24 remaining r10-checked + 50 r11 + 50 r12 +
-# 50 r13 = 174).  Next round: front any r13 reds, then r14
-# plan-changed queries, then the REMAINING 24 round-10-checked
-# queries (recompute mechanically from CORRECTNESS_r01-r13: queries
-# whose latest check is round 10, i.e. the 50-query r10 cohort minus
-# this round's 26 OLDEST_R10_FILLERS), then round-11-checked fillers
-# up to the 50-slot budget (room for 26 with zero reds and zero
-# plan changes — heaviest/most-composite first, same rule as this
-# round).  Keep must-check <= 50 (tests/test_plans.py asserts it).
+# slots are 4 plan-changed + the full 24-query round-9 cohort + 22
+# round-10 fillers.  If CORRECTNESS_r13 comes back green, no query's
+# latest check is older than round 10.  Next round: front any r13
+# reds, then r14 plan-changed queries (round 14 is the second
+# optimization round — regenerate PLANS_DIGEST.txt and diff), then
+# the REMAINING round-10-checked queries (recompute mechanically
+# from CORRECTNESS_r01-r13: the 50-query r10 cohort minus this
+# round's 22 OLDEST_R10_FILLERS, starting with the two displaced
+# entries stateful_user_totals and key_skew_profile), then
+# round-11-checked fillers up to the 50-slot budget (heaviest/most-
+# composite first, same rule as this round).  Keep must-check <= 50
+# (tests/test_plans.py asserts it).
 # To compute CHANGED_THIS_ROUND mechanically: `python
 # tools/explain_audit.py --all` and diff against the committed
 # PLANS_DIGEST.txt baseline — any moved digest line is a plan
@@ -143,9 +159,10 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
 
     Ordered so the driver's budgeted (50-entry, dict-ordered)
     verification spends its budget where it matters: (1) round-12 red
-    rows (none), (2) plan-changed queries (none — digest-diff clean),
-    (3) the full 24-query round-9-checked staleness cohort, (4) 26
-    round-10-checked fillers.  0+0+24+26 = 50 exactly, so every red,
+    rows (none), (2) the four queries this optimization round's plan
+    changes touched (digest-diff + the one expression-only change),
+    (3) the full 24-query round-9-checked staleness cohort, (4) 22
+    round-10-checked fillers.  0+4+24+22 = 50 exactly, so every red,
     plan-changed, or stale-since-r9 gate is inside this round's
     budget (asserted by tests/test_plans.py's rotation guard).
     """

@@ -676,3 +676,74 @@ def test_join_operator_edge_guards(spark):
     )
     out = interval_join(points, inverted, "ts", "s", "e", bucket="1 hour")
     assert out.count() == 0  # zero rows, zero exploded bucket blowup
+
+
+def test_pagerank_broadcast_and_shuffle_loops_agree(spark):
+    """Round-13 rework: while count(nodes) <= spark.graft.pagerank.
+    broadcastNodes the loop broadcasts the node-sized rank table;
+    past it the old shuffle-join loop runs.  The two paths must be
+    row-identical on the same graph (same float recurrence; only the
+    summation layout differs, and on this integer-free 1/2^k-friendly
+    fixture even the doubles agree exactly for the ranks' 1e-12
+    comparison)."""
+    from enterprise_sales_data_pipeline_using_aws_lambda_spark.operators.graph import (
+        PAGERANK_BROADCAST_NODES_KEY,
+        pagerank,
+    )
+
+    edges = spark.createDataFrame(
+        [(i, (i * 7 + 1) % 23) for i in range(40)] + [(3, 17), (5, 19)],
+        "src long, dst long",
+    )
+    bc = {
+        r["node"]: (r["deg"], r["rank"])
+        for r in pagerank(edges, n_iter=6).collect()
+    }
+    spark.conf.set(PAGERANK_BROADCAST_NODES_KEY, "1")  # force fallback
+    try:
+        sh = {
+            r["node"]: (r["deg"], r["rank"])
+            for r in pagerank(edges, n_iter=6).collect()
+        }
+    finally:
+        spark.conf.unset(PAGERANK_BROADCAST_NODES_KEY)
+    assert set(bc) == set(sh)
+    for v in bc:
+        assert bc[v][0] == sh[v][0], v
+        assert abs(bc[v][1] - sh[v][1]) < 1e-12, v
+
+
+def test_semi_join_ids_matches_semi_join_both_tiers(spark):
+    """idfilter.semi_join_ids (round-13: the verify stages' pushed
+    literal-In fast path) must select EXACTLY the plain semi-join's
+    rows on both tiers: under the bound (collected isin) and past it
+    (plain semi-join fallback), including NULL ids (match neither)
+    and duplicate left rows (all kept)."""
+    from enterprise_sales_data_pipeline_using_aws_lambda_spark.operators.idfilter import (
+        semi_join_ids,
+    )
+
+    left = spark.createDataFrame(
+        [(1, "a"), (1, "a2"), (2, "b"), (None, "n"), (5, "e")],
+        "doc_id long, text string",
+    )
+    ids = spark.createDataFrame(
+        [(1,), (5,), (None,), (9,)], "doc_id long"
+    )
+    want = sorted(
+        map(tuple, left.join(ids, "doc_id", "left_semi").collect())
+    )
+    got_fast = sorted(
+        map(tuple, semi_join_ids(left, ids, "doc_id").collect())
+    )
+    got_fallback = sorted(
+        map(
+            tuple,
+            semi_join_ids(left, ids, "doc_id", max_pushdown=2).collect(),
+        )
+    )
+    assert got_fast == want
+    assert got_fallback == want
+    # empty id set selects nothing without scanning
+    empty = ids.filter(F.lit(False))
+    assert semi_join_ids(left, empty, "doc_id").count() == 0

@@ -1026,3 +1026,52 @@ def test_language_id_single_language_markers(spark):
         for r in language_id(docs, markers={"en": ["the", "and"]}).collect()
     }
     assert out == {1: "en", 2: "und"}
+
+
+def test_edit_distance_candidates_threshold_matches_full_dp(spark):
+    """Round-13: edit_distance_candidates switched to the banded
+    levenshtein(l, r, max_dist) (-1 past the threshold).  Output must
+    equal the unthresholded formulation exactly — same surviving
+    pairs, same exact distances — including pairs right AT max_dist
+    and pairs past it."""
+    from pyspark.sql import functions as F
+
+    from enterprise_sales_data_pipeline_using_aws_lambda_spark.operators.text_dedup import (
+        edit_distance_candidates,
+    )
+
+    rows = [
+        (1, "en", "kitten sat on the mat"),
+        (2, "en", "sitting sat on the mat"),   # dist 3 to #1 (kitten/sitting)
+        (3, "en", "kitten sat on the hat"),    # dist 1 to #1
+        (4, "en", "zzzzzzzzzzzzzzzzzzzzzz"),   # far from all
+        (5, "de", "kitten sat on the mat"),    # other block
+    ]
+    df = spark.createDataFrame(rows, "doc_id long, lang string, text string")
+    got = sorted(
+        map(
+            tuple,
+            edit_distance_candidates(
+                df, ["lang"], prefix_len=30, max_dist=3
+            ).select("id_a", "id_b", "dist").collect(),
+        )
+    )
+    base = df.select(
+        "lang", "doc_id", F.substring("text", 1, 30).alias("p")
+    )
+    a = base.select("lang", F.col("doc_id").alias("id_a"), F.col("p").alias("pa"))
+    b = base.select("lang", F.col("doc_id").alias("id_b"), F.col("p").alias("pb"))
+    want = sorted(
+        map(
+            tuple,
+            a.join(b, "lang")
+            .filter(F.col("id_a") < F.col("id_b"))
+            .select("id_a", "id_b", F.levenshtein("pa", "pb").alias("dist"))
+            .filter(F.col("dist") <= 3)
+            .collect(),
+        )
+    )
+    assert got == want
+    assert (1, 3, 1) in got and (1, 2, 3) in got  # at-threshold kept
+    assert (2, 3) not in {(p[0], p[1]) for p in got}  # past-threshold cut
+    assert all(p[2] >= 0 for p in got)  # no -1 sentinel leaks
