@@ -155,12 +155,19 @@ def dedup_groups_from_pairs(
 
 
 #: Session conf: largest node count for which the per-iteration rank
-#: table is BROADCAST into the contribution join (node row ≈ two longs
-#: + a double ≈ 40-50 B framed, so the default 2M nodes ≈ 100 MB — the
-#: "few hundred MB is fine" broadcast band).  Graphs past it fall back
-#: to the shuffle-join loop, which scales to any node count.
+#: table is BROADCAST into the contribution join.  Sizing is for the
+#: RETAINED set, not one relation: every checkpoint segment (4
+#: iterations by default) nests ~2 broadcasts per iteration (ranks in,
+#: sums out), all live on the driver and every executor until the
+#: segment's job completes — so the budget is ~8 simultaneous
+#: HashedRelations of ~50-100 B/node each.  The 500k default keeps
+#: that worst case in the low hundreds of MB (the §3.1 "few hundred
+#: MB is fine" band); graphs past it fall back to the shuffle-join
+#: loop, which scales to any node count.  Raise it on executors with
+#: room — the knob trades memory for never shuffling the edge
+#: relation.
 PAGERANK_BROADCAST_NODES_KEY = "spark.graft.pagerank.broadcastNodes"
-PAGERANK_BROADCAST_NODES_DEFAULT = 2_000_000
+PAGERANK_BROADCAST_NODES_DEFAULT = 500_000
 
 
 def pagerank(

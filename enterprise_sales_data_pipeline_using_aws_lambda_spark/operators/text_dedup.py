@@ -1491,14 +1491,16 @@ def edit_distance_candidates(
             "id_a",
             "id_b",
             # Thresholded form (Spark 3.5+): banded O(prefix·max_dist)
-            # instead of the full O(prefix²) DP — pairs past max_dist
-            # return -1 and are dropped by the >= 0 arm below; kept
-            # pairs carry the exact distance, so output is identical
-            # to the unthresholded filter (round-13 optimization).
+            # instead of the full O(prefix²) DP — it returns the exact
+            # distance when <= max_dist and -1 otherwise, so the >= 0
+            # filter below IS the <= max_dist cut, and kept pairs
+            # carry the exact distance: output is identical to the
+            # unthresholded filter (round-13 optimization; equivalence
+            # pinned by tests/test_text_ops.py).
             # (threshold is a plain int — PySpark 4.1 rejects a Column)
             F.levenshtein("_pa", "_pb", max_dist).alias("dist"),
         )
-        .filter((F.col("dist") >= 0) & (F.col("dist") <= max_dist))
+        .filter(F.col("dist") >= 0)
     )
 
 
