@@ -26,23 +26,20 @@ from enterprise_sales_data_pipeline_using_aws_lambda_spark.plans.queries import 
 SMOKE_SF_DIR = "/root/testdata/sf0.001"
 
 # The driver checks exactly 50 entries per round, in dict order
-# (CORRECTNESS_r01-r12 evidence).  Round 13 became the FIRST
-# OPTIMIZATION round, so the budget now fronts the four queries whose
-# gate plans the optimization work changed (CHANGED_THIS_ROUND below
-# — digest-diff against the pre-round PLANS_DIGEST.txt, plus the one
-# expression-only change the digest is too coarse to see), then the
-# WHOLE remaining round-9 staleness cohort — ALL 24 queries whose
-# latest driver check is round 9 (recomputed from CORRECTNESS_r01-r12;
-# matches VERDICT r12's precomputed list exactly) — then 22
-# round-10-checked fillers, heaviest/most-composite first.
-# 4+24+22 = 50, so after this round no registered query's latest
-# driver check is older than round 10 except the two fillers the
-# plan-changed block displaced (stateful_user_totals,
-# key_skew_profile — they front round 14).  The build-phase round-13
-# changes (lease heartbeat fault-tolerance, bench runner stamp,
-# failed-lane promotion guards) touched no gate plan; the
+# (CORRECTNESS_r01-r13 evidence).  Round 14 is the SECOND (and last)
+# OPTIMIZATION round: the budget fronts the five queries whose gate
+# plans this round's optimization changed (CHANGED_THIS_ROUND below —
+# mechanical digest-diff against the committed round-13
+# PLANS_DIGEST.txt: the selection family's histogram-strategy rework
+# plus conversion_latency's materialized latency frame), then the
+# WHOLE remaining round-10 staleness cohort — ALL 26 queries whose
+# latest driver check is round 10 (recomputed from
+# CORRECTNESS_r01-r13 this session, led by the two fillers round 13
+# displaced) — then 19 round-11-checked fillers, heaviest/most-
+# composite first.  5+26+19 = 50, so after this round no registered
+# query's latest driver check is older than round 11.  The
 # OPTIMIZATION changes are enumerated in CHANGED_THIS_ROUND and
-# OPTIMIZATION_r13.md, each re-proved against the DuckDB oracle this
+# OPTIMIZATION_r14.md, each re-proved against the DuckDB oracle this
 # session.  No new queries this round — registered stays at 174.
 
 
@@ -55,98 +52,95 @@ def entry(spark: SparkSession) -> DataFrame:
     return QUERIES["ref_sales_summary"](spark, SMOKE_SF_DIR)
 
 
-# Round-12 red rows: NONE (CORRECTNESS_r12 was 50/50 green).
-R12_RED: list[str] = []
+# Round-13 red rows: NONE (CORRECTNESS_r13 was 50/50 green).
+R13_RED: list[str] = []
 
-# Queries whose gate PLAN changed this round — round 13 became the
-# first OPTIMIZATION round, and three digests moved (verified
+# Queries whose gate PLAN changed this round — round 14 is the second
+# (and last) OPTIMIZATION round; five digests moved (verified
 # mechanically: `python tools/explain_audit.py --all` diffed against
-# the pre-round PLANS_DIGEST.txt, regenerated in the same commits):
-# pagerank_part_graph (broadcast-loop rework: per-iteration SMJ+BNLJ
-# -> BHJ, 9 exchanges -> 2), dedup_minhash_lsh and
-# cross_split_contamination (verify-stage SortMergeJoin LeftSemi ->
-# pushed literal-In corpus scan).  dedup_edit_distance_blocked's
-# digest line did NOT move (same joins/exchanges) but its scoring
-# expression changed (levenshtein -> thresholded levenshtein), so it
-# is fronted too.  All four re-proved against the DuckDB oracle this
-# round (PASS at sf0.01; pagerank additionally at sf0.001 and sf0.1).
+# the committed round-13 PLANS_DIGEST.txt, regenerated in the same
+# commit): the whole selection family now rides the histogram
+# strategy (operators/agg.py::_histogram_percentiles — per-(group,
+# bucket) count histogram + crossing-bucket rescan replaces the
+# range-partitioned distributed selection: the fact is scanned but
+# never shuffled), and conversion_latency_percentiles additionally
+# materializes its derived latency frame before the four consumers.
+# All five re-proved against the DuckDB oracle this round (PASS at
+# sf0.01 and sf0.1; at sf0.001 percentile_summary/mad_robust_spread
+# sit on a PRE-EXISTING Spark-vs-DuckDB half-cent rounding boundary —
+# the round-13 tree fails those two identically at that SF, and the
+# two strategies' raw doubles are bit-identical there, pinned by
+# tests/test_agg_and_functions.py::test_selection_strategies_bit_identical).
 CHANGED_THIS_ROUND: list[str] = [
-    "pagerank_part_graph",
-    "dedup_minhash_lsh",
-    "cross_split_contamination",
-    "dedup_edit_distance_blocked",
+    "percentile_summary",
+    "mad_robust_spread",
+    "winsorized_stats",
+    "daily_value_percentiles",
+    "conversion_latency_percentiles",
 ]
 
 # No additions this round — registered stays at 174 and the 50-slot
-# budget goes to rotation (VERDICT r12 item 5).
+# budget goes to rotation.
 NEW_THIS_ROUND: list[str] = []
 
-# ALL 24 queries whose latest driver check is round 9 (recomputed
-# from CORRECTNESS_r01-r12 this session; matches VERDICT r12's
-# precomputed list exactly, and the judge independently re-proved
-# all 24 against the DuckDB oracle last round) — the whole
-# remaining staleness cohort fits this round's budget (VERDICT r12
-# item 1).
-OLDEST_R9 = [
-    "agg_cube_status_priority", "agg_rollup_returns",
-    "anti_join_inactive_customers", "argmin_supplier_per_nation",
-    "chunk_documents_fixed", "distinct_users_daily",
-    "embedding_vector_stats", "event_daily_agg",
-    "except_single_status_customers", "exists_late_orders",
-    "full_outer_nation_balance", "grouping_sets_region_channel",
-    "in_subquery_big_orders", "intersect_repeat_customers",
-    "join_region_rollup", "json_props_stats",
-    "pivot_priority_by_status", "scalar_function_suite",
-    "scalar_subquery_small_qty", "semi_join_active_customers",
-    "window_moving_avg_range", "window_rank_suite",
-    "window_running_total", "window_top_orders_per_cust",
+# ALL 26 queries whose latest driver check is round 10 (recomputed
+# mechanically from CORRECTNESS_r01-r13 this session) — the whole
+# remaining r10 staleness cohort fits this round's budget.  The two
+# entries the round-13 plan-changed block displaced
+# (stateful_user_totals, key_skew_profile) lead, as promised there;
+# the rest are alphabetical.
+OLDEST_R10 = [
+    "stateful_user_totals", "key_skew_profile",
+    "approx_distinct_users_daily", "approx_percentile_summary",
+    "bounded_rows_moving_avg", "daily_revenue_dense",
+    "disjunctive_promo_revenue", "event_seasonality_profile",
+    "global_row_numbering", "higher_moments_profile",
+    "histogram_order_values", "monthly_revenue_growth",
+    "nth_order_values", "nullsafe_join_segments",
+    "order_history_features", "order_interarrival_stats",
+    "pareto_abc_customers", "price_quartile_stats",
+    "profile_lineitem_stats", "ratio_to_report_lang_share",
+    "referential_integrity_audit", "regression_per_flag",
+    "shipping_delay_stats", "try_functions_safety",
+    "unpivot_status_totals", "variant_props_banded",
 ]
 
-# Remaining budget: 26 round-10-checked fillers, heaviest/most-
-# composite first — the end-to-end document / decontamination
-# pipeline composites (each re-proof covers the most code), the
-# incremental-LSH / simhash / edit-distance / token-sort dedup
-# stack, semantic embedding dedup and LSH top-k retrieval, the
-# LM-scoring / mixture-resampling / PII-scrub curation lanes, the
-# n-gram statistics and sketch rollups, the iterative graph lanes,
-# export sharding and weighted sampling, then the heavy behavioral
-# rollups (funnel/cohort/RFM/reconciliation/skew/stateful totals).
-# (Round-13 optimization adjustment: dedup_edit_distance_blocked and
-# pagerank_part_graph moved UP into CHANGED_THIS_ROUND, and
-# dedup_minhash_lsh + cross_split_contamination joined it from
-# outside this list, so the filler block shrinks to 22 —
-# stateful_user_totals and key_skew_profile, the two lightest
-# entries under the heaviest-first rule, rotate out to keep the
-# explicit block at exactly 50.  Both stay r10-checked and front
-# round 14's filler list.)
-OLDEST_R10_FILLERS = [
-    "document_pipeline", "benchmark_decontamination",
-    "dedup_lsh_incremental", "semantic_dedup_embeddings",
-    "dedup_simhash",
-    "dedup_token_sort_fingerprint", "similarity_topk_lsh",
-    "mixture_resample_docs", "lm_perplexity_scores",
-    "pii_scrub_contacts", "pmi_bigrams", "bpe_pair_top",
-    "tfidf_top_terms", "hll_sketch_rollup", "topk_sketch_rollup",
-    "triangle_count_parts",
-    "shuffle_export_shards", "weighted_sample_docs",
-    "funnel_stages", "cohort_retention", "rfm_segmentation",
-    "order_reconciliation",
+# Remaining budget: 19 round-11-checked fillers, heaviest/most-
+# composite first (same rule as rounds 12-13): the 15 heaviest
+# benched r11 lanes by this round's baseline bench (record-linkage,
+# skyline, upsert, basket-lift, the passage/boilerplate/repeated-
+# spans text-dedup stack, UDTF explode, brute-force ANN, feature
+# hashing, keep-last dedup, repetition stats, TPCH q1, as-of join,
+# boundary chunking), then the four most-composite gate-only r11
+# lanes (iterative BFS reachability, IVF ANN, semantic embedding
+# dedup, z-order layout profile).  conversion_latency_percentiles is
+# r11-checked too but already fronted in CHANGED_THIS_ROUND.
+OLDEST_R11_FILLERS = [
+    "record_linkage_scores", "skyline_price_quantity",
+    "ref_upsert", "basket_part_pairs_lift",
+    "passage_dedup_stats", "boilerplate_ngram_stats",
+    "dedup_repeated_spans", "udtf_keyvalue_explode",
+    "similarity_topk_bruteforce", "feature_hash_vectors",
+    "ref_dedup_keep_last", "doc_repetition_stats",
+    "q1_pricing_summary", "asof_click_purchase",
+    "chunk_documents_boundary",
+    "recursive_reachability_bfs", "similarity_topk_ivf",
+    "dedup_embedding_cosine", "zorder_layout_profile",
 ]
 
 
-# ROUND-14 ROTATION PLAN (for the next context): this round's 50
-# slots are 4 plan-changed + the full 24-query round-9 cohort + 22
-# round-10 fillers.  If CORRECTNESS_r13 comes back green, no query's
-# latest check is older than round 10.  Next round: front any r13
-# reds, then r14 plan-changed queries (round 14 is the second
-# optimization round — regenerate PLANS_DIGEST.txt and diff), then
-# the REMAINING round-10-checked queries (recompute mechanically
-# from CORRECTNESS_r01-r13: the 50-query r10 cohort minus this
-# round's 22 OLDEST_R10_FILLERS, starting with the two displaced
-# entries stateful_user_totals and key_skew_profile), then
-# round-11-checked fillers up to the 50-slot budget (heaviest/most-
-# composite first, same rule as this round).  Keep must-check <= 50
-# (tests/test_plans.py asserts it).
+# ROUND-15 ROTATION PLAN (for the next context): this round's 50
+# slots are 5 plan-changed + the full 26-query round-10 cohort + 19
+# round-11 fillers.  If CORRECTNESS_r14 comes back green, no
+# registered query's latest driver check is older than round 11.
+# Next round: front any r14 reds, then r15 plan-changed queries
+# (regenerate PLANS_DIGEST.txt and diff), then the REMAINING
+# round-11-checked queries (recompute mechanically from
+# CORRECTNESS_r01-r14: the 50-query r11 cohort minus this round's 19
+# OLDEST_R11_FILLERS minus conversion_latency_percentiles, ~30
+# entries), then round-12-checked fillers up to the 50-slot budget
+# (heaviest/most-composite first, same rule as this round).  Keep
+# must-check <= 50 (tests/test_plans.py asserts it).
 # To compute CHANGED_THIS_ROUND mechanically: `python
 # tools/explain_audit.py --all` and diff against the committed
 # PLANS_DIGEST.txt baseline — any moved digest line is a plan
@@ -158,17 +152,17 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     """One entry per implemented operator from SURVEY.md §2.
 
     Ordered so the driver's budgeted (50-entry, dict-ordered)
-    verification spends its budget where it matters: (1) round-12 red
-    rows (none), (2) the four queries this optimization round's plan
-    changes touched (digest-diff + the one expression-only change),
-    (3) the full 24-query round-9-checked staleness cohort, (4) 22
-    round-10-checked fillers.  0+4+24+22 = 50 exactly, so every red,
-    plan-changed, or stale-since-r9 gate is inside this round's
-    budget (asserted by tests/test_plans.py's rotation guard).
+    verification spends its budget where it matters: (1) round-13 red
+    rows (none), (2) the five queries this optimization round's plan
+    changes touched (mechanical digest-diff), (3) the full 26-query
+    round-10-checked staleness cohort, (4) 19 round-11-checked
+    fillers.  0+5+26+19 = 50 exactly, so every red, plan-changed, or
+    stale-since-r10 gate is inside this round's budget (asserted by
+    tests/test_plans.py's rotation guard).
     """
     explicit = (
-        R12_RED + CHANGED_THIS_ROUND + NEW_THIS_ROUND + OLDEST_R9
-        + OLDEST_R10_FILLERS
+        R13_RED + CHANGED_THIS_ROUND + NEW_THIS_ROUND + OLDEST_R10
+        + OLDEST_R11_FILLERS
     )
 
     def bucket(name: str) -> tuple:

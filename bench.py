@@ -688,7 +688,25 @@ def main() -> None:
             fh.write("\n")
     except Exception:  # noqa: BLE001 - archive is best-effort
         pass
-    print(json.dumps(result))
+    # The PRINTED line elides the raw per-run sample maps (round-13
+    # VERDICT item 5): the driver's stdout tail capture has finite
+    # length and the r12 archive lost its whole line when runs_s
+    # outgrew it.  BENCH_LAST.json (above) keeps full fidelity — the
+    # auto-promotion rule and humans read the samples from there; the
+    # printed contract keys (metric/value/unit/queries/sf) and every
+    # graded summary map are unchanged.
+    printed = {
+        # leads the line, so the graded summary keys stay at the tail
+        "runs_s_note": (
+            "per-run samples elided from stdout; see BENCH_LAST.json"
+        ),
+    }
+    printed.update(
+        (k, v)
+        for k, v in result.items()
+        if k not in ("runs_s", "failed_runs_s")
+    )
+    print(json.dumps(printed))
     spark.stop()
 
 

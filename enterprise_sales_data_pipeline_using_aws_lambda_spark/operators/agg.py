@@ -23,6 +23,27 @@ SUMMARY_COLUMNS = [
     "average_total_profit",
 ]
 
+#: Selection strategy for exact_percentiles / mad_spread.
+#: "histogram" (default): one map-side histogram aggregate locates the
+#: rank-crossing buckets and only those are rescanned — the fact table
+#: is never shuffled (guide §2.3/§2.4).  "range": the round-2..13
+#: range-partitioned distributed selection (kept as the measured
+#: fallback and as the independent implementation the equivalence
+#: tests compare against).
+SELECTION_STRATEGY_CONF = "spark.graft.selection.strategy"
+
+#: Histogram resolution.  Correctness never depends on it (bucket
+#: assignment is a monotone function of the value, and rank extraction
+#: is exact either way); it trades histogram size (|groups| × buckets
+#: rows through one small shuffle) against rescan slice width
+#: (~n/buckets rows per crossing bucket, sorted on one window task).
+#: 4096 keeps the local histogram trivially small; at 100 TB size it
+#: like shuffle.partitions: pick buckets so n/buckets fits one task
+#: (e.g. 65536 puts a 1e12-row group's slice at ~15M rows).  Purely a
+#: balance knob — both extremes stay exact.
+HISTOGRAM_BUCKETS_CONF = "spark.graft.selection.histogramBuckets"
+HISTOGRAM_BUCKETS_DEFAULT = 4096
+
 
 def sales_summary(
     df: DataFrame,
@@ -81,7 +102,24 @@ def exact_percentiles(
        filtered before the final |groups|-row interpolation agg.
 
     Exactly matches ``percentile_cont``: v_lo*(1-frac) + v_hi*frac with
-    h = (n-1)p.  Ties are safe — equal ranks carry equal values."""
+    h = (n-1)p.  Ties are safe — equal ranks carry equal values.
+
+    Two strategies (``spark.graft.selection.strategy``):
+
+    - ``histogram`` (default, round 14): min/max/count per group (a
+      map-side agg), then a per-(group, bucket) count histogram —
+      bucket = monotone linear index of the value inside the group's
+      range — then ONLY the buckets where a target rank's cumulative
+      count crosses are rescanned and ranked.  The fact is scanned
+      (projected to 2 columns) but never shuffled: the largest
+      exchange carries |groups| × buckets rows.  Single-valued
+      buckets (all-tie mass, integer-valued columns) resolve straight
+      from the histogram with NO rescan, so mega-ties — the one input
+      the range strategy cannot spread — get cheaper, not slower.
+    - ``range``: the round-2..13 range-partitioned distributed
+      selection below (shuffles the projected fact once); kept as the
+      measured fallback and the independent equivalence witness.
+      ``num_partitions`` only applies here."""
     if aliases is None:
         # g-format, dot→underscore: 0.29→p29 (int() would truncate the
         # float error to p28), 0.995→p99_5 (int() would collide with
@@ -89,8 +127,19 @@ def exact_percentiles(
         aliases = [f"p{p * 100:g}".replace(".", "_") for p in ps]
     if len(set(aliases)) != len(aliases):
         raise ValueError(f"duplicate percentile aliases: {aliases}")
-    part = _ranked_partitions(df, group_cols, value_col, num_partitions)
-    return _selection_percentiles(part, group_cols, value_col, ps, aliases)
+    strategy = df.sparkSession.conf.get(
+        SELECTION_STRATEGY_CONF, "histogram"
+    )
+    if strategy == "range":
+        part = _ranked_partitions(df, group_cols, value_col, num_partitions)
+        return _selection_percentiles(part, group_cols, value_col, ps, aliases)
+    w = df.select(*group_cols, value_col).filter(
+        F.col(value_col).isNotNull()
+    )
+    return _histogram_percentiles(
+        w, group_cols, value_col, ps, aliases,
+        _selection_stats(w, group_cols, value_col),
+    )
 
 
 def _ranked_partitions(
@@ -245,6 +294,213 @@ def _selection_percentiles(
     return ranked.filter(needed).groupBy(*group_cols).agg(*contribs)
 
 
+def _selection_stats(
+    w: DataFrame, group_cols: list[str], value_col: str
+) -> DataFrame:
+    """Per-group ``(_gmin, _gmax, _n)`` over a pre-filtered selection
+    input — the bounds/count frame `_histogram_percentiles` buckets
+    and targets ranks with.  Map-side combined; the shuffle carries
+    one row per group."""
+    v = F.col(value_col)
+    return w.groupBy(*group_cols).agg(
+        F.min(v).alias("_gmin"),
+        F.max(v).alias("_gmax"),
+        F.count("*").alias("_n"),
+    )
+
+
+def _histogram_percentiles(
+    w: DataFrame,
+    group_cols: list[str],
+    value_col: str,
+    ps: list[float],
+    aliases: list[str],
+    stats: DataFrame,
+) -> DataFrame:
+    """Histogram-pruned exact percentiles (the ``weighted_median``
+    two-pass shape generalized to rank selection, guide §2.3/§2.4).
+
+    ``w`` must be pre-projected to (group_cols, value_col) and
+    NULL-filtered; ``stats`` must carry (group_cols, _gmin, _gmax,
+    _n) with _gmin/_gmax bounding every value and _n the exact
+    non-null row count per group.  LOOSE bounds stay correct — the
+    bucket index clamps into [0, NB-1] — only balance degrades
+    (mad_spread exploits this: pass 2's deviation bounds derive from
+    pass 1's stats instead of a third scan).
+
+    Correctness argument, piece by piece:
+
+    - bucket = floor((v/span − gmin/span) · NB) clamped, computed in
+      double: subtraction/division-by-positive/multiplication/floor
+      are all weakly monotone under IEEE rounding, and casting any
+      numeric to double is weakly monotone, so v1 ≤ v2 ⇒ bucket(v1)
+      ≤ bucket(v2) and equal values share a bucket.  That is the ONLY
+      property rank math needs; bucket-boundary placement is free to
+      wobble with FP rounding.  NaN (orderable last in Spark) gets
+      bucket NB, above every clamped finite bucket; a degenerate or
+      overflowed span (gmax−gmin rounding to 0 or inf) collapses to
+      one bucket — still exact, just unpruned.
+    - per-(group, bucket) count/min/max + a cumulative window over
+      the |G|·NB-row histogram gives each bucket its exclusive rank
+      offset ``_coff``; target ranks are lo = floor((n−1)p)+1 and
+      lo+1, exactly the range strategy's.
+    - a crossing bucket with _bmin == _bmax (or NaN) holds one
+      distinct value, so rank order inside it is irrelevant: its
+      contribution is emitted straight from the histogram row.
+    - other crossing buckets are rescanned: broadcast range-join on
+      group + v BETWEEN _bmin AND _bmax (bucket value-ranges are
+      disjoint per group, so this reproduces bucket membership
+      exactly without re-deriving the bucket index), row_number
+      within the (group, bucket) slice + _coff = global rank, then
+      the SAME v·((1−frac)|frac) interpolation expression as the
+      range strategy.  Per (group, percentile) at most two nonzero
+      terms exist across both frames, and IEEE addition of two terms
+      is commutative, so the summed result is bit-identical to the
+      range strategy's.
+
+    The hot expressions are built as SQL strings through one
+    ``F.expr`` each (double literals carry the ``D`` suffix — an
+    unsuffixed SQL ``0.5`` parses as DECIMAL and would change the
+    interpolation arithmetic): profiled on the round-13 tree, the
+    per-percentile Column-object loops cost ~2k extra py4j
+    round-trips per build (guide §1 / VERDICT r13 item 2), a fixed
+    driver-side tax the string form removes without touching the
+    plan."""
+    spark = w.sparkSession
+    nb = int(
+        spark.conf.get(
+            HISTOGRAM_BUCKETS_CONF, str(HISTOGRAM_BUCKETS_DEFAULT)
+        )
+    )
+    g = [f"`{c}`" for c in group_cols]
+    gl = ", ".join(g)
+    v = f"`{value_col}`"
+    vd = f"CAST({v} AS DOUBLE)"
+    span = "(CAST(_gmax AS DOUBLE) - CAST(_gmin AS DOUBLE))"
+    # v/span − gmin/span (not (v−gmin)/span): if span overflows to
+    # inf, each quotient is still finite-or-zero and every row lands
+    # in bucket 0 (correct, unpruned) instead of floor(NaN) artifacts
+    frac_pos = f"({vd} / {span} - CAST(_gmin AS DOUBLE) / {span})"
+    bucket = (
+        f"CASE WHEN isnan({vd}) THEN {nb}L "
+        f"WHEN {span} > 0.0D THEN GREATEST(COALESCE(LEAST("
+        f"FLOOR({frac_pos} * {float(nb)!r}D), {nb - 1}L), 0L), 0L) "
+        f"ELSE 0L END"
+    )
+    hist = (
+        _ns_broadcast_join(w, stats, group_cols)
+        .groupBy(*group_cols, F.expr(bucket).alias("_b"))
+        .agg(
+            F.expr("COUNT(*)").alias("_bc"),
+            F.expr(f"MIN({v})").alias("_bmin"),
+            F.expr(f"MAX({v})").alias("_bmax"),
+            # constant per group; riding the agg beats a second
+            # broadcast join of the stats frame
+            F.expr("MIN(_n)").alias("_n"),
+        )
+    )
+    cum = hist.selectExpr(
+        *g,
+        "_b",
+        "_bc",
+        "_bmin",
+        "_bmax",
+        "_n",
+        f"COALESCE(SUM(_bc) OVER (PARTITION BY {gl} ORDER BY _b "
+        "ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0L) "
+        "AS _coff",
+    )
+
+    # rank targets, verbatim from _selection_percentiles: lo and lo+1
+    # per requested p (lo+1 rides along even at frac==0, where its
+    # weight is 0.0 — keeping the selected-row set identical).
+    # repr(float(p)) round-trips the exact IEEE double into the SQL
+    # literal.
+    def _targets(p: float) -> tuple[str, str, str]:
+        h = f"((_n - 1) * {float(p)!r}D)"
+        lo = f"(FLOOR({h}) + 1)"
+        frac = f"({h} - FLOOR({h}))"
+        return lo, f"({lo} + 1)", frac
+
+    def _in_bucket(r: str) -> str:
+        return f"({r} > _coff AND {r} <= _coff + _bc)"
+
+    hit = " OR ".join(
+        f"{_in_bucket(lo)} OR {_in_bucket(hi)}"
+        for lo, hi, _ in map(_targets, ps)
+    )
+    selb = cum.filter(F.expr(hit))
+
+    # single-valued crossing buckets: resolved from the histogram row
+    # (NaN buckets are single-valued by construction — bucket nb is
+    # NaN-only, and NaN == NaN is false, so they ride the isnan arm)
+    degen = "(isnan(CAST(_bmin AS DOUBLE)) OR _bmin = _bmax)"
+    degen_aggs = []
+    rescan_aggs = []
+    for p, name in zip(ps, aliases):
+        lo, hi, frac = _targets(p)
+        degen_aggs.append(
+            F.expr(
+                f"SUM(CAST(_bmin AS DOUBLE) * (CASE WHEN "
+                f"{_in_bucket(lo)} THEN (1.0D - {frac}) ELSE 0.0D END)"
+                f" + CAST(_bmin AS DOUBLE) * (CASE WHEN "
+                f"{_in_bucket(hi)} THEN {frac} ELSE 0.0D END))"
+            ).alias(name)
+        )
+        rescan_aggs.append(
+            F.expr(
+                f"SUM({vd} * (CASE WHEN _rn = {lo} THEN "
+                f"(1.0D - {frac}) WHEN _rn = {hi} THEN {frac} "
+                f"ELSE 0.0D END))"
+            ).alias(name)
+        )
+    degen_part = (
+        selb.filter(F.expr(degen)).groupBy(*group_cols).agg(*degen_aggs)
+    )
+
+    # rescan: broadcast the crossing-bucket descriptors, range-join
+    # them back onto the projected input (group equality null-safe +
+    # v between the bucket's ACTUAL min/max), rank within the slice
+    tags = [f"`_ns_{c}`" for c in group_cols]
+    sel_t = selb.filter(F.expr(f"NOT {degen}")).selectExpr(
+        *[f"{c} AS {t}" for c, t in zip(g, tags)],
+        "_b",
+        "_bmin",
+        "_bmax",
+        "_n",
+        "_coff",
+    )
+    cond = " AND ".join(
+        [f"{c} <=> {t}" for c, t in zip(g, tags)]
+        + [f"{v} >= _bmin", f"{v} <= _bmax"]
+    )
+    ranked = (
+        w.join(F.broadcast(sel_t), F.expr(cond))
+        .selectExpr(
+            *g,
+            v,
+            "_n",
+            f"_coff + ROW_NUMBER() OVER (PARTITION BY {gl}, _b "
+            f"ORDER BY {v}) AS _rn",
+        )
+    )
+    needed = " OR ".join(
+        f"(_rn = {lo} OR _rn = {hi})" for lo, hi, _ in map(_targets, ps)
+    )
+    rescan_part = (
+        ranked.filter(F.expr(needed)).groupBy(*group_cols).agg(*rescan_aggs)
+    )
+
+    # a group's two target rows can straddle the frames (rank lo in a
+    # single-valued bucket, lo+1 in a rescanned one); summing the
+    # per-frame partials adds at most one zero term per percentile
+    return (
+        degen_part.unionByName(rescan_part)
+        .groupBy(*group_cols)
+        .agg(*[F.expr(f"SUM(`{a}`)").alias(a) for a in aliases])
+    )
+
+
 def mad_spread(
     df: DataFrame,
     group_cols: list[str],
@@ -256,27 +512,65 @@ def mad_spread(
     """Fused median + median-absolute-deviation per group.
 
     MAD is inherently two selection passes (deviations need the median
-    first), but the whole thing stays ONE lazy plan: pass 1's range
-    exchange is shared (exchange reuse) by its own count/rank branches,
-    by the broadcast-median branch, and by pass 2's input — the fact is
-    scanned and range-shuffled once per pass with no intermediate jobs.
-    (Round-2 eagerly checkpointed between passes; that split the query
-    into jobs that re-executed the pass-1 exchange and benchmarked
-    ~35% slower.)  Output: one row per group with
-    ``med_alias``/``mad_alias``."""
-    part1 = _ranked_partitions(df, group_cols, value_col, num_partitions)
-    med = _selection_percentiles(
-        part1, group_cols, value_col, [0.5], [med_alias]
+    first).  Both ride the ``exact_percentiles`` strategy switch:
+
+    - ``histogram`` (default): pass 1 is the histogram selection; pass
+      2 buckets the deviations with bounds DERIVED from pass 1's
+      stats + median (devs lie in [0, max(gmax−med, med−gmin)] — both
+      sides weakly monotone under IEEE rounding, and the bucket index
+      clamps, so even an ulp-loose bound stays exact), skipping the
+      deviation min/max scan entirely.  No pass shuffles the fact.
+    - ``range``: one lazy plan whose pass-1 range exchange is shared
+      (exchange reuse) by its count/rank branches, the broadcast-
+      median branch, and pass 2's input.  (Round-2 eagerly
+      checkpointed between passes; that split the query into jobs
+      that re-executed the pass-1 exchange and benchmarked ~35%
+      slower.)
+
+    Output: one row per group with ``med_alias``/``mad_alias``."""
+    strategy = df.sparkSession.conf.get(
+        SELECTION_STRATEGY_CONF, "histogram"
     )
-    dev = (
-        _ns_broadcast_join(part1, med, group_cols)
-        .select(
-            *group_cols,
-            F.abs(F.col(value_col) - F.col(med_alias)).alias("_dev"),
+    if strategy == "range":
+        part1 = _ranked_partitions(df, group_cols, value_col, num_partitions)
+        med = _selection_percentiles(
+            part1, group_cols, value_col, [0.5], [med_alias]
         )
+        dev = (
+            _ns_broadcast_join(part1, med, group_cols)
+            .select(
+                *group_cols,
+                F.abs(F.col(value_col) - F.col(med_alias)).alias("_dev"),
+            )
+        )
+        part2 = _ranked_partitions(dev, group_cols, "_dev", num_partitions)
+        mad = _selection_percentiles(
+            part2, group_cols, "_dev", [0.5], [mad_alias]
+        )
+        return _ns_broadcast_join(med, mad, group_cols)
+    w = df.select(*group_cols, value_col).filter(
+        F.col(value_col).isNotNull()
     )
-    part2 = _ranked_partitions(dev, group_cols, "_dev", num_partitions)
-    mad = _selection_percentiles(part2, group_cols, "_dev", [0.5], [mad_alias])
+    stats = _selection_stats(w, group_cols, value_col)
+    med = _histogram_percentiles(
+        w, group_cols, value_col, [0.5], [med_alias], stats
+    )
+    dev = _ns_broadcast_join(w, med, group_cols).select(
+        *group_cols,
+        F.abs(F.col(value_col) - F.col(med_alias)).alias("_dev"),
+    )
+    dev_bounds = _ns_broadcast_join(stats, med, group_cols).select(
+        *group_cols,
+        F.lit(0.0).alias("_gmin"),
+        F.greatest(
+            F.col("_gmax").cast("double") - F.col(med_alias),
+            F.col(med_alias) - F.col("_gmin").cast("double"),
+        ).alias("_gmax"),
+        "_n",
+    )
+    mad = _histogram_percentiles(
+        dev, group_cols, "_dev", [0.5], [mad_alias], dev_bounds
+    )
     return _ns_broadcast_join(med, mad, group_cols)
 
 

@@ -196,7 +196,9 @@ def pagerank(
     Join strategy (the round-13 rework): the rank table is
     node-sized — orders of magnitude smaller than the edge relation —
     so while ``count(nodes)`` ≤ ``spark.graft.pagerank.broadcastNodes``
-    (default 2M ≈ 100 MB framed) each iteration BROADCASTS ranks into
+    (default 500k — sized for the ~8 HashedRelations a checkpoint
+    segment retains at once, see the constant's comment) each
+    iteration BROADCASTS ranks into
     the contribution join and the contribution sums back into the
     degree join.  The edge relation is then never shuffled or sorted
     after its one materialization: an iteration costs one map-side

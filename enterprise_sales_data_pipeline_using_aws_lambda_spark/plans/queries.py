@@ -1497,13 +1497,15 @@ def window_rank_suite(spark: SparkSession, sf_dir: str) -> DataFrame:
 )
 def percentile_summary(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Exact interpolated percentiles (percentile_cont semantics) per
-    group via distributed selection (operators.agg.exact_percentiles):
-    range-partition by (group, value), global ranks from partition-count
-    offsets, interpolate only the two rank-neighbor rows per requested
-    p.  No per-group agg buffer and no single-task group sort — with 3
-    groups over a fact table every stage here stays parallel and
-    spillable.  The one-pass sketch alternative is
-    ``approx_percentile_summary`` (t-digest, mergeable partials)."""
+    group via histogram selection (operators.agg.exact_percentiles,
+    round 14): a map-side (group, bucket) count histogram locates the
+    rank-crossing buckets, only those are rescanned and ranked, and
+    only the two rank-neighbor rows per requested p reach the
+    interpolation agg.  The fact is scanned but NEVER shuffled — no
+    per-group agg buffer, no single-task group sort, and the largest
+    exchange carries |groups| × histogramBuckets rows.  The one-pass
+    sketch alternative is ``approx_percentile_summary`` (t-digest,
+    mergeable partials)."""
     from ..operators.agg import exact_percentiles
 
     li = _t(spark, sf_dir, "lineitem")
@@ -3118,11 +3120,10 @@ def regression_per_flag(spark: SparkSession, sf_dir: str) -> DataFrame:
 def mad_robust_spread(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Median absolute deviation — the outlier-robust spread measure
     stddev isn't.  Uses the fused operators.agg.mad_spread: two
-    distributed-selection passes (no per-group value buffer, no
-    single-task group sort) sharing ONE fact scan — the deviation pass
-    reuses pass 1's materialized range-partitioned frame instead of
-    re-reading the source (the round-2 regression was exactly that
-    second scan + re-projection)."""
+    histogram-selection passes (no per-group value buffer, no
+    single-task group sort, no fact-sized shuffle); pass 2 buckets
+    the deviations with bounds DERIVED from pass 1's stats + median,
+    so the deviation pass needs no extra bounds scan."""
     from ..operators.agg import mad_spread
 
     li = _t(spark, sf_dir, "lineitem")
@@ -6524,11 +6525,12 @@ def snapshot_diff(spark: SparkSession, sf_dir: str) -> DataFrame:
 )
 def daily_value_percentiles(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Daily P50/P95/P99 of the event value — the latency-dashboard
-    shape — via the distributed-selection exact percentile operator
-    grouped by day: range-partitioned by (day, value), so every day's
-    sort is parallel-local and only rank-neighbor rows reach the
-    interpolation agg (operators.agg.exact_percentiles; same plan
-    contract as percentile_summary, here with |days| groups).  Gate
+    shape — via the histogram-selection exact percentile operator
+    grouped by day: a per-(day, bucket) count histogram locates the
+    rank-crossing buckets, only those slices are rescanned/ranked,
+    and only rank-neighbor rows reach the interpolation agg
+    (operators.agg.exact_percentiles; same plan contract as
+    percentile_summary, here with |days| groups).  Gate
     values floor-scale to integer cents: the event values carry full
     double precision, so a round(,2) gate would sit ON the half-cent
     tie boundary whenever interpolation lands there — the exact
@@ -6687,12 +6689,12 @@ def higher_order_array_ops(spark: SparkSession, sf_dir: str) -> DataFrame:
 )
 def winsorized_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Winsorized robust moments per group: clip values at the exact
-    P1/P99 (distributed-selection percentiles — no group buffers),
-    then mean/std of the clipped column — the outlier-resistant
-    profile statistics a feature pipeline publishes instead of raw
-    moments.  Composition shape: the |groups|-row percentile frame
-    broadcasts back onto the fact scan, so the fact is read twice and
-    shuffled once; clip + moments stay in whole-stage codegen.  The
+    P1/P99 (histogram-selection percentiles — no group buffers, no
+    fact-sized shuffle), then mean/std of the clipped column — the
+    outlier-resistant profile statistics a feature pipeline publishes
+    instead of raw moments.  Composition shape: the |groups|-row
+    percentile frame broadcasts back onto the fact scan; clip +
+    moments stay in whole-stage codegen.  The
     mean/std cross the gate floor-scaled to whole units (error budget
     ~1e-9 of a grid step); clip counts are exact integers."""
     from ..operators.agg import exact_percentiles
@@ -6926,12 +6928,19 @@ def conversion_latency_percentiles(spark: SparkSession, sf_dir: str) -> DataFram
     most recent preceding view of the SAME user (the as-of join,
     expressed shuffle-once as a union + one ordered window per user —
     zero join nodes over the big sides), and P50/P90 of the
-    view→purchase delay come from the distributed-selection percentile
-    operator over the exact integer-microsecond latencies.  Every
-    value crossing the gate is an integer (epoch-µs differences and
-    their floor-interpolated percentiles), so the comparison is
-    order-of-operations-proof."""
+    view→purchase delay come from the histogram-selection percentile
+    operator over the exact integer-microsecond latencies.  The
+    latency frame is MATERIALIZED first (round 14, guide §5): it is a
+    derived upstream consumed four times (bounds/count, histogram,
+    crossing-bucket rescan, and the wrapper's own count/max agg), and
+    pinning it replaces four re-executions of the sessionize window
+    with one compute + three cheap block reads (measured 1.6 s → 1.2 s
+    at sf0.1; at scale it also removes three re-shuffles of the events
+    table).  Every value crossing the gate is an integer (epoch-µs
+    differences and their floor-interpolated percentiles), so the
+    comparison is order-of-operations-proof."""
     from ..operators.agg import exact_percentiles
+    from ..operators.materialize import materialize
 
     ev = _t(spark, sf_dir, "events")
     v = ev.filter(F.col("event_type") == "view").select(
@@ -6960,6 +6969,8 @@ def conversion_latency_percentiles(spark: SparkSession, sf_dir: str) -> DataFram
             ).alias("latency_us")
         )
     )
+    # four consumers of a derived frame — pin it (docstring above)
+    lat = materialize(lat)
     pct = exact_percentiles(
         lat.withColumn("_g", F.lit(1)),
         ["_g"],

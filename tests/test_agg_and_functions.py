@@ -293,6 +293,64 @@ def test_mad_spread_matches_naive(spark):
         assert got[g] == (med, mad), (g, got[g], (med, mad))
 
 
+def test_selection_strategies_bit_identical(spark):
+    """The round-14 histogram selection must return BIT-identical
+    doubles to the round-2..13 range selection (same interpolation
+    expression, ≤2 nonzero terms per percentile, commutative adds) on
+    adversarial data: mega-ties (single-valued buckets resolve from
+    the histogram without rescan), all-equal groups (span 0 → one
+    bucket), single-row groups, negatives, and skewed cardinalities.
+    mad_spread additionally exercises the derived-bounds pass-2
+    bucketing."""
+    import random
+
+    from enterprise_sales_data_pipeline_using_aws_lambda_spark.operators.agg import (
+        exact_percentiles,
+        mad_spread,
+    )
+
+    rng = random.Random(14)
+    rows = []
+    for g, n in [("big", 500), ("tie", 200), ("flat", 7), ("one", 1)]:
+        if g == "flat":
+            vals = [42.5] * n
+        elif g == "tie":
+            vals = [-3.0] * 150 + [rng.uniform(-1000, 1000) for _ in range(50)]
+        else:
+            vals = [round(rng.gauss(0, 1e6), 3) for _ in range(n)]
+        rows += [(g, v) for v in vals]
+    df = spark.createDataFrame(rows, "g string, v double").repartition(9)
+
+    ps = [0.0, 0.01, 0.25, 0.5, 0.75, 0.99, 1.0]
+    names = [f"q{i}" for i in range(len(ps))]
+
+    def run(strategy):
+        spark.conf.set("spark.graft.selection.strategy", strategy)
+        try:
+            pct = {
+                r["g"]: tuple(r[n] for n in names)
+                for r in exact_percentiles(df, ["g"], "v", ps, names,
+                                           num_partitions=5).collect()
+            }
+            mad = {
+                r["g"]: (r["med"], r["mad"])
+                for r in mad_spread(df, ["g"], "v",
+                                    num_partitions=5).collect()
+            }
+        finally:
+            spark.conf.unset("spark.graft.selection.strategy")
+        return pct, mad
+
+    pct_h, mad_h = run("histogram")
+    pct_r, mad_r = run("range")
+    assert set(pct_h) == set(pct_r) == {"big", "tie", "flat", "one"}
+    for g in pct_r:
+        # exact equality, not approx: both strategies must emit the
+        # same IEEE doubles or the oracle's grid rounding can flip
+        assert pct_h[g] == pct_r[g], (g, pct_h[g], pct_r[g])
+        assert mad_h[g] == mad_r[g], (g, mad_h[g], mad_r[g])
+
+
 def test_sequence_packing_invariants(spark, sf_dir):
     """Packing conserves tokens, pack ids are contiguous from 0, and
     every pack except possibly the last holds ≥ budget - max_doc

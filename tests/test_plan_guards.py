@@ -30,12 +30,13 @@ ALLOWED_GLOBAL_WINDOWS = {
     # that survivor frame is output-sized, not fact-sized
     "skyline_price_quantity": "survivor-union scan (skyline_2d phase 2)",
     # exact_percentiles with a single global group: Catalyst constant-
-    # folds the literal group out of the offset window's partitionBy,
-    # exposing the same P-row (partition-count) offset frame the
-    # global_cumsum entries allowlist — bounded by shuffle partitions,
+    # folds the literal group out of the cumulative window's
+    # partitionBy, exposing the histogram frame — bounded by
+    # spark.graft.selection.histogramBuckets rows (+1 NaN bucket),
     # never fact-sized
     "conversion_latency_percentiles": (
-        "partition-count offset frame (exact_percentiles, global group)"
+        "histogram-bucket cumulative frame (exact_percentiles, "
+        "global group)"
     ),
     # r5: the session-boundary sweep itself is now range-partitioned
     # via global_cumsum; only the P-row offset frame remains global

@@ -125,8 +125,8 @@ def test_rotation_and_bench_integrity():
     qs = entry.queries()
     names = list(qs)
     explicit = (
-        entry.R12_RED + entry.CHANGED_THIS_ROUND + entry.NEW_THIS_ROUND
-        + entry.OLDEST_R9 + entry.OLDEST_R10_FILLERS
+        entry.R13_RED + entry.CHANGED_THIS_ROUND + entry.NEW_THIS_ROUND
+        + entry.OLDEST_R10 + entry.OLDEST_R11_FILLERS
     )
     assert len(explicit) == len(set(explicit)), "duplicate rotation entry"
     missing = [n for n in explicit if n not in qs]
@@ -137,8 +137,8 @@ def test_rotation_and_bench_integrity():
     # Red/changed/new/r9-stale must fit the 50-slot budget; the r10
     # fillers then top the block up to exactly the driver's 50 slots.
     must_check = (
-        entry.R12_RED + entry.CHANGED_THIS_ROUND + entry.NEW_THIS_ROUND
-        + entry.OLDEST_R9
+        entry.R13_RED + entry.CHANGED_THIS_ROUND + entry.NEW_THIS_ROUND
+        + entry.OLDEST_R10
     )
     assert len(must_check) <= 50, "must-check block exceeds driver budget"
     assert len(explicit) == 50, "rotation block must fill all 50 slots"

@@ -9,10 +9,20 @@ log-round connected components, heap top-k under skew).
 
 Usage: python tools/scale_smoke.py [rows_millions]   (default 20)
 Prints one line per workload: name, input rows, seconds.
+
+If SPARK_GRAFT_SMOKE_OUT names a path, a JSON artifact with the same
+per-workload rows/seconds/verdict tuples (plus git head, host and
+timestamp provenance) is written there — round-13 VERDICT item 6:
+"at scale" claims must carry committed numbers, since the sf0.1
+bench is overhead-bound (every 8-vs-32-core ratio ≈ 1) and provably
+cannot show scaling.
 """
 
 from __future__ import annotations
 
+import json
+import os
+import subprocess
 import sys
 import time
 
@@ -1312,6 +1322,32 @@ def main() -> int:
 
     total = round(sum(r[2] for r in results), 2)
     print(f"TOTAL {total}s for {len(results)} workloads at base n={n:,}")
+    out_path = os.environ.get("SPARK_GRAFT_SMOKE_OUT")
+    if out_path:
+        try:
+            head = subprocess.run(
+                ["git", "rev-parse", "--short", "HEAD"],
+                capture_output=True, text=True, cwd="/root/repo",
+            ).stdout.strip() or "unknown"
+        except Exception:  # noqa: BLE001 - provenance is best-effort
+            head = "unknown"
+        artifact = {
+            "base_rows": n,
+            "total_s": total,
+            "workloads": [
+                {"name": nm, "rows": rw, "seconds": dt, "verdict": vd}
+                for nm, rw, dt, vd in results
+            ],
+            "git_head": head,
+            "host": __import__("socket").gethostname(),
+            "timestamp": time.strftime(
+                "%Y-%m-%dT%H:%M:%S+00:00", time.gmtime()
+            ),
+        }
+        with open(out_path, "w") as fh:
+            json.dump(artifact, fh, indent=1)
+            fh.write("\n")
+        print(f"artifact -> {out_path}")
     spark.stop()
     return 0
 
